@@ -1,0 +1,64 @@
+"""Fixture-table catalog.
+
+Loads the driver-generated TPC-H-ish parquet tables (TESTDATA.md) and
+registers them as temp views.  All reads go through ``spark.read.parquet``
+so Catalyst gets predicate pushdown / column pruning / partition pruning
+for free; at 100 TB these would be partitioned external tables and the same
+code path applies.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: dimension tables small enough to broadcast at any scale factor that
+#: matters (region/nation are bounded; part/supplier/customer are bounded
+#: relative to the fact tables — on a real 100 TB run revisit part/customer).
+BROADCAST_DIMS = ("region", "nation")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table: {name!r} (have {TABLES})")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # ts is timestamp[ns] in the footer, surfaced as nanos-long via
+        # spark.sql.legacy.parquet.nanosAsLong; derive the canonical
+        # microsecond timestamp (Spark timestamps are us precision).
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view named after itself."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,699 @@
+"""Relational core: scans, filters, joins (all types), aggregations,
+rollup/cube/grouping-sets, set ops, sorts/top-k, pivot.
+
+The reference implements none of these (SURVEY.md §2.2 — flow is a message
+relay); this is the analytic surface the engine declares on top of the same
+fixtures.  Every builder is pure DataFrame API so Catalyst gets pushdown /
+pruning / join selection; dimension tables are broadcast explicitly where a
+1000-executor plan must avoid a shuffle.
+
+Scale notes (100 TB): every groupBy here keys on low-cardinality columns or
+pre-filtered fact subsets; joins are fact->dim (broadcast) or
+fact->fact on the join graph keys which parquet bucketing would co-locate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flow_spark.catalog import load_table
+from flow_spark.queries.registry import register
+from flow_spark.queries.util import (
+    SQL_ONE_PLUS_TAX,
+    SQL_PRICE,
+    SQL_REVENUE,
+    dec,
+    money_avg,
+    money_sum,
+    one_plus,
+    revenue_expr,
+)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style headline queries
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    category="aggregation",
+    doc="TPC-H Q1: scan+filter pushdown, 8-agg groupBy, orderBy. "
+    "Money sums computed in exact DECIMAL (order-independent; see util.py).",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(l_quantity) AS DOUBLE)                                  AS sum_qty,
+               CAST(ROUND(SUM({SQL_PRICE}), 2) AS DOUBLE)                       AS sum_base_price,
+               CAST(ROUND(SUM({SQL_REVENUE}), 2) AS DOUBLE)                     AS sum_disc_price,
+               CAST(ROUND(SUM({SQL_REVENUE} * {SQL_ONE_PLUS_TAX}), 2) AS DOUBLE) AS sum_charge,
+               ROUND(SUM(l_quantity) / COUNT(*), 4)                             AS avg_qty,
+               ROUND(CAST(SUM({SQL_PRICE}) AS DOUBLE) / COUNT(*), 4)            AS avg_price,
+               ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+               COUNT(*)                                                         AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # l_quantity is integral -> double sum is exact as-is
+            F.sum("l_quantity").alias("sum_qty"),
+            money_sum(dec("l_extendedprice")).alias("sum_base_price"),
+            money_sum(revenue_expr()).alias("sum_disc_price"),
+            money_sum(revenue_expr() * one_plus("l_tax")).alias("sum_charge"),
+            F.round(F.sum("l_quantity") / F.count(F.lit(1)), 4).alias("avg_qty"),
+            money_avg(dec("l_extendedprice")).alias("avg_price"),
+            money_avg(dec("l_discount", "decimal(3,2)")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    category="join",
+    doc="TPC-H Q3-style 3-way join, agg, deterministic top-10.",
+    oracle=f"""
+        SELECT l_orderkey,
+               CAST(ROUND(SUM({SQL_REVENUE}), 2) AS DOUBLE)      AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate,
+               o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate  > TIMESTAMP '1996-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(money_sum(revenue_expr()).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    category="join",
+    doc="TPC-H Q5-style 6-way join through the full join graph; dims broadcast.",
+    oracle=f"""
+        SELECT n_name,
+               CAST(ROUND(SUM({SQL_REVENUE}), 2) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1999-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(money_sum(revenue_expr()).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Join-type coverage
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_left_outer",
+    category="join",
+    doc="Left outer join: every customer with order count incl. zero.",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               COUNT(o_orderkey)                          AS n_orders,
+               CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spent
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_mktsegment
+        ORDER BY c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec("o_totalprice")), F.lit(0)).cast("double").alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_full_outer",
+    category="join",
+    doc="Full outer join with unmatched rows on both sides.",
+    oracle="""
+        WITH a AS (SELECT o_custkey AS k, COUNT(*) AS n_orders
+                   FROM orders WHERE o_custkey % 3 = 0 GROUP BY o_custkey),
+             b AS (SELECT c_custkey AS k, c_acctbal
+                   FROM customer WHERE c_custkey % 2 = 0)
+        SELECT COALESCE(a.k, b.k)            AS custkey,
+               COALESCE(a.n_orders, -1)      AS n_orders,
+               ROUND(COALESCE(b.c_acctbal, -1.0), 2) AS acctbal
+        FROM a FULL OUTER JOIN b ON a.k = b.k
+        ORDER BY custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 3 == 0)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    b = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select(F.col("c_custkey").alias("k"), "c_acctbal")
+    )
+    return (
+        a.join(b, a.k == b.k, "full_outer")
+        .select(
+            F.coalesce(a.k, b.k).alias("custkey"),
+            F.coalesce(F.col("n_orders"), F.lit(-1)).alias("n_orders"),
+            F.round(F.coalesce(F.col("c_acctbal"), F.lit(-1.0)), 2).alias("acctbal"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@register(
+    "join_semi",
+    category="join",
+    doc="Left-semi join (EXISTS): customers that placed high-priority orders.",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_anti",
+    category="join",
+    doc="Left-anti join (NOT EXISTS): customers with no orders at all.",
+    oracle="""
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_cross",
+    category="join",
+    doc="Cross join of the two bounded dims (region x nation head).",
+    oracle="""
+        SELECT r_name, n_name
+        FROM region CROSS JOIN (SELECT n_name FROM nation WHERE n_nationkey < 5) n
+        ORDER BY r_name, n_name
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    nation = (
+        load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5).select("n_name")
+    )
+    return region.crossJoin(nation).orderBy("r_name", "n_name")
+
+
+@register(
+    "join_theta_inequality",
+    category="join",
+    doc="Theta (non-equi) join: supplier x nation on key inequality.",
+    oracle="""
+        SELECT s_suppkey, n_nationkey
+        FROM supplier JOIN nation ON s_nationkey < n_nationkey
+        ORDER BY s_suppkey, n_nationkey
+    """,
+)
+def join_theta_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey < nation.n_nationkey)
+        .select("s_suppkey", "n_nationkey")
+        .orderBy("s_suppkey", "n_nationkey")
+    )
+
+
+@register(
+    "join_range_band",
+    category="join",
+    doc=(
+        "Range/band join: orders bucketed into price bands via BETWEEN. "
+        "The band table is broadcast so the range join is a broadcast "
+        "nested loop over 6 rows, not a shuffle."
+    ),
+    oracle="""
+        WITH bands AS (
+            SELECT i AS band_id, i * 50000.0 AS lo, (i + 1) * 50000.0 AS hi
+            FROM range(0, 6) t(i)
+        )
+        SELECT band_id, COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 2) AS avg_price
+        FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band_id
+        ORDER BY band_id
+    """,
+)
+def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.range(0, 6).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 50000.0).alias("lo"),
+        ((F.col("id") + 1) * 50000.0).alias("hi"),
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money_avg(dec("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("band_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation coverage
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_functions",
+    category="aggregation",
+    doc="Aggregate function battery incl. count distinct, stddev, corr.",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*)                                   AS n,
+               COUNT(DISTINCT l_orderkey)                 AS n_orders,
+               ROUND(MIN(l_extendedprice), 2)             AS min_price,
+               ROUND(MAX(l_extendedprice), 2)             AS max_price,
+               ROUND(STDDEV_SAMP(l_quantity), 4)          AS sd_qty,
+               ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def agg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_rollup",
+    category="aggregation",
+    doc="ROLLUP hierarchy totals with GROUPING() marker.",
+    oracle="""
+        SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+               COALESCE(l_linestatus, '<all>') AS linestatus,
+               GROUPING(l_returnflag) + GROUPING(l_linestatus) AS lvl,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY returnflag, linestatus, lvl
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") + F.grouping("l_linestatus")).alias("lvl"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "lvl",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus", "lvl")
+    )
+
+
+@register(
+    "agg_cube",
+    category="aggregation",
+    doc="CUBE over two dimensions.",
+    oracle="""
+        SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+               COALESCE(l_linestatus, '<all>') AS linestatus,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY returnflag, linestatus
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    category="aggregation",
+    doc="Explicit GROUPING SETS via SQL (Catalyst expands to union of aggs).",
+    oracle="""
+        SELECT COALESCE(o_orderstatus, '<all>')   AS orderstatus,
+               COALESCE(o_orderpriority, '<all>') AS orderpriority,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY orderstatus, orderpriority
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, '<all>')   AS orderstatus,
+               COALESCE(o_orderpriority, '<all>') AS orderpriority,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY orderstatus, orderpriority
+        """
+    )
+
+
+@register(
+    "agg_pivot",
+    category="aggregation",
+    doc="Pivot linestatus into columns (conditional aggregation).",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+               ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_approx",
+    category="aggregation",
+    doc=(
+        "Approximate aggregates: percentile_approx checked against exact "
+        "DuckDB quantile on the discrete domain; approx_count_distinct is "
+        "validated exactly in unit tests (error-bounded), not via oracle."
+    ),
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(quantile_disc(l_quantity, 0.5), 2) AS p50_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile_approx("l_quantity", 0.5, 1000000), 2).alias("p50_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set ops / distinct / sort / limit
+# --------------------------------------------------------------------------
+
+
+@register(
+    "set_intersect",
+    category="set-ops",
+    doc="INTERSECT: customers in BUILDING segment who also placed urgent orders.",
+    oracle="""
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        ORDER BY c_custkey
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.intersect(urgent).orderBy("c_custkey")
+
+
+@register(
+    "set_except",
+    category="set-ops",
+    doc="EXCEPT: customers that never placed an urgent order.",
+    oracle="""
+        SELECT c_custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        ORDER BY c_custkey
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.exceptAll(urgent).distinct().orderBy("c_custkey")
+
+
+@register(
+    "set_union_distinct",
+    category="set-ops",
+    doc="UNION (mux fan-in analogue, actor/mux.go:56-59) + distinct.",
+    oracle="""
+        SELECT k FROM (
+            SELECT c_nationkey AS k FROM customer
+            UNION
+            SELECT s_nationkey AS k FROM supplier
+        ) ORDER BY k
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.unionByName(s).distinct().orderBy("k")
+
+
+@register(
+    "sort_topk_global",
+    category="sort",
+    doc="Global top-k with deterministic tiebreak (TakeOrderedAndProject).",
+    oracle="""
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 25
+    """,
+)
+def sort_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "distinct_pairs",
+    category="set-ops",
+    doc="dropDuplicates on a projection.",
+    oracle="""
+        SELECT DISTINCT l_returnflag, l_linestatus
+        FROM lineitem ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_linestatus")
+        .dropDuplicates()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "filter_predicates",
+    category="filter",
+    doc="Predicate battery: IN / LIKE / BETWEEN / IS NULL / boolean mix (pushdown-eligible).",
+    oracle="""
+        SELECT p_partkey, p_brand, p_size
+        FROM part
+        WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+          AND p_size BETWEEN 10 AND 40
+          AND p_name LIKE '%a%'
+          AND p_retailprice IS NOT NULL
+          AND (p_size % 2 = 0 OR p_brand = 'Brand#1')
+        ORDER BY p_partkey
+    """,
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(
+            F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+            & F.col("p_size").between(10, 40)
+            & F.col("p_name").like("%a%")
+            & F.col("p_retailprice").isNotNull()
+            & ((F.col("p_size") % 2 == 0) | (F.col("p_brand") == "Brand#1"))
+        )
+        .select("p_partkey", "p_brand", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "subquery_correlated_agg",
+    category="filter",
+    doc="Scalar-subquery predicate: lineitems above their part's avg quantity.",
+    oracle="""
+        WITH pavg AS (
+            SELECT l_partkey AS pk, AVG(l_quantity) AS avg_qty
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem JOIN pavg ON l_partkey = pk
+        WHERE l_quantity > avg_qty
+    """,
+)
+def subquery_correlated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pavg = li.groupBy(F.col("l_partkey").alias("pk")).agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(pavg, li.l_partkey == pavg.pk)
+        .filter(F.col("l_quantity") > F.col("avg_qty"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )

@@ -1,0 +1,253 @@
+"""Scalar-function coverage: string, date/time, math, array, map, JSON,
+conditional — the §2.2 function groups, each checked against DuckDB.
+
+Reference analogues: the meta parser's querystring split
+(/root/reference/pkg/corev1alpha1/x/meta_parser.go:72-88) and base64 codecs
+(x/encoder_base64.go, x/decoder_base64.go) are covered in
+``pipeline_semantics``; this module is the general function battery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flow_spark.catalog import load_table
+from flow_spark.queries.registry import register
+
+
+@register(
+    "fn_string",
+    category="string-fn",
+    doc="length/lower/upper/substr/concat_ws/replace/split_part/levenshtein/trim.",
+    oracle="""
+        SELECT doc_id,
+               LENGTH(text)                                   AS n_len,
+               UPPER(SUBSTR(text, 1, 10))                     AS head_upper,
+               LOWER(source)                                  AS src_lower,
+               CONCAT_WS('|', lang, source)                   AS lang_src,
+               REPLACE(SUBSTR(text, 1, 20), ' ', '_')         AS head_snake,
+               SPLIT_PART(text, ' ', 1)                       AS first_word,
+               LEVENSHTEIN(lang, 'en')                        AS lev_en,
+               LENGTH(TRIM(text))                             AS n_trim
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").alias("n_len"),
+            F.upper(F.substring("text", 1, 10)).alias("head_upper"),
+            F.lower("source").alias("src_lower"),
+            F.concat_ws("|", "lang", "source").alias("lang_src"),
+            F.replace(F.substring("text", 1, 20), F.lit(" "), F.lit("_")).alias("head_snake"),
+            F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("first_word"),
+            F.levenshtein("lang", F.lit("en")).alias("lev_en"),
+            F.length(F.trim("text")).alias("n_trim"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "fn_regexp",
+    category="string-fn",
+    doc="regexp_extract / regexp_replace / rlike filter.",
+    oracle="""
+        SELECT doc_id,
+               REGEXP_EXTRACT(source, '([0-9]+)', 1)               AS src_num,
+               LENGTH(REGEXP_REPLACE(text, '[aeiou]', '', 'g'))    AS n_novowel
+        FROM documents
+        WHERE REGEXP_MATCHES(text, 'join|merge')
+        ORDER BY doc_id
+    """,
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").rlike("join|merge"))
+        .select(
+            "doc_id",
+            F.regexp_extract("source", r"([0-9]+)", 1).alias("src_num"),
+            F.length(F.regexp_replace("text", "[aeiou]", "")).alias("n_novowel"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "fn_datetime",
+    category="date-fn",
+    doc="year/month/day/hour, date_trunc, datediff, date_add, unix epoch.",
+    oracle="""
+        SELECT o_orderkey,
+               YEAR(o_orderdate)  AS y,
+               MONTH(o_orderdate) AS m,
+               DAY(o_orderdate)   AS d,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+               datediff('day', o_orderdate, TIMESTAMP '2002-01-01')   AS days_to_2002,
+               strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')    AS plus_30d,
+               CAST(epoch(o_orderdate) AS BIGINT)                     AS epoch_s
+        FROM orders
+        WHERE o_orderkey % 100 = 0
+        ORDER BY o_orderkey
+    """,
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return (
+        orders.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            F.dayofmonth("o_orderdate").alias("d"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "month_start"
+            ),
+            F.datediff(F.lit("2002-01-01").cast("timestamp"), F.col("o_orderdate")).alias(
+                "days_to_2002"
+            ),
+            F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias(
+                "plus_30d"
+            ),
+            F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "fn_math",
+    category="math-fn",
+    doc="abs/round/floor/ceil/sqrt/pow/ln/exp/pmod/sign/least/greatest.",
+    oracle="""
+        SELECT p_partkey,
+               ABS(p_size - 25)                              AS dist25,
+               ROUND(p_retailprice / 7, 3)                   AS div7,
+               CAST(FLOOR(p_retailprice) AS BIGINT)          AS fl,
+               CAST(CEIL(p_retailprice) AS BIGINT)           AS ce,
+               ROUND(SQRT(p_size), 4)                        AS root,
+               ROUND(POW(p_size, 2), 1)                      AS sq,
+               ROUND(LN(p_retailprice), 4)                   AS lnp,
+               ((p_size % 7) + 7) % 7                        AS pmod7,
+               SIGN(p_size - 25)                             AS sgn,
+               LEAST(p_size, 25)                             AS lo,
+               GREATEST(p_size, 25)                          AS hi
+        FROM part
+        ORDER BY p_partkey
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.abs(F.col("p_size") - 25).alias("dist25"),
+            F.round(F.col("p_retailprice") / 7, 3).alias("div7"),
+            F.floor("p_retailprice").alias("fl"),
+            F.ceil("p_retailprice").alias("ce"),
+            F.round(F.sqrt("p_size"), 4).alias("root"),
+            F.round(F.pow("p_size", F.lit(2)), 1).alias("sq"),
+            F.round(F.log("p_retailprice"), 4).alias("lnp"),
+            F.pmod(F.col("p_size"), F.lit(7)).alias("pmod7"),
+            F.signum(F.col("p_size") - 25).cast("double").alias("sgn"),
+            F.least("p_size", F.lit(25)).alias("lo"),
+            F.greatest("p_size", F.lit(25)).alias("hi"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "fn_array",
+    category="array-fn",
+    doc="array size/element_at/filter/transform/aggregate over embeddings.",
+    oracle="""
+        SELECT vec_id,
+               len(embedding)                                    AS dim,
+               ROUND(CAST(embedding[1] AS DOUBLE), 4)            AS first_val,
+               len(list_filter(embedding, x -> x > 0))           AS n_pos,
+               ROUND(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sq_norm
+        FROM embeddings
+        WHERE vec_id % 10 = 0
+        ORDER BY vec_id
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+            F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+            F.round(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                ),
+                4,
+            ).alias("sq_norm"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "fn_json",
+    category="json-fn",
+    doc="get_json_object / from_json over the events.props JSON column.",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        FROM events
+        WHERE event_id % 10 = 0
+        ORDER BY event_id
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "fn_conditional",
+    category="conditional-fn",
+    doc="CASE WHEN / coalesce / nullif / nvl chains.",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice >= 200000 THEN 'high'
+                    WHEN o_totalprice >= 100000 THEN 'mid'
+                    ELSE 'low' END                            AS bucket,
+               COALESCE(NULLIF(o_orderstatus, 'O'), 'open')   AS status_or_open
+        FROM orders
+        WHERE o_orderkey % 50 = 0
+        ORDER BY o_orderkey
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    return (
+        orders.select(
+            "o_orderkey",
+            F.when(F.col("o_totalprice") >= 200000, "high")
+            .when(F.col("o_totalprice") >= 100000, "mid")
+            .otherwise("low")
+            .alias("bucket"),
+            F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias(
+                "status_or_open"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )

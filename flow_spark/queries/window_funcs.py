@@ -1,0 +1,192 @@
+"""Window-function coverage: ranking, analytics (lag/lead), running and
+range frames, top-k-per-group, share-of-total.
+
+The reference has no window functions (SURVEY.md §2.2); this is declared
+engine surface.  Scale note: each window partitions on a bounded key
+(supplier, customer, returnflag) so state per partition stays small; a
+window with no PARTITION BY (global total) is computed as a broadcast
+scalar instead of a single-partition sort at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from flow_spark.catalog import load_table
+from flow_spark.queries.registry import register
+from flow_spark.queries.util import SQL_REVENUE, dec, revenue_expr
+
+
+@register(
+    "win_topk_per_group",
+    category="window",
+    doc="Top-3 parts by revenue per supplier: row_number over desc revenue. "
+    "Revenue kept as exact DECIMAL so the ORDER BY (and thus ranks) is "
+    "deterministic across engines and re-executions.",
+    oracle=f"""
+        WITH rev AS (
+            SELECT l_suppkey, l_partkey,
+                   SUM({SQL_REVENUE}) AS r
+            FROM lineitem GROUP BY l_suppkey, l_partkey
+        ), ranked AS (
+            SELECT l_suppkey, l_partkey, r,
+                   ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                      ORDER BY r DESC, l_partkey ASC) AS rn
+            FROM rev
+        )
+        SELECT l_suppkey, l_partkey, CAST(ROUND(r, 2) AS DOUBLE) AS revenue, rn
+        FROM ranked WHERE rn <= 3
+        ORDER BY l_suppkey, rn
+    """,
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey", "l_partkey").agg(F.sum(revenue_expr()).alias("r"))
+    w = W.partitionBy("l_suppkey").orderBy(F.desc("r"), F.asc("l_partkey"))
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "l_suppkey",
+            "l_partkey",
+            F.round("r", 2).cast("double").alias("revenue"),
+            "rn",
+        )
+        .orderBy("l_suppkey", "rn")
+    )
+
+
+@register(
+    "win_rank_dense_ntile",
+    category="window",
+    doc="rank / dense_rank / ntile / percent_rank battery over customers.",
+    oracle="""
+        SELECT c_custkey,
+               RANK()        OVER w AS rnk,
+               DENSE_RANK()  OVER w AS drnk,
+               NTILE(4)      OVER w AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 4) AS prank
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+        ORDER BY c_custkey
+    """,
+)
+def win_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.select(
+            "c_custkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 4).alias("prank"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "win_lag_lead_running",
+    category="window",
+    doc="lag / lead / running sum (rows frame) per customer order history.",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               ROUND(o_totalprice, 2) AS price,
+               ROUND(LAG(o_totalprice)  OVER w, 2) AS prev_price,
+               ROUND(LEAD(o_totalprice) OVER w, 2) AS next_price,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        ORDER BY o_custkey, o_orderkey
+    """,
+)
+def win_lag_lead_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+            F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+            F.sum(dec("o_totalprice"))
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("double")
+            .alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "win_range_frame",
+    category="window",
+    doc="RANGE frame: count of same-segment customers within ±100 acctbal.",
+    oracle="""
+        SELECT c_custkey,
+               COUNT(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+                              RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING) AS n_near
+        FROM customer
+        ORDER BY c_custkey
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = (
+        W.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal"))
+        .rangeBetween(-100, 100)
+    )
+    return cust.select("c_custkey", F.count("*").over(w).alias("n_near")).orderBy("c_custkey")
+
+
+@register(
+    "win_share_of_total",
+    category="window",
+    doc=(
+        "Share-of-total per group: nation revenue / global revenue. "
+        "Computed as agg + broadcast scalar join (not a global window) so "
+        "there is no single-partition bottleneck at scale."
+    ),
+    oracle=f"""
+        WITH nrev AS (
+            SELECT n_name, SUM({SQL_REVENUE}) AS r
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        )
+        SELECT n_name, CAST(ROUND(r, 2) AS DOUBLE) AS revenue,
+               ROUND(CAST(r AS DOUBLE) / CAST(SUM(r) OVER () AS DOUBLE), 4) AS share
+        FROM nrev
+        ORDER BY n_name
+    """,
+)
+def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    nrev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue_expr()).alias("r"))
+    )
+    # nrev is tiny (bounded by nation count) -> cross-join the scalar total
+    # instead of a global window; at 100 TB this avoids one-partition sort.
+    total = nrev.agg(F.sum("r").alias("t"))
+    return (
+        nrev.crossJoin(F.broadcast(total))
+        .select(
+            "n_name",
+            F.round("r", 2).cast("double").alias("revenue"),
+            F.round(F.col("r").cast("double") / F.col("t").cast("double"), 4).alias("share"),
+        )
+        .orderBy("n_name")
+    )
