@@ -1,0 +1,131 @@
+"""Body codecs: base64 encode/decode, compression, meta parsing.
+
+Reference:
+- x/encoder_base64.go:59-70, x/decoder_base64.go:59-76 — std base64 over
+  the body; decode errors -> MsgStatusInvalid.
+- actor/compressor.go:19-87 — gzip/flate/lzw/zlib/zstd/snappy at a
+  configurable level over the body.
+- x/meta_parser.go:72-88 — body split at the first space; the left part is
+  parsed as a URL query string into meta (multi-values joined with ","),
+  the remainder becomes the body.
+
+Spark mapping: base64/unbase64 are built-ins (JVM-side); compression has no
+Catalyst primitive so it's an Arrow-batched Pandas UDF over BinaryType
+(the sanctioned slow path — storage-level compression should use parquet /
+kafka codecs instead, this operator exists for wire-format parity);
+meta parsing is split + str_to_map + map_concat, all codegen'd.
+"""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import lzma
+import zlib
+from collections.abc import Callable
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
+
+# --- base64 (JVM-side) ----------------------------------------------------
+
+
+def encode_base64(body: Column) -> Column:
+    return F.base64(body)
+
+
+def decode_base64(b64: Column) -> Column:
+    """Strict-ish decode: Spark's unbase64 is lenient, so validate the
+    alphabet first and yield NULL (-> status 'invalid') on garbage,
+    matching decoder_base64.go's error path."""
+    valid = b64.rlike(r"^[A-Za-z0-9+/]*={0,2}$")
+    return F.when(valid, F.unbase64(b64))
+
+
+# --- compression (Pandas UDF) ----------------------------------------------
+
+_COMPRESSORS: dict[str, tuple[Callable[[bytes], bytes], Callable[[bytes], bytes]]] = {
+    "gzip": (lambda b: gzip.compress(b, mtime=0), gzip.decompress),
+    "zlib": (zlib.compress, zlib.decompress),
+    "bz2": (bz2.compress, bz2.decompress),
+    "lzma": (lzma.compress, lzma.decompress),
+}
+# reference also supports zstd/snappy (compressor.go:61-76); gated on the
+# libs being present in the image
+try:  # pragma: no cover
+    import zstandard
+
+    _COMPRESSORS["zstd"] = (
+        lambda b: zstandard.ZstdCompressor().compress(b),
+        lambda b: zstandard.ZstdDecompressor().decompress(b),
+    )
+except ImportError:
+    pass
+try:  # pragma: no cover
+    import snappy
+
+    _COMPRESSORS["snappy"] = (snappy.compress, snappy.decompress)
+except ImportError:
+    pass
+
+
+def supported_codecs() -> tuple[str, ...]:
+    return tuple(sorted(_COMPRESSORS))
+
+
+def compress(body: Column, codec: str = "gzip") -> Column:
+    if codec not in _COMPRESSORS:
+        raise ValueError(f"unsupported codec {codec!r}; have {supported_codecs()}")
+    comp, _ = _COMPRESSORS[codec]
+
+    @F.pandas_udf(BinaryType())
+    def _compress(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: None if b is None else comp(bytes(b)))
+
+    return _compress(body)
+
+
+def decompress(body: Column, codec: str = "gzip") -> Column:
+    if codec not in _COMPRESSORS:
+        raise ValueError(f"unsupported codec {codec!r}; have {supported_codecs()}")
+    _, decomp = _COMPRESSORS[codec]
+
+    @F.pandas_udf(BinaryType())
+    def _decompress(s: pd.Series) -> pd.Series:
+        def safe(b):
+            if b is None:
+                return None
+            try:
+                return decomp(bytes(b))
+            except Exception:
+                return None  # -> status 'invalid'
+
+        return s.map(safe)
+
+    return _decompress(body)
+
+
+# --- meta parser ------------------------------------------------------------
+
+
+def parse_meta(df: DataFrame, body_col: str = "body_str") -> DataFrame:
+    """Split body at the first space; parse the left part as a querystring
+    into meta (merged over existing meta, parsed keys win); the remainder
+    becomes the body.  meta_parser.go:72-88 semantics; %20 decoded.
+    """
+    head = F.split_part(F.col(body_col), F.lit(" "), F.lit(1))
+    rest = F.substring(
+        F.col(body_col), F.length(head) + 2, F.length(F.col(body_col))
+    )
+    parsed = F.str_to_map(F.url_decode(head), F.lit("&"), F.lit("="))
+    # merge: parsed keys win over pre-existing meta keys (map_concat would
+    # reject duplicates); map_zip_with covers keys present in either map
+    merged = F.map_zip_with(F.col("meta"), parsed, lambda k, old, new: F.coalesce(new, old))
+    return (
+        df.withColumn("meta", merged)
+        .withColumn(body_col, rest)
+        .withColumn("body", F.col(body_col).cast("binary"))
+    )

@@ -1,0 +1,176 @@
+"""Deduplication operators over document corpora.
+
+North-star surface (BASELINE.json): exact dedup, MinHash+LSH near-dup,
+SimHash, n-gram Jaccard — designed for 100 TB:
+
+- exact: hash-groupBy on a normalized key (one shuffle, map-side combine).
+- MinHash+LSH: shingle -> k salted min-hashes -> band keys -> bucket
+  self-join.  Candidate generation never compares all pairs: cost is
+  O(sum over buckets of bucket^2), the standard LSH bound.  Skewed buckets
+  (a viral duplicate cluster) are capped via a bucket-size limit.
+- SimHash: per-token hash bit-majority -> 32-bit signature; equal signatures
+  (or banded prefixes) are candidates.
+- n-gram Jaccard: exact verification join on shared grams — at scale this
+  runs AFTER LSH candidate pruning, never standalone.
+
+Hashes are the portable md5 form (functions/hashing.py) so every step is
+oracle-checkable; swap to xxhash64 for production throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from flow_spark.functions.hashing import portable_hash64
+
+#: MinHash configuration: 16 permutations in 4 bands of 4 rows -> the LSH
+#: S-curve crosses ~ (1/4)^(1/4) ≈ 0.71 Jaccard.
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = 4
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form for exact dedup: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group docs by normalized text; keeper = min doc_id (deterministic).
+
+    Returns (keeper_id, n_dups) per distinct normalized text with n_dups >= 1.
+    One hash-shuffle; Catalyst does partial aggregation map-side.
+    """
+    norm = normalize_text(F.col(text_col)).alias("norm")
+    return (
+        docs.select(F.col("doc_id"), norm)
+        .groupBy("norm")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_dups"))
+        .select("keeper_id", "n_dups")
+    )
+
+
+def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams of the normalized text.
+
+    Built with JVM-side higher-order functions (split + transform over an
+    index sequence) — no Python round trip.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return (
+        docs.select("doc_id", F.explode(grams).alias("shingle"))
+        .where(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """doc_id -> [min_i(hash_i(shingle))] as n_hashes columns mh0..mhN.
+
+    Single groupBy with n_hashes MIN aggregates (one shuffle; partial mins
+    map-side, so the shuffle carries one row per doc per partition).
+    """
+    aggs = [
+        F.min(portable_hash64(F.col("shingle"), salt=f"mh{i}")).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(doc_a < doc_b) candidate pairs sharing at least one LSH band bucket.
+
+    Oversized buckets (degenerate content, e.g. boilerplate) are dropped at
+    `max_bucket` docs — at 100 TB a single hot bucket would otherwise
+    produce a quadratic pair explosion; those clusters are better handled
+    by the exact-dedup pass.
+    """
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                *[F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = signatures.select("doc_id", F.explode(band_keys).alias("bucket"))
+    sized = buckets.withColumn("bucket_n", F.count("*").over(W.partitionBy("bucket")))
+    small = sized.filter(F.col("bucket_n") <= max_bucket).select("doc_id", "bucket")
+    a = small.alias("a")
+    b = small.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over word tokens: bit b is set iff the majority of
+    token hashes have bit b set.  Returns (doc_id, simhash).
+
+    One explode + one groupBy (bit counts are a fixed-width agg vector).
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok")
+    ).where(F.length("tok") > 0)
+    h = portable_hash64(F.col("tok"), salt="simhash")
+    bit_sums = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        *[F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"b{b}") for b in range(bits)],
+    )
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") * 2 > F.col("n_tok"), F.lit(2**b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = term if sig is None else (sig + term)
+    return bit_sums.select("doc_id", sig.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    shingles: DataFrame, threshold: float = 0.5, max_gram_docs: int = 1000
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for pairs sharing >=1 shingle.
+
+    (doc_a, doc_b, jaccard) for jaccard >= threshold.  Grams appearing in
+    more than `max_gram_docs` docs are dropped from pair GENERATION (they
+    are near-stopwords and would explode the join) but kept in the size
+    denominators — a documented approximation safe for threshold >= 0.5
+    only when dropped grams are a small fraction; at scale run after LSH.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    gram_n = shingles.withColumn("gram_n", F.count("*").over(W.partitionBy("shingle")))
+    keep = gram_n.filter(F.col("gram_n") <= max_gram_docs).select("doc_id", "shingle")
+    a = keep.alias("a")
+    b = keep.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

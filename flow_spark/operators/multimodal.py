@@ -1,0 +1,87 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The container has no image/audio libraries, so DECODERS ARE STUBBED — a
+clearly-marked NotImplementedError path plus a deterministic fake used by
+tests/queries.  Everything Spark-side is real: BinaryType columns, Arrow
+batch shapes, mapInPandas plumbing, partition sizing.
+
+Schema convention for a multimodal table:
+
+    asset_id long, media_type string, payload binary,
+    meta map<string,string>   -- e.g. {"mime": "image/png", "w": "640"}
+
+At 100 TB the payloads dominate: keep them in their own parquet column
+(never in a struct with hot columns) so column pruning skips the bytes
+unless the operator needs them; partition by size so Arrow batches stay
+inside executor memory (`spark.sql.files.maxPartitionBytes`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "asset_id long, byte_len long, first_byte int, sha_prefix string, n_frames int"
+)
+
+
+def decode_image(payload: bytes):  # pragma: no cover - stub
+    """Decode an image payload to HxWxC. STUB: pillow/opencv not in image."""
+    raise NotImplementedError(
+        "image decode requires pillow/opencv (not in this container); "
+        "production would decode inside extract_features' batch loop"
+    )
+
+
+def decode_audio(payload: bytes):  # pragma: no cover - stub
+    """Decode audio to PCM frames. STUB: soundfile/ffmpeg not in image."""
+    raise NotImplementedError("audio decode requires soundfile/ffmpeg")
+
+
+def fake_decode_frames(payload: bytes, frame_size: int = 1000) -> int:
+    """Deterministic stand-in for a video frame-sampler: number of
+    frame_size-byte 'frames' the payload would yield (ceil)."""
+    return (len(payload) + frame_size - 1) // frame_size
+
+
+def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Real plumbing (Arrow batches of binary columns, per-batch vectorized
+    work); the decode itself is the deterministic fake. The iterator shape
+    keeps memory at one Arrow batch regardless of partition size.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "byte_len": payloads.map(len),
+                    "first_byte": payloads.map(lambda b: b[0] if len(b) else -1),
+                    "sha_prefix": payloads.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()[:8]
+                    ),
+                    "n_frames": payloads.map(fake_decode_frames),
+                }
+            )
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def documents_as_assets(docs: DataFrame) -> DataFrame:
+    """Adapter: treat document text bytes as a fake media payload so the
+    multimodal plumbing is exercised by the fixture corpus."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("text/fake").alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+        F.create_map(F.lit("lang"), F.col("lang")).alias("meta"),
+    )

@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as the 100 TB design requires:
+
+- **Brute-force cosine top-k** — the correctness baseline: broadcast the
+  (small) query set, one scan over candidates, per-query top-k via window.
+  Cost O(|Q| * |C|); right answer, used to validate the approximate path.
+- **LSH-bucketed ANN (random hyperplanes)** — the scale path: each vector
+  gets a B-bit signature (sign of dot with B deterministic hyperplanes);
+  queries only compare against candidates in the same bucket, shrinking the
+  candidate set ~2^B-fold.  Hyperplane weights derive from the portable
+  md5 hash so the whole pipeline is oracle-checkable and identical across
+  engines/runs.
+
+Vector math is JVM-side (zip_with/aggregate fold, sequential order =
+deterministic FP).  A numpy Pandas-UDF variant of the dot product is
+provided for wide-vector workloads where Arrow batching beats codegen.
+
+Embedding-cosine near-dup (dedup flavor) reuses the same primitives.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+from pyspark.sql.window import Window as W
+
+from flow_spark.functions.hashing import portable_hash64
+from flow_spark.functions.vectors import cosine_similarity, dot, l2_norm
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cos).
+
+    Excludes self-matches.  The query side is broadcast — at scale the
+    candidate scan is the only pass over the big table.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_similarity(F.col("qvec"), F.col("cvec")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
+    )
+
+
+def hyperplane_weight(plane: int, dim_idx: Column) -> Column:
+    """Deterministic pseudo-random weight in [-1, 1) for (plane, dim)."""
+    h = portable_hash64(
+        F.concat(F.lit(f"hp{plane}_"), dim_idx.cast("string")), salt="lsh"
+    )
+    return (F.pmod(h, F.lit(2001)) - 1000).cast("double") / 1000.0
+
+
+def lsh_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """B-bit signature: bit p = 1 iff dot(vec, plane_p) >= 0."""
+    # NB: transform lambdas must take exactly ONE parameter — PySpark calls
+    # a two-parameter function as (element, index), so even a `p=p` default
+    # would be silently overwritten by the element index.
+    def plane_for(p: int):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)), lambda i: hyperplane_weight(p, i)
+        )
+
+    sig = None
+    for p in range(n_planes):
+        bit = F.when(dot(vec, plane_for(p)) >= 0, F.lit(2**p)).otherwise(F.lit(0))
+        sig = bit if sig is None else (sig + bit)
+    return sig.cast("int")
+
+
+def lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking within the query's LSH bucket."""
+    sig = lsh_signature(F.col(vec_col), dim, n_planes)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), sig.alias("bucket")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), sig.alias("bucket")
+    )
+    scored = (
+        c.join(F.broadcast(q), ["bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_similarity(F.col("qvec"), F.col("cvec")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
+    )
+
+
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    partition_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a < b) pairs with cosine >= threshold, pruned to same partition_col.
+
+    The partition column stands in for an IVF/LSH bucket: pair generation is
+    quadratic only WITHIN a bucket, never globally.
+    """
+    v = vectors.select(
+        F.col(id_col), F.col(partition_col).alias("part"), F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.part") == F.col("b.part"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round("cos", 4).alias("cos"),
+        )
+    )
+
+
+@F.pandas_udf(DoubleType())
+def cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:  # pragma: no cover
+    """Arrow-batched numpy cosine — the wide-vector alternative to the
+    codegen fold; same semantics, batched BLAS throughput."""
+    av = np.stack(a.to_numpy())
+    bv = np.stack(b.to_numpy())
+    num = (av * bv).sum(axis=1)
+    den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
+    return pd.Series(num / den)

@@ -1,1 +1,245 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication queries over `documents`, each oracle-checked.
+
+The corpus is augmented with known duplicates (every 10th doc re-inserted
+under doc_id+1_000_000) so exact/near-dup operators have true positives to
+find; both engines build the same augmented corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flow_spark.catalog import load_table
+from flow_spark.functions.hashing import portable_hash_expr
+from flow_spark.operators.dedup import (
+    N_BANDS,
+    N_HASHES,
+    ROWS_PER_BAND,
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    word_shingles,
+)
+from flow_spark.operators.similarity import cosine_neardup_pairs
+from flow_spark.queries.registry import register
+
+# ---- shared corpus construction -------------------------------------------
+
+_SQL_CORPUS = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+_SQL_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+_SQL_SHINGLES = f"""
+    corpus AS ({_SQL_CORPUS}),
+    normed AS (
+        SELECT doc_id, string_split({_SQL_NORM}, ' ') AS w FROM corpus
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM normed
+    )
+"""
+
+
+def _augment(docs: DataFrame) -> DataFrame:
+    dups = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return docs.select("doc_id", "text").unionByName(dups.select("doc_id", "text"))
+
+
+# ---- exact dedup -----------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    category="dedup",
+    doc="Exact dedup via hash-groupBy on normalized text: keeper = min id, "
+    "dup count per group. One shuffle with map-side combine.",
+    oracle=f"""
+        WITH corpus AS ({_SQL_CORPUS})
+        SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
+        FROM corpus
+        GROUP BY {_SQL_NORM}
+        ORDER BY keeper_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _augment(load_table(spark, sf_dir, "documents"))
+    return exact_dedup_groups(corpus).orderBy("keeper_id")
+
+
+# ---- MinHash + LSH ---------------------------------------------------------
+
+
+def _min_cols() -> str:
+    return ",\n               ".join(
+        f"MIN({portable_hash_expr('shingle', salt=f'mh{i}')}) AS mh{i}"
+        for i in range(N_HASHES)
+    )
+
+
+def _band_exprs() -> str:
+    bands = []
+    for b in range(N_BANDS):
+        cols = ", ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        bands.append(f"concat_ws(':', '{b}', {cols})")
+    return ", ".join(bands)
+
+
+@register(
+    "dedup_minhash_lsh",
+    category="dedup",
+    doc="MinHash(16)+LSH(4x4) near-dup candidate pairs: shingle -> salted "
+    "min-hashes -> band buckets -> bucket self-join. The full pipeline is "
+    "replicated in the oracle via the portable md5 hash.",
+    oracle=f"""
+        WITH {_SQL_SHINGLES},
+        sig AS (
+            SELECT doc_id,
+               {_min_cols()}
+            FROM sh GROUP BY doc_id
+        ),
+        buckets AS (
+            SELECT doc_id, UNNEST([{_band_exprs()}]) AS bucket FROM sig
+        ),
+        kept AS (
+            SELECT doc_id, bucket FROM buckets
+            QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 1000
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _augment(load_table(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(word_shingles(corpus))
+    return lsh_candidate_pairs(sigs).orderBy("doc_a", "doc_b")
+
+
+# ---- SimHash ---------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+
+
+def _bit_sum_cols() -> str:
+    h = portable_hash_expr("tok", salt="simhash")
+    return ",\n               ".join(
+        f"SUM(({h} >> {b}) & 1) AS b{b}" for b in range(_SIMHASH_BITS)
+    )
+
+
+def _sig_expr() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN 2 * b{b} > n_tok THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"({terms})"
+
+
+@register(
+    "dedup_simhash",
+    category="dedup",
+    doc="32-bit SimHash signatures (token-hash bit majority); duplicate "
+    "texts collide exactly — output is signature per doc + collision count.",
+    oracle=f"""
+        WITH corpus AS ({_SQL_CORPUS}),
+        toks AS (
+            SELECT doc_id, UNNEST(string_split({_SQL_NORM}, ' ')) AS tok
+            FROM corpus WHERE doc_id % 5 = 0
+        ),
+        bits AS (
+            SELECT doc_id, COUNT(*) AS n_tok,
+               {_bit_sum_cols()}
+            FROM toks WHERE length(tok) > 0 GROUP BY doc_id
+        ),
+        sigs AS (SELECT doc_id, {_sig_expr()} AS simhash FROM bits)
+        SELECT doc_id, simhash,
+               COUNT(*) OVER (PARTITION BY simhash) AS n_same_sig
+        FROM sigs
+        ORDER BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    corpus = _augment(load_table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % 5 == 0
+    )
+    sigs = simhash(corpus, bits=_SIMHASH_BITS)
+    return (
+        sigs.withColumn("n_same_sig", F.count("*").over(W.partitionBy("simhash")))
+        .select("doc_id", "simhash", "n_same_sig")
+        .orderBy("doc_id")
+    )
+
+
+# ---- n-gram Jaccard --------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    category="dedup",
+    doc="Exact word-3-gram Jaccard >= 0.5 pairs via shared-shingle join "
+    "(at 100 TB this runs on LSH candidates, not standalone).",
+    oracle=f"""
+        WITH {_SQL_SHINGLES},
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        kept AS (
+            SELECT doc_id, shingle FROM sh
+            QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000
+        ),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE ROUND(n_common / (sa.sz + sb.sz - n_common), 4) >= 0.5
+        ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _augment(load_table(spark, sf_dir, "documents"))
+    return ngram_jaccard_pairs(word_shingles(corpus), threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+# ---- embedding cosine near-dup ---------------------------------------------
+
+
+@register(
+    "dedup_embedding_cosine",
+    category="dedup",
+    doc="Embedding near-dup: cosine >= 0.4 pairs within the same label "
+    "bucket (bucket = IVF/LSH stand-in: pairwise cost stays per-bucket).",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.e, b.e), 4) AS cos
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+        ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")

@@ -1,1 +1,137 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search queries over `embeddings`, oracle-checked.
+
+Brute-force cosine top-k is the exact baseline; the LSH (random
+hyperplane) variant is the 100 TB scale path — both fully deterministic
+(portable-hash-derived hyperplanes) so the oracle replicates them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flow_spark.catalog import load_table
+from flow_spark.operators.similarity import brute_force_topk, lsh_topk
+from flow_spark.queries.registry import register
+
+_DIM = 64
+_N_PLANES = 8
+
+#: DuckDB expression for the LSH bucket of a DOUBLE[] column `e` —
+#: mirrors operators.similarity.lsh_signature / hyperplane_weight:
+#: weight(p, j) = (md5_hash60('lsh' || 'hp{p}_' || j) % 2001 - 1000) / 1000
+_SQL_W = (
+    "((CAST(('0x' || substr(md5(concat('lsh', 'hp', {p}, '_', CAST(j - 1 AS VARCHAR))), 1, 15)) AS BIGINT)"
+    " % 2001 - 1000) / 1000.0)"
+)
+
+
+def _sql_bucket(vec: str) -> str:
+    dots = []
+    for p in range(_N_PLANES):
+        w = _SQL_W.format(p=p)
+        dots.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {_DIM + 1}), "
+            f"j -> CAST({vec}[j] AS DOUBLE) * {w})) >= 0 THEN {2**p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(dots) + ")"
+
+
+@register(
+    "sim_topk_bruteforce",
+    category="similarity",
+    doc="Exact cosine top-5 neighbors for each query vector (vec_id % 50 = "
+    "0): broadcast queries x one candidate scan + per-query window top-k.",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 50 = 0),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.qe, c.e) AS cos_raw
+            FROM q JOIN v c ON c.vec_id != q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos_raw,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, ROUND(cos_raw, 4) AS cos
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return brute_force_topk(queries, emb, k=5).orderBy("query_id", "rank")
+
+
+@register(
+    "sim_lsh_ann",
+    category="similarity",
+    doc="Approximate NN via 8-hyperplane LSH bucketing: queries only score "
+    "same-bucket candidates (the ~2^8 candidate-set reduction that makes "
+    "ANN linear at scale); exact cosine top-3 within bucket.",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        sig AS (
+            SELECT vec_id, e, {_sql_bucket('e')} AS bucket FROM v
+        ),
+        q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM sig WHERE vec_id % 50 = 0),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.qe, c.e) AS cos_raw
+            FROM q JOIN sig c ON c.bucket = q.bucket AND c.vec_id != q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos_raw,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, ROUND(cos_raw, 4) AS cos
+        FROM ranked WHERE rank <= 3
+        ORDER BY query_id, rank
+    """,
+)
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return lsh_topk(queries, emb, dim=_DIM, k=3, n_planes=_N_PLANES).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "sim_label_centroid_dist",
+    category="similarity",
+    doc="Label-conditioned aggregate over vectors: per-label mean squared "
+    "norm and count (array aggregate lambda + groupBy).",
+    oracle="""
+        SELECT label,
+               COUNT(*) AS n,
+               ROUND(AVG(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                 x -> x * x))), 4) AS mean_sq_norm
+        FROM embeddings
+        GROUP BY label
+        ORDER BY label
+    """,
+)
+def sim_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq_norm = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(sq_norm), 4).alias("mean_sq_norm"),
+        )
+        .orderBy("label")
+    )

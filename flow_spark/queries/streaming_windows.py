@@ -1,1 +1,140 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming window semantics, batch-expressible and oracle-checked.
+
+Spark's event-time operators (tumbling/sliding windows via ``F.window``,
+``F.session_window``, dropDuplicates) evaluate identically over a bounded
+DataFrame, so their semantics gate here; the streaming *runtime* (readStream,
+watermarks, foreachBatch sinks, stateful throttler) lives in
+flow_spark/streaming and is covered by unit tests (non-SQL-expressible).
+
+Reference analogue: flow has no windows — its only time bounds are ack
+timeouts (receiver_tcp.go:18-22). Windows are north-star engine surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flow_spark.catalog import load_table
+from flow_spark.queries.registry import register
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@register(
+    "stream_window_tumbling",
+    category="streaming",
+    doc="Tumbling 1-hour event-time window per event_type (F.window).",
+    oracle="""
+        SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
+                        '%Y-%m-%d %H:%M:%S')               AS window_start,
+               event_type,
+               COUNT(*)                                    AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type
+    """,
+)
+def stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "stream_window_sliding",
+    category="streaming",
+    doc="Sliding window 1h/30m: each row lands in two windows (F.window slide).",
+    oracle="""
+        SELECT strftime(time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))
+                            - i.o * INTERVAL 30 MINUTE,
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               COUNT(*) AS n
+        FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS o) i
+        GROUP BY 1
+        ORDER BY window_start
+    """,
+)
+def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("w.start", _TS_FMT).alias("window_start"), "n")
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "stream_session_window",
+    category="streaming",
+    doc="Session windows per user with a 5-minute gap (F.session_window); "
+    "oracle restates via gaps-and-islands.",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+                   CASE WHEN CAST(ts AS TIMESTAMP)
+                             - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL 5 MINUTE
+                             OR LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), islands AS (
+            SELECT user_id, t,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked
+        )
+        SELECT user_id,
+               strftime(MIN(t), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               COUNT(*) AS n_events
+        FROM islands
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_start
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("first_ts"))
+        .select(
+            "user_id",
+            F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "stream_dedup_ids",
+    category="streaming",
+    doc="dropDuplicates on message identity (streaming dedup analogue; with "
+    "a watermark this is bounded-state streaming dedup).",
+    oracle="""
+        SELECT COUNT(*) AS n_unique,
+               CAST(SUM(event_id) AS BIGINT) AS id_sum
+        FROM (SELECT DISTINCT event_id FROM events)
+    """,
+)
+def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id")
+        .dropDuplicates(["event_id"])
+        .agg(F.count("*").alias("n_unique"), F.sum("event_id").cast("bigint").alias("id_sum"))
+    )

@@ -1,1 +1,193 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis queries over `documents`: language ID, quality scoring,
+token counting, fingerprinting — all pure column expressions (scan-speed
+at 100 TB), each oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flow_spark.catalog import load_table
+from flow_spark.functions.hashing import portable_hash_expr
+from flow_spark.operators.text import (
+    LANG_MARKERS,
+    fingerprint,
+    lang_id,
+    quality_features,
+    quality_score,
+    token_count_bpe_ish,
+    token_count_whitespace,
+)
+from flow_spark.queries.registry import register
+
+_SQL_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_SQL_TOKS = f"string_split({_SQL_NORM}, ' ')"
+
+
+def _sql_lang_score(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter({_SQL_TOKS}, t -> t IN ({markers})))"
+
+
+def _sql_lang_id() -> str:
+    """Mirror operators.text.lang_id: asc-lang argmax with > tiebreak."""
+    langs = sorted(LANG_MARKERS)
+    best_lang = f"'{langs[0]}'"
+    best_score = f"s_{langs[0]}"
+    for lang in langs[1:]:
+        best_lang = f"(CASE WHEN s_{lang} > {best_score} THEN '{lang}' ELSE {best_lang} END)"
+        best_score = f"greatest(s_{lang}, {best_score})"
+    return f"(CASE WHEN {best_score} > 0 THEN {best_lang} ELSE 'und' END)"
+
+
+@register(
+    "text_lang_id",
+    category="text-analysis",
+    doc="Heuristic language ID: per-language marker-token evidence, "
+    "deterministic argmax; compared with the labeled lang.",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   {_sql_lang_score('de')} AS s_de,
+                   {_sql_lang_score('en')} AS s_en,
+                   {_sql_lang_score('es')} AS s_es,
+                   {_sql_lang_score('fr')} AS s_fr
+            FROM documents
+        )
+        SELECT doc_id, {_sql_lang_id()} AS predicted,
+               CAST(({_sql_lang_id()} = lang) AS BOOLEAN) AS hit
+        FROM scored
+        ORDER BY doc_id
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = lang_id(F.col("text"))
+    return docs.select(
+        "doc_id",
+        pred.alias("predicted"),
+        (pred == F.col("lang")).alias("hit"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality",
+    category="text-analysis",
+    doc="Quality features (length, punct ratio, stopword ratio, mean token "
+    "length) and composite score per document.",
+    oracle=rf"""
+        WITH feats AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len({_SQL_TOKS}) AS n_tokens,
+                   (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                       / CAST(length(text) AS DOUBLE) AS punct_ratio,
+                   len(list_filter({_SQL_TOKS},
+                       t -> t IN ({", ".join(f"'{m}'" for ms in sorted(LANG_MARKERS) for m in LANG_MARKERS[ms])})))
+                       / CAST(len({_SQL_TOKS}) AS DOUBLE) AS stopword_ratio,
+                   list_sum(list_transform({_SQL_TOKS}, t -> length(t)))
+                       / CAST(len({_SQL_TOKS}) AS DOUBLE) AS mean_token_len
+            FROM documents WHERE doc_id % 3 = 0
+        )
+        SELECT doc_id, n_chars, n_tokens,
+               ROUND(punct_ratio, 4) AS punct_ratio,
+               ROUND(stopword_ratio, 4) AS stopword_ratio,
+               ROUND(mean_token_len, 4) AS mean_token_len,
+               ROUND(least(n_tokens / 20.0, 1.0)
+                     * greatest(0.0, 1.0 - punct_ratio * 5)
+                     * (CASE WHEN mean_token_len >= 2 AND mean_token_len <= 12
+                             THEN 1.0 ELSE 0.5 END), 4) AS score
+        FROM feats
+        ORDER BY doc_id
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    f = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        f["n_chars"].alias("n_chars"),
+        f["n_tokens"].alias("n_tokens"),
+        F.round(f["punct_ratio"], 4).alias("punct_ratio"),
+        F.round(f["stopword_ratio"], 4).alias("stopword_ratio"),
+        F.round(f["mean_token_len"], 4).alias("mean_token_len"),
+        quality_score(F.col("text")).alias("score"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_token_stats",
+    category="text-analysis",
+    doc="Token counting (whitespace + BPE-ish regex pre-tokenizer) rolled "
+    "up per language/source.",
+    oracle=rf"""
+        WITH per_doc AS (
+            SELECT lang,
+                   len({_SQL_TOKS}) AS n_ws,
+                   len(regexp_extract_all(text, '(\w+|[^\w\s])')) AS n_bpe,
+                   n_chars
+            FROM documents
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
+               CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+               ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_bpe), 4) AS chars_per_token
+        FROM per_doc
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        token_count_whitespace(F.col("text")).alias("n_ws"),
+        token_count_bpe_ish(F.col("text")).alias("n_bpe"),
+        "n_chars",
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_ws").cast("bigint").alias("total_ws_tokens"),
+            F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+            F.round(F.sum("n_chars").cast("double") / F.sum("n_bpe"), 4).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_fingerprint",
+    category="text-analysis",
+    doc="Deterministic 60-bit document fingerprint (md5 of normalized text) "
+    "+ per-source duplicate-fingerprint counts.",
+    oracle=f"""
+        WITH fp AS (
+            SELECT doc_id, source,
+                   {portable_hash_expr(_SQL_NORM, salt='fp')} AS fingerprint
+            FROM documents
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT fingerprint) AS n_unique
+        FROM fp
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("source", fingerprint(F.col("text")).alias("fingerprint"))
+    return (
+        fp.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_unique"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,144 @@
+"""Unit tests for operator semantics not covered by oracle parity:
+error paths, mode rejection, stub contracts, status-fold edge cases.
+Modeled on the reference's contract-style tests (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_replicator_rejects_ncopy_and_bad_modes(spark, sf_dir):
+    from flow_spark.catalog import load_table
+    from flow_spark.operators.message import events_to_messages
+    from flow_spark.operators.routing import replicate
+
+    msgs = events_to_messages(load_table(spark, sf_dir, "events")).limit(1)
+    # ncopy panics in the reference (replicator.go:89-91) -> we reject
+    with pytest.raises(NotImplementedError):
+        replicate(msgs, ["a"], mode="ncopy")
+    with pytest.raises(ValueError):
+        replicate(msgs, ["a"], mode="bogus")
+    with pytest.raises(ValueError):
+        replicate(msgs, [f"p{i}" for i in range(65)], mode="each")  # >64 peers
+
+
+def test_replicator_each_copies_all(spark, sf_dir):
+    from flow_spark.catalog import load_table
+    from flow_spark.operators.message import events_to_messages
+    from flow_spark.operators.routing import replicate
+
+    msgs = events_to_messages(load_table(spark, sf_dir, "events")).limit(10)
+    out = replicate(msgs, ["a", "b"], mode="each")
+    assert out.count() == 20
+    assert set(r.sink for r in out.select("sink").distinct().collect()) == {"a", "b"}
+
+
+def test_composite_fold_matrix(spark):
+    """Port of the reference's exhaustive status-composition tests
+    (replicator_test.go:45-148): every combination of 3 copy-statuses."""
+    import itertools
+
+    from flow_spark.operators.status import composite_fold
+
+    statuses = ["done", "timed_out", "failed"]
+    rows = []
+    expected = {}
+    for i, combo in enumerate(itertools.product(statuses, repeat=3)):
+        for j, s in enumerate(combo):
+            rows.append((i, f"sink_{j}", s))
+        n_done = combo.count("done")
+        if n_done == 3:
+            expected[i] = "done"
+        elif n_done > 0:
+            expected[i] = "partial_send"
+        elif "timed_out" in combo:
+            expected[i] = "timed_out"
+        else:
+            expected[i] = "failed"
+    df = spark.createDataFrame(rows, ["event_id", "sink", "status"])
+    got = {r.event_id: r.status for r in composite_fold(df).collect()}
+    assert got == expected
+
+
+def test_base64_decode_rejects_garbage(spark):
+    from flow_spark.operators.codecs import decode_base64
+
+    df = spark.createDataFrame([("aGk=",), ("!!not-base64!!",)], ["b64"])
+    out = df.select(decode_base64(F.col("b64")).alias("d")).collect()
+    assert bytes(out[0].d) == b"hi"
+    assert out[1].d is None  # -> status 'invalid' (decoder_base64.go error path)
+
+
+def test_compressor_codecs_roundtrip(spark):
+    from flow_spark.operators.codecs import compress, decompress, supported_codecs
+
+    df = spark.createDataFrame([(b"flow-spark " * 50,), (None,)], "body binary")
+    for codec in supported_codecs():
+        out = df.select(
+            decompress(compress(F.col("body"), codec), codec).alias("rt")
+        ).collect()
+        assert bytes(out[0].rt) == b"flow-spark " * 50, codec
+        assert out[1].rt is None, codec
+    with pytest.raises(ValueError):
+        compress(F.col("body"), "zpaq")
+
+
+def test_decompress_garbage_yields_null(spark):
+    from flow_spark.operators.codecs import decompress
+
+    df = spark.createDataFrame([(b"definitely not gzip",)], "body binary")
+    out = df.select(decompress(F.col("body"), "gzip").alias("d")).collect()
+    assert out[0].d is None
+
+
+def test_throttler_admits_at_most_rps_per_second(spark, sf_dir):
+    from flow_spark.catalog import load_table
+    from flow_spark.operators.message import events_to_messages
+    from flow_spark.operators.throttler import throttle_batch
+
+    msgs = events_to_messages(load_table(spark, sf_dir, "events"))
+    out = throttle_batch(msgs, rps=1, key=F.col("meta").getItem("user"))
+    per_bucket = (
+        out.filter(F.col("throttle_status") == "admitted")
+        .groupBy(F.col("meta").getItem("user"), F.date_trunc("second", "ingest_ts"))
+        .count()
+    )
+    assert per_bucket.filter(F.col("count") > 1).count() == 0
+
+
+def test_multimodal_decode_stubs():
+    from flow_spark.operators.multimodal import decode_audio, decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"RIFF")
+
+
+def test_multimodal_feature_schema(spark, sf_dir):
+    from flow_spark.catalog import load_table
+    from flow_spark.operators.multimodal import documents_as_assets, extract_features
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    feats = extract_features(documents_as_assets(docs))
+    assert feats.columns == ["asset_id", "byte_len", "first_byte", "sha_prefix", "n_frames"]
+    rows = feats.collect()
+    assert len(rows) == 5
+    assert all(r.byte_len > 0 and len(r.sha_prefix) == 8 for r in rows)
+
+
+def test_router_unroutable_fallback(spark, sf_dir):
+    from flow_spark.catalog import load_table
+    from flow_spark.operators.message import events_to_messages
+    from flow_spark.operators.routing import route
+
+    msgs = events_to_messages(load_table(spark, sf_dir, "events"))
+    out = route(msgs, ["click"])
+    bad = out.filter(
+        (F.col("route_status") == "unroutable") & F.col("destination").isNotNull()
+    )
+    assert bad.count() == 0
+    # router OR-logic: exactly one row per message (never replicates)
+    assert out.count() == msgs.count()
