@@ -48,7 +48,10 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    c = candidates.select(
+    # scoring is CPU-bound (|Q| dots per candidate row); embedding tables
+    # often arrive as one fat file -> spread candidates across the cluster
+    nparts = candidates.sparkSession.sparkContext.defaultParallelism
+    c = candidates.repartition(nparts).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )
     scored = (
@@ -99,10 +102,11 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking within the query's LSH bucket."""
     sig = lsh_signature(F.col(vec_col), dim, n_planes)
+    nparts = candidates.sparkSession.sparkContext.defaultParallelism
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), sig.alias("bucket")
     )
-    c = candidates.select(
+    c = candidates.repartition(nparts).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), sig.alias("bucket")
     )
     scored = (

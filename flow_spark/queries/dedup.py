@@ -82,10 +82,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _min_cols() -> str:
-    return ",\n               ".join(
-        f"MIN({portable_hash_expr('shingle', salt=f'mh{i}')}) AS mh{i}"
-        for i in range(N_HASHES)
-    )
+    from flow_spark.operators.dedup import MH_P, mh_coeffs
+
+    base = f"({portable_hash_expr('shingle')} % {MH_P})"
+    cols = []
+    for i in range(N_HASHES):
+        a, b = mh_coeffs(i)
+        cols.append(f"MIN(({a} * {base} + {b}) % {MH_P}) AS mh{i}")
+    return ",\n               ".join(cols)
 
 
 def _band_exprs() -> str:
@@ -123,7 +127,8 @@ def _band_exprs() -> str:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _augment(load_table(spark, sf_dir, "documents"))
-    sigs = minhash_signatures(word_shingles(corpus))
+    # distinct=False: MIN() is duplicate-insensitive, so skip the set shuffle
+    sigs = minhash_signatures(word_shingles(corpus, distinct=False))
     return lsh_candidate_pairs(sigs).orderBy("doc_a", "doc_b")
 
 

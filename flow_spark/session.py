@@ -41,6 +41,14 @@ def get_spark(
         # events.parquet stores timestamp[ns]; Spark's reader rejects NANOS
         # unless read as long (we derive a us timestamp in the catalog).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # local fixtures are single small parquet files; a smaller split
+        # size fans scans out across cores without any shuffle.  On a real
+        # cluster raise via SPARK_GRAFT_MAX_PARTITION_BYTES (128m default
+        # there is fine because files are many).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8388608"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
