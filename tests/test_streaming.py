@@ -1,0 +1,152 @@
+"""Streaming runtime tests: file source -> windowed agg -> memory sink,
+stateful GCRA throttler, sink backoff schedule, pipeline streaming mode."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_streaming_windowed_agg(spark, sf_dir, tmp_path):
+    from flow_spark.streaming.sources import stream_events
+
+    msgs = stream_events(spark, sf_dir)
+    agg = (
+        msgs.withWatermark("ingest_ts", "10 minutes")
+        .groupBy(F.window("ingest_ts", "1 hour"), F.col("meta").getItem("sendto").alias("t"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT sum(n) AS total FROM win_out").collect()[0]
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # complete mode: every window is emitted (append mode would hold back
+    # the final window until the watermark passes its end)
+    assert out.total == n
+
+
+def test_gcra_pure_function():
+    from flow_spark.streaming.stateful import gcra_admit
+
+    ns = 1_000_000_000
+    # 5 msgs in the same instant at 2 rps: burst allows 2, rest throttled
+    admits, tat = gcra_admit([0, 0, 0, 0, 0], 0, rps=2)
+    assert admits == [True, True, False, False, False]
+    # a second later the bucket refills
+    admits2, _ = gcra_admit([ns, ns], tat, rps=2)
+    assert admits2 == [True, True]
+    # steady stream exactly at rate: all admitted
+    admits3, _ = gcra_admit([i * (ns // 2) for i in range(10)], 0, rps=2)
+    assert all(admits3)
+
+
+def test_stateful_throttler_stream(spark, tmp_path):
+    from flow_spark.streaming.stateful import throttle_stream
+
+    # bursty synthetic stream: 2 users x 10 msgs inside one second each
+    # (the fixture events are spread over a month and never hit 1/user/s)
+    rows = [
+        (u * 100 + i, f"u{u}", "2024-01-01 00:00:00.%03d" % (i * 50))
+        for u in range(2)
+        for i in range(10)
+    ]
+    src_dir = tmp_path / "burst_src"
+    spark.createDataFrame(
+        rows, "event_id long, user string, ts string"
+    ).selectExpr(
+        "event_id",
+        "CAST(ts AS TIMESTAMP) AS ingest_ts",
+        "CAST('x' AS BINARY) AS body",
+        "'x' AS body_str",
+        "map('user', user) AS meta",
+    ).write.parquet(str(src_dir))
+
+    static = spark.read.parquet(str(src_dir))
+    msgs = spark.readStream.schema(static.schema).parquet(str(src_dir))
+    out = throttle_stream(msgs, rps=2, key_col="user")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("thr_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.sql(
+        "SELECT throttle_status, count(*) AS n FROM thr_out GROUP BY 1"
+    ).collect()
+    by = {r.throttle_status: r.n for r in res}
+    assert by.get("admitted", 0) + by.get("throttled", 0) == 20
+    # rps=2 -> burst 0.5s: at t=0 admit; tat advances 0.5s per admit; within
+    # one second each user gets ~2 admits, rest throttled
+    assert by.get("throttled", 0) >= 14
+    per_user = spark.sql(
+        "SELECT throttle_key, count(*) AS n FROM thr_out "
+        "WHERE throttle_status = 'admitted' GROUP BY 1"
+    ).collect()
+    assert all(r.n <= 3 for r in per_user)
+
+
+def test_backoff_schedule():
+    from flow_spark.streaming.sinks import write_with_backoff
+
+    sleeps: list[float] = []
+    calls = {"n": 0}
+
+    def flaky(df):
+        calls["n"] += 1
+        if calls["n"] < 4:
+            raise OSError("connection refused")
+
+    attempts = write_with_backoff(
+        flaky, df=None, max_retries=0, sleep=sleeps.append
+    )
+    assert attempts == 4
+    assert sleeps == [0.05, 0.1, 0.2]  # sink.go: 50ms doubling
+
+    with pytest.raises(OSError):
+        write_with_backoff(
+            lambda df: (_ for _ in ()).throw(OSError("down")),
+            df=None,
+            max_retries=2,
+            sleep=sleeps.append,
+        )
+
+
+def test_pipeline_streaming_mode(spark, sf_dir, tmp_path):
+    from flow_spark.plans.builder import Pipeline
+    from flow_spark.streaming.sinks import memory_sink
+
+    yaml_text = f"""
+actors:
+  in:
+    module: core.receiver
+    params:
+      bind: events://{sf_dir}
+  out:
+    module: core.sink
+pipeline:
+  in:
+    connect: [out]
+  out:
+"""
+    p = Pipeline.from_yaml(spark, yaml_text)
+    seen: list[int] = []
+    queries = p.run_streaming(
+        sink_writer=lambda name, df: memory_sink(
+            name, df, str(tmp_path / "ckpt3"), write=lambda b: seen.append(b.count())
+        )
+    )
+    for q in queries:
+        q.awaitTermination(120)
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(seen) == n
