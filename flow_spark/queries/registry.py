@@ -67,6 +67,8 @@ def all_queries() -> dict[str, Query]:
         similarity,
         text_analysis,
         multimodal,
+        asof_queries,
+        udxf,
     )
 
     return dict(_REGISTRY)

@@ -222,6 +222,67 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_map_ops",
+    category="map-fn",
+    doc="map construction / map_keys / element access / explode to rows.",
+    oracle="""
+        WITH m AS (
+            SELECT event_id,
+                   MAP {'type': event_type, 'user': CAST(user_id AS VARCHAR)} AS meta
+            FROM events WHERE event_id % 100 = 0
+        )
+        SELECT event_id, 'n_keys' AS k, CAST(len(map_keys(meta)) AS VARCHAR) AS v FROM m
+        UNION ALL
+        SELECT event_id, 'type' AS k, meta['type'][1] AS v FROM m
+        UNION ALL
+        SELECT event_id, 'user' AS k, meta['user'][1] AS v FROM m
+        ORDER BY event_id, k
+    """,
+)
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
+    m = ev.select(
+        "event_id",
+        F.create_map(
+            F.lit("type"), F.col("event_type"),
+            F.lit("user"), F.col("user_id").cast("string"),
+        ).alias("meta"),
+    )
+    n_keys = m.select(
+        "event_id", F.lit("n_keys").alias("k"),
+        F.size(F.map_keys("meta")).cast("string").alias("v"),
+    )
+    typ = m.select(
+        "event_id", F.lit("type").alias("k"), F.col("meta").getItem("type").alias("v")
+    )
+    usr = m.select(
+        "event_id", F.lit("user").alias("k"), F.element_at("meta", F.lit("user")).alias("v")
+    )
+    return n_keys.unionByName(typ).unionByName(usr).orderBy("event_id", "k")
+
+
+@register(
+    "fn_posexplode",
+    category="array-fn",
+    doc="posexplode: array to (pos, element) rows with ordinality.",
+    oracle="""
+        SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+               ROUND(CAST(embedding[i] AS DOUBLE), 4) AS val
+        FROM embeddings, range(1, 5) t(i)
+        WHERE vec_id % 100 = 0
+        ORDER BY vec_id, pos
+    """,
+)
+def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 100 == 0)
+    return (
+        emb.select("vec_id", F.posexplode(F.slice("embedding", 1, 4)).alias("pos", "v"))
+        .select("vec_id", "pos", F.round(F.col("v").cast("double"), 4).alias("val"))
+        .orderBy("vec_id", "pos")
+    )
+
+
+@register(
     "fn_conditional",
     category="conditional-fn",
     doc="CASE WHEN / coalesce / nullif / nvl chains.",

@@ -1,0 +1,136 @@
+"""UDF / pandas-UDF / grouped-apply / UDTF coverage — the Python extension
+points that replace flow's Go-plugin loader
+(/root/reference/pkg/util/plugin/plugin.go:32-62, actor_factory.go:58-85).
+
+Each variant computes something SQL-expressible so the oracle validates the
+plumbing (serialization, Arrow batches, grouping, table-function output),
+not just "it ran".  Row UDFs are deliberately trivial: they are the slow
+path and exist here as the API demonstration.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from flow_spark.catalog import load_table
+from flow_spark.queries.registry import register
+
+
+@register(
+    "udf_python_row",
+    category="udf",
+    doc="Row-at-a-time Python UDF (the slow path — serde per row).",
+    oracle="""
+        SELECT event_id,
+               CASE WHEN value >= 150 THEN 'high'
+                    WHEN value >= 50  THEN 'mid'
+                    ELSE 'low' END AS bucket
+        FROM events WHERE event_id % 20 = 0
+        ORDER BY event_id
+    """,
+)
+def udf_python_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf(StringType())
+    def bucket(v: float) -> str:
+        if v >= 150:
+            return "high"
+        if v >= 50:
+            return "mid"
+        return "low"
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    return ev.select("event_id", bucket("value").alias("bucket")).orderBy("event_id")
+
+
+@register(
+    "udf_pandas_scalar",
+    category="udf",
+    doc="Arrow-batched scalar pandas UDF (the sanctioned Python fast path).",
+    oracle="""
+        SELECT event_id, ROUND(value * 1.1 + 7, 4) AS adjusted
+        FROM events WHERE event_id % 20 = 0
+        ORDER BY event_id
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf(DoubleType())
+    def adjust(v: pd.Series) -> pd.Series:
+        return (v * 1.1 + 7).round(4)
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    return ev.select("event_id", adjust("value").alias("adjusted")).orderBy("event_id")
+
+
+@register(
+    "udf_grouped_apply",
+    category="udf",
+    doc="applyInPandas grouped-map: per-user pandas aggregation.",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n,
+               ROUND(MAX(value) - MIN(value), 2) AS value_range
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def udf_grouped_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n": [len(pdf)],
+                "value_range": [round(pdf["value"].max() - pdf["value"].min(), 2)],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(per_user, schema="user_id long, n long, value_range double")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "udtf_tokenize",
+    category="udf",
+    doc="Python UDTF: one row per leading token (table-function output).",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents WHERE doc_id % 25 = 0
+        )
+        SELECT doc_id, toks[i] AS token, CAST(i - 1 AS INT) AS pos
+        FROM w, range(1, 4) t(i)
+        WHERE i <= len(toks)
+        ORDER BY doc_id, pos
+    """,
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, pos int")
+    class LeadingTokens:
+        def eval(self, text: str):  # noqa: D401
+            norm = re.sub(r"\s+", " ", text.lower()).strip()
+            for i, tok in enumerate(norm.split(" ")[:3]):
+                yield tok, i
+
+    spark.udtf.register("leading_tokens", LeadingTokens)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    docs.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, t.token, t.pos
+        FROM udtf_docs, LATERAL leading_tokens(text) t
+        ORDER BY doc_id, pos
+        """
+    )

@@ -1,0 +1,49 @@
+"""Format reader/writer round trips and gating behavior."""
+
+from __future__ import annotations
+
+import pytest
+
+from flow_spark.sources import read_any, write_any
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
+def test_roundtrip(spark, sf_dir, tmp_path, fmt):
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = str(tmp_path / f"out_{fmt}")
+    write_any(src, fmt, out)
+    back = read_any(spark, fmt, out, schema=src.schema)
+    assert back.count() == src.count()
+    assert sorted(r.n_name for r in back.collect()) == sorted(
+        r.n_name for r in src.collect()
+    )
+
+
+def test_text_crlf_framing(spark, tmp_path):
+    p = tmp_path / "wire.txt"
+    p.write_bytes(b"alpha\r\nbeta\r\ngamma\r\n")
+    df = read_any(spark, "text", str(p))
+    assert sorted(r.value for r in df.collect()) == ["alpha", "beta", "gamma"]
+
+
+def test_schema_required_for_csv_json(spark, tmp_path):
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_any(spark, "csv", str(tmp_path))
+
+
+def test_unknown_formats_rejected(spark, sf_dir):
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    with pytest.raises(ValueError):
+        read_any(spark, "avro", "x")
+    with pytest.raises(ValueError):
+        write_any(src, "delta", "x")
+
+
+def test_kafka_gated(spark):
+    from flow_spark.sources import kafka_available
+    from flow_spark.sources.formats import read_kafka_stream
+
+    if kafka_available(spark):  # pragma: no cover - not in this image
+        pytest.skip("kafka connector present")
+    with pytest.raises(NotImplementedError, match="kafka"):
+        read_kafka_stream(spark, "localhost:9092", "t")
