@@ -122,6 +122,66 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine, tie -> lower
+    centroid id).  Centroids are a tiny model parameter (k rows) shipped as
+    literals, so assignment is a pure map — zero shuffle over the big table.
+    In production the centroid list comes from MLlib KMeans; here it is any
+    deterministic pick so the whole index is oracle-checkable.
+    """
+    vec = F.col(vec_col)
+    entries = []
+    for cid, cvec in centroids:
+        lit_vec = F.array(*[F.lit(float(x)) for x in cvec])
+        cos = cosine_similarity(vec, lit_vec)
+        # struct max orders field-by-field: highest cos wins, ties go to the
+        # smaller centroid id via the negated second field
+        entries.append(F.struct(cos.alias("cos"), F.lit(-cid).alias("ncid")))
+    best = F.array_max(F.array(*entries))
+    return vectors.select(
+        F.col(id_col), vec.alias("v"), (-best["ncid"]).cast("int").alias("cluster")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with nprobe=1: exact cosine top-k within the query's cluster.
+
+    The inverted-file structure is the `cluster` column: at scale the
+    candidate table is written partitioned by it, so a probe reads one
+    partition (|C|/k_centroids rows) instead of the full table.
+    """
+    q = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qvec"), "cluster"
+    )
+    nparts = candidates.sparkSession.sparkContext.defaultParallelism
+    c = ivf_assign(candidates.repartition(nparts), centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cvec"), "cluster"
+    )
+    scored = (
+        c.join(F.broadcast(q), ["cluster"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_similarity(F.col("qvec"), F.col("cvec")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
+    )
+
+
 def cosine_neardup_pairs(
     vectors: DataFrame,
     threshold: float,

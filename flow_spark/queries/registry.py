@@ -69,6 +69,7 @@ def all_queries() -> dict[str, Query]:
         multimodal,
         asof_queries,
         udxf,
+        tpch_suite,
     )
 
     return dict(_REGISTRY)

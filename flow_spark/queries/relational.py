@@ -200,6 +200,39 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_right_outer",
+    category="join",
+    doc="Right outer join (mirror of left): orders RIGHT JOIN customer "
+    "keeps customers with no orders in the probed date window.",
+    oracle="""
+        SELECT c_custkey,
+               COUNT(o_orderkey) AS n_recent,
+               CAST(COALESCE(MAX(CAST(o_totalprice AS DECIMAL(12,2))), -1) AS DOUBLE)
+                   AS max_price
+        FROM (SELECT * FROM orders
+              WHERE o_orderdate >= TIMESTAMP '2001-01-01') o
+        RIGHT JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey
+        ORDER BY c_custkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_recent"),
+            F.coalesce(F.max(dec("o_totalprice")), F.lit(-1)).cast("double").alias("max_price"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
     "join_full_outer",
     category="join",
     doc="Full outer join with unmatched rows on both sides.",

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flow_spark.catalog import load_table
-from flow_spark.operators.similarity import brute_force_topk, lsh_topk
+from flow_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from flow_spark.queries.registry import register
 
 _DIM = 64
@@ -105,6 +105,67 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(queries, emb, dim=_DIM, k=3, n_planes=_N_PLANES).orderBy(
         "query_id", "rank"
     )
+
+
+_N_CENTROIDS = 8
+
+
+@register(
+    "sim_ivf_ann",
+    category="similarity",
+    doc="IVF ANN (nprobe=1): vectors partition into inverted lists by "
+    "nearest centroid; a probe scores only its own list — |C|/k_centroids "
+    "candidates instead of |C|. Centroids here are the 8 lowest-id vectors "
+    "(deterministic stand-in for a KMeans fit) so the oracle replicates "
+    "the index exactly; assignment ships centroids as literals (zero "
+    "shuffle, no model broadcast join).",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        cent AS (
+            SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT {_N_CENTROIDS}
+        ),
+        assigned AS (
+            SELECT vec_id, e, cluster FROM (
+                SELECT v.vec_id, v.e, c.cid AS cluster,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cid ASC
+                       ) AS rn
+                FROM v CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT vec_id AS query_id, e AS qe, cluster
+            FROM assigned WHERE vec_id % 50 = 0
+        ),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.qe, c.e) AS cos_raw
+            FROM q JOIN assigned c
+              ON c.cluster = q.cluster AND c.vec_id != q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos_raw,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, ROUND(cos_raw, 4) AS cos
+        FROM ranked WHERE rank <= 3
+        ORDER BY query_id, rank
+    """,
+)
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # k centroid rows -> driver: this is the model parameter, not data
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.orderBy("vec_id").limit(_N_CENTROIDS).collect()
+    ]
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(queries, emb, cents, k=3).orderBy("query_id", "rank")
 
 
 @register(

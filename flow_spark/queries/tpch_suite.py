@@ -1,0 +1,383 @@
+"""Extended TPC-H-style suite (Q6/Q7/Q10/Q14/Q15/Q17/Q18/Q19 analogues,
+adapted to the fixture schema — no partsupp/shipmode/container columns).
+
+Each query is chosen for a distinct plan shape the engine must get right
+at 100 TB, noted per query.  All money arithmetic is exact DECIMAL
+(util.py) so Spark and the DuckDB oracle agree to the last rounded digit
+under any partitioning.
+
+The reference implements no relational operators (SURVEY.md §2.2); this
+suite is part of the declared analytic surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flow_spark.catalog import load_table
+from flow_spark.queries.registry import register
+from flow_spark.queries.util import (
+    SQL_ONE_MINUS_DISC,
+    SQL_PRICE,
+    SQL_REVENUE,
+    dec,
+    money_sum,
+    one_minus,
+    revenue_expr,
+)
+
+
+@register(
+    "q6_forecast_revenue",
+    category="aggregation",
+    doc="TPC-H Q6: single-table scan with tight range predicates -> one "
+    "scalar. The whole WHERE must reach the parquet scan (PushedFilters); "
+    "at 100 TB this is the pushdown-or-die query: no join, no shuffle "
+    "beyond a 1-row partial-agg merge.",
+    oracle=f"""
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * CAST(l_discount AS DECIMAL(3,2))), 2) AS DOUBLE)
+               AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(money_sum(dec("l_extendedprice") * dec("l_discount", "decimal(3,2)")).alias("revenue"))
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    category="join",
+    doc="TPC-H Q7: bidirectional nation-pair flows. lineitem is the only "
+    "big table; supplier/customer/nation broadcast, so the 4-way join is "
+    "shuffle-free on the fact side except the orders equi-join (which "
+    "bucketing on orderkey would co-locate).",
+    oracle=f"""
+        SELECT sn.n_name AS supp_nation,
+               cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               CAST(ROUND(SUM({SQL_REVENUE}), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+            OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+        )
+        .agg(money_sum(revenue_expr()).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q10_returned_items",
+    category="join",
+    doc="TPC-H Q10: top-20 customers by revenue lost to returns in one "
+    "quarter. Fact-side filters (returnflag, date window) cut the join "
+    "input before the shuffle; customer/nation broadcast.",
+    oracle=f"""
+        SELECT c_custkey, c_name,
+               CAST(ROUND(SUM({SQL_REVENUE}), 2) AS DOUBLE) AS revenue,
+               ROUND(c_acctbal, 2) AS acctbal,
+               n_name
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-07-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .agg(money_sum(revenue_expr()).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_effect",
+    category="aggregation",
+    doc="TPC-H Q14: conditional-aggregate ratio (promo revenue share) over "
+    "a lineitem-part join for one month. part broadcasts; the CASE rides "
+    "inside the partial agg so there is exactly one pass over the fact.",
+    oracle=f"""
+        SELECT ROUND(
+                 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                       THEN {SQL_REVENUE} ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+                       / CAST(SUM({SQL_REVENUE}) AS DOUBLE), 4) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = revenue_expr()
+    zero = F.lit(0).cast("decimal(17,4)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    category="aggregation",
+    doc="TPC-H Q15: supplier(s) whose period revenue equals the max. The "
+    "per-supplier agg is computed once and reused for both the max scalar "
+    "(broadcast) and the final equality filter — no re-scan of lineitem.",
+    oracle=f"""
+        WITH rev AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM({SQL_REVENUE}) AS total
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               CAST(ROUND(total, 2) AS DOUBLE) AS total_revenue
+        FROM supplier JOIN rev ON s_suppkey = supplier_no
+        WHERE total = (SELECT MAX(total) FROM rev)
+        ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(revenue_expr()).alias("total"))
+        .cache()
+    )
+    max_total = rev.agg(F.max("total").alias("m"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(max_total), F.col("total") == F.col("m"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", F.round("total", 2).cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    category="subquery",
+    doc="TPC-H Q17: correlated avg-quantity subquery decorrelated into a "
+    "per-partkey aggregate joined back — the scalable rewrite (one extra "
+    "agg over the filtered fact, then a broadcast join), not a per-row "
+    "subquery execution.",
+    oracle="""
+        WITH target AS (
+            SELECT p_partkey FROM part
+            WHERE p_brand = 'Brand#11' AND p_type = 'SMALL'
+        ),
+        li AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN target ON l_partkey = p_partkey
+        ),
+        thresholds AS (
+            SELECT l_partkey AS t_partkey,
+                   0.5 * (SUM(l_quantity) / COUNT(*)) AS qty_cut
+            FROM li GROUP BY l_partkey
+        )
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) / 7.0, 2) AS DOUBLE)
+               AS avg_yearly
+        FROM li JOIN thresholds ON l_partkey = t_partkey
+        WHERE l_quantity < qty_cut
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#11") & (F.col("p_type") == "SMALL"))
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    # quantities are integral doubles: SUM/COUNT is exact, the 0.5* and the
+    # comparison are identical IEEE ops in both engines
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.5) * (F.sum("l_quantity") / F.count(F.lit(1)))).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(F.sum(dec("l_extendedprice")) / F.lit(7.0), 2)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    category="subquery",
+    doc="TPC-H Q18: orders whose total quantity exceeds a threshold "
+    "(HAVING over the fact, then join back to orders/customer). The "
+    "qualifying-keys set is tiny -> broadcast back against lineitem.",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey AS k, SUM(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 180
+        )
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               ROUND(o_totalprice, 2) AS totalprice,
+               CAST(sum_qty AS DOUBLE) AS sum_qty
+        FROM big
+        JOIN orders   ON o_orderkey = k
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY totalprice DESC, o_orderkey ASC
+        LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 180)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("k"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q19_disjunctive_pred",
+    category="filter",
+    doc="TPC-H Q19: three-way disjunction of conjunctive band predicates "
+    "over a lineitem-part join. Catalyst extracts the common l_partkey "
+    "equi-condition; the OR-of-ANDs stays as a post-join filter but the "
+    "per-branch part filters (brand+size) still prune the broadcast side.",
+    oracle=f"""
+        SELECT CAST(ROUND(SUM({SQL_REVENUE}), 2) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 21)
+           OR (p_brand = 'Brand#22' AND p_size BETWEEN 16 AND 30
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#25' AND p_size BETWEEN 31 AND 50
+               AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15) & q.between(1, 21))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(16, 30) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#25") & F.col("p_size").between(31, 50) & q.between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(money_sum(revenue_expr()).alias("revenue"))
+    )
