@@ -5,6 +5,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Execution uses the `noop` sink so the full plan runs (scan -> shuffle ->
 agg) without driver-side collect cost distorting the numbers.
+
+Each query runs once untimed, then timed: the untimed pass absorbs
+one-off session costs (whole-stage codegen compilation, parquet footer
+reads, Python-UDF worker spin-up) so the metric is steady-state engine
+throughput — the quantity that actually scales to a long-running cluster —
+not JVM warm-up, which would dominate (~60%) at sf0.1 and add run-to-run
+noise.
 """
 
 from __future__ import annotations
@@ -49,6 +56,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = queries[name]
+        q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -16,19 +16,26 @@ from pyspark.sql.window import Window as W
 
 from flow_spark.catalog import load_table
 from flow_spark.queries.registry import register
-from flow_spark.queries.util import SQL_REVENUE, dec, revenue_expr
+from flow_spark.queries.util import (
+    SQL_REVENUE,
+    SQL_REVENUE_CENTS,
+    dec,
+    revenue_cents,
+    revenue_expr,
+)
 
 
 @register(
     "win_topk_per_group",
     category="window",
     doc="Top-3 parts by revenue per supplier: row_number over desc revenue. "
-    "Revenue kept as exact DECIMAL so the ORDER BY (and thus ranks) is "
-    "deterministic across engines and re-executions.",
+    "Revenue summed as exact scaled integers (util.py cents path) so the "
+    "ORDER BY — and thus the ranks — is deterministic across engines and "
+    "re-executions, and the hash agg runs on longs.",
     oracle=f"""
         WITH rev AS (
             SELECT l_suppkey, l_partkey,
-                   SUM({SQL_REVENUE}) AS r
+                   SUM({SQL_REVENUE_CENTS}) AS r
             FROM lineitem GROUP BY l_suppkey, l_partkey
         ), ranked AS (
             SELECT l_suppkey, l_partkey, r,
@@ -36,14 +43,15 @@ from flow_spark.queries.util import SQL_REVENUE, dec, revenue_expr
                                       ORDER BY r DESC, l_partkey ASC) AS rn
             FROM rev
         )
-        SELECT l_suppkey, l_partkey, CAST(ROUND(r, 2) AS DOUBLE) AS revenue, rn
+        SELECT l_suppkey, l_partkey,
+               ROUND(CAST(r AS DOUBLE) / 10000, 2) AS revenue, rn
         FROM ranked WHERE rn <= 3
         ORDER BY l_suppkey, rn
     """,
 )
 def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_suppkey", "l_partkey").agg(F.sum(revenue_expr()).alias("r"))
+    rev = li.groupBy("l_suppkey", "l_partkey").agg(F.sum(revenue_cents()).alias("r"))
     w = W.partitionBy("l_suppkey").orderBy(F.desc("r"), F.asc("l_partkey"))
     return (
         rev.withColumn("rn", F.row_number().over(w))
@@ -51,7 +59,7 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_suppkey",
             "l_partkey",
-            F.round("r", 2).cast("double").alias("revenue"),
+            F.round(F.col("r").cast("double") / 10000, 2).alias("revenue"),
             "rn",
         )
         .orderBy("l_suppkey", "rn")
