@@ -1,0 +1,122 @@
+"""Scale patterns: the join shapes that break naively at 100 TB, written
+the way a 1000-executor plan needs them.
+
+- **Salted join**: a skewed fact key (a handful of hot users owning a large
+  share of events) makes one shuffle partition the straggler.  Salting
+  splits each fact key across S sub-partitions and replicates the dim row
+  S ways; the result set is IDENTICAL to the plain join (the oracle runs
+  the plain join), the skew just disappears.  AQE's skew-join handles sort
+  -merge cases automatically; explicit salting is the portable form that
+  also covers aggregations and older planners.
+- **Bucketized big-big range join**: pairing two fact tables on
+  |t_a - t_b| <= W cannot broadcast either side; a raw inequality join is
+  a broadcast-nested-loop (O(n*m)).  Bucketing time into W-sized buckets
+  and exploding one side to its 3 adjacent buckets turns it into an
+  EQUI-join on (key, bucket) — shuffle-partitionable, each pair found
+  exactly once (bucket deltas in {-1,0,1} are disjoint) — then the exact
+  band predicate filters within the bucket.  Same trick as the LSH band
+  join for dedup; the as-of join (operators/asof.py) is the sorted-window
+  cousin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flow_spark.catalog import load_table
+from flow_spark.queries.registry import register
+
+_SALT = 8
+_WINDOW_US = 1_800_000_000  # 30 min in microseconds
+
+
+@register(
+    "scale_salted_join",
+    category="join",
+    doc=f"Skew-proof fact-dim join: fact rows get salt = pmod(event_id, "
+    f"{_SALT}), the dim side replicates x{_SALT}, and the join runs on "
+    "(key, salt) so one hot key spreads over 8 shuffle partitions. "
+    "Result (and oracle) is exactly the plain join.",
+    oracle="""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2)
+                   AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+)
+def scale_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.col("event_id"), F.lit(_SALT)).cast("int")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1))))
+    )
+    return (
+        ev.join(cust, (ev.user_id == cust.c_custkey) & (ev.salt == cust.salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "scale_bucketed_range_join",
+    category="join",
+    doc="Big-big range self-join (same-user event pairs within 30 min) as "
+    "an equi-join: bucket = ts_us div window; the left side explodes to "
+    "buckets {b-1, b, b+1} so every qualifying pair meets in exactly one "
+    "bucket; the exact |dt| predicate then filters. No nested loop, no "
+    "broadcast of a fact table.",
+    oracle=f"""
+        SELECT a.user_id,
+               COUNT(*) AS n_pairs,
+               CAST(MAX(abs(epoch_us(b.ts) - epoch_us(a.ts))) AS BIGINT) AS max_gap_us
+        FROM events a
+        JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_id < b.event_id
+         AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= {_WINDOW_US}
+        GROUP BY a.user_id
+        ORDER BY a.user_id
+    """,
+)
+def scale_bucketed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    bucket = F.expr(f"us div {_WINDOW_US}")
+    a = ev.select(
+        F.col("user_id"),
+        F.col("event_id").alias("id_a"),
+        F.col("us").alias("us_a"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bucket"),
+    )
+    b = ev.select(
+        F.col("user_id"),
+        F.col("event_id").alias("id_b"),
+        F.col("us").alias("us_b"),
+        bucket.alias("bucket"),
+    )
+    pairs = a.join(b, ["user_id", "bucket"]).filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("us_b") - F.col("us_a")) <= _WINDOW_US)
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.max(F.abs(F.col("us_b") - F.col("us_a"))).alias("max_gap_us"),
+        )
+        .orderBy("user_id")
+    )

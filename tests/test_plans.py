@@ -1,0 +1,102 @@
+"""Physical-plan audits: the scale properties that make these queries
+survive a 100x data blow-up, asserted so they can't silently regress.
+
+- filters/pruning must reach the parquet scan (PushedFilters/ReadSchema),
+- fact-dim joins must broadcast the dim (BroadcastHashJoin, never a
+  shuffle of the fact for a 25-row nation table),
+- the bucketized range join must plan as an EQUI join, not a
+  BroadcastNestedLoopJoin/CartesianProduct,
+- no row-at-a-time Python evaluation in the bench headline path.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from flow_spark.queries.registry import all_queries
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = all_queries()[name].builder(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_filters_pushed_and_pruned(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    # every predicate column reaches the scan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"({col})" in plan or col in plan.split("PushedFilters")[1].split("]")[0]
+    # projection pruning: the scan must not read unused money columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_partkey" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_q1_scan_pruned(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_suppkey" not in read_schema
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "LessThanOrEqual(l_shipdate" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q3_shipping_priority", "q5_local_supplier_volume", "q7_volume_shipping", "q10_returned_items", "q14_promo_effect", "q19_disjunctive_pred"],
+)
+def test_dim_joins_broadcast(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bucketized_range_join_is_equi(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "scale_bucketed_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # SortMergeJoin or ShuffledHashJoin on (user_id, bucket)
+
+
+def test_salted_join_spreads_keys(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "scale_salted_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "salt" in plan
+
+
+def test_asof_join_single_shuffle_no_python(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "asof_join_backward")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # union + window, not a join node at all
+    assert "Window" in plan and "Union" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "win_topk_per_group",
+        "join_left_outer",
+        "dedup_exact",
+        "sim_topk_bruteforce",
+        "text_token_stats",
+        "stream_window_tumbling",
+    ],
+)
+def test_headline_path_stays_jvm_side(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan, f"{name} has row-at-a-time Python"
+
+
+def test_headline_aggs_are_partial(spark, sf_dir):
+    """Aggregations must be map-side partial (HashAggregate appears in
+    both partial and final mode) so the shuffle carries groups, not rows."""
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
