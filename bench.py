@@ -33,11 +33,17 @@ HEADLINE = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q18_large_orders",
     "win_topk_per_group",
     "join_left_outer",
+    "asof_join_backward",
+    "scale_bucketed_range_join",
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
+    "sim_lsh_ann",
     "text_token_stats",
     "stream_window_tumbling",
     "pipe_throttler",

@@ -559,6 +559,33 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_unpivot",
+    category="aggregation",
+    doc="Unpivot/melt: wide part attributes to (attr, val) long format — "
+    "the inverse of pivot; a narrow transform (no shuffle).",
+    oracle="""
+        SELECT p_partkey, 'retailprice' AS attr,
+               ROUND(p_retailprice, 2) AS val
+        FROM part WHERE p_partkey % 40 = 0
+        UNION ALL
+        SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val
+        FROM part WHERE p_partkey % 40 = 0
+        ORDER BY p_partkey, attr
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 40 == 0)
+    wide = part.select(
+        "p_partkey",
+        F.round("p_retailprice", 2).alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return wide.unpivot(
+        ["p_partkey"], ["retailprice", "size"], "attr", "val"
+    ).orderBy("p_partkey", "attr")
+
+
+@register(
     "agg_approx",
     category="aggregation",
     doc=(

@@ -150,3 +150,60 @@ pipeline:
         q.awaitTermination(120)
     n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert sum(seen) == n
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed agg: a row arriving after the watermark passed
+    its window's end must be DROPPED (receiver_tcp.go's ack timeout analog:
+    late data -> excluded, not retro-merged)."""
+    import time
+
+    src = tmp_path / "wm_src"
+    src.mkdir()
+    schema = "ts timestamp, v int"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src / name)
+        )
+
+    from datetime import datetime
+
+    # batch 1: two rows in the 10:00 window, one at 12:10 that will push
+    # the watermark to 11:40 — past the 10:00 window's end
+    write_file("a", [(datetime(2024, 1, 1, 10, 10), 1),
+                     (datetime(2024, 1, 1, 10, 20), 1),
+                     (datetime(2024, 1, 1, 12, 10), 1)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_out")
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE row for the already-closed 10:00 window
+        write_file("b", [(datetime(2024, 1, 1, 10, 30), 1),
+                         (datetime(2024, 1, 1, 12, 20), 1)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {
+        r.w.start.hour: r.n
+        for r in spark.sql("SELECT w, n FROM wm_out").collect()
+    }
+    # the 10:00 window emitted with 2 rows; the late 10:30 row was dropped
+    assert rows.get(10) == 2
