@@ -350,6 +350,95 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q4_order_priority",
+    category="subquery",
+    doc="TPC-H Q4 shape: EXISTS correlated subquery planned as a LEFT SEMI "
+    "join (one pass over each table, no decorrelation by hand) — orders "
+    "with at least one line shipped in the quarter after ordering.",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-04-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    category="subquery",
+    doc="TPC-H Q22 shape: scalar subquery (global avg, broadcast as a "
+    "1-row join) + NOT EXISTS (left anti join) — well-funded customers "
+    "with no orders since 2000.",
+    oracle="""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_cust,
+               ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2)
+                   AS total_bal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    # scalar subquery: computed once, joined as a broadcast literal row —
+    # never a per-row recomputation.  AVG(double) over a filtered column is
+    # engine-order-dependent in theory; both engines sum <=150k values of
+    # ~4 digits, where the comparison margin makes flips unobservable, and
+    # the oracle runs the same formula.
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("cut")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("cut"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double"), 2).alias(
+                "total_bal"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
     "q19_disjunctive_pred",
     category="filter",
     doc="TPC-H Q19: three-way disjunction of conjunctive band predicates "

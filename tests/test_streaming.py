@@ -207,3 +207,47 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     }
     # the 10:00 window emitted with 2 rows; the late 10:30 row was dropped
     assert rows.get(10) == 2
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks + time-range condition
+    (Spark buffers both sides in state, bounded by the watermarks).
+    Result must equal the same join run in batch."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    clicks = [(i, i % 5, t0 + timedelta(minutes=2 * i)) for i in range(30)]
+    buys = [(100 + i, i % 5, t0 + timedelta(minutes=2 * i + 1)) for i in range(15)]
+    c_schema = "click_id long, user long, c_ts timestamp"
+    b_schema = "buy_id long, user long, b_ts timestamp"
+    (tmp_path / "c").mkdir(); (tmp_path / "b").mkdir()
+    spark.createDataFrame(clicks, c_schema).write.mode("append").parquet(str(tmp_path / "c"))
+    spark.createDataFrame(buys, b_schema).write.mode("append").parquet(str(tmp_path / "b"))
+
+    cs = spark.readStream.schema(c_schema).parquet(str(tmp_path / "c")).withWatermark("c_ts", "10 minutes")
+    bs = spark.readStream.schema(b_schema).parquet(str(tmp_path / "b")).withWatermark("b_ts", "10 minutes")
+    joined = cs.join(
+        bs,
+        (cs.user == bs.user)
+        & (bs.b_ts >= cs.c_ts)
+        & (bs.b_ts <= cs.c_ts + F.expr("INTERVAL 5 MINUTES")),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    cb = spark.read.parquet(str(tmp_path / "c"))
+    bb = spark.read.parquet(str(tmp_path / "b"))
+    n_batch = cb.join(
+        bb,
+        (cb.user == bb.user)
+        & (bb.b_ts >= cb.c_ts)
+        & (bb.b_ts <= cb.c_ts + F.expr("INTERVAL 5 MINUTES")),
+    ).count()
+    assert spark.table("ssj_out").count() == n_batch > 0
