@@ -155,6 +155,62 @@ def lsh_candidate_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph: (doc_id, component)
+    where component = min doc_id in the component (the canonical keeper).
+
+    Iterative min-label propagation (the Pregel pattern on DataFrames):
+    each round every vertex takes min(own label, neighbors' labels); rounds
+    needed = graph diameter, which for dedup clusters (cliques-ish) is
+    O(log n) in practice.  Each round is one shuffle; `localCheckpoint`
+    truncates the plan so lineage doesn't grow with iterations (without
+    it, round k re-executes rounds 1..k-1 — the classic iterative-Spark
+    trap).  The driver-side loop is control flow only; all data stays
+    distributed.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "comp", F.col("id")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("comp").alias("nbr_comp")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nbr_comp").alias("min_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("min_nbr", "comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+
+
 def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFrame:
     """32-bit SimHash over word tokens: bit b is set iff the majority of
     token hashes have bit b set.  Returns (doc_id, simhash).

@@ -76,6 +76,71 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = "asset_id long, frame_idx int, frame_len int, frame_md5 string"
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_size: int = 500,
+    every_n: int = 2,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Video-style frame sampling: explode each payload into every Nth
+    frame_size-byte 'frame' (1 input row -> many output rows — the batch
+    shape a real ffmpeg sampler has).  The frame extraction is the
+    deterministic fake (byte slicing); the mapInPandas plumbing, schema
+    and fan-out are the real thing.  Skew note: one huge video -> many
+    frames from one input row; mapInPandas emits per Arrow batch, so a
+    repartition AFTER sampling rebalances downstream work.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, md5s = [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf[payload_col]):
+                b = bytes(payload)
+                n = fake_decode_frames(b, frame_size)
+                for i in range(0, n, every_n):
+                    frame = b[i * frame_size : (i + 1) * frame_size]
+                    ids.append(aid)
+                    idxs.append(i)
+                    lens.append(len(frame))
+                    md5s.append(hashlib.md5(frame).hexdigest()[:8])
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "frame_len": lens, "frame_md5": md5s}
+            )
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def resize_payload(df: DataFrame, size: int = 256, payload_col: str = "payload") -> DataFrame:
+    """Image-resize stand-in: normalize every payload to exactly `size`
+    bytes (truncate / space-pad).  Real resize would decode+interpolate in
+    the same Arrow-batched loop (see decode_image stub); the binary ->
+    binary column contract, schema and batching are identical.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf[payload_col].map(
+                lambda b: bytes(b)[:size].ljust(size, b" ")
+            )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": resized,
+                    "new_len": resized.map(len),
+                    "payload_md5": resized.map(
+                        lambda b: hashlib.md5(b).hexdigest()[:8]
+                    ),
+                }
+            )
+
+    return df.mapInPandas(
+        run, schema="asset_id long, payload binary, new_len int, payload_md5 string"
+    )
+
+
 def documents_as_assets(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as a fake media payload so the
     multimodal plumbing is exercised by the fixture corpus."""

@@ -16,6 +16,7 @@ from flow_spark.operators.dedup import (
     N_BANDS,
     N_HASHES,
     ROWS_PER_BAND,
+    connected_components,
     exact_dedup_groups,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -130,6 +131,63 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct=False: MIN() is duplicate-insensitive, so skip the set shuffle
     sigs = minhash_signatures(word_shingles(corpus, distinct=False))
     return lsh_candidate_pairs(sigs).orderBy("doc_a", "doc_b")
+
+
+# ---- connected components over the near-dup graph --------------------------
+
+
+@register(
+    "dedup_components",
+    category="dedup",
+    doc="Near-dup clusters: connected components of the MinHash-LSH pair "
+    "graph via iterative min-label propagation (Pregel pattern; "
+    "localCheckpoint truncates lineage per round). Output: canonical "
+    "keeper (min doc_id) per cluster + cluster size. Oracle: recursive "
+    "CTE transitive closure over the same pairs.",
+    oracle=f"""
+        WITH RECURSIVE {_SQL_SHINGLES},
+        sig AS (
+            SELECT doc_id,
+               {_min_cols()}
+            FROM sh GROUP BY doc_id
+        ),
+        buckets AS (
+            SELECT doc_id, UNNEST([{_band_exprs()}]) AS bucket FROM sig
+        ),
+        kept AS (
+            SELECT doc_id, bucket FROM buckets
+            QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 1000
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM kept a JOIN kept b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+            UNION SELECT doc_a, doc_a FROM pairs
+            UNION SELECT doc_b, doc_b FROM pairs
+        ),
+        reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a)
+        SELECT component, COUNT(*) AS n_docs
+        FROM comp GROUP BY component
+        ORDER BY component
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _augment(load_table(spark, sf_dir, "documents"))
+    pairs = lsh_candidate_pairs(minhash_signatures(word_shingles(corpus, distinct=False)))
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("component")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("component")
+    )
 
 
 # ---- SimHash ---------------------------------------------------------------

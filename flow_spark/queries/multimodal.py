@@ -73,3 +73,63 @@ def mm_payload_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size_class")
     )
+
+
+@register(
+    "mm_frame_sample",
+    category="multimodal",
+    doc="Frame sampling: each payload explodes to every 2nd 100-byte "
+    "'frame' (1 row -> N rows through mapInPandas, the video-sampler "
+    "batch shape); per-frame length + md5 checked against byte slicing "
+    "in the oracle (corpus is ASCII so VARCHAR substr == byte slice).",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, text,
+                   CAST(ceil(length(text) / 100.0) AS INT) AS n_frames
+            FROM documents WHERE doc_id % 25 = 0
+        )
+        -- constant-bound frame index (max doc ~600B = 6 frames; 64 is
+        -- headroom), filtered per doc: DuckDB's range() can't take a
+        -- lateral column bound
+        SELECT doc_id AS asset_id,
+               CAST(i AS INT) AS frame_idx,
+               CAST(length(substring(text, i * 100 + 1, 100)) AS INT) AS frame_len,
+               substr(md5(substring(text, i * 100 + 1, 100)), 1, 8) AS frame_md5
+        FROM d, range(0, 64) t(i)
+        WHERE i < n_frames AND i % 2 = 0
+        ORDER BY asset_id, frame_idx
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    return sample_frames(documents_as_assets(docs), frame_size=100).orderBy(
+        "asset_id", "frame_idx"
+    )
+
+
+@register(
+    "mm_resize",
+    category="multimodal",
+    doc="Resize stand-in: every payload normalized to exactly 256 bytes "
+    "(truncate/space-pad) through the binary->binary mapInPandas contract "
+    "a real decode+interpolate resize would use.",
+    oracle="""
+        SELECT doc_id AS asset_id,
+               256 AS new_len,
+               substr(md5(rpad(substring(text, 1, 256), 256, ' ')), 1, 8)
+                   AS payload_md5
+        FROM documents WHERE doc_id % 25 = 0
+        ORDER BY asset_id
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.multimodal import resize_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    return (
+        resize_payload(documents_as_assets(docs))
+        .select("asset_id", "new_len", "payload_md5")
+        .orderBy("asset_id")
+    )
