@@ -478,6 +478,56 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_hypertable_rollup",
+    category="aggregation",
+    doc="Hypertable-style continuous-aggregate rollup: month > day > hour "
+    "time hierarchy materialized in ONE pass via ROLLUP on truncated "
+    "timestamps (the TimescaleDB continuous-aggregate shape). At scale "
+    "this is the cheapest multi-grain build: one shuffle produces every "
+    "grain; finer grains never re-scan the fact.",
+    oracle="""
+        SELECT COALESCE(strftime(date_trunc('month', ts), '%Y-%m-%d'), '<all>') AS month,
+               COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), '<all>')   AS day,
+               COALESCE(strftime(date_trunc('hour', ts), '%Y-%m-%d %H'), '<all>') AS hour,
+               COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS total
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-04'
+        GROUP BY ROLLUP (date_trunc('month', ts), date_trunc('day', ts),
+                         date_trunc('hour', ts))
+        ORDER BY month, day, hour
+    """,
+)
+def agg_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-04").cast("timestamp")
+    )
+    ev = ev.select(
+        F.date_trunc("month", "ts").alias("m"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("hour", "ts").alias("h"),
+        "value",
+    )
+    return (
+        ev.rollup("m", "d", "h")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 2).alias(
+                "total"
+            ),
+        )
+        .select(
+            F.coalesce(F.date_format("m", "yyyy-MM-dd"), F.lit("<all>")).alias("month"),
+            F.coalesce(F.date_format("d", "yyyy-MM-dd"), F.lit("<all>")).alias("day"),
+            F.coalesce(F.date_format("h", "yyyy-MM-dd HH"), F.lit("<all>")).alias("hour"),
+            "n",
+            "total",
+        )
+        .orderBy("month", "day", "hour")
+    )
+
+
+@register(
     "agg_cube",
     category="aggregation",
     doc="CUBE over two dimensions.",

@@ -138,3 +138,46 @@ def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["event_id"])
         .agg(F.count("*").alias("n_unique"), F.sum("event_id").cast("bigint").alias("id_sum"))
     )
+
+
+@register(
+    "stream_gcra_throttle",
+    category="stateful-streaming",
+    doc="True stateful streaming: the GCRA rate limiter "
+    "(applyInPandasWithState, per-user token state in the state store) "
+    "over the events stream with event time compressed 100000x so the "
+    "fixture's hours-apart per-user events form real bursts. Not "
+    "SQL-expressible (per-key sequential state) -> rows-only check; "
+    "GCRA semantics are oracle-checked in batch by pipe_throttler and "
+    "unit-tested in test_streaming.py.",
+    oracle=None,
+)
+def stream_gcra_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from flow_spark.streaming.sources import stream_events
+    from flow_spark.streaming.stateful import throttle_stream
+
+    msgs = stream_events(spark, sf_dir)
+    compressed = msgs.withColumn(
+        "ingest_ts",
+        F.timestamp_micros((F.unix_micros("ingest_ts") / 100_000).cast("long")),
+    )
+    throttled = throttle_stream(compressed, rps=5, key_col="user")
+    name = f"gcra_{uuid.uuid4().hex[:8]}"
+    q = (
+        throttled.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="gcra_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("throttle_status")
+        .agg(F.count("*").alias("n"), F.countDistinct("throttle_key").alias("n_keys"))
+        .orderBy("throttle_status")
+    )
