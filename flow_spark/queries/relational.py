@@ -821,3 +821,39 @@ def subquery_correlated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") > F.col("avg_qty"))
         .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
     )
+
+
+@register(
+    "sql_interface",
+    category="scan",
+    doc="The SQL entry point: fixture tables registered as views, the "
+    "query authored and executed as ANSI SQL through spark.sql (same "
+    "Catalyst plan as the DataFrame form — the engine exposes both "
+    "surfaces).",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS n_big
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+          AND o_orderdate <  TIMESTAMP '1999-01-01'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS n_big
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+          AND o_orderdate <  TIMESTAMP '1999-01-01'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )

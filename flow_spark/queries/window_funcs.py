@@ -198,3 +198,49 @@ def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "win_gaps_islands",
+    category="window",
+    doc="Gaps-and-islands: maximal runs of consecutive same-type events "
+    "per user via the row_number-difference trick (two window passes + "
+    "one agg, no self-join).",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type, ts, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                 - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS island
+            FROM events WHERE user_id < 30
+        )
+        SELECT user_id, event_type,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS island_start,
+               COUNT(*) AS run_len
+        FROM seq
+        GROUP BY user_id, event_type, island
+        HAVING COUNT(*) >= 3
+        ORDER BY user_id, island_start, event_type
+    """,
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("island"),
+    )
+    return (
+        seq.groupBy("user_id", "event_type", "island")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("island_start"),
+            F.count("*").alias("run_len"),
+        )
+        .filter(F.col("run_len") >= 3)
+        .select("user_id", "event_type", "island_start", "run_len")
+        .orderBy("user_id", "island_start", "event_type")
+    )
