@@ -1,0 +1,82 @@
+"""Property test: the union+window as-of join must agree with pandas
+merge_asof (an independent reference implementation) on random inputs —
+keys, duplicate timestamps, empty sides, unmatched rows.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from flow_spark.operators.asof import asof_join
+
+row = st.tuples(
+    st.integers(min_value=0, max_value=2),  # key
+    st.integers(min_value=0, max_value=50),  # ts
+    st.integers(min_value=-100, max_value=100),  # value
+)
+
+
+def reference(left_rows, right_rows, allow_exact):
+    lp = pd.DataFrame(left_rows, columns=["k", "ts", "v"]).assign(
+        lid=lambda d: range(len(d))
+    )
+    if not right_rows:
+        return {(r.k, r.ts, r.lid): None for r in lp.itertuples()}
+    rp = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).assign(
+        rid=lambda d: range(len(d))
+    )
+    # same tie rule as the operator: latest rid wins per (k, ts)
+    rp = (
+        rp.sort_values("rid")
+        .drop_duplicates(["k", "ts"], keep="last")
+        .sort_values(["ts", "rid"])
+    )
+    merged = pd.merge_asof(
+        lp.sort_values(["ts", "lid"]),
+        rp.rename(columns={"v": "rv"})[["k", "ts", "rv"]],
+        on="ts",
+        by="k",
+        direction="backward",
+        allow_exact_matches=allow_exact,
+    )
+    return {
+        (r.k, r.ts, r.lid): (None if pd.isna(r.rv) else int(r.rv))
+        for r in merged.itertuples()
+    }
+
+
+@pytest.mark.slow
+@given(
+    left=st.lists(row, min_size=0, max_size=8),
+    right=st.lists(row, min_size=0, max_size=8),
+    allow_exact=st.booleans(),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_matches_merge_asof(spark, left, right, allow_exact):
+    if not left:
+        return
+    lp = spark.createDataFrame(
+        [(k, t, v, i) for i, (k, t, v) in enumerate(left)], "k int, ts int, v int, lid int"
+    )
+    rp = spark.createDataFrame(
+        [(k, t, v, i) for i, (k, t, v) in enumerate(right)],
+        "k int, ts int, v int, rid int",
+    ) if right else spark.createDataFrame([], "k int, ts int, v int, rid int")
+    out = asof_join(
+        lp,
+        rp,
+        ts_col="ts",
+        by="k",
+        value_cols=["v"],
+        right_id_col="rid",
+        allow_exact_matches=allow_exact,
+    ).collect()
+    got = {(r.k, r.ts, r.lid): r.asof_v for r in out}
+    assert got == reference(left, right, allow_exact)
