@@ -342,3 +342,72 @@ def pipe_codec_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
         (decompress(F.col("zl"), "zlib") == F.col("orig")).alias("zlib_ok"),
         "orig_len",
     ).orderBy("doc_id")
+
+
+@register(
+    "pipe_yaml_end_to_end",
+    category="pipeline",
+    doc="Full YAML pipeline compiled to one DataFrame graph: events "
+    "receiver -> content router (clicks / purchases) -> replicator 'each' "
+    "doubling purchases to two sinks; delivery statuses folded per "
+    "(sink, status). Mirrors a complete flowd topology "
+    "(pipeline/pipeline.go:120-155) as a single oracle-checkable query.",
+    oracle="""
+        WITH delivery AS (
+            SELECT event_id, 'sink_click' AS sink, 'done' AS status
+            FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT event_id, 'sink_p1', 'done' FROM events WHERE event_type = 'purchase'
+            UNION ALL
+            SELECT event_id, 'sink_p2', 'done' FROM events WHERE event_type = 'purchase'
+            UNION ALL
+            SELECT event_id, 'route', 'unroutable'
+            FROM events WHERE event_type NOT IN ('click', 'purchase')
+        )
+        SELECT sink, status, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum
+        FROM delivery GROUP BY sink, status
+        ORDER BY sink, status
+    """,
+)
+def pipe_yaml_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.plans.builder import Pipeline
+
+    yaml_text = f"""
+actors:
+  ingest:
+    module: core.receiver
+    params:
+      bind: events://{sf_dir}
+  route:
+    module: core.router
+  click:
+    module: core.mux
+  purchase:
+    module: core.replicator
+    params:
+      mode: each
+  sink_click:
+    module: core.sink
+  sink_p1:
+    module: core.sink
+  sink_p2:
+    module: core.sink
+pipeline:
+  ingest:
+    connect: [route]
+  route:
+    connect: [click, purchase]
+  click:
+    connect: [sink_click]
+  purchase:
+    connect: [sink_p1, sink_p2]
+  sink_click:
+  sink_p1:
+  sink_p2:
+"""
+    res = Pipeline.from_yaml(spark, yaml_text).run()
+    return (
+        res.delivery.groupBy("sink", "status")
+        .agg(F.count("*").alias("n"), F.sum("event_id").cast("bigint").alias("id_sum"))
+        .orderBy("sink", "status")
+    )
