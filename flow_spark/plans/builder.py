@@ -147,17 +147,26 @@ class Pipeline:
             return df  # fan-in already applied
 
         if module == "core.router":
-            # route by meta['sendto'] == peer NAME (router.go:44-51,67-75)
-            sendto = F.col("meta").getItem("sendto")
+            # v1alpha1: route by meta['sendto'] == peer NAME
+            # (router.go:44-51,67-75).  v0 sugar (v0compat.py): an explicit
+            # `routes: {value: peer}` map and a `routing_key` meta key.
+            key = params.get("routing_key", "sendto")
+            routes: dict[str, str] = params.get("routes") or {p: p for p in peers}
+            bad = set(routes.values()) - set(peers)
+            if bad:
+                raise ConfigError(f"router {name!r}: routes to non-peers {sorted(bad)}")
+            sendto = F.col("meta").getItem(key)
             for p in peers:
-                edge_out[(name, p)] = df.filter(sendto == p)
-            unroutable = df.filter(sendto.isNull() | ~sendto.isin(peers))
+                values = [v for v, peer in routes.items() if peer == p]
+                edge_out[(name, p)] = df.filter(sendto.isin(values))
+            routable = list(routes.keys())
+            unroutable = df.filter(sendto.isNull() | ~sendto.isin(routable))
             delivery.append(
                 unroutable.select(
                     "event_id", F.lit(name).alias("sink"), F.lit("unroutable").alias("status")
                 )
             )
-            return df.filter(sendto.isin(peers))
+            return df.filter(sendto.isin(routable))
 
         if module == "core.replicator":
             mode = params.get("mode", "each")

@@ -106,7 +106,9 @@ def load_pipeline_config(
 ) -> PipelineConfig:
     """Merge defaults < env < yaml < cli, validate blocks strictly."""
     merged: dict[str, Any] = dict(defaults or {"system": {"maxprocs": 0}})
-    doc = _parse_yaml(yaml_text)
+    from flow_spark.plans.v0compat import translate_v0
+
+    doc = translate_v0(_parse_yaml(yaml_text))
     for k, v in doc.items():
         merged[k] = v
     for dotted, v in _env_overrides().items():
