@@ -45,18 +45,26 @@ def brute_force_topk(
     Excludes self-matches.  The query side is broadcast — at scale the
     candidate scan is the only pass over the big table.
     """
+    # norms are precomputed per ROW, not per pair: inside the join each
+    # candidate norm would be re-folded |Q| times (and each query norm |C|
+    # times) — same cosine value (dot/(sqrt(na)*sqrt(nb)), identical IEEE
+    # ops), ~3x less fold work
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("qnrm"),
     )
     # scoring is CPU-bound (|Q| dots per candidate row); embedding tables
     # often arrive as one fat file -> spread candidates across the cluster
     nparts = candidates.sparkSession.sparkContext.defaultParallelism
     c = candidates.repartition(nparts).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        l2_norm(F.col(vec_col)).alias("cnrm"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine_similarity(F.col("qvec"), F.col("cvec")))
+        .withColumn("cos", dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -67,26 +75,36 @@ def brute_force_topk(
 
 
 def hyperplane_weight(plane: int, dim_idx: Column) -> Column:
-    """Deterministic pseudo-random weight in [-1, 1) for (plane, dim)."""
+    """Deterministic pseudo-random weight in [-1, 1) for (plane, dim) —
+    the column form (kept as the SQL-mirror documentation; the signature
+    path below uses the precomputed Python form)."""
     h = portable_hash64(
         F.concat(F.lit(f"hp{plane}_"), dim_idx.cast("string")), salt="lsh"
     )
     return (F.pmod(h, F.lit(2001)) - 1000).cast("double") / 1000.0
 
 
+def _hyperplane_weights(plane: int, dim: int) -> list[float]:
+    """Same md5-derived weights computed driver-side: they are ROW-
+    INDEPENDENT constants, so evaluating the md5 chain inside the plan
+    would redo dim*n_planes hashes per row (the dominant LSH cost,
+    measured ~40% of sim_lsh_ann).  Python md5 is bit-identical to
+    Spark's/DuckDB's, so the shipped literals match the oracle exactly."""
+    import hashlib
+
+    out = []
+    for j in range(dim):
+        h = int(hashlib.md5(f"lshhp{plane}_{j}".encode()).hexdigest()[:15], 16)
+        out.append((h % 2001 - 1000) / 1000.0)
+    return out
+
+
 def lsh_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
     """B-bit signature: bit p = 1 iff dot(vec, plane_p) >= 0."""
-    # NB: transform lambdas must take exactly ONE parameter — PySpark calls
-    # a two-parameter function as (element, index), so even a `p=p` default
-    # would be silently overwritten by the element index.
-    def plane_for(p: int):
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)), lambda i: hyperplane_weight(p, i)
-        )
-
     sig = None
     for p in range(n_planes):
-        bit = F.when(dot(vec, plane_for(p)) >= 0, F.lit(2**p)).otherwise(F.lit(0))
+        plane = F.array(*[F.lit(w) for w in _hyperplane_weights(p, dim)])
+        bit = F.when(dot(vec, plane) >= 0, F.lit(2**p)).otherwise(F.lit(0))
         sig = bit if sig is None else (sig + bit)
     return sig.cast("int")
 
@@ -104,15 +122,21 @@ def lsh_topk(
     sig = lsh_signature(F.col(vec_col), dim, n_planes)
     nparts = candidates.sparkSession.sparkContext.defaultParallelism
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), sig.alias("bucket")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        sig.alias("bucket"),
+        l2_norm(F.col(vec_col)).alias("qnrm"),
     )
     c = candidates.repartition(nparts).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), sig.alias("bucket")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        sig.alias("bucket"),
+        l2_norm(F.col(vec_col)).alias("cnrm"),
     )
     scored = (
         c.join(F.broadcast(q), ["bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine_similarity(F.col("qvec"), F.col("cvec")))
+        .withColumn("cos", dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -163,16 +187,22 @@ def ivf_topk(
     partition (|C|/k_centroids rows) instead of the full table.
     """
     q = ivf_assign(queries, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qvec"), "cluster"
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qvec"),
+        "cluster",
+        l2_norm(F.col("v")).alias("qnrm"),
     )
     nparts = candidates.sparkSession.sparkContext.defaultParallelism
     c = ivf_assign(candidates.repartition(nparts), centroids, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cvec"), "cluster"
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("cvec"),
+        "cluster",
+        l2_norm(F.col("v")).alias("cnrm"),
     )
     scored = (
         c.join(F.broadcast(q), ["cluster"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine_similarity(F.col("qvec"), F.col("cvec")))
+        .withColumn("cos", dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
