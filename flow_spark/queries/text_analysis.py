@@ -191,3 +191,55 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_top_terms",
+    category="text-analysis",
+    doc="TF-IDF-style distinguishing terms: top-3 per document scored by "
+    "tf/df (rational arithmetic only — no log/exp, whose libm rounding "
+    "differs between engines). Document frequency is one agg over the "
+    "exploded tokens; per-doc ranking is a bounded window.",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(string_split(
+                trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+            FROM documents
+        ),
+        toks_f AS (SELECT doc_id, term FROM toks WHERE length(term) > 3),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks_f GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks_f GROUP BY 1),
+        scored AS (
+            SELECT doc_id, term,
+                   CAST(tf AS DOUBLE) / df AS score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY CAST(tf AS DOUBLE) / df DESC,
+                                               term ASC) AS rnk
+            FROM tf JOIN df USING (term)
+        )
+        SELECT doc_id, term, rnk, ROUND(score, 6) AS score
+        FROM scored
+        WHERE rnk <= 3 AND doc_id % 50 = 0
+        ORDER BY doc_id, rnk
+    """,
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from flow_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.length("term") > 3)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    score = F.col("tf").cast("double") / F.col("df")
+    w = W.partitionBy("doc_id").orderBy(F.desc(score), F.asc("term"))
+    return (
+        tf.join(df, "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 3) & (F.col("doc_id") % 50 == 0))
+        .select("doc_id", "term", "rnk", F.round(score, 6).alias("score"))
+        .orderBy("doc_id", "rnk")
+    )
