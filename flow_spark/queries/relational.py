@@ -857,3 +857,40 @@ def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+@register(
+    "agg_minmax_by",
+    category="aggregation",
+    doc="max_by / min_by argmax aggregates: per segment, the customer "
+    "holding the extreme balance (single pass, no self-join back). The "
+    "ordering key is an exact integer composite (balance cents * 1e8 + "
+    "custkey) so ties break identically in both engines.",
+    oracle="""
+        SELECT c_mktsegment,
+               arg_max(c_custkey,
+                       CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) * 100000000
+                       + c_custkey) AS richest,
+               arg_min(c_custkey,
+                       CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) * 100000000
+                       + c_custkey) AS poorest,
+               ROUND(MAX(c_acctbal), 2) AS max_bal
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.queries.util import cents
+
+    cust = load_table(spark, sf_dir, "customer")
+    key = cents("c_acctbal") * F.lit(100_000_000) + F.col("c_custkey")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.max_by("c_custkey", key).alias("richest"),
+            F.min_by("c_custkey", key).alias("poorest"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -244,3 +244,45 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "island_start", "run_len")
         .orderBy("user_id", "island_start", "event_type")
     )
+
+
+@register(
+    "win_first_nth_value",
+    category="window",
+    doc="first_value / nth_value / cume_dist battery over each customer's "
+    "order history (frame = full partition).",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price,
+               ROUND(NTH_VALUE(o_totalprice, 2) OVER w, 2) AS second_price,
+               ROUND(CUME_DIST() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice ASC, o_orderkey ASC), 4)
+                   AS price_cume
+        FROM orders
+        WHERE o_custkey % 10 = 0
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey, o_orderkey
+    """,
+)
+def win_first_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    w_cume = W.partitionBy("o_custkey").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+            F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
+            F.round(F.cume_dist().over(w_cume), 4).alias("price_cume"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
