@@ -58,9 +58,17 @@ class Pipeline:
     spark: SparkSession
     cfg: PipelineConfig
     order: list[str] = field(default_factory=list)
+    _bridges: list = field(default_factory=list)
 
     def __post_init__(self) -> None:
         self.order = validate_dag(self.cfg)
+
+    def stop(self) -> None:
+        """Stop any network bridges started by tcp/udp/unix/http receivers
+        (reverse of start, like pipeline.go:67-84's drain)."""
+        for b in reversed(self._bridges):
+            b.stop()
+        self._bridges.clear()
 
     # -- construction -------------------------------------------------------
 
@@ -137,7 +145,13 @@ class Pipeline:
                 raise ConfigError(f"actor {name!r}: unknown plugin module {module!r}")
             return fn(df, params)
 
-        if module == "core.receiver":
+        if module == "core.receiver" or module.startswith("core.receiver."):
+            # `core.receiver.tcp` + scheme-less bind (examples/tcp2stdout) is
+            # sugar for core.receiver + `tcp://<bind>` (receiver_factory.go
+            # dispatches on the bind scheme)
+            suffix = module.removeprefix("core.receiver").lstrip(".")
+            if suffix and "://" not in str(params.get("bind", "")):
+                params = {**params, "bind": f"{suffix}://{params.get('bind', '')}"}
             return self._receiver(name, params, inputs, streaming)
 
         if df is None:
@@ -254,6 +268,25 @@ class Pipeline:
     ) -> DataFrame:
         bind = params.get("bind", "")
         scheme, _, rest = bind.partition("://")
+        if scheme in ("tcp", "udp", "unix", "http") and streaming:
+            # live network ingest: start the asyncio bridge on the configured
+            # port (receiver_tcp.go's accept loop re-homed outside Spark) and
+            # stream its spool.  TCP framing covers all four schemes' record
+            # contract in this engine (SURVEY §2.1 #2-5).
+            import tempfile
+
+            from flow_spark.sources.bridge import SocketBridge, spool_stream
+
+            host, _, port = rest.rpartition(":")
+            bridge = SocketBridge(
+                tempfile.mkdtemp(prefix=f"flow_spool_{name}_"),
+                host=host or "127.0.0.1",
+                port=int(port or 0),
+                flush_every=int(params.get("buf_size", 100)),
+                silent=bool(params.get("silent", False)),
+            ).start()
+            self._bridges.append(bridge)
+            return spool_stream(self.spark, bridge.spool_dir)
         if scheme == "memory":
             if rest not in inputs:
                 raise ConfigError(f"receiver {name!r}: no input named {rest!r} provided")

@@ -20,6 +20,7 @@ per message, which is the same batch-ack trade Kafka producers make.
 from __future__ import annotations
 
 import asyncio
+import contextlib
 import os
 import threading
 import time
@@ -123,7 +124,14 @@ class SocketBridge:
                 started.set()
 
             self._loop.run_until_complete(boot())
-            self._loop.run_forever()
+            try:
+                self._loop.run_forever()
+            finally:
+                if self._server is not None:
+                    self._server.close()
+                    with contextlib.suppress(Exception):
+                        self._loop.run_until_complete(self._server.wait_closed())
+                self._loop.close()
 
         self._thread = threading.Thread(target=run, daemon=True, name="flow-bridge")
         self._thread.start()
@@ -134,14 +142,8 @@ class SocketBridge:
     def stop(self) -> None:
         self.flush()
         if self._loop is not None:
-            loop = self._loop
-
-            def shutdown():
-                if self._server is not None:
-                    self._server.close()
-                loop.stop()
-
-            loop.call_soon_threadsafe(shutdown)
+            with contextlib.suppress(RuntimeError):  # already stopped
+                self._loop.call_soon_threadsafe(self._loop.stop)
         if self._thread is not None:
             self._thread.join(timeout=10)
 
