@@ -47,9 +47,115 @@ def decode_base64(b64: Column) -> Column:
 
 # --- compression (Pandas UDF) ----------------------------------------------
 
+def _flate_compress(b: bytes) -> bytes:
+    """Raw DEFLATE (zlib without header/checksum) — Go's compress/flate."""
+    c = zlib.compressobj(wbits=-15)
+    return c.compress(b) + c.flush()
+
+
+def _flate_decompress(b: bytes) -> bytes:
+    return zlib.decompressobj(wbits=-15).decompress(b)
+
+
+def _lzw_compress(b: bytes) -> bytes:
+    """LZW, 12-bit cap with clear code (compressor.go's lzw entry; the
+    classic GIF/compress variant, LSB-first).  Pure Python: this codec
+    exists for operator parity, not throughput — use zstd/gzip in anger."""
+    max_code = (1 << 12) - 1
+    table = {bytes([i]): i for i in range(256)}
+    clear, eof = 256, 257
+    next_code = 258
+    out = bytearray()
+    bitbuf = bitcnt = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf |= code << bitcnt
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitcnt -= 8
+
+    emit(clear)
+    w = b""
+    for ch in b:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code <= max_code:
+            table[wc] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(eof)
+    if bitcnt:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(b: bytes) -> bytes:
+    clear, eof = 256, 257
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    bitbuf = bitcnt = 0
+    pos = 0
+    out = bytearray()
+    prev: bytes | None = None
+
+    def read_code() -> int | None:
+        nonlocal bitbuf, bitcnt, pos
+        while bitcnt < width:
+            if pos >= len(b):
+                return None
+            bitbuf |= b[pos] << bitcnt
+            pos += 1
+            bitcnt += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        bitcnt -= width
+        return code
+
+    while True:
+        code = read_code()
+        if code is None or code == eof:
+            break
+        if code == clear:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif prev is not None and code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        if prev is not None and len(table) < (1 << 12):
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
 _COMPRESSORS: dict[str, tuple[Callable[[bytes], bytes], Callable[[bytes], bytes]]] = {
     "gzip": (lambda b: gzip.compress(b, mtime=0), gzip.decompress),
     "zlib": (zlib.compress, zlib.decompress),
+    "flate": (_flate_compress, _flate_decompress),
+    "lzw": (_lzw_compress, _lzw_decompress),
     "bz2": (bz2.compress, bz2.decompress),
     "lzma": (lzma.compress, lzma.decompress),
 }
