@@ -148,6 +148,74 @@ class SocketBridge:
             self._thread.join(timeout=10)
 
 
+class HttpBridge(SocketBridge):
+    """HTTP flavor of the bridge — receiver_http.go's contract: POST body
+    becomes the message, URL query params become meta (:140-141), and the
+    reply code maps the acceptance status (:24-32 — 200 accepted here;
+    downstream delivery statuses live in the delivery-result stream).
+
+    Spooled record: "<seq>\t<urlencoded-meta>\t<body>" (meta first so the
+    body may contain tabs); spool_stream detects the 3-field form.
+    """
+
+    async def _handle(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
+        try:
+            while True:
+                request = await reader.readline()
+                if not request:
+                    break
+                try:
+                    method, target, _ = request.decode().split(" ", 2)
+                except ValueError:
+                    break
+                headers: dict[str, str] = {}
+                while True:
+                    line = await reader.readline()
+                    if line in (b"\r\n", b"\n", b""):
+                        break
+                    k, _, v = line.decode().partition(":")
+                    headers[k.strip().lower()] = v.strip()
+                body = await reader.readexactly(int(headers.get("content-length", 0)))
+                if method.upper() != "POST":
+                    writer.write(b"HTTP/1.1 405 Method Not Allowed\r\ncontent-length: 0\r\n\r\n")
+                    await writer.drain()
+                    continue
+                _, _, query = target.partition("?")
+                record = f"{query}\t{body.decode('utf-8', errors='replace')}"
+                try:
+                    self._append(record)
+                    writer.write(b"HTTP/1.1 200 OK\r\ncontent-length: 0\r\n\r\n")
+                except Exception:  # noqa: BLE001
+                    writer.write(
+                        b"HTTP/1.1 500 Internal Server Error\r\ncontent-length: 0\r\n\r\n"
+                    )
+                await writer.drain()
+                if headers.get("connection", "").lower() == "close":
+                    break
+        finally:
+            writer.close()
+
+
+def http_spool_stream(spark: SparkSession, spool_dir: str) -> DataFrame:
+    """HttpBridge spool -> canonical messages with query-param meta."""
+    from pyspark.sql import functions as F
+
+    raw = spark.readStream.format("text").load(spool_dir)
+    parts = F.split("value", "\t", 3)  # seq, urlencoded meta, body
+    meta_q = F.url_decode(F.regexp_replace(parts.getItem(1), r"\+", "%20"))
+    return raw.select(
+        parts.getItem(0).cast("long").alias("event_id"),
+        F.current_timestamp().alias("ingest_ts"),
+        parts.getItem(2).cast("binary").alias("body"),
+        parts.getItem(2).alias("body_str"),
+        F.when(
+            F.length(parts.getItem(1)) > 0, F.str_to_map(meta_q, F.lit("&"), F.lit("="))
+        )
+        .otherwise(F.create_map().cast("map<string,string>"))
+        .alias("meta"),
+    )
+
+
 def spool_stream(spark: SparkSession, spool_dir: str) -> DataFrame:
     """The Spark half: spooled records as a canonical message stream."""
     from pyspark.sql import functions as F

@@ -69,3 +69,40 @@ def memory_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def file_sink_batch(df: DataFrame, path: str, body_col: str = "body_str") -> int:
+    """Append \r\n-terminated records to one file — sink_head_file.go:30-73's
+    record framing (STDOUT/STDERR special-cased there; pass /dev/stdout).
+
+    Driver-side append (single consolidated file is the contract, like the
+    reference's one fd); for scale-out writes use write_any(df, "text", ...)
+    which fans out per partition. Returns rows written.
+    """
+    rows = df.select(body_col).collect()
+    with open(path, "ab") as f:
+        for r in rows:
+            f.write((r[0] or "").encode() + b"\r\n")
+    return len(rows)
+
+
+def file_sink(
+    name: str,
+    df: DataFrame,
+    checkpoint_dir: str,
+    path: str,
+    max_retries: int = 3,
+):
+    """Streaming file sink head: foreachBatch -> append with backoff."""
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        write_with_backoff(
+            lambda d: file_sink_batch(d, path), batch, max_retries=max_retries
+        )
+
+    return (
+        df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{checkpoint_dir}/{name}")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import socket
 
+import pytest
+
 from flow_spark.sources.bridge import SocketBridge, spool_stream
 
 
@@ -73,3 +75,53 @@ def test_bridge_to_spark_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.body_str for r in spark.table("bridge_out").collect())
     assert got == sorted(msgs)
+
+
+def test_http_bridge_post_to_stream(spark, tmp_path):
+    import urllib.request
+
+    from flow_spark.sources.bridge import HttpBridge, http_spool_stream
+
+    spool = str(tmp_path / "hspool")
+    bridge = HttpBridge(spool, flush_every=10).start()
+    try:
+        for i, (body, q) in enumerate(
+            [("payload-a", "sendto=click&user=7"), ("payload-b", ""), ("tab\tbody", "k=v")]
+        ):
+            url = f"http://127.0.0.1:{bridge.port}/v1alpha1" + (f"?{q}" if q else "")
+            req = urllib.request.Request(url, data=body.encode(), method="POST")
+            with urllib.request.urlopen(req, timeout=10) as resp:
+                assert resp.status == 200
+    finally:
+        bridge.stop()
+
+    df = http_spool_stream(spark, spool)
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("http_out")
+        .option("checkpointLocation", str(tmp_path / "hckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.event_id: r for r in spark.table("http_out").collect()}
+    assert rows[0].body_str == "payload-a"
+    assert dict(rows[0].meta) == {"sendto": "click", "user": "7"}
+    assert rows[1].body_str == "payload-b" and dict(rows[1].meta) == {}
+    assert rows[2].body_str == "tab\tbody" and dict(rows[2].meta) == {"k": "v"}
+
+
+def test_http_bridge_rejects_get(tmp_path):
+    import urllib.error
+    import urllib.request
+
+    from flow_spark.sources.bridge import HttpBridge
+
+    bridge = HttpBridge(str(tmp_path / "hspool2")).start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(f"http://127.0.0.1:{bridge.port}/v1alpha1", timeout=10)
+        assert e.value.code == 405
+    finally:
+        bridge.stop()

@@ -251,3 +251,17 @@ def test_stream_stream_join(spark, tmp_path):
         & (bb.b_ts <= cb.c_ts + F.expr("INTERVAL 5 MINUTES")),
     ).count()
     assert spark.table("ssj_out").count() == n_batch > 0
+
+
+def test_file_sink_crlf_framing(spark, sf_dir, tmp_path):
+    """sink_head_file.go parity: records append \r\n-terminated."""
+    from flow_spark.streaming.sinks import file_sink
+    from flow_spark.streaming.sources import stream_events
+
+    msgs = stream_events(spark, sf_dir).filter(F.col("event_id") < 5)
+    out = tmp_path / "out.log"
+    q = file_sink("f", msgs, str(tmp_path / "ckpt_fs"), str(out))
+    q.awaitTermination(120)
+    data = out.read_bytes()
+    assert data.endswith(b"\r\n")
+    assert len(data.split(b"\r\n")) - 1 == 5
