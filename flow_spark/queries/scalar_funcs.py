@@ -312,3 +312,34 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "fn_bitwise",
+    category="math-fn",
+    doc="Bitwise battery: shifts, AND/OR/XOR, bit_count — exact integer "
+    "ops, identical across engines by construction.",
+    oracle="""
+        SELECT event_id,
+               event_id << 3                 AS shl,
+               event_id >> 2                 AS shr,
+               event_id & 255                AS land,
+               event_id | 4096               AS lor,
+               xor(event_id, 1365)           AS lxor,
+               bit_count(event_id)           AS nbits
+        FROM events WHERE event_id % 50 = 0
+        ORDER BY event_id
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 50 == 0)
+    e = F.col("event_id")
+    return ev.select(
+        "event_id",
+        F.shiftleft(e, 3).alias("shl"),
+        F.shiftright(e, 2).alias("shr"),
+        e.bitwiseAND(F.lit(255)).alias("land"),
+        e.bitwiseOR(F.lit(4096)).alias("lor"),
+        e.bitwiseXOR(F.lit(1365)).alias("lxor"),
+        F.bit_count(e).alias("nbits"),
+    ).orderBy("event_id")

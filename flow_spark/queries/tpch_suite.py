@@ -21,6 +21,7 @@ from flow_spark.queries.util import (
     SQL_ONE_MINUS_DISC,
     SQL_PRICE,
     SQL_REVENUE,
+    SQL_REVENUE_CENTS,
     dec,
     money_sum,
     one_minus,
@@ -469,4 +470,74 @@ def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(money_sum(revenue_expr()).alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    category="join",
+    doc="TPC-H Q8: a nation's share of regional revenue per year — "
+    "conditional-agg ratio over the full 7-table join graph; every "
+    "non-lineitem table broadcasts.",
+    oracle=f"""
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               ROUND(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                                   THEN {SQL_REVENUE_CENTS} ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM({SQL_REVENUE_CENTS}) AS DOUBLE), 6) AS mkt_share
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        JOIN part     ON l_partkey = p_partkey
+        WHERE r_name = 'AMERICA'
+          AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.queries.util import revenue_cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    rev = revenue_cents()
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0))).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
     )

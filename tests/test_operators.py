@@ -142,3 +142,16 @@ def test_router_unroutable_fallback(spark, sf_dir):
     assert bad.count() == 0
     # router OR-logic: exactly one row per message (never replicates)
     assert out.count() == msgs.count()
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    """HLL++ estimate must land within its configured relative error of
+    the exact count (the oracle can't hash-match an estimate, so the
+    bound is asserted here instead)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rsd = 0.05
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd).alias("approx"),
+        F.countDistinct("l_orderkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) <= 4 * rsd * row.exact
