@@ -120,3 +120,56 @@ def scale_bucketed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "funnel_conversion",
+    category="window",
+    doc="Event-sequence funnel (view -> click -> purchase, strictly "
+    "ordered per user): each stage is a min-timestamp aggregate joined "
+    "against the previous stage's frontier — 3 narrow aggs over a "
+    "pre-filtered fact, no per-user sorting of full histories.",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t
+            FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+            WHERE e.event_type = 'click' GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t
+            FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+            WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        )
+        SELECT stage, n_users FROM (
+            SELECT 1 AS ord, 'view' AS stage, COUNT(*) AS n_users FROM v
+            UNION ALL SELECT 2, 'view>click', COUNT(*) FROM c
+            UNION ALL SELECT 3, 'view>click>purchase', COUNT(*) FROM p
+        ) ORDER BY ord
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage_frontier(event_type: str, prev: DataFrame | None) -> DataFrame:
+        e = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            e = e.join(
+                F.broadcast(prev.select(F.col("user_id").alias("pu"), F.col("t").alias("pt"))),
+                (F.col("user_id") == F.col("pu")) & (F.col("ts") > F.col("pt")),
+            )
+        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    v = stage_frontier("view", None)
+    c = stage_frontier("click", v)
+    p = stage_frontier("purchase", c)
+    rows = [
+        v.agg(F.lit(1).alias("ord"), F.lit("view").alias("stage"), F.count("*").alias("n_users")),
+        c.agg(F.lit(2).alias("ord"), F.lit("view>click").alias("stage"), F.count("*").alias("n_users")),
+        p.agg(F.lit(3).alias("ord"), F.lit("view>click>purchase").alias("stage"), F.count("*").alias("n_users")),
+    ]
+    out = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    return out.orderBy("ord").select("stage", "n_users")
