@@ -243,3 +243,90 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "rnk", F.round(score, 6).alias("score"))
         .orderBy("doc_id", "rnk")
     )
+
+
+@register(
+    "sample_hash_pct",
+    category="text-analysis",
+    doc="Reproducible sampling: keep rows where pmod(hash(id), 100) < 10. "
+    "Unlike rand()-based sampling this is deterministic across engines, "
+    "re-runs, and repartitioning — the only sampling that belongs in a "
+    "100 TB curation pipeline (rand() resamples on every retry/re-plan).",
+    oracle=f"""
+        SELECT COUNT(*) AS n_sampled,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+        FROM documents
+        WHERE {portable_hash_expr("CAST(doc_id AS VARCHAR)", salt='sample')} % 100 < 10
+    """,
+)
+def sample_hash_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = F.pmod(portable_hash64(F.col("doc_id").cast("string"), salt="sample"), F.lit(100)) < 10
+    return docs.filter(keep).agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.sum("n_chars").cast("bigint").alias("chars_sum"),
+    )
+
+
+@register(
+    "curation_pipeline",
+    category="text-analysis",
+    doc="End-to-end corpus curation in one declarative pass: language "
+    "filter (en) + quality-score threshold + length bounds + exact-dedup "
+    "keeper selection, reporting per-source survival counts — the "
+    "standard pre-training data funnel, all Catalyst-optimizable.",
+    oracle=rf"""
+        WITH feats AS (
+            SELECT doc_id, source, lang, n_chars, text,
+                   len({_SQL_TOKS}) AS n_tokens,
+                   (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                       / CAST(length(text) AS DOUBLE) AS punct_ratio,
+                   list_sum(list_transform({_SQL_TOKS}, t -> length(t)))
+                       / CAST(len({_SQL_TOKS}) AS DOUBLE) AS mean_token_len
+            FROM documents
+        ),
+        scored AS (
+            SELECT *,
+                   least(n_tokens / 20.0, 1.0)
+                   * greatest(0.0, 1.0 - punct_ratio * 5)
+                   * (CASE WHEN mean_token_len >= 2 AND mean_token_len <= 12
+                           THEN 1.0 ELSE 0.5 END) AS score
+            FROM feats
+        ),
+        kept AS (
+            SELECT * FROM scored
+            WHERE lang = 'en' AND score >= 0.5
+              AND n_chars BETWEEN 100 AND 10000
+        ),
+        deduped AS (
+            SELECT MIN(doc_id) AS keeper, MIN(source) AS source
+            FROM kept GROUP BY {_SQL_NORM}
+        )
+        SELECT source,
+               COUNT(*) AS n_kept,
+               CAST(SUM(keeper) AS BIGINT) AS id_sum
+        FROM deduped GROUP BY source ORDER BY source
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.dedup import normalize_text
+    from flow_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(
+        (F.col("lang") == "en")
+        & (quality_score(F.col("text")) >= 0.5)
+        & F.col("n_chars").between(100, 10000)
+    )
+    deduped = kept.groupBy(normalize_text(F.col("text")).alias("norm")).agg(
+        F.min("doc_id").alias("keeper"), F.min("source").alias("source")
+    )
+    return (
+        deduped.groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.sum("keeper").cast("bigint").alias("id_sum"))
+        .orderBy("source")
+    )
