@@ -106,3 +106,32 @@ def file_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def idempotent_sink(
+    name: str,
+    df: DataFrame,
+    checkpoint_dir: str,
+    write: Callable[[DataFrame, int], None],
+    ledger: set[int] | None = None,
+):
+    """Exactly-once foreachBatch: replays after failure re-deliver the same
+    (batch_id, data) — the writer consults a committed-batch ledger and
+    skips batch ids it already wrote.  In production the ledger is the
+    target system (a committed-batches table, Kafka transactional ids);
+    here it's injectable so tests can assert replay behavior.
+    """
+    seen: set[int] = ledger if ledger is not None else set()
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        if epoch_id in seen:
+            return
+        write_with_backoff(lambda d: write(d, epoch_id), batch)
+        seen.add(epoch_id)  # after the write: failure -> retry next run
+
+    return (
+        df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{checkpoint_dir}/{name}")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -265,3 +265,73 @@ def test_file_sink_crlf_framing(spark, sf_dir, tmp_path):
     data = out.read_bytes()
     assert data.endswith(b"\r\n")
     assert len(data.split(b"\r\n")) - 1 == 5
+
+
+def test_session_window_true_streaming(spark, tmp_path):
+    """session_window works under readStream: bursts separated by > gap
+    land in separate sessions."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = (
+        [(1, t0 + timedelta(minutes=i)) for i in range(3)]          # session 1
+        + [(1, t0 + timedelta(hours=2, minutes=i)) for i in range(2)]  # session 2
+        + [(2, t0,)]
+    )
+    (tmp_path / "s").mkdir()
+    spark.createDataFrame(rows, "user long, ts timestamp").write.mode("append").parquet(
+        str(tmp_path / "s")
+    )
+    stream = spark.readStream.schema("user long, ts timestamp").parquet(str(tmp_path / "s"))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r.user, r.n) for r in spark.table("sess_out").collect())
+    assert got == [(1, 2), (1, 3), (2, 1)]
+
+
+def test_idempotent_sink_skips_committed_batches(spark, tmp_path):
+    """The exactly-once pattern: a batch id already in the ledger is not
+    rewritten when the stream reruns over the same checkpoint."""
+    from flow_spark.streaming.sinks import idempotent_sink
+
+    (tmp_path / "i").mkdir()
+    spark.createDataFrame([(i,) for i in range(10)], "v long").write.mode(
+        "append"
+    ).parquet(str(tmp_path / "i"))
+
+    writes: list[tuple[int, int]] = []
+    ledger: set[int] = set()
+
+    def run():
+        stream = spark.readStream.schema("v long").parquet(str(tmp_path / "i"))
+        q = idempotent_sink(
+            "idem",
+            stream,
+            str(tmp_path / "ick"),
+            write=lambda d, bid: writes.append((bid, d.count())),
+            ledger=ledger,
+        )
+        q.awaitTermination(120)
+
+    run()
+    first = list(writes)
+    assert sum(n for _, n in first) == 10
+    # simulate a redelivery: wipe the CHECKPOINT but keep the ledger — every
+    # batch replays, the ledger suppresses the double-write
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ick"))
+    run()
+    assert writes == first, "replayed batch was written twice"
