@@ -335,3 +335,46 @@ def test_idempotent_sink_skips_committed_batches(spark, tmp_path):
     shutil.rmtree(str(tmp_path / "ick"))
     run()
     assert writes == first, "replayed batch was written twice"
+
+
+def test_rate_source_pipeline(spark, tmp_path):
+    """rate:// receiver: built-in load generator through the YAML builder
+    (the dev stand-in for a firehose source)."""
+    from flow_spark.plans.builder import Pipeline
+    from flow_spark.streaming.sinks import memory_sink
+
+    yaml_text = """
+actors:
+  gen:
+    module: core.receiver
+    params:
+      bind: rate://
+      rows_per_second: 500
+  out:
+    module: core.sink
+pipeline:
+  gen:
+    connect: [out]
+  out:
+"""
+    p = Pipeline.from_yaml(spark, yaml_text)
+    seen: list[int] = []
+
+    def writer(name, df):
+        return (
+            df.writeStream.foreachBatch(lambda b, i: seen.append(b.count()))
+            .option("checkpointLocation", str(tmp_path / "rate_ckpt"))
+            .start()
+        )
+
+    queries = p.run_streaming(sink_writer=writer)
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while sum(seen) == 0 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        for q in queries:
+            q.stop()
+    assert sum(seen) > 0, "rate source produced no rows in 30s"

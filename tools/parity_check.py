@@ -20,10 +20,12 @@ def main() -> int:
     filters = sys.argv[2:]
     spark = get_spark("parity-check", shuffle_partitions=8)
     failures = 0
+    ran = 0
     qs = all_queries()
     for name, q in sorted(qs.items()):
         if filters and not any(f in name for f in filters):
             continue
+        ran += 1
         t0 = time.time()
         try:
             res = check_query(spark, q, sf_dir)
@@ -36,7 +38,9 @@ def main() -> int:
             dt = time.time() - t0
             print(f"ERROR {name:32s} {dt:6.2f}s {type(e).__name__}: {str(e)[:300]}")
             failures += 1
-    print(f"\n{failures} failures / {len(qs)} queries")
+    skipped = len(qs) - ran
+    note = f" ({skipped} filtered out)" if skipped else ""
+    print(f"\n{failures} failures / {ran} queries run{note}")
     return 1 if failures else 0
 
 
