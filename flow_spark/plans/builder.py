@@ -275,16 +275,25 @@ class Pipeline:
             # contract in this engine (SURVEY §2.1 #2-5).
             import tempfile
 
-            from flow_spark.sources.bridge import SocketBridge, spool_stream
+            from flow_spark.sources.bridge import SocketBridge, UnixBridge, spool_stream
 
-            host, _, port = rest.rpartition(":")
-            bridge = SocketBridge(
-                tempfile.mkdtemp(prefix=f"flow_spool_{name}_"),
-                host=host or "127.0.0.1",
-                port=int(port or 0),
-                flush_every=int(params.get("buf_size", 100)),
-                silent=bool(params.get("silent", False)),
-            ).start()
+            spool = tempfile.mkdtemp(prefix=f"flow_spool_{name}_")
+            if scheme == "unix":
+                bridge = UnixBridge(
+                    spool,
+                    sock_path=rest or "/tmp/flow.sock",  # receiver_unix.go:13
+                    flush_every=int(params.get("buf_size", 100)),
+                    silent=bool(params.get("silent", False)),
+                ).start()
+            else:
+                host, _, port = rest.rpartition(":")
+                bridge = SocketBridge(
+                    spool,
+                    host=host or "127.0.0.1",
+                    port=int(port or 0),
+                    flush_every=int(params.get("buf_size", 100)),
+                    silent=bool(params.get("silent", False)),
+                ).start()
             self._bridges.append(bridge)
             return spool_stream(self.spark, bridge.spool_dir)
         if scheme == "memory":

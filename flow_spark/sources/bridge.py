@@ -148,6 +148,47 @@ class SocketBridge:
             self._thread.join(timeout=10)
 
 
+class UnixBridge(SocketBridge):
+    """Unix-domain-socket flavor — receiver_unix.go: same framing/acks as
+    TCP over a filesystem socket path; a stale socket file from a crashed
+    predecessor is unlinked before bind (receiver_unix.go:50-90)."""
+
+    def __init__(self, spool_dir: str, sock_path: str, **kw) -> None:
+        super().__init__(spool_dir, **kw)
+        self.sock_path = sock_path
+
+    def start(self) -> "UnixBridge":
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(self.sock_path)  # rebind over a stale socket file
+        started = threading.Event()
+
+        def run() -> None:
+            self._loop = asyncio.new_event_loop()
+            asyncio.set_event_loop(self._loop)
+
+            async def boot():
+                self._server = await asyncio.start_unix_server(
+                    self._handle, path=self.sock_path
+                )
+                started.set()
+
+            self._loop.run_until_complete(boot())
+            try:
+                self._loop.run_forever()
+            finally:
+                if self._server is not None:
+                    self._server.close()
+                    with contextlib.suppress(Exception):
+                        self._loop.run_until_complete(self._server.wait_closed())
+                self._loop.close()
+
+        self._thread = threading.Thread(target=run, daemon=True, name="flow-unix-bridge")
+        self._thread.start()
+        if not started.wait(10):
+            raise RuntimeError("unix bridge failed to start")
+        return self
+
+
 class HttpBridge(SocketBridge):
     """HTTP flavor of the bridge — receiver_http.go's contract: POST body
     becomes the message, URL query params become meta (:140-141), and the

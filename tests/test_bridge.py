@@ -125,3 +125,26 @@ def test_http_bridge_rejects_get(tmp_path):
         assert e.value.code == 405
     finally:
         bridge.stop()
+
+
+def test_unix_bridge_acks_and_spools(tmp_path):
+    from flow_spark.sources.bridge import UnixBridge
+
+    sock = str(tmp_path / "flow.sock")
+    # pre-create a stale socket file: the bridge must rebind over it
+    open(sock, "w").close()
+    bridge = UnixBridge(str(tmp_path / "uspool"), sock_path=sock).start()
+    try:
+        with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+            s.connect(sock)
+            s.sendall(b"via-unix\r\nsecond\r\n")
+            f = s.makefile("rb")
+            assert [f.readline().rstrip(b"\r\n") for _ in range(2)] == [b"OK", b"OK"]
+    finally:
+        bridge.stop()
+    lines = sorted(
+        line
+        for p in (tmp_path / "uspool").iterdir()
+        for line in p.read_text().splitlines()
+    )
+    assert lines == ["0\tvia-unix", "1\tsecond"]
