@@ -894,3 +894,38 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "join_lateral",
+    category="join",
+    doc="LATERAL correlated table subquery: each segment's top-2 customers "
+    "by balance, written as SQL LATERAL (Catalyst decorrelates to a "
+    "ranked window under the hood).",
+    oracle="""
+        SELECT s.c_mktsegment, t.c_custkey, ROUND(t.c_acctbal, 2) AS bal
+        FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+        LATERAL (
+            SELECT c_custkey, c_acctbal FROM customer c
+            WHERE c.c_mktsegment = s.c_mktsegment
+            ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
+        ) t
+        ORDER BY s.c_mktsegment, bal DESC, t.c_custkey
+    """,
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s.c_mktsegment, t.c_custkey, ROUND(t.c_acctbal, 2) AS bal
+        FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+        LATERAL (
+            SELECT c_custkey, c_acctbal FROM customer c
+            WHERE c.c_mktsegment = s.c_mktsegment
+            ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
+        ) t
+        ORDER BY s.c_mktsegment, bal DESC, t.c_custkey
+        """
+    )

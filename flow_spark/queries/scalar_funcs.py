@@ -343,3 +343,41 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.bitwiseXOR(F.lit(1365)).alias("lxor"),
         F.bit_count(e).alias("nbits"),
     ).orderBy("event_id")
+
+
+@register(
+    "fn_json_malformed",
+    category="json-fn",
+    doc="Malformed-JSON tolerance: corrupt records classify as unparseable "
+    "(get_json_object returns NULL; from_json PERMISSIVE-nulls the "
+    "fields) — ingest never aborts on a corrupt record.",
+    oracle="""
+        WITH raw AS (
+            SELECT event_id,
+                   CASE WHEN event_id % 7 = 0 THEN '{bad json'
+                        ELSE props END AS j
+            FROM events WHERE event_id % 3 = 0
+        )
+        SELECT json_valid(j) AS parseable,
+               COUNT(*) AS n,
+               CAST(SUM(event_id) AS BIGINT) AS id_sum
+        FROM raw GROUP BY parseable ORDER BY parseable
+    """,
+)
+def fn_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
+    raw = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit("{bad json")).otherwise(F.col("props")).alias("j"),
+    )
+    # from_json is PERMISSIVE (a struct of NULLs, never a NULL struct), so
+    # validity comes from get_json_object's root probe — same semantics as
+    # DuckDB's json_valid
+    parsed = raw.select(
+        "event_id", F.get_json_object("j", "$").isNotNull().alias("parseable")
+    )
+    return (
+        parsed.groupBy("parseable")
+        .agg(F.count("*").alias("n"), F.sum("event_id").cast("bigint").alias("id_sum"))
+        .orderBy("parseable")
+    )
