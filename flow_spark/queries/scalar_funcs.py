@@ -381,3 +381,72 @@ def fn_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.sum("event_id").cast("bigint").alias("id_sum"))
         .orderBy("parseable")
     )
+
+
+@register(
+    "fn_array_advanced",
+    category="array-fn",
+    doc="Array battery 2: sort_array, array_distinct, flatten, "
+    "arrays_zip+explode_outer over embedding prefixes.",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id,
+                   -- +0.0 folds IEEE negative zero into +0.0 (engines
+                   -- format -0.0 differently)
+                   list_transform(CAST(embedding[1:3] AS DOUBLE[]),
+                                  x -> ROUND(x, 2) + 0.0) AS a
+            FROM embeddings WHERE vec_id % 20 = 0
+        )
+        SELECT vec_id,
+               list_sort(a)                            AS sorted_a,
+               len(list_distinct(a))                   AS n_distinct,
+               flatten([a, list_reverse(a)])           AS doubled
+        FROM v ORDER BY vec_id
+    """,
+)
+def fn_array_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 20 == 0)
+    a = F.transform(
+        F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 2) + F.lit(0.0)
+    )
+    return (
+        emb.select("vec_id", a.alias("a"))
+        .select(
+            "vec_id",
+            F.sort_array("a").alias("sorted_a"),
+            F.size(F.array_distinct("a")).alias("n_distinct"),
+            F.flatten(F.array(F.col("a"), F.reverse("a"))).alias("doubled"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "agg_median_exact",
+    category="aggregation",
+    doc="Exact median (percentile_cont 0.5): deterministic even on "
+    "even-sized groups (both engines average the two middle values of "
+    "integral quantities).",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(median(l_quantity), 2) AS med_qty,
+               ROUND(median(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100, 2)
+                   AS med_price
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.queries.util import cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.median("l_quantity"), 2).alias("med_qty"),
+            # median over exact cents -> /100: midpoint averaging stays exact
+            F.round(F.median(cents("l_extendedprice")) / 100, 2).alias("med_price"),
+        )
+        .orderBy("l_returnflag")
+    )
