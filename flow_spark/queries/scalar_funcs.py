@@ -450,3 +450,48 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "fn_map_hof",
+    category="map-fn",
+    doc="Map higher-order functions: map_from_arrays, transform_values, "
+    "map_filter, exploded to rows (the oracle reconstructs the same "
+    "entries from plain arithmetic — ground truth without map types).",
+    oracle="""
+        WITH base AS (
+            SELECT event_id, ROUND(value, 2) AS v
+            FROM events WHERE event_id % 40 = 0
+        )
+        SELECT event_id, k, val FROM (
+            SELECT event_id, 'base' AS k, ROUND(v * 10, 2) AS val FROM base
+            UNION ALL
+            SELECT event_id, 'double', ROUND(ROUND(v * 2, 2) * 10, 2) FROM base
+            WHERE ROUND(v * 2, 2) > 50
+        )
+        ORDER BY event_id, k
+    """,
+)
+def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 40 == 0)
+    base = ev.select("event_id", F.round("value", 2).alias("v"))
+    m = base.select(
+        "event_id",
+        F.map_from_arrays(
+            F.array(F.lit("base"), F.lit("double")),
+            F.array(F.col("v"), F.round(F.col("v") * 2, 2)),
+        ).alias("m"),
+    )
+    # keep 'base' always; keep 'double' only when its value > 50
+    filtered = m.select(
+        "event_id",
+        F.map_filter("m", lambda k, v: (k == "base") | (v > 50)).alias("m"),
+    )
+    xformed = filtered.select(
+        "event_id",
+        F.transform_values("m", lambda k, v: F.round(v * 10, 2)).alias("m"),
+    )
+    return (
+        xformed.select("event_id", F.explode("m").alias("k", "val"))
+        .orderBy("event_id", "k")
+    )
