@@ -424,14 +424,15 @@ def fn_array_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_median_exact",
     category="aggregation",
-    doc="Exact median (percentile_cont 0.5): deterministic even on "
-    "even-sized groups (both engines average the two middle values of "
-    "integral quantities).",
+    doc="Exact median (percentile_cont 0.5) over integral domains: the "
+    "result is an integer or a .5 midpoint — both exactly representable, "
+    "so outputs stay UNROUNDED (rounding a .5 double diverges between "
+    "engines; see util.cents_sum_money).",
     oracle="""
         SELECT l_returnflag,
-               ROUND(median(l_quantity), 2) AS med_qty,
-               ROUND(median(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100, 2)
-                   AS med_price
+               CAST(median(l_quantity) AS DOUBLE) AS med_qty,
+               CAST(median(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+                   AS med_price_cents
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag
@@ -444,9 +445,8 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.median("l_quantity"), 2).alias("med_qty"),
-            # median over exact cents -> /100: midpoint averaging stays exact
-            F.round(F.median(cents("l_extendedprice")) / 100, 2).alias("med_price"),
+            F.median("l_quantity").cast("double").alias("med_qty"),
+            F.median(cents("l_extendedprice")).cast("double").alias("med_price_cents"),
         )
         .orderBy("l_returnflag")
     )

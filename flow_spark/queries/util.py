@@ -87,14 +87,22 @@ def cents(col: Column | str, scale: int = 2) -> Column:
 def cents_sum_money(expr: Column, in_scale: int, out_scale: int = 2) -> Column:
     """SUM a scaled-long expr -> rounded double money value.
 
-    The exact integer sum converts to double (well-defined round-to-nearest,
-    identical in Spark and DuckDB), then one IEEE division and one
-    half-away-from-zero round — every step bit-identical across engines.
-    (Exact-decimal division instead would round differently from the double
-    path at .xx5 boundaries, and the two engines type decimal division
-    differently — so double-division on BOTH sides is the determinism play.)
+    Rounding happens in INTEGER space: (sum + unit/2) floor-div unit is
+    exact half-up for the non-negative money sums here, identical in any
+    engine.  Rounding the double quotient instead is a trap: exact-cents
+    values hit .xx5 midpoints constantly, and Spark rounds the shortest
+    decimal repr (HALF_UP on the string) while DuckDB rounds the binary
+    value — seen live at sf0.1: 151706.895 -> .90 (Spark) vs .89 (DuckDB).
+    The final int -> double conversion and one division are bit-identical.
     """
-    return F.round(F.sum(expr).cast("double") / (10**in_scale), out_scale)
+    total = F.sum(expr)
+    unit = 10 ** (in_scale - out_scale)
+    if unit > 1:
+        t = total + F.lit(unit // 2)
+        t = t - F.pmod(t, F.lit(unit))  # exact multiple of unit, long math
+        # decimal division of an exact multiple is exact (no 2^53 limit)
+        total = (t.cast("decimal(38,0)") / F.lit(unit)).cast("decimal(38,0)")
+    return total.cast("double") / (10**out_scale)
 
 
 def revenue_cents() -> Column:
@@ -110,5 +118,11 @@ SQL_REVENUE_CENTS = f"({SQL_PRICE_CENTS} * (100 - {SQL_DISC_PCT}))"
 
 
 def sql_cents_sum_money(expr: str, in_scale: int, out_scale: int = 2) -> str:
-    return f"ROUND(CAST(SUM({expr}) AS DOUBLE) / {10**in_scale}, {out_scale})"
+    unit = 10 ** (in_scale - out_scale)
+    if unit == 1:
+        return f"(CAST(SUM({expr}) AS DOUBLE) / {10**out_scale})"
+    # integer half-up, mirroring cents_sum_money (// floors for positives)
+    return (
+        f"(CAST((SUM({expr}) + {unit // 2}) // {unit} AS DOUBLE) / {10**out_scale})"
+    )
 SQL_REVENUE = f"{SQL_PRICE} * {SQL_ONE_MINUS_DISC}"

@@ -44,7 +44,9 @@ from flow_spark.queries.util import (
             FROM rev
         )
         SELECT l_suppkey, l_partkey,
-               ROUND(CAST(r AS DOUBLE) / 10000, 2) AS revenue, rn
+               -- integer half-up (see util.cents_sum_money): double ROUND
+               -- of .xx5 midpoints diverges between engines
+               (CAST((r + 50) // 100 AS DOUBLE) / 100) AS revenue, rn
         FROM ranked WHERE rn <= 3
         ORDER BY l_suppkey, rn
     """,
@@ -59,7 +61,7 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_suppkey",
             "l_partkey",
-            F.round(F.col("r").cast("double") / 10000, 2).alias("revenue"),
+            (F.expr("(r + 50) div 100").cast("double") / 100).alias("revenue"),
             "rn",
         )
         .orderBy("l_suppkey", "rn")
