@@ -929,3 +929,52 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s.c_mktsegment, bal DESC, t.c_custkey
         """
     )
+
+
+@register(
+    "agg_stats_regression",
+    category="aggregation",
+    doc="Statistical-aggregate battery: linear regression (slope/intercept/"
+    "r2), covariance (pop+samp), variance, skewness, kurtosis per return "
+    "flag. All are single-pass streaming-moment aggregates in Spark "
+    "(partial moments merge associatively across partitions, so the plan "
+    "is a map-side partial agg + one tiny shuffle of per-group moment "
+    "tuples — the same shape at 100 TB). Definition care: Spark skewness/"
+    "kurtosis are the POPULATION g1/g2; DuckDB's skewness is the bias-"
+    "corrected sample G1, converted back via (n-2)/sqrt(n(n-1)); DuckDB "
+    "kurtosis_pop matches Spark's excess g2 directly.",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+               ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+               ROUND(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+               ROUND(covar_pop(l_quantity, l_extendedprice), 2)      AS cov_pop,
+               ROUND(covar_samp(l_quantity, l_extendedprice), 2)     AS cov_samp,
+               ROUND(var_pop(l_quantity), 4)                         AS qty_var_pop,
+               ROUND(var_samp(l_quantity), 4)                        AS qty_var_samp,
+               ROUND(skewness(l_quantity)
+                     * (COUNT(*) - 2)
+                     / SQRT(COUNT(*) * (COUNT(*) - 1.0)), 4)         AS qty_skew,
+               ROUND(kurtosis_pop(l_quantity), 4)                    AS qty_kurt
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def agg_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("cov_pop"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_samp"),
+            F.round(F.var_pop("l_quantity"), 4).alias("qty_var_pop"),
+            F.round(F.var_samp("l_quantity"), 4).alias("qty_var_samp"),
+            F.round(F.skewness("l_quantity"), 4).alias("qty_skew"),
+            F.round(F.kurtosis("l_quantity"), 4).alias("qty_kurt"),
+        )
+        .orderBy("l_returnflag")
+    )

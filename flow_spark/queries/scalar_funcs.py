@@ -495,3 +495,112 @@ def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         xformed.select("event_id", F.explode("m").alias("k", "val"))
         .orderBy("event_id", "k")
     )
+
+
+@register(
+    "fn_string_format",
+    category="string-fn",
+    doc="Formatting/padding battery: lpad/rpad/translate/format_string/"
+    "repeat/reverse/left/right/ascii/chr/initcap/format_number. All are "
+    "narrow per-row expressions inside whole-stage codegen (no shuffle; "
+    "the only exchange is the final presentation sort). Engine notes: "
+    "DuckDB lacks initcap, so the oracle emulates it with upper(substr)||"
+    "substr on the single-word segment value; Spark format_number's "
+    "grouped decimal rendering maps to DuckDB format('{:,.2f}') — both "
+    "format an already-2dp-rounded double, so no rounding-mode divergence "
+    "(DuckDB v1.0 only groups integers, so the oracle splits the value "
+    "into a grouped integer part and a zero-padded 2-digit fraction).",
+    oracle="""
+        SELECT c_custkey,
+               LPAD(c_mktsegment, 12, '*')                      AS seg_lpad,
+               RPAD(c_mktsegment, 12, '.')                      AS seg_rpad,
+               TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou')        AS seg_xlate,
+               PRINTF('%08d/%s', c_custkey, c_mktsegment)       AS key_fmt,
+               REPEAT(LEFT(c_mktsegment, 2), 3)                 AS seg_rep,
+               REVERSE(c_mktsegment)                            AS seg_rev,
+               LEFT(c_mktsegment, 4)                            AS seg_left,
+               RIGHT(c_mktsegment, 4)                           AS seg_right,
+               ASCII(c_mktsegment)                              AS seg_ascii,
+               CHR(65 + CAST(c_custkey % 26 AS INT))            AS key_chr,
+               UPPER(SUBSTR(LOWER(c_mktsegment), 1, 1))
+                 || SUBSTR(LOWER(c_mktsegment), 2)              AS seg_initcap,
+               CASE WHEN c_acctbal < 0 THEN '-' ELSE '' END
+                 || FORMAT('{:,}', CAST(FLOOR(ABS(ROUND(c_acctbal, 2))) AS BIGINT))
+                 || '.'
+                 || LPAD(CAST(CAST(ROUND(ABS(ROUND(c_acctbal, 2)) * 100) AS BIGINT)
+                              % 100 AS VARCHAR), 2, '0')         AS bal_fmt
+        FROM customer
+        WHERE c_custkey % 25 = 0
+        ORDER BY c_custkey
+    """,
+)
+def fn_string_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 25 == 0)
+    return cust.select(
+        "c_custkey",
+        F.lpad("c_mktsegment", 12, "*").alias("seg_lpad"),
+        F.rpad("c_mktsegment", 12, ".").alias("seg_rpad"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_xlate"),
+        F.format_string("%08d/%s", "c_custkey", "c_mktsegment").alias("key_fmt"),
+        F.repeat(F.substring("c_mktsegment", 1, 2), 3).alias("seg_rep"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.substring("c_mktsegment", 1, 4).alias("seg_left"),
+        F.col("c_mktsegment").substr(F.length("c_mktsegment") - 3, F.lit(4)).alias("seg_right"),
+        F.ascii("c_mktsegment").alias("seg_ascii"),
+        F.chr(F.lit(65) + (F.col("c_custkey") % 26).cast("int")).alias("key_chr"),
+        F.initcap(F.lower("c_mktsegment")).alias("seg_initcap"),
+        F.format_number(F.round("c_acctbal", 2), 2).alias("bal_fmt"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "fn_datetime_extended",
+    category="datetime-fn",
+    doc="Extended calendar battery: last_day/quarter/weekofyear/dayofweek/"
+    "add_months/months_between/date_trunc(week)/make_date/date_format. "
+    "Cross-engine definition care: Spark dayofweek is 1=Sunday while "
+    "DuckDB's is 0=Sunday (oracle adds 1); Spark months_between uses the "
+    "31-day-month fractional rule (exact when same day-of-month or both "
+    "month-ends), which the oracle reimplements explicitly; both engines "
+    "start ISO weeks on Monday and clamp add_months at month ends.",
+    oracle="""
+        SELECT o_orderkey,
+               last_day(o_orderdate)                              AS month_end,
+               quarter(o_orderdate)                               AS qtr,
+               weekofyear(o_orderdate)                            AS iso_week,
+               dayofweek(o_orderdate) + 1                         AS dow,
+               dayname(o_orderdate)                               AS dow_name,
+               CAST(o_orderdate + INTERVAL 3 MONTH AS DATE)       AS plus3m,
+               ROUND((year(o_orderdate) - 1995) * 12
+                     + (month(o_orderdate) - 6)
+                     + CASE WHEN day(o_orderdate) = 15
+                                 OR (o_orderdate = last_day(o_orderdate)
+                                     AND DATE '1995-06-15'
+                                         = last_day(DATE '1995-06-15'))
+                            THEN 0
+                            ELSE (day(o_orderdate) - 15) / 31.0 END, 4)
+                                                                  AS mb_epoch,
+               CAST(date_trunc('week', o_orderdate) AS DATE)      AS week_start,
+               make_date(year(o_orderdate), month(o_orderdate), 1) AS month_start,
+               strftime(o_orderdate, '%Y/%m')                     AS ym
+        FROM orders
+        WHERE o_orderkey % 50 = 0
+        ORDER BY o_orderkey
+    """,
+)
+def fn_datetime_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.last_day(d).alias("month_end"),
+        F.quarter(d).alias("qtr"),
+        F.weekofyear(d).alias("iso_week"),
+        F.dayofweek(d).alias("dow"),
+        F.date_format(d, "EEEE").alias("dow_name"),
+        F.add_months(d, 3).alias("plus3m"),
+        F.round(F.months_between(d, F.lit("1995-06-15").cast("date")), 4).alias("mb_epoch"),
+        F.date_trunc("week", d).cast("date").alias("week_start"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("month_start"),
+        F.date_format(d, "yyyy/MM").alias("ym"),
+    ).orderBy("o_orderkey")

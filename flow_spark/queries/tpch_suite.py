@@ -541,3 +541,44 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@register(
+    "q13_customer_distribution",
+    category="aggregation",
+    doc="TPC-H Q13 analogue (no o_comment column in the fixtures, so the "
+    "NOT LIKE filter is replaced by an order-priority filter): customer "
+    "order-count distribution. Plan shape: LEFT OUTER join preserving "
+    "zero-order customers, then TWO cascaded aggregations (per-customer "
+    "count, then histogram over counts). At 100 TB the first agg shuffles "
+    "on c_custkey; the second input is |customers| rows and the histogram "
+    "domain is tiny, so the second shuffle is negligible — the outer join "
+    "must not drop empty customers (that is the bug this query catches).",
+    oracle="""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
