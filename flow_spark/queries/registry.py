@@ -70,6 +70,7 @@ def all_queries() -> dict[str, Query]:
         asof_queries,
         udxf,
         tpch_suite,
+        tpch_partsupp,
         scale_patterns,
     )
 
