@@ -109,3 +109,65 @@ def read_kafka_stream(
         F.col("value").cast("string").alias("body_str"),
         F.create_map(F.lit("topic"), F.col("topic")).alias("meta"),
     )
+
+
+def _to_kafka_records(df: DataFrame, topic: str) -> DataFrame:
+    """Canonical message columns -> the kafka writer's expected schema.
+
+    key = event_id (string bytes) so replays of the same message land in
+    the same partition (ordering per message id); value = raw body.
+    Sink-side mapping of the flow sink head (actor/sink.go) onto Kafka's
+    at-least-once producer contract.
+    """
+    cols = [
+        F.col("event_id").cast("string").cast("binary").alias("key"),
+        F.col("body").cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+    ]
+    return df.select(*cols)
+
+
+def write_kafka_batch(
+    df: DataFrame, bootstrap: str, topic: str, **options: Any
+) -> None:
+    """Batch kafka writer (gated on the connector jar, like the reader)."""
+    spark = df.sparkSession
+    if not kafka_available(spark):
+        raise NotImplementedError(
+            "kafka connector jar not on the classpath; add "
+            "org.apache.spark:spark-sql-kafka-0-10 via spark.jars.packages"
+        )
+    (
+        _to_kafka_records(df, topic)
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .options(**{k: str(v) for k, v in options.items()})
+        .save()
+    )
+
+
+def write_kafka_stream(
+    df: DataFrame,
+    bootstrap: str,
+    topic: str,
+    checkpoint: str,
+    **options: Any,
+):
+    """Streaming kafka sink: at-least-once with the checkpoint dir as the
+    progress log (exactly-once needs an idempotent/transactional consumer
+    downstream — same contract the flow TCP sink offers, SURVEY.md §3.2).
+    Returns the started StreamingQuery."""
+    spark = df.sparkSession
+    if not kafka_available(spark):
+        raise NotImplementedError(
+            "kafka connector jar not on the classpath; add "
+            "org.apache.spark:spark-sql-kafka-0-10 via spark.jars.packages"
+        )
+    return (
+        _to_kafka_records(df, topic)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("checkpointLocation", checkpoint)
+        .options(**{k: str(v) for k, v in options.items()})
+        .start()
+    )

@@ -47,3 +47,32 @@ def test_kafka_gated(spark):
         pytest.skip("kafka connector present")
     with pytest.raises(NotImplementedError, match="kafka"):
         read_kafka_stream(spark, "localhost:9092", "t")
+
+
+def test_kafka_writer_gated(spark):
+    from flow_spark.sources.formats import kafka_available, write_kafka_batch
+
+    if kafka_available(spark):  # pragma: no cover - not in this image
+        pytest.skip("kafka connector present")
+    df = spark.range(1).selectExpr(
+        "id AS event_id", "CAST('x' AS BINARY) AS body"
+    )
+    with pytest.raises(NotImplementedError, match="kafka"):
+        write_kafka_batch(df, "localhost:9092", "t")
+
+
+def test_kafka_record_mapping(spark):
+    """The key/value/topic projection is jar-independent — verify the wire
+    schema (key = message id bytes for per-id partition affinity)."""
+    from flow_spark.sources.formats import _to_kafka_records
+
+    df = spark.createDataFrame(
+        [(7, bytearray(b"payload"))], "event_id LONG, body BINARY"
+    )
+    row = _to_kafka_records(df, "events").collect()[0]
+    assert bytes(row.key) == b"7"
+    assert bytes(row.value) == b"payload"
+    assert row.topic == "events"
+    assert [f.name for f in _to_kafka_records(df, "t").schema.fields] == [
+        "key", "value", "topic"
+    ]
