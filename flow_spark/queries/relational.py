@@ -978,3 +978,35 @@ def agg_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_pivot_dynamic",
+    category="aggregation",
+    doc="PIVOT with a DYNAMIC column list: daily event counts pivoted by "
+    "event_type with NO values list, so Spark runs the distinct-values "
+    "discovery job first (two-pass pivot). At 100 TB the discovery pass "
+    "is a cheap distinct over one low-cardinality column (pruned scan), "
+    "and the pivot itself is an ordinary map-side-combinable aggregate "
+    "over |days| x |types| cells. Discovered columns come back "
+    "lexicographically sorted, which the oracle mirrors.",
+    oracle="""
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               SUM(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+               SUM(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               SUM(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+               SUM(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+        FROM events
+        GROUP BY day
+        ORDER BY day
+    """,
+)
+def agg_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type")  # no values list: dynamic discovery pass
+        .agg(F.count(F.lit(1)))
+        .orderBy("day")
+    )

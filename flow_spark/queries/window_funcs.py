@@ -288,3 +288,82 @@ def win_first_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@register(
+    "win_correlated_decorrelated",
+    category="window",
+    doc="Correlated aggregate subquery decorrelated into a window: orders "
+    "priced >20% above the average of the SAME customer's strictly "
+    "earlier orders. The oracle states it as the per-row correlated "
+    "subquery; the Spark plan is ONE window over a single shuffle on "
+    "custkey with a RANGE frame ending at -1 day (strictly earlier, "
+    "tie-safe) — the decorrelation that turns O(n^2) subquery execution "
+    "into a linear pass at 100 TB. All comparisons are exact-integer "
+    "cents (price*count*10 > 12*sum) so no FP boundary can flip a row "
+    "between engines.",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        )
+        SELECT o1.o_orderkey, o1.o_custkey,
+               CAST(o1.o_totalprice AS DOUBLE) AS price,
+               (SELECT COUNT(*) FROM o o2
+                WHERE o2.o_custkey = o1.o_custkey
+                  AND o2.o_orderdate < o1.o_orderdate) AS n_prior,
+               CAST((SELECT SUM(cents) FROM o o2
+                     WHERE o2.o_custkey = o1.o_custkey
+                       AND o2.o_orderdate < o1.o_orderdate)
+                    / (100.0 * (SELECT COUNT(*) FROM o o2
+                                WHERE o2.o_custkey = o1.o_custkey
+                                  AND o2.o_orderdate < o1.o_orderdate))
+                    AS DOUBLE) AS prior_avg
+        FROM o o1
+        WHERE o1.cents * 10 *
+              (SELECT COUNT(*) FROM o o2
+               WHERE o2.o_custkey = o1.o_custkey
+                 AND o2.o_orderdate < o1.o_orderdate)
+              > 12 * (SELECT SUM(cents) FROM o o2
+                      WHERE o2.o_custkey = o1.o_custkey
+                        AND o2.o_orderdate < o1.o_orderdate)
+        ORDER BY o1.o_custkey, o1.o_orderkey
+    """,
+)
+def win_correlated_decorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
+            "day_no"
+        ),
+    )
+    # strictly-earlier frame: RANGE ends at -1 day, so same-day ties are
+    # excluded exactly like the oracle's `<` predicate
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("day_no")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        o.withColumn("n_prior", F.count(F.lit(1)).over(w))
+        .withColumn("sum_prior_cents", F.sum("cents").over(w))
+        .filter(
+            F.col("cents") * 10 * F.col("n_prior")
+            > 12 * F.col("sum_prior_cents")
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+            "n_prior",
+            (
+                F.col("sum_prior_cents") / (100.0 * F.col("n_prior"))
+            ).cast("double").alias("prior_avg"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
