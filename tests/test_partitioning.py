@@ -60,3 +60,46 @@ def test_checkpointed_stream_resumes_exactly_once(spark, tmp_path):
 
     vals = sorted(r.v for r in spark.read.parquet(sink).collect())
     assert vals == list(range(80)), "duplicates or losses across restart"
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join evidence: one key owning ~90% of the fact rows must
+    be split at runtime (the final adaptive SortMergeJoin is marked
+    skew=true), not processed as one straggler partition. Thresholds are
+    lowered so the effect is visible at test scale; at 100 TB the same
+    mechanism fires with production defaults (256 MB partitions)."""
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        # 90% of fact rows share key 0; dim is uniform
+        fact = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 1000).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        # aggregate over pad so column pruning can't drop it: the shuffled
+        # fact partitions keep their (skewed) width
+        joined = fact.join(dim, "k").groupBy().agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.length("pad")).alias("w")
+        )
+        [row] = joined.collect()
+        assert row.n == 200_000 and row.w == 64
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
