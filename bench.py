@@ -35,7 +35,9 @@ HEADLINE = (
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_volume_shipping",
+    "q9_product_profit",
     "q18_large_orders",
+    "q21_waiting_supplier",
     "win_topk_per_group",
     "join_left_outer",
     "asof_join_backward",
