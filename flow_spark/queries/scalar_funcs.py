@@ -604,3 +604,64 @@ def fn_datetime_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.make_date(F.year(d), F.month(d), F.lit(1)).alias("month_start"),
         F.date_format(d, "yyyy/MM").alias("ym"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "fn_struct",
+    category="struct-fn",
+    doc="Struct/nested-type surface: named_struct construction, field "
+    "access, nested getField chains, withField updates, and lexicographic "
+    "struct comparison — all JVM-side column ops (no shuffle, no Python); "
+    "outputs are extracted primitives so the cross-engine hash compare "
+    "stays on scalar columns.",
+    oracle="""
+        WITH s AS (
+            SELECT p_partkey,
+                   struct_pack(brand := p_brand, size := p_size) AS ps,
+                   struct_pack(outer_k := struct_pack(inner_k := p_size * 2)) AS nested
+            FROM part WHERE p_partkey % 25 = 0
+        )
+        SELECT p_partkey,
+               ps.brand                    AS brand,
+               ps.size + 1                 AS size_plus,
+               nested.outer_k.inner_k      AS nested_val,
+               ps.size * 10                AS updated_size,
+               CASE WHEN struct_pack(a := ps.size, b := ps.brand)
+                         < struct_pack(a := ps.size + 1, b := ps.brand)
+                    THEN 1 ELSE 0 END      AS lt_flag
+        FROM s
+        ORDER BY p_partkey
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 25 == 0)
+    s = part.select(
+        "p_partkey",
+        F.named_struct(
+            F.lit("brand"), F.col("p_brand"), F.lit("size"), F.col("p_size")
+        ).alias("ps"),
+        F.named_struct(
+            F.lit("outer_k"),
+            F.named_struct(F.lit("inner_k"), F.col("p_size") * 2),
+        ).alias("nested"),
+    )
+    return s.select(
+        "p_partkey",
+        F.col("ps").getField("brand").alias("brand"),
+        (F.col("ps").getField("size") + 1).alias("size_plus"),
+        F.col("nested").getField("outer_k").getField("inner_k").alias("nested_val"),
+        # withField: functional update of a struct, then extract
+        F.col("ps")
+        .withField("size", F.col("ps.size") * 10)
+        .getField("size")
+        .alias("updated_size"),
+        F.when(
+            F.struct(F.col("ps.size").alias("a"), F.col("ps.brand").alias("b"))
+            < F.struct(
+                (F.col("ps.size") + 1).alias("a"), F.col("ps.brand").alias("b")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("lt_flag"),
+    ).orderBy("p_partkey")

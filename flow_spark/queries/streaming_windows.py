@@ -181,3 +181,63 @@ def stream_gcra_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.countDistinct("throttle_key").alias("n_keys"))
         .orderBy("throttle_status")
     )
+
+
+@register(
+    "stream_interval_join",
+    category="streaming",
+    doc="Event-time interval join (the batch-expressible core of a "
+    "watermarked stream-stream join, runtime-tested in "
+    "test_stream_stream_join): each purchase joined to the SAME user's "
+    "clicks in the preceding 30 minutes — all matches, not just the "
+    "latest (that's asof_join_backward). Plan shape: the user_id equi-key "
+    "makes this a hash-partitioned join with the time band as a "
+    "post-join predicate — one shuffle on user_id, never a theta join; "
+    "in streaming the band width bounds the join state TTL, which is "
+    "exactly how Spark sizes stream-stream join state.",
+    oracle="""
+        SELECT p.event_id AS purchase_id,
+               COUNT(c.event_id) AS n_recent_clicks,
+               CAST(COALESCE(SUM(CAST(c.value AS DECIMAL(12,2))), 0)
+                    AS DOUBLE) AS clicked_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+                   WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND c.ts >  p.ts - INTERVAL 30 MINUTE
+         AND c.ts <= p.ts
+        GROUP BY p.event_id
+        ORDER BY p.event_id
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").cast("decimal(12,2)").alias("c_value"),
+    )
+    return (
+        purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+            "left_outer",
+        )
+        .groupBy("purchase_id")
+        .agg(
+            F.count("click_id").alias("n_recent_clicks"),
+            F.coalesce(F.sum("c_value"), F.lit(0))
+            .cast("double")
+            .alias("clicked_value"),
+        )
+        .orderBy("purchase_id")
+    )
