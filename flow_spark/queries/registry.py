@@ -72,6 +72,7 @@ def all_queries() -> dict[str, Query]:
         tpch_suite,
         tpch_partsupp,
         scale_patterns,
+        sketches,
     )
 
     return dict(_REGISTRY)

@@ -1,0 +1,124 @@
+"""Distinct-count sketches.
+
+Two tiers:
+
+- ``sketch_kmv_distinct``: a K-Minimum-Values sketch built from scratch on
+  a cross-engine-deterministic hash (md5 -> first 15 hex digits -> 60-bit
+  int, bit-identical in Spark and DuckDB), so the ENTIRE sketch — kth
+  minimum hash and the NDV estimate — is exactly oracle-checked.  KMV
+  (Bar-Yossef et al. 2002): the k-th smallest of n uniform hashes in
+  [0, M) sits near k*M/n, so n ≈ (k-1)*M/h_k.
+- ``sketch_hll_native``: Spark's built-in DataSketches HLL
+  (``hll_sketch_agg``) — the production path at 100 TB (fixed 2^lgk
+  registers per group, mergeable across partitions).  The sketch binary
+  and its estimate are implementation-defined, so no cross-engine value
+  oracle exists; accuracy is asserted against exact NDV in
+  ``tests/test_operators.py`` instead (rows-only driver check, by design).
+
+The reference has no sketches (its only probabilistic structure is jump
+hash, `pkg/util/hash/jump.go`); this is north-star engine surface for
+100 TB cardinality work where exact COUNT(DISTINCT) shuffles every key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from flow_spark.catalog import load_table
+from flow_spark.queries.registry import register
+
+_K = 64
+_M = float(2**60)  # hash domain size; 63.0 * 2^60 is exact in a double
+
+
+@register(
+    "sketch_kmv_distinct",
+    category="sketch",
+    doc="K-Minimum-Values NDV sketch (k=64) per l_returnflag over "
+    "l_partkey, exactly oracle-checked: the hash is md5-derived 60-bit "
+    "integers identical in both engines, the kth-min comes from a "
+    "window row_number over the DISTINCT (group, hash) pairs, and the "
+    "estimator (k-1)*M/h_k is one IEEE division. Scale shape: the "
+    "distinct is one shuffle on (flag, hash); the per-group top-k "
+    "window partitions on 3 keys but each partition is already reduced "
+    "to distinct hashes — in production the same sketch is kept "
+    "mergeable by taking per-partition k-mins first (partial agg), "
+    "which approx_count_distinct does natively; exact NDV is joined "
+    "alongside so the estimate's error is visible in the output.",
+    oracle=f"""
+        WITH h AS (
+            SELECT DISTINCT l_returnflag AS flag,
+                   CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS hv
+            FROM lineitem
+        ),
+        ranked AS (
+            SELECT flag, hv,
+                   ROW_NUMBER() OVER (PARTITION BY flag ORDER BY hv) AS rn,
+                   COUNT(*) OVER (PARTITION BY flag) AS n_exact
+            FROM h
+        )
+        SELECT flag, n_exact, hv AS kth_hash,
+               CAST(({_K - 1}.0 * {2**60}) / hv AS DOUBLE) AS ndv_estimate
+        FROM ranked
+        WHERE rn = {_K}
+        ORDER BY flag
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.conv(
+            F.substring(F.md5(F.col("l_partkey").cast("string").cast("binary")), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("hv"),
+    ).distinct()
+    w = W.partitionBy("flag").orderBy("hv")
+    ranked = h.select(
+        "flag",
+        "hv",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("flag")).alias("n_exact"),
+    )
+    return (
+        ranked.filter(F.col("rn") == _K)
+        .select(
+            "flag",
+            "n_exact",
+            F.col("hv").alias("kth_hash"),
+            (F.lit((_K - 1) * _M) / F.col("hv")).cast("double").alias("ndv_estimate"),
+        )
+        .orderBy("flag")
+    )
+
+
+@register(
+    "sketch_hll_native",
+    category="sketch",
+    oracle=None,  # DataSketches HLL estimates are implementation-defined;
+    # accuracy vs exact NDV asserted in tests/test_operators.py
+    doc="Spark-native DataSketches HLL (hll_sketch_agg, lgk=12) NDV per "
+    "l_returnflag — the mergeable production sketch: partial sketches "
+    "combine associatively across partitions (map-side), so the shuffle "
+    "carries 4 KB per group instead of every distinct key. Rows-only "
+    "driver check by design (no cross-engine value oracle exists for "
+    "the sketch binary); tests assert <5% error against exact NDV.",
+)
+def sketch_hll_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 12))").alias(
+                "ndv_estimate"
+            ),
+            F.countDistinct("l_partkey").alias("n_exact"),
+        )
+        .orderBy("flag")
+    )
