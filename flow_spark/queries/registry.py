@@ -73,6 +73,7 @@ def all_queries() -> dict[str, Query]:
         tpch_partsupp,
         scale_patterns,
         sketches,
+        timeseries,
     )
 
     return dict(_REGISTRY)

@@ -1,0 +1,166 @@
+"""Time-series gap-filling and forward-fill (hypertable-style companions
+to agg_hypertable_rollup).
+
+Scale shape: the grid is generated per group from its own [min, max]
+span (`sequence` + `explode` — rows materialize distributed, never on the
+driver), the join back to observed buckets is an equi-join on
+(user, bucket) co-partitioned with the grid, and the forward fill is one
+window per user ordered by bucket — a single shuffle on user_id covers
+grid, join, and fill.  DuckDB's `range()` can't take a lateral column
+bound, so the oracle uses a constant bound + filter (same rows).
+
+The reference has no time-series operators; north-star engine surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from flow_spark.catalog import load_table
+from flow_spark.queries.registry import register
+
+_DAY_FMT = "yyyy-MM-dd"
+
+
+def _user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 10th user: keeps grid output bounded at any SF."""
+    return load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+
+
+@register(
+    "ts_gap_fill",
+    category="timeseries",
+    doc="Gap-filling: per user, a dense daily grid spanning the user's "
+    "own [first, last] activity day, left-joined to observed daily "
+    "counts with zero-fill — days with no events appear as n=0 rows "
+    "(the bug this catches: an inner join silently dropping quiet "
+    "days). One shuffle on user_id serves span-agg, grid explode, and "
+    "the join.",
+    oracle="""
+        WITH span AS (
+            SELECT user_id,
+                   date_trunc('day', MIN(ts)) AS lo,
+                   date_trunc('day', MAX(ts)) AS hi
+            FROM events WHERE user_id % 10 = 0
+            GROUP BY user_id
+        ),
+        grid AS (
+            SELECT user_id, lo + i * INTERVAL 1 DAY AS bucket
+            FROM span CROSS JOIN range(0, 64) t(i)
+            WHERE lo + i * INTERVAL 1 DAY <= hi
+        ),
+        daily AS (
+            SELECT user_id, date_trunc('day', ts) AS bucket, COUNT(*) AS cnt
+            FROM events WHERE user_id % 10 = 0
+            GROUP BY user_id, bucket
+        )
+        SELECT g.user_id,
+               strftime(g.bucket, '%Y-%m-%d') AS day,
+               COALESCE(d.cnt, 0) AS n
+        FROM grid g
+        LEFT JOIN daily d ON g.user_id = d.user_id AND g.bucket = d.bucket
+        ORDER BY g.user_id, day
+    """,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _user_events(spark, sf_dir)
+    span = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("bucket"),
+    )
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        grid.join(daily, ["user_id", "bucket"], "left_outer")
+        .select(
+            "user_id",
+            F.date_format("bucket", _DAY_FMT).alias("day"),
+            F.coalesce("cnt", F.lit(0)).alias("n"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+@register(
+    "ts_forward_fill",
+    category="timeseries",
+    doc="Forward fill (LOCF) over the gap-filled grid: per user, the "
+    "daily value total in exact cents, with quiet days carrying the "
+    "last observed day's total via last_value(IGNORE NULLS) over an "
+    "unbounded-preceding row frame — the standard Spark ffill idiom. "
+    "All values are exact integers so the fill is engine-agnostic. "
+    "Same single user_id shuffle as ts_gap_fill.",
+    oracle="""
+        WITH span AS (
+            SELECT user_id,
+                   date_trunc('day', MIN(ts)) AS lo,
+                   date_trunc('day', MAX(ts)) AS hi
+            FROM events WHERE user_id % 10 = 0
+            GROUP BY user_id
+        ),
+        grid AS (
+            SELECT user_id, lo + i * INTERVAL 1 DAY AS bucket
+            FROM span CROSS JOIN range(0, 64) t(i)
+            WHERE lo + i * INTERVAL 1 DAY <= hi
+        ),
+        daily AS (
+            SELECT user_id, date_trunc('day', ts) AS bucket,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS day_cents
+            FROM events WHERE user_id % 10 = 0
+            GROUP BY user_id, bucket
+        )
+        SELECT user_id, day,
+               last_value(day_cents IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_cents
+        FROM (
+            SELECT g.user_id, strftime(g.bucket, '%Y-%m-%d') AS day, d.day_cents
+            FROM grid g
+            LEFT JOIN daily d ON g.user_id = d.user_id AND g.bucket = d.bucket
+        )
+        ORDER BY user_id, day
+    """,
+)
+def ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _user_events(spark, sf_dir)
+    span = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("bucket"),
+    )
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("bucket")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("day_cents")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "bucket"], "left_outer")
+        .select(
+            "user_id",
+            F.date_format("bucket", _DAY_FMT).alias("day"),
+            "day_cents",
+        )
+        .withColumn(
+            "filled_cents", F.last("day_cents", ignorenulls=True).over(w)
+        )
+        .drop("day_cents")
+        .orderBy("user_id", "day")
+    )
