@@ -306,3 +306,61 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_editdist_blocked",
+    category="dedup",
+    doc="Edit-distance near-dup detection with blocking: candidate pairs "
+    "are restricted to documents sharing a (length-bucket, 10-char "
+    "prefix) block BEFORE any pairwise work, then scored with "
+    "levenshtein on an 80-char prefix. At sf0.01 blocking cuts 125k "
+    "all-pairs to 38 candidates — the O(n^2)->O(sum b_i^2) reduction "
+    "that makes pairwise metrics feasible at 100 TB (blocks shuffle on "
+    "the block key and compare locally; a hot block is a skew key to "
+    "salt or re-block). levenshtein is exact integer in both engines.",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, n_chars // 50 AS lb, substr(text, 1, 10) AS blk,
+                   substr(text, 1, 80) AS prefix
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               levenshtein(a.prefix, b.prefix) AS dist
+        FROM d a JOIN d b
+          ON a.lb = b.lb AND a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.prefix, b.prefix) <= 20
+        ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_editdist_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("n_chars") / 50).cast("bigint").alias("lb"),
+        F.substring("text", 1, 10).alias("blk"),
+        F.substring("text", 1, 80).alias("prefix"),
+    )
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lb").alias("lb_a"),
+        F.col("blk").alias("blk_a"),
+        F.col("prefix").alias("prefix_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lb").alias("lb_b"),
+        F.col("blk").alias("blk_b"),
+        F.col("prefix").alias("prefix_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lb_a") == F.col("lb_b"))
+            & (F.col("blk_a") == F.col("blk_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .withColumn("dist", F.levenshtein("prefix_a", "prefix_b"))
+        .filter(F.col("dist") <= 20)
+        .select("doc_a", "doc_b", "dist")
+        .orderBy("doc_a", "doc_b")
+    )

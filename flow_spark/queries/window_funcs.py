@@ -367,3 +367,49 @@ def win_correlated_decorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@register(
+    "win_distribution",
+    category="window",
+    doc="Distribution window functions: percent_rank and cume_dist of "
+    "order price within each priority class, plus the rank they derive "
+    "from. Both are single-division rationals of exact integers "
+    "((rank-1)/(n-1), peers/n) so the doubles are bit-identical across "
+    "engines. The window partitions on 5 priority keys; output is "
+    "subsampled by orderkey so result size stays bounded while the "
+    "window still computes over full partitions.",
+    oracle="""
+        WITH w AS (
+            SELECT o_orderkey,
+                   o_orderpriority,
+                   CAST(o_totalprice AS DOUBLE) AS price,
+                   RANK() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice) AS rnk,
+                   PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice) AS pct_rank,
+                   CUME_DIST() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice) AS cume
+            FROM orders
+        )
+        SELECT o_orderkey, o_orderpriority, price, rnk, pct_rank, cume
+        FROM w
+        WHERE o_orderkey % 200 = 0
+        ORDER BY o_orderkey
+    """,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.rank().over(w).alias("rnk"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .filter(F.col("o_orderkey") % 200 == 0)
+        .orderBy("o_orderkey")
+    )
