@@ -171,3 +171,83 @@ def write_kafka_stream(
         .options(**{k: str(v) for k, v in options.items()})
         .start()
     )
+
+
+def jdbc_driver_available(spark: SparkSession, driver: str) -> bool:
+    """True if the JDBC driver class is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(driver)  # type: ignore[union-attr]
+        return True
+    except Exception:  # noqa: BLE001 - py4j raises opaque Java errors
+        return False
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 32,
+    **options: Any,
+) -> DataFrame:
+    """Gated JDBC reader. At scale a JDBC scan MUST be partitioned —
+    without partition_column Spark reads through ONE connection on one
+    task, so this helper requires the caller to either supply the
+    partitioning spec or explicitly pass num_partitions=1 to acknowledge
+    a single-connection read."""
+    if not jdbc_driver_available(spark, driver):
+        raise NotImplementedError(
+            f"JDBC driver {driver} not on the classpath; add the driver jar "
+            "via spark.jars"
+        )
+    if partition_column is None and num_partitions != 1:
+        raise ValueError(
+            "unpartitioned JDBC read: pass partition_column/lower_bound/"
+            "upper_bound, or num_partitions=1 to accept a single-connection scan"
+        )
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver)
+    )
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partition_column requires lower_bound and upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.options(**{k: str(v) for k, v in options.items()}).load()
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    driver: str,
+    mode: str = "append",
+    batch_size: int = 10_000,
+    **options: Any,
+) -> None:
+    """Gated JDBC writer (batched inserts; one connection per partition)."""
+    if not jdbc_driver_available(df.sparkSession, driver):
+        raise NotImplementedError(
+            f"JDBC driver {driver} not on the classpath; add the driver jar "
+            "via spark.jars"
+        )
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver)
+        .option("batchsize", str(batch_size))
+        .options(**{k: str(v) for k, v in options.items()})
+        .mode(mode)
+        .save()
+    )

@@ -76,3 +76,21 @@ def test_kafka_record_mapping(spark):
     assert [f.name for f in _to_kafka_records(df, "t").schema.fields] == [
         "key", "value", "topic"
     ]
+
+
+def test_jdbc_gated_and_partition_guard(spark):
+    from flow_spark.sources.formats import jdbc_driver_available, read_jdbc
+
+    assert not jdbc_driver_available(spark, "org.postgresql.Driver")
+    with pytest.raises(NotImplementedError, match="JDBC driver"):
+        read_jdbc(
+            spark, "jdbc:postgresql://h/db", "t", "org.postgresql.Driver",
+            partition_column="id", lower_bound=0, upper_bound=100,
+        )
+    # the scale guard trips before the driver gate is even relevant:
+    # java.sql.DriverManager ships with the JDK, so use a driver name that
+    # exists to reach the guard
+    avail = jdbc_driver_available(spark, "java.lang.String")
+    assert avail  # sanity: classpath probe works
+    with pytest.raises(ValueError, match="unpartitioned"):
+        read_jdbc(spark, "jdbc:x://h/db", "t", "java.lang.String")
