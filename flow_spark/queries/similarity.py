@@ -196,3 +196,60 @@ def sim_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "emb_quantize_int8",
+    category="similarity",
+    doc="Symmetric int8 vector quantization (the 4x compression step "
+    "before ANN index build at 100 TB): per-vector scale = max|x|/127, "
+    "q_i = floor(x/scale + 0.5). Everything stays in Spark higher-order "
+    "functions (transform/aggregate — JVM codegen, no Python, no "
+    "explode/shuffle: one narrow pass over the vectors). floor(x+0.5) "
+    "is used instead of round() because both engines define floor "
+    "identically on IEEE doubles while round-on-double is "
+    "implementation-defined at midpoints. Integer outputs (sum, L1 "
+    "norm, saturation count) make the check exact.",
+    oracle="""
+        WITH scaled AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding, x -> abs(x))) / 127.0
+                       AS scale
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id, scale,
+                   list_transform(embedding,
+                                  x -> CAST(floor(x / scale + 0.5) AS INT)) AS qv
+            FROM scaled
+        )
+        SELECT vec_id,
+               CAST(scale AS DOUBLE) AS scale,
+               list_aggregate(qv, 'sum') AS sum_q,
+               list_aggregate(list_transform(qv, v -> abs(v)), 'sum') AS l1_q,
+               len(list_filter(qv, v -> abs(v) = 127)) AS n_saturated
+        FROM q
+        ORDER BY vec_id
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = emb.withColumn(
+        "scale",
+        F.array_max(F.transform("embedding", lambda x: F.abs(x))) / F.lit(127.0),
+    )
+    q = scaled.withColumn(
+        "qv",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
+        ),
+    )
+    zero = F.lit(0)
+    return q.select(
+        "vec_id",
+        F.col("scale").cast("double").alias("scale"),
+        F.aggregate("qv", zero, lambda acc, v: acc + v).alias("sum_q"),
+        F.aggregate("qv", zero, lambda acc, v: acc + F.abs(v)).alias("l1_q"),
+        F.size(F.filter("qv", lambda v: F.abs(v) == 127)).alias("n_saturated"),
+    ).orderBy("vec_id")
