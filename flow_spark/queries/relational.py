@@ -1010,3 +1010,143 @@ def agg_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .orderBy("day")
     )
+
+
+@register(
+    "join_anti_null_aware",
+    category="join",
+    doc="Null-aware anti join: NOT IN over a subquery when the probe key "
+    "can be NULL — SQL three-valued logic makes `NULL NOT IN (...)` "
+    "UNKNOWN, so null-keyed rows are dropped, which a naive left_anti "
+    "join (null never matches -> kept) gets WRONG. Expressed through "
+    "spark.sql so Catalyst plans its null-aware anti join; every 100th "
+    "order's key is nulled to make the trap live. At scale Spark "
+    "executes this as a broadcast null-aware anti join when the "
+    "subquery fits, else falls back — the subquery here is a filtered "
+    "customer set (broadcastable).",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS total
+        FROM (
+            SELECT o_orderpriority, o_totalprice,
+                   CASE WHEN o_orderkey % 100 = 0 THEN NULL
+                        ELSE o_custkey END AS probe_key
+            FROM orders
+        )
+        WHERE probe_key NOT IN (
+            SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def join_anti_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_naaj")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_cust_naaj")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS total
+        FROM (
+            SELECT o_orderpriority, o_totalprice,
+                   CASE WHEN o_orderkey % 100 = 0 THEN NULL
+                        ELSE o_custkey END AS probe_key
+            FROM v_orders_naaj
+        )
+        WHERE probe_key NOT IN (
+            SELECT c_custkey FROM v_cust_naaj WHERE c_custkey % 7 = 0
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "profile_columns",
+    category="profiling",
+    doc="Single-pass table profiling (the first step of any ingest "
+    "pipeline at 100 TB): per column null count, exact distinct count, "
+    "and min/max, computed in ONE scan via a multi-aggregate then "
+    "unpivoted with stack(). Numerics surface as doubles, "
+    "strings/timestamps as formatted strings. Scale note: the exact "
+    "countDistincts expand the shuffle n_cols-fold; production "
+    "profiling swaps them for HLL sketches (see sketch_hll_native) to "
+    "keep one combine-able pass.",
+    oracle="""
+        SELECT 'o_custkey' AS col_name,
+               COUNT(*) - COUNT(o_custkey) AS n_nulls,
+               COUNT(DISTINCT o_custkey) AS n_distinct,
+               CAST(MIN(o_custkey) AS DOUBLE) AS min_d,
+               CAST(MAX(o_custkey) AS DOUBLE) AS max_d,
+               NULL AS min_s, NULL AS max_s
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+               COUNT(DISTINCT o_totalprice),
+               CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE),
+               NULL, NULL
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+               COUNT(DISTINCT o_orderstatus), NULL, NULL,
+               MIN(o_orderstatus), MAX(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+               COUNT(DISTINCT o_orderpriority), NULL, NULL,
+               MIN(o_orderpriority), MAX(o_orderpriority)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', COUNT(*) - COUNT(o_orderdate),
+               COUNT(DISTINCT o_orderdate), NULL, NULL,
+               strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+               strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+        FROM orders
+        ORDER BY col_name
+    """,
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    ts_fmt = "yyyy-MM-dd HH:mm:ss"
+
+    def null_cnt(c):
+        return F.count(F.when(F.col(c).isNull(), 1))
+
+    agg = o.agg(
+        *[
+            e
+            for c in ("o_custkey", "o_totalprice", "o_orderstatus",
+                      "o_orderpriority", "o_orderdate")
+            for e in (
+                null_cnt(c).alias(f"{c}__nulls"),
+                F.countDistinct(c).alias(f"{c}__distinct"),
+            )
+        ],
+        F.min("o_custkey").cast("double").alias("o_custkey__min_d"),
+        F.max("o_custkey").cast("double").alias("o_custkey__max_d"),
+        F.min("o_totalprice").cast("double").alias("o_totalprice__min_d"),
+        F.max("o_totalprice").cast("double").alias("o_totalprice__max_d"),
+        F.min("o_orderstatus").alias("o_orderstatus__min_s"),
+        F.max("o_orderstatus").alias("o_orderstatus__max_s"),
+        F.min("o_orderpriority").alias("o_orderpriority__min_s"),
+        F.max("o_orderpriority").alias("o_orderpriority__max_s"),
+        F.date_format(F.min("o_orderdate"), ts_fmt).alias("o_orderdate__min_s"),
+        F.date_format(F.max("o_orderdate"), ts_fmt).alias("o_orderdate__max_s"),
+    )
+    # stack the wide 1-row aggregate into one row per column
+    stack_expr = "stack(5, " + ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, "
+        + (
+            f"{c}__min_d, {c}__max_d, CAST(NULL AS STRING), CAST(NULL AS STRING)"
+            if c in ("o_custkey", "o_totalprice")
+            else f"CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), {c}__min_s, {c}__max_s"
+        )
+        for c in ("o_custkey", "o_totalprice", "o_orderstatus",
+                  "o_orderpriority", "o_orderdate")
+    ) + ") AS (col_name, n_nulls, n_distinct, min_d, max_d, min_s, max_s)"
+    return agg.selectExpr(stack_expr).orderBy("col_name")
