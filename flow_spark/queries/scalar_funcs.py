@@ -665,3 +665,36 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("lt_flag"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "agg_boolean",
+    category="aggregation",
+    doc="Boolean aggregate battery: count_if, bool_and (every), bool_or "
+    "(any) per customer segment-ish grouping — all map-side combinable "
+    "single-bit state, the cheapest aggregates there are at scale.",
+    oracle="""
+        SELECT o_orderpriority,
+               count_if(o_totalprice > 200000)               AS n_big,
+               bool_and(o_totalprice > 1000)                 AS all_over_1k,
+               bool_or(o_orderstatus = 'F')                  AS any_finished,
+               count_if(o_orderdate >= TIMESTAMP '1998-01-01') AS n_recent
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+            F.count_if(
+                F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+            ).alias("n_recent"),
+        )
+        .orderBy("o_orderpriority")
+    )

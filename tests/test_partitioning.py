@@ -103,3 +103,27 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_range_partition_global_sort(spark, sf_dir):
+    """Total ordering at scale = repartitionByRange + sortWithinPartitions
+    (each task sorts its slice; range boundaries make the concatenation
+    globally ordered) — never a single-task global sort. Verify partition
+    ranges are disjoint and ordered."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    parts = (
+        o.repartitionByRange(8, F.col("o_totalprice"))
+        .sortWithinPartitions("o_totalprice")
+        .select("o_totalprice")
+        .rdd.mapPartitionsWithIndex(
+            lambda i, rows: (
+                lambda vals: [(i, vals[0], vals[-1], len(vals))] if vals else []
+            )([r.o_totalprice for r in rows])
+        )
+        .collect()
+    )
+    assert sum(n for _, _, _, n in parts) == o.count()
+    parts.sort()
+    for (i, lo, hi, _), (j, lo2, hi2, _) in zip(parts, parts[1:]):
+        assert hi <= lo2, (i, hi, j, lo2)  # disjoint, ordered ranges
+        assert lo <= hi and lo2 <= hi2     # sorted within partition
