@@ -698,3 +698,86 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "agg_string_concat",
+    category="aggregation",
+    doc="Ordered string aggregation (listagg): nation names per region, "
+    "comma-joined in sorted order. Spark expresses the deterministic "
+    "form as concat_ws over sort_array(collect_list(...)) — collect_list "
+    "order is partition-dependent, so the sort is MANDATORY for a "
+    "stable answer at any scale; the oracle uses string_agg(... ORDER "
+    "BY). Distinct-count alongside proves the group contents match, "
+    "not just the formatting.",
+    oracle="""
+        SELECT r_name,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               COUNT(DISTINCT n_name) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias(
+                "nations"
+            ),
+            F.countDistinct("n_name").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "fn_url",
+    category="string-fn",
+    doc="URL parsing: Spark's parse_url (host/path/query/param) against a "
+    "regexp-based oracle — the engines have no shared URL parser, so "
+    "equivalence is proven against hand-rolled POSIX regexes on "
+    "synthesized URLs (deterministic from order keys). Pure projection: "
+    "no shuffle, codegen-friendly.",
+    oracle="""
+        WITH u AS (
+            SELECT o_orderkey,
+                   'https://host' || CAST(o_orderkey % 5 AS VARCHAR)
+                   || '.example.com/api/v' || CAST(o_orderkey % 3 AS VARCHAR)
+                   || '/orders?priority=' || replace(o_orderpriority, ' ', '+')
+                   || '&k=' || CAST(o_orderkey AS VARCHAR) AS url
+            FROM orders WHERE o_orderkey % 250 = 0
+        )
+        SELECT o_orderkey,
+               regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+               regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+               regexp_extract(url, '\\?(.*)$', 1) AS query,
+               regexp_extract(url, '[?&]k=([^&]*)', 1) AS k_param
+        FROM u
+        ORDER BY o_orderkey
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 250 == 0)
+    url = F.concat(
+        F.lit("https://host"),
+        (F.col("o_orderkey") % 5).cast("string"),
+        F.lit(".example.com/api/v"),
+        (F.col("o_orderkey") % 3).cast("string"),
+        F.lit("/orders?priority="),
+        F.replace(F.col("o_orderpriority"), F.lit(" "), F.lit("+")),
+        F.lit("&k="),
+        F.col("o_orderkey").cast("string"),
+    )
+    u = o.select("o_orderkey", url.alias("url"))
+    return u.select(
+        "o_orderkey",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("k")).alias("k_param"),
+    ).orderBy("o_orderkey")
