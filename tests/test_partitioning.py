@@ -127,3 +127,51 @@ def test_range_partition_global_sort(spark, sf_dir):
     for (i, lo, hi, _), (j, lo2, hi2, _) in zip(parts, parts[1:]):
         assert hi <= lo2, (i, hi, j, lo2)  # disjoint, ordered ranges
         assert lo <= hi and lo2 <= hi2     # sorted within partition
+
+
+def test_task_retry_determinism(sf_dir):
+    """A task that fails transiently (first attempt of one partition) must
+    retry and yield the EXACT same aggregate as a clean run — the
+    speculative-execution/determinism claim behind every exact-decimal
+    aggregate. Needs task retries, which local mode only grants via
+    master local[N, maxFailures], so it runs in its own interpreter."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        f"""
+        import pandas as pd
+        from pyspark import TaskContext
+        from pyspark.sql import SparkSession
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        spark = (SparkSession.builder.master("local[4, 2]")
+                 .config("spark.sql.shuffle.partitions", "4")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        li = spark.read.parquet("{sf_dir}/lineitem.parquet")
+
+        @pandas_udf("double")
+        def flaky_identity(v):
+            ctx = TaskContext.get()
+            if ctx is not None and ctx.partitionId() == 0 and ctx.attemptNumber() == 0:
+                raise RuntimeError("injected transient failure")
+            return pd.Series(v)
+
+        clean = li.groupBy("l_returnflag").agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("s"))
+        flaky = (li.withColumn("q", flaky_identity(F.col("l_quantity")))
+                 .groupBy("l_returnflag")
+                 .agg(F.sum(F.col("q").cast("decimal(12,2)")).alias("s")))
+        expect = sorted((r.l_returnflag, str(r.s)) for r in clean.collect())
+        got = sorted((r.l_returnflag, str(r.s)) for r in flaky.collect())
+        assert got == expect, (got, expect)
+        print("RETRY_DETERMINISM_OK")
+        spark.stop()
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert "RETRY_DETERMINISM_OK" in proc.stdout, proc.stderr[-2000:]
