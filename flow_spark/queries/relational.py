@@ -1150,3 +1150,77 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "o_orderpriority", "o_orderdate")
     ) + ") AS (col_name, n_nulls, n_distinct, min_d, max_d, min_s, max_s)"
     return agg.selectExpr(stack_expr).orderBy("col_name")
+
+
+@register(
+    "merge_changeset_apply",
+    category="join",
+    doc="MERGE/upsert semantics without a table format: apply a changeset "
+    "(updates to existing customers + inserts of new keys) to a base "
+    "dimension via FULL OUTER join + coalesce — matched rows get "
+    "balance+delta, change-only keys insert, base-only keys carry "
+    "through, all in exact cents. This is the scalable MERGE pattern: "
+    "one shuffle on the key (or broadcast when the changeset is small); "
+    "with a transactional table format the same plan runs under "
+    "MERGE INTO. The changeset is derived deterministically from 1998 "
+    "orders (every 97th customer also appears as a synthetic insert).",
+    oracle="""
+        WITH base AS (
+            SELECT c_custkey AS k,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+            FROM customer
+        ),
+        deltas AS (
+            SELECT o_custkey,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS delta_cents
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+            GROUP BY o_custkey
+        ),
+        changes AS (
+            SELECT o_custkey AS k, delta_cents FROM deltas
+            UNION ALL
+            SELECT o_custkey + 10000000 AS k, delta_cents
+            FROM deltas WHERE o_custkey % 97 = 0
+        )
+        SELECT COALESCE(b.k, c.k) AS k,
+               CASE WHEN b.k IS NULL THEN 'insert'
+                    WHEN c.k IS NULL THEN 'carry'
+                    ELSE 'update' END AS action,
+               COALESCE(b.bal_cents, 0) + COALESCE(c.delta_cents, 0)
+                   AS new_bal_cents
+        FROM base b FULL OUTER JOIN changes c ON b.k = c.k
+        ORDER BY k
+    """,
+)
+def merge_changeset_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("bk"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    deltas = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "delta_cents"
+            )
+        )
+    )
+    changes = deltas.select(F.col("o_custkey").alias("ck"), "delta_cents").unionByName(
+        deltas.filter(F.col("o_custkey") % 97 == 0).select(
+            (F.col("o_custkey") + 10_000_000).alias("ck"), "delta_cents"
+        )
+    )
+    merged = base.join(changes, F.col("bk") == F.col("ck"), "full_outer")
+    return merged.select(
+        F.coalesce("bk", "ck").alias("k"),
+        F.when(F.col("bk").isNull(), "insert")
+        .when(F.col("ck").isNull(), "carry")
+        .otherwise("update")
+        .alias("action"),
+        (
+            F.coalesce("bal_cents", F.lit(0)) + F.coalesce("delta_cents", F.lit(0))
+        ).alias("new_bal_cents"),
+    ).orderBy("k")
