@@ -781,3 +781,86 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("k")).alias("k_param"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "agg_percentiles_exact",
+    category="aggregation",
+    doc="Exact interpolated percentiles (R-7, what both percentile() and "
+    "quantile_cont() implement) of the integral-valued quantity domain "
+    "at DYADIC fractions (.25/.5/.75): every interpolation step "
+    "(n-1)*p, b-a, a+(b-a)*f is exactly representable, so the doubles "
+    "are bit-identical across engines — the midpoint-rounding trap that "
+    "forbids round(SUM(double)) does not exist here. Scale note: exact "
+    "percentiles need a per-group sort; at 100 TB swap for "
+    "percentile_approx (t-digest-style, mergeable) and keep this as "
+    "the audit query.",
+    oracle="""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS p25,
+               quantile_cont(l_quantity, 0.50) AS p50,
+               quantile_cont(l_quantity, 0.75) AS p75,
+               CAST(MIN(l_quantity) AS DOUBLE) AS lo,
+               CAST(MAX(l_quantity) AS DOUBLE) AS hi
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+            F.percentile("l_quantity", F.lit(0.50)).alias("p50"),
+            F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+            F.min("l_quantity").cast("double").alias("lo"),
+            F.max("l_quantity").cast("double").alias("hi"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_histogram",
+    category="aggregation",
+    doc="Fixed-width histogram of order value: bucket index is exact "
+    "integer floor arithmetic on cents (no width_bucket dependency, no "
+    "FP boundary ambiguity), share is one int/int division. Map-side "
+    "combinable into 12 cells — the constant-size aggregation shape "
+    "that costs one near-empty shuffle at any scale.",
+    oracle="""
+        WITH b AS (
+            SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // 5000000
+                       AS bucket
+            FROM orders
+        ),
+        n AS (SELECT COUNT(*) AS total FROM orders)
+        SELECT bucket,
+               CAST(bucket * 50000 AS DOUBLE) AS lo_value,
+               COUNT(*) AS n_orders,
+               CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(n.total) AS share
+        FROM b CROSS JOIN n
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        (F.round(F.col("o_totalprice") * 100).cast("bigint") / F.lit(5_000_000))
+        .cast("bigint")
+        .alias("bucket")
+    )
+    n = o.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        b.join(F.broadcast(n))
+        .groupBy("bucket")
+        .agg(
+            (F.col("bucket") * 50000.0).alias("lo_value"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.count(F.lit(1)).cast("double") / F.first("total")).alias("share"),
+        )
+        .orderBy("bucket")
+    )
