@@ -864,3 +864,57 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "fn_null_semantics",
+    category="conditional-fn",
+    doc="Three-valued-logic battery beyond fn_conditional: GROUP BY on a "
+    "NULL key (nulls form one group), count(*) vs count(col) (the "
+    "latter skips nulls), SUM over an all-null slice (NULL, not 0), "
+    "null-safe equality (<=> / IS NOT DISTINCT FROM), and explicit "
+    "NULLS FIRST output ordering. The synthesized null key is "
+    "nullif(o_orderstatus, 'P'). These are pure expression semantics — "
+    "identical plans to their non-null counterparts at any scale.",
+    oracle="""
+        WITH t AS (
+            SELECT NULLIF(o_orderstatus, 'P') AS k,
+                   o_totalprice,
+                   CASE WHEN o_orderstatus = 'P' THEN NULL
+                        ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                   END AS maybe_cents
+            FROM orders
+        )
+        SELECT k,
+               COUNT(*) AS n_rows,
+               COUNT(k) AS n_nonnull_key,
+               SUM(CASE WHEN k IS NOT DISTINCT FROM 'F' THEN 1 ELSE 0 END)
+                   AS n_nullsafe_f,
+               SUM(maybe_cents) AS cents_or_null
+        FROM t
+        GROUP BY k
+        ORDER BY k NULLS FIRST
+    """,
+)
+def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        F.nullif("o_orderstatus", F.lit("P")).alias("k"),
+        F.when(
+            F.col("o_orderstatus") == "P", F.lit(None).cast("bigint")
+        ).otherwise(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "maybe_cents"
+        ),
+    )
+    return (
+        t.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("k").alias("n_nonnull_key"),
+            F.sum(
+                F.when(F.col("k").eqNullSafe("F"), 1).otherwise(0)
+            ).alias("n_nullsafe_f"),
+            F.sum("maybe_cents").alias("cents_or_null"),
+        )
+        .orderBy(F.col("k").asc_nulls_first())
+    )
