@@ -918,3 +918,42 @@ def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("k").asc_nulls_first())
     )
+
+
+@register(
+    "fn_try_cast",
+    category="conditional-fn",
+    doc="Error-safe casts (the ingest-cleaning primitive): try_cast of "
+    "dirty numeric strings -> NULL instead of job failure, with "
+    "parse-failure accounting. A failed cast that KILLS a 100 TB job "
+    "three hours in is the alternative; try_* keeps the pipeline "
+    "total. Dirty values are synthesized deterministically (every 7th "
+    "value gets a trailing 'x').",
+    oracle="""
+        WITH dirty AS (
+            SELECT o_orderkey,
+                   CAST(o_totalprice AS VARCHAR)
+                   || CASE WHEN o_orderkey % 7 = 0 THEN 'x' ELSE '' END AS s
+            FROM orders WHERE o_orderkey % 40 = 0
+        )
+        SELECT o_orderkey,
+               TRY_CAST(s AS DOUBLE) AS parsed,
+               TRY_CAST(s AS DOUBLE) IS NULL AS parse_failed
+        FROM dirty
+        ORDER BY o_orderkey
+    """,
+)
+def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 40 == 0)
+    dirty = o.select(
+        "o_orderkey",
+        F.concat(
+            F.col("o_totalprice").cast("string"),
+            F.when(F.col("o_orderkey") % 7 == 0, "x").otherwise(""),
+        ).alias("s"),
+    )
+    return dirty.select(
+        "o_orderkey",
+        F.expr("TRY_CAST(s AS DOUBLE)").alias("parsed"),
+        F.expr("TRY_CAST(s AS DOUBLE) IS NULL").alias("parse_failed"),
+    ).orderBy("o_orderkey")

@@ -399,3 +399,56 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", "score")
         .orderBy("doc_id", "term")
     )
+
+
+@register(
+    "text_bigram_freq",
+    category="text-analysis",
+    doc="Corpus bigram frequencies (language-model-style n-gram stats): "
+    "top-20 word bigrams with counts and document frequency, "
+    "deterministic tiebreak on the bigram itself. Spark builds bigrams "
+    "with zip_with(words, words[2:]) — one narrow JVM pass, then a "
+    "map-side-combinable count on the bigram key; the oracle uses a "
+    "constant-bound range + filter (DuckDB range() takes no lateral "
+    "column bound). At 100 TB the bigram key space is Zipfian — the "
+    "count agg handles hot keys via partial aggregation, unlike a "
+    "naive groupBy-collect.",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        big AS (
+            SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bigram
+            FROM w CROSS JOIN range(1, 512) t(i)
+            WHERE i < len(ws) AND ws[i] <> '' AND ws[i + 1] <> ''
+        )
+        SELECT bigram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+        FROM big
+        GROUP BY bigram
+        ORDER BY n DESC, bigram
+        LIMIT 20
+    """,
+)
+def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    # zip_with pads to the longer list: the trailing (last, NULL) pair
+    # yields NULL, dropped by the filter below
+    bigrams = words.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                "ws",
+                F.slice(F.col("ws"), 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+                lambda a, b: F.when(
+                    (a != "") & (b != ""), F.concat(a, F.lit(" "), b)
+                ),
+            )
+        ).alias("bigram"),
+    ).filter(F.col("bigram").isNotNull())
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
