@@ -957,3 +957,125 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("TRY_CAST(s AS DOUBLE)").alias("parsed"),
         F.expr("TRY_CAST(s AS DOUBLE) IS NULL").alias("parse_failed"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "fn_regexp_extract_all",
+    category="string-fn",
+    doc="regexp_extract_all returning an array of matches, exploded to "
+    "rows and aggregated into corpus frequencies — the array-returning "
+    "regex surface (vs fn_regexp's single-match extract). The pattern "
+    "([a-z]{4,}) is engine-portable (no lookaround/class shorthands "
+    "where Java regex and RE2 diverge). Scale shape: explode is a "
+    "narrow per-row fan-out; the only shuffle is the token groupBy.",
+    oracle="""
+        WITH toks AS (
+            SELECT unnest(regexp_extract_all(text, '[a-z]{4,}')) AS tok
+            FROM documents
+        )
+        SELECT tok, COUNT(*) AS n
+        FROM toks
+        GROUP BY tok
+        ORDER BY n DESC, tok
+        LIMIT 25
+    """,
+)
+def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.regexp_extract_all("text", F.lit(r"[a-z]{4,}"), 0)).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(25)
+    )
+
+
+@register(
+    "fn_map_entries",
+    category="map-fn",
+    doc="map_from_entries round-trip: per-user event-type counts collected "
+    "into a map, then read back via element_at — present keys return "
+    "values, absent keys return NULL (the map edge case an outer "
+    "conditional aggregate must reproduce). size(map) counts distinct "
+    "keys. The map assembly is order-independent (lookup by key), so "
+    "collect_list's nondeterministic order cannot leak into results.",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               CAST(NULL AS BIGINT)                            AS n_missing,
+               COUNT(DISTINCT event_type)                      AS n_types
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def fn_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cnt"))
+        ).alias("type_counts")
+    )
+    return mapped.select(
+        "user_id",
+        F.coalesce(F.element_at("type_counts", "click"), F.lit(0)).alias("n_click"),
+        F.coalesce(F.element_at("type_counts", "purchase"), F.lit(0)).alias(
+            "n_purchase"
+        ),
+        F.element_at("type_counts", "no_such_type").alias("n_missing"),
+        F.size("type_counts").cast("bigint").alias("n_types"),
+    ).orderBy("user_id")
+
+
+@register(
+    "agg_percentile_disc",
+    category="aggregation",
+    doc="SQL-standard discrete percentiles (percentile_disc ... WITHIN "
+    "GROUP): the smallest actual data value whose cumulative "
+    "distribution reaches p — no interpolation, so the result is a "
+    "value that exists in the column and matches bit-for-bit across "
+    "engines with no rounding guard (unlike percentile_cont on "
+    "arbitrary doubles). Verified both engines implement the standard "
+    "ceil(n*p) pick, not the floor((n-1)*p) variant. Exact "
+    "percentiles sort per group; at 100 TB swap for approx_percentile "
+    "and keep this as the audit query.",
+    oracle="""
+        SELECT o_orderpriority AS pri,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)
+                   AS p25_disc,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice)
+                   AS p50_disc,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)
+                   AS p75_disc,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY pri
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS pri,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)
+                   AS p25_disc,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice)
+                   AS p50_disc,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)
+                   AS p75_disc,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY pri
+        """
+    )

@@ -122,3 +122,50 @@ def sketch_hll_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@register(
+    "sketch_bitmap_distinct",
+    category="sketch",
+    doc="EXACT distinct count via fixed-size bitmaps (bitmap_bucket_number"
+    " / bitmap_bit_position / bitmap_construct_agg / bitmap_count): keys "
+    "map to (bucket, bit) with 32768 bits per bucket, partial bitmaps "
+    "OR-combine map-side, and the final count is a sum of popcounts — "
+    "the shuffle carries <=4 KB per (group, bucket) instead of every "
+    "distinct key, yet the answer is exact (vs HLL's ~2% error). The "
+    "key is spread as o_custkey*131 (injective, so NDV is preserved) "
+    "to span multiple buckets even at small SF (+1 keeps it strictly "
+    "positive — bucket numbering differs across engines at <=0). "
+    "Oracle: plain COUNT(DISTINCT). The 100 TB shape for "
+    "dense-integer-key NDV.",
+    oracle="""
+        SELECT o_orderpriority AS pri,
+               COUNT(DISTINCT o_custkey) AS ndv,
+               COUNT(DISTINCT (o_custkey * 131) // 32768) AS n_buckets
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY pri
+    """,
+)
+def sketch_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        (F.col("o_custkey") * 131 + 1).alias("k"),
+    )
+    per_bucket = (
+        o.select(
+            "pri",
+            F.expr("bitmap_bucket_number(k)").alias("bkt"),
+            F.expr("bitmap_bit_position(k)").alias("pos"),
+        )
+        .groupBy("pri", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return (
+        per_bucket.groupBy("pri")
+        .agg(
+            F.sum(F.expr("bitmap_count(bm)")).alias("ndv"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+        .orderBy("pri")
+    )

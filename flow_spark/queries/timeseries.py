@@ -164,3 +164,89 @@ def ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("day_cents")
         .orderBy("user_id", "day")
     )
+
+
+@register(
+    "scd2_validity_intervals",
+    category="timeseries",
+    doc="SCD Type-2 dimension build: per customer, the order-priority "
+    "attribute's change history as versioned validity intervals — a new "
+    "version opens whenever the priority differs from the previous "
+    "order (lag + IS DISTINCT FROM), version ids are a running sum of "
+    "change flags, and valid_to is the NEXT version's valid_from (lead "
+    "over the versioned rows; open version -> NULL). Ties inside a day "
+    "break on o_orderkey so both engines see one deterministic order. "
+    "Companion to merge_changeset_apply: MERGE maintains the current "
+    "row, this builds the full history. Scale shape: one shuffle on "
+    "custkey covers both window passes and the version aggregate "
+    "(every 10th customer keeps output bounded at any SF).",
+    oracle="""
+        WITH seq AS (
+            SELECT o_custkey, o_orderdate, o_orderpriority, o_orderkey,
+                   CASE WHEN o_orderpriority IS DISTINCT FROM
+                             LAG(o_orderpriority) OVER w
+                        THEN 1 ELSE 0 END AS chg
+            FROM orders
+            WHERE o_custkey % 10 = 0
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        ),
+        ver AS (
+            SELECT o_custkey, o_orderpriority,
+                   SUM(chg) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey
+                                  ROWS UNBOUNDED PRECEDING) AS version
+            , o_orderdate
+            FROM seq
+        ),
+        spans AS (
+            SELECT o_custkey AS custkey, version,
+                   ANY_VALUE(o_orderpriority) AS priority,
+                   MIN(o_orderdate) AS vf,
+                   COUNT(*) AS n_orders
+            FROM ver
+            GROUP BY o_custkey, version
+        )
+        SELECT custkey, version, priority,
+               strftime(vf, '%Y-%m-%d') AS valid_from,
+               strftime(LEAD(vf) OVER (PARTITION BY custkey
+                                       ORDER BY version),
+                        '%Y-%m-%d') AS valid_to,
+               n_orders
+        FROM spans
+        ORDER BY custkey, version
+    """,
+)
+def scd2_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey", "o_orderdate", "o_orderpriority", "o_orderkey"
+    ).withColumn(
+        "chg",
+        F.when(
+            ~F.col("o_orderpriority").eqNullSafe(
+                F.lag("o_orderpriority").over(w)
+            ),
+            1,
+        ).otherwise(0),
+    )
+    ver = seq.withColumn(
+        "version", F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    spans = ver.groupBy(
+        F.col("o_custkey").alias("custkey"), "version"
+    ).agg(
+        F.any_value("o_orderpriority").alias("priority"),
+        F.min("o_orderdate").alias("vf"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    wv = W.partitionBy("custkey").orderBy("version")
+    return spans.select(
+        "custkey",
+        "version",
+        "priority",
+        F.date_format("vf", _DAY_FMT).alias("valid_from"),
+        F.date_format(F.lead("vf").over(wv), _DAY_FMT).alias("valid_to"),
+        "n_orders",
+    ).orderBy("custkey", "version")
