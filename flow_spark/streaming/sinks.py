@@ -135,3 +135,98 @@ def idempotent_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _dial(bind: str):
+    """Open a writer socket for `bind` = tcp://host:port | udp://host:port |
+    unix://path — the sink-head schemes of sink_head_factory.go:17-46."""
+    import socket as _socket
+
+    scheme, _, rest = bind.partition("://")
+    if scheme == "tcp":
+        host, _, port = rest.rpartition(":")
+        s = _socket.create_connection((host, int(port)))
+        return s, True  # \r\n-terminated records (sink_head_tcp.go:103-148)
+    if scheme == "udp":
+        host, _, port = rest.rpartition(":")
+        s = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+        s.connect((host, int(port)))
+        return s, False  # raw datagrams, no terminator (sink_head_udp.go:178-219)
+    if scheme == "unix":
+        s = _socket.socket(_socket.AF_UNIX, _socket.SOCK_STREAM)
+        s.connect(rest)
+        return s, True  # \r\n like TCP (sink_head_unix.go:249-294)
+    raise ValueError(f"unsupported sink bind scheme: {bind!r}")
+
+
+def socket_sink_batch(
+    df: DataFrame,
+    bind: str,
+    body_col: str = "body_str",
+    distributed: bool = False,
+) -> int:
+    """Write each record's body over a socket — the tcp/udp/unix sink heads
+    (actor/sink_head_{tcp,udp,unix}.go): stream heads frame with \r\n, the
+    datagram head sends raw bodies. Returns rows written; any socket error
+    propagates so the caller's backoff loop (write_with_backoff =
+    sink.go:80-111 semantics) owns reconnection.
+
+    Default is one driver-side connection — the reference's contract (one
+    conn, in-order writes). `distributed=True` is the 100 TB shape: one
+    connection PER PARTITION via foreachPartition, executor-side, no
+    driver collect — ordering holds within a partition only, which is all
+    the reference guarantees across goroutines anyway.
+    """
+    if distributed:
+        def write_partition(rows) -> None:
+            sock = None
+            try:
+                for r in rows:
+                    if sock is None:  # dial lazily: empty partitions skip
+                        sock, framed = _dial(bind)
+                    body = (r[body_col] or "").encode()
+                    sock.sendall(body + b"\r\n" if framed else body)
+            finally:
+                if sock is not None:
+                    sock.close()
+
+        n = df.count()
+        df.select(body_col).foreachPartition(write_partition)
+        return n
+
+    rows = df.select(body_col).collect()
+    sock, framed = _dial(bind)
+    try:
+        for r in rows:
+            body = (r[0] or "").encode()
+            sock.sendall(body + b"\r\n" if framed else body)
+    finally:
+        sock.close()
+    return len(rows)
+
+
+def socket_sink(
+    name: str,
+    df: DataFrame,
+    checkpoint_dir: str,
+    bind: str,
+    max_retries: int = 3,
+    body_col: str = "body_str",
+):
+    """Streaming socket sink head: foreachBatch -> dial + write with the
+    reference's reconnect/backoff contract (a fresh dial per attempt =
+    sink.go's reconnect loop)."""
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        write_with_backoff(
+            lambda d: socket_sink_batch(d, bind, body_col=body_col),
+            batch,
+            max_retries=max_retries,
+        )
+
+    return (
+        df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{checkpoint_dir}/{name}")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -378,3 +378,261 @@ pipeline:
         for q in queries:
             q.stop()
     assert sum(seen) > 0, "rate source produced no rows in 30s"
+
+
+class _CaptureServer:
+    """Minimal threaded capture servers for sink-head tests."""
+
+    def __init__(self, kind: str, addr):
+        import socket as s
+        import threading
+
+        self.chunks: list[bytes] = []
+        self.conns = 0
+        self._lock = threading.Lock()
+        self.kind = kind
+        if kind == "udp":
+            self.sock = s.socket(s.AF_INET, s.SOCK_DGRAM)
+            self.sock.bind(addr)
+            self.addr = self.sock.getsockname()
+            target = self._run_udp
+        else:
+            fam = s.AF_UNIX if kind == "unix" else s.AF_INET
+            self.sock = s.socket(fam, s.SOCK_STREAM)
+            self.sock.bind(addr)
+            self.addr = self.sock.getsockname()
+            self.sock.listen(8)
+            target = self._run_stream
+        self.thread = threading.Thread(target=target, daemon=True)
+        self.thread.start()
+
+    def _run_stream(self) -> None:
+        while True:
+            try:
+                conn, _ = self.sock.accept()
+            except OSError:
+                return
+            with self._lock:
+                self.conns += 1
+            while True:
+                data = conn.recv(65536)
+                if not data:
+                    break
+                with self._lock:
+                    self.chunks.append(data)
+            conn.close()
+
+    def _run_udp(self) -> None:
+        while True:
+            try:
+                data, _ = self.sock.recvfrom(65536)
+            except OSError:
+                return
+            with self._lock:
+                self.chunks.append(data)
+
+    def data(self) -> bytes:
+        with self._lock:
+            return b"".join(self.chunks)
+
+    def close(self) -> None:
+        self.sock.close()
+
+
+def _five_messages(spark, sf_dir):
+    from flow_spark.streaming.sources import stream_events
+
+    return stream_events(spark, sf_dir).filter(F.col("event_id") < 5)
+
+
+def test_socket_sink_tcp_framing(spark, sf_dir, tmp_path):
+    """sink_head_tcp.go parity: bodies stream over one connection,
+    \r\n-terminated, in order."""
+    import time
+
+    from flow_spark.streaming.sinks import socket_sink
+
+    srv = _CaptureServer("tcp", ("127.0.0.1", 0))
+    try:
+        msgs = _five_messages(spark, sf_dir)
+        bind = f"tcp://127.0.0.1:{srv.addr[1]}"
+        q = socket_sink("t", msgs, str(tmp_path / "ckpt_tcp"), bind)
+        q.awaitTermination(120)
+        deadline = time.time() + 10
+        while time.time() < deadline and srv.data().count(b"\r\n") < 5:
+            time.sleep(0.05)
+        records = srv.data().split(b"\r\n")
+        assert records[-1] == b""  # every record terminated
+        assert len(records) - 1 == 5
+    finally:
+        srv.close()
+
+
+def test_socket_sink_unix_head(spark, sf_dir, tmp_path):
+    """sink_head_unix.go parity: same framing over a unix-domain socket."""
+    import time
+
+    from flow_spark.streaming.sinks import socket_sink_batch
+
+    path = str(tmp_path / "sink.sock")
+    srv = _CaptureServer("unix", path)
+    try:
+        msgs = spark.createDataFrame(
+            [("alpha",), ("beta",)], "body_str string"
+        )
+        n = socket_sink_batch(msgs, f"unix://{path}")
+        assert n == 2
+        deadline = time.time() + 10
+        while time.time() < deadline and srv.data().count(b"\r\n") < 2:
+            time.sleep(0.05)
+        assert srv.data() == b"alpha\r\nbeta\r\n"  # in-order, framed
+    finally:
+        srv.close()
+
+
+def test_socket_sink_udp_raw_datagrams(spark, tmp_path):
+    """sink_head_udp.go parity: one datagram per body, NO terminator."""
+    import time
+
+    from flow_spark.streaming.sinks import socket_sink_batch
+
+    srv = _CaptureServer("udp", ("127.0.0.1", 0))
+    try:
+        msgs = spark.createDataFrame([("dg-one",), ("dg-two",)], "body_str string")
+        socket_sink_batch(msgs, f"udp://127.0.0.1:{srv.addr[1]}")
+        deadline = time.time() + 10
+        while time.time() < deadline and len(srv.chunks) < 2:
+            time.sleep(0.05)
+        assert sorted(srv.chunks) == [b"dg-one", b"dg-two"]
+        assert b"\r\n" not in srv.data()
+    finally:
+        srv.close()
+
+
+def test_socket_sink_distributed_per_partition(spark, tmp_path):
+    """The scale path: distributed=True writes executor-side, one
+    connection per non-empty partition, no driver collect."""
+    import time
+
+    from flow_spark.streaming.sinks import socket_sink_batch
+
+    srv = _CaptureServer("tcp", ("127.0.0.1", 0))
+    try:
+        df = spark.createDataFrame(
+            [(f"m{i}",) for i in range(8)], "body_str string"
+        ).repartition(4)
+        non_empty = (
+            df.rdd.mapPartitions(lambda it: [sum(1 for _ in it)])
+            .filter(lambda c: c > 0)
+            .count()
+        )
+        n = socket_sink_batch(
+            df, f"tcp://127.0.0.1:{srv.addr[1]}", distributed=True
+        )
+        assert n == 8
+        deadline = time.time() + 10
+        while time.time() < deadline and srv.data().count(b"\r\n") < 8:
+            time.sleep(0.05)
+        got = sorted(r for r in srv.data().split(b"\r\n") if r)
+        assert got == sorted(f"m{i}".encode() for i in range(8))
+        assert srv.conns == non_empty  # one dial per non-empty partition
+    finally:
+        srv.close()
+
+
+def test_socket_sink_reconnect_backoff(spark):
+    """sink.go:80-111 semantics through the socket head: a dead endpoint
+    fails the attempt, backoff sleeps run on the reference schedule, and
+    a listener appearing mid-retry lets the write succeed (reconnect =
+    fresh dial per attempt)."""
+    from flow_spark.streaming.sinks import socket_sink_batch, write_with_backoff
+
+    df = spark.createDataFrame([("retry-me",)], "body_str string")
+
+    # grab a port with no listener
+    import socket as s
+
+    probe = s.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+
+    slept: list[float] = []
+    srv_box: list[_CaptureServer] = []
+
+    def sleep_then_listen(t: float) -> None:
+        slept.append(t)
+        if not srv_box:  # second attempt finds a live listener
+            srv_box.append(_CaptureServer("tcp", ("127.0.0.1", port)))
+
+    attempts = write_with_backoff(
+        lambda d: socket_sink_batch(d, f"tcp://127.0.0.1:{port}"),
+        df,
+        max_retries=3,
+        sleep=sleep_then_listen,
+    )
+    assert attempts == 2
+    assert slept == [0.05]  # reference MIN_BACKOFF before the reconnect
+    srv_box[0].close()
+
+
+def test_foreachbatch_merge_upsert(spark, tmp_path):
+    """Streaming MERGE: each micro-batch of changes upserts into a parquet
+    dimension via the full-outer-join merge pattern (merge_changeset_apply's
+    runtime form). maxFilesPerTrigger=1 forces two batches so the second
+    batch merges into the first's output: updates accumulate, inserts
+    appear, untouched keys carry."""
+    import time
+
+    base_dir = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300)], "k long, bal long"
+    ).write.parquet(base_dir)
+
+    chg_dir = tmp_path / "changes"
+    chg_dir.mkdir()
+    spark.createDataFrame([(1, 5), (9, 900)], "k long, delta long").coalesce(
+        1
+    ).write.json(str(chg_dir / "b0"))
+    spark.createDataFrame([(1, 7), (2, -50)], "k long, delta long").coalesce(
+        1
+    ).write.json(str(chg_dir / "b1"))
+
+    stream = (
+        spark.readStream.schema("k long, delta long")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .json(str(chg_dir))
+    )
+
+    state = {"path": base_dir, "ver": 0}
+
+    def merge(batch, epoch_id: int) -> None:
+        cur = spark.read.parquet(state["path"])
+        chg = batch.groupBy("k").agg(F.sum("delta").alias("delta"))
+        merged = (
+            cur.join(chg, "k", "full_outer")
+            .select(
+                "k",
+                (
+                    F.coalesce("bal", F.lit(0)) + F.coalesce("delta", F.lit(0))
+                ).alias("bal"),
+            )
+        )
+        nxt = str(tmp_path / f"dim_v{state['ver'] + 1}")
+        merged.write.parquet(nxt)  # write-new-then-swap: never clobber live
+        state["path"] = nxt
+        state["ver"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", str(tmp_path / "ckpt_merge"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert state["ver"] == 2  # one merge per file-batch
+    final = {
+        r.k: r.bal for r in spark.read.parquet(state["path"]).collect()
+    }
+    assert final == {1: 112, 2: 150, 3: 300, 9: 900}
