@@ -341,16 +341,56 @@ class Pipeline:
 
     def run_streaming(
         self,
-        sink_writer: Callable[[str, DataFrame], Any],
+        sink_writer: Callable[[str, DataFrame], Any] | None = None,
         inputs: dict[str, DataFrame] | None = None,
+        checkpoint_dir: str | None = None,
     ) -> list:
         """Start one streaming query per sink; `sink_writer(name, df)` must
-        return a started StreamingQuery (see flow_spark.streaming.sinks)."""
+        return a started StreamingQuery (see flow_spark.streaming.sinks).
+        With no writer, each sink dispatches on its own `bind` param —
+        the sink-head-factory contract (sink_head_factory.go:17-46):
+        tcp/udp/unix -> live socket head, file -> CRLF append head,
+        anything else -> an in-memory table named after the sink."""
         result = self.run(inputs=inputs, streaming=True)
+        if sink_writer is None:
+            sink_writer = self.default_sink_writer(checkpoint_dir or ".ckpt")
         queries = []
         for sink_name, df in result.sinks.items():
             queries.append(sink_writer(sink_name, df))
         return queries
+
+    def default_sink_writer(
+        self, checkpoint_dir: str
+    ) -> Callable[[str, DataFrame], Any]:
+        """Bind-scheme dispatch for sink actors (sink_head_factory.go:17-46)."""
+        from flow_spark.streaming import sinks as heads
+
+        def writer(sink_name: str, df: DataFrame):
+            params = self.cfg.actors[sink_name].get("params", {})
+            bind = str(params.get("bind", ""))
+            scheme, _, rest = bind.partition("://")
+            retries = int(params.get("max_retries", 3))
+            if scheme in ("tcp", "udp", "unix"):
+                return heads.socket_sink(
+                    sink_name, df, checkpoint_dir, bind, max_retries=retries
+                )
+            if scheme == "file":
+                # STDOUT/STDERR special case (sink_head_file.go:11-19)
+                path = {"STDOUT": "/dev/stdout", "STDERR": "/dev/stderr"}.get(
+                    rest, rest
+                )
+                return heads.file_sink(
+                    sink_name, df, checkpoint_dir, path, max_retries=retries
+                )
+            return (
+                df.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(sink_name)
+                .option("checkpointLocation", f"{checkpoint_dir}/{sink_name}")
+                .start()
+            )
+
+        return writer
 
 
 def pipeline_sinks(cfg: PipelineConfig) -> list[str]:
