@@ -27,7 +27,15 @@ from pyspark.sql import functions as F
 
 from flow_spark.catalog import load_table
 from flow_spark.queries.registry import register
-from flow_spark.queries.util import dec, money_sum, one_minus
+from flow_spark.queries.util import (
+    SQL_REVENUE_CENTS,
+    cents_sum_money,
+    dec,
+    money_sum,
+    one_minus,
+    revenue_cents,
+    sql_cents_sum_money,
+)
 
 # ---------------------------------------------------------------------------
 # The derived partsupp view — keep the two definitions in lockstep.
@@ -166,16 +174,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "largest shuffle of the classic Q9 plan entirely (with a physical "
     "partsupp table the same effect comes from bucketing both fact "
     "tables on partkey). Remaining joins: orders (shuffle equi-join), "
-    "part filter + supplier->nation (broadcast).",
+    "part filter + supplier->nation (broadcast). Profit is summed on "
+    "exact scaled longs in 1e-4 units (util.py cents fast path): "
+    "supplycost has exactly 2 decimals by construction, so "
+    "revenue_cents - supplycost_cents*qty*100 is exact integer math.",
     oracle=f"""
         WITH {SQL_PARTSUPP_CTE}
         SELECT n_name AS nation,
                CAST(year(o_orderdate) AS INT) AS o_year,
-               CAST(ROUND(SUM(
-                   CAST(l_extendedprice AS DECIMAL(12,2))
-                     * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(4,2))
-                   - ps_supplycost * CAST(l_quantity AS DECIMAL(12,2))
-               ), 2) AS DOUBLE) AS sum_profit
+               {sql_cents_sum_money(f"({SQL_REVENUE_CENTS} - CAST(ROUND(ps_supplycost * 100, 0) AS BIGINT) * CAST(l_quantity AS BIGINT) * 100)", 4)} AS sum_profit
         FROM lineitem
         JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
         JOIN orders   ON l_orderkey = o_orderkey
@@ -203,10 +210,14 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", F.col("n_name").alias("nation"))
     )
-    supplycost = F.expr(_SUPPLYCOST_EXPR.format(p="l_partkey", s="l_suppkey"))
-    amount = dec("l_extendedprice") * one_minus("l_discount") - supplycost * dec(
-        "l_quantity"
-    )
+    # supplycost in cents is the derivation expression BEFORE its /100
+    # (tpch_partsupp.py header) — already an exact long
+    supplycost_cents = F.expr(
+        "(l_partkey * 7919 + l_suppkey * 104729) % 100000 + 100"
+    ).cast("long")
+    amount_1e4 = revenue_cents() - supplycost_cents * F.col("l_quantity").cast(
+        "long"
+    ) * 100
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -214,7 +225,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "nation", F.year("o_orderdate").cast("int").alias("o_year")
         )
-        .agg(money_sum(amount).alias("sum_profit"))
+        .agg(cents_sum_money(amount_1e4, 4).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 

@@ -18,14 +18,20 @@ from pyspark.sql import functions as F
 from flow_spark.catalog import load_table
 from flow_spark.queries.registry import register
 from flow_spark.queries.util import (
+    SQL_DISC_PCT,
     SQL_ONE_MINUS_DISC,
     SQL_PRICE,
+    SQL_PRICE_CENTS,
     SQL_REVENUE,
     SQL_REVENUE_CENTS,
+    cents,
+    cents_sum_money,
     dec,
     money_sum,
     one_minus,
+    revenue_cents,
     revenue_expr,
+    sql_cents_sum_money,
 )
 
 
@@ -35,10 +41,10 @@ from flow_spark.queries.util import (
     doc="TPC-H Q6: single-table scan with tight range predicates -> one "
     "scalar. The whole WHERE must reach the parquet scan (PushedFilters); "
     "at 100 TB this is the pushdown-or-die query: no join, no shuffle "
-    "beyond a 1-row partial-agg merge.",
+    "beyond a 1-row partial-agg merge. Money sum on exact scaled longs "
+    "(util.py cents fast path) — the agg loop is the entire query here.",
     oracle=f"""
-        SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                              * CAST(l_discount AS DECIMAL(3,2))), 2) AS DOUBLE)
+        SELECT {sql_cents_sum_money(f"({SQL_PRICE_CENTS} * {SQL_DISC_PCT})", 4)}
                AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -57,7 +63,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(money_sum(dec("l_extendedprice") * dec("l_discount", "decimal(3,2)")).alias("revenue"))
+        .agg(
+            cents_sum_money(cents("l_extendedprice") * cents("l_discount"), 4).alias(
+                "revenue"
+            )
+        )
     )
 
 
@@ -72,7 +82,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT sn.n_name AS supp_nation,
                cn.n_name AS cust_nation,
                CAST(year(l_shipdate) AS INT) AS l_year,
-               CAST(ROUND(SUM({SQL_REVENUE}), 2) AS DOUBLE) AS revenue
+               {sql_cents_sum_money(SQL_REVENUE_CENTS, 4)} AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN supplier ON l_suppkey = s_suppkey
@@ -115,7 +125,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
         )
-        .agg(money_sum(revenue_expr()).alias("revenue"))
+        .agg(cents_sum_money(revenue_cents(), 4).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
