@@ -452,3 +452,202 @@ def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(20)
     )
+
+
+@register(
+    "text_repetition_quality",
+    category="text-analysis",
+    doc="Gopher-style repetition signals per source: corpus type/token "
+    "ratio and top-token mass, plus a per-doc repetitive flag.  Ratios "
+    "are single divisions of exact integer sums (not averages of per-doc "
+    "doubles) and the flag compares scaled integers, so the result is "
+    "bit-stable under any partitioning — the property a 100 TB quality "
+    "filter needs (a re-plan must not reclassify documents).",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source, unnest({_SQL_TOKS}) AS tok
+            FROM documents
+        ),
+        cnt AS (
+            SELECT doc_id, source, tok, COUNT(*) AS c
+            FROM t GROUP BY doc_id, source, tok
+        ),
+        per_doc AS (
+            SELECT doc_id, source,
+                   CAST(SUM(c) AS BIGINT)  AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(MAX(c) AS BIGINT)  AS top_c
+            FROM cnt GROUP BY doc_id, source
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(ROUND(CAST(SUM(n_types) AS DOUBLE) / SUM(n_tokens), 6)
+                    AS DOUBLE) AS type_token_ratio,
+               CAST(ROUND(CAST(SUM(top_c) AS DOUBLE) / SUM(n_tokens), 6)
+                    AS DOUBLE) AS top_token_mass,
+               CAST(SUM(CASE WHEN 2 * n_types < n_tokens
+                               OR 25 * top_c >= 3 * n_tokens
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+        FROM per_doc
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok"))
+    cnt = t.groupBy("doc_id", "source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = cnt.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.max("c").alias("top_c"),
+    )
+    # repetitive iff TTR < 0.5 or top-token mass >= 0.12, tested in exact
+    # integer space (2*types < tokens; 25*top >= 3*tokens)
+    repetitive = (2 * F.col("n_types") < F.col("n_tokens")) | (
+        25 * F.col("top_c") >= 3 * F.col("n_tokens")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum("n_types").cast("double") / F.sum("n_tokens"), 6
+            ).alias("type_token_ratio"),
+            F.round(
+                F.sum("top_c").cast("double") / F.sum("n_tokens"), 6
+            ).alias("top_token_mass"),
+            F.sum(F.when(repetitive, 1).otherwise(0)).cast("bigint").alias("n_repetitive"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "sample_stratified",
+    category="text-analysis",
+    doc="Stratified deterministic sampling: per-language keep rates "
+    "(en 25%, zh 5%, others 10%) applied via the portable doc_id hash, "
+    "so the SAME documents survive in Spark, DuckDB, and any re-run — "
+    "rand()/sampleBy would resample per retry.  At 100 TB this is a "
+    "pure scan+filter (no shuffle until the tiny per-stratum rollup).",
+    oracle=f"""
+        SELECT lang,
+               COUNT(*) AS n_sampled,
+               CAST(SUM(doc_id) AS BIGINT)  AS id_sum,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+        FROM documents
+        WHERE {portable_hash_expr("CAST(doc_id AS VARCHAR)", salt='strat')} % 100
+              < (CASE lang WHEN 'en' THEN 25 WHEN 'zh' THEN 5 ELSE 10 END)
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 25)
+        .when(F.col("lang") == "zh", 5)
+        .otherwise(10)
+    )
+    keep = (
+        F.pmod(portable_hash64(F.col("doc_id").cast("string"), salt="strat"), F.lit(100))
+        < rate
+    )
+    return (
+        docs.filter(keep)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+            F.sum("n_chars").cast("bigint").alias("chars_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_pii_redact",
+    category="text-analysis",
+    doc="PII scrubbing: global regexp redaction of emails and IPv4s with "
+    "per-source match accounting.  The fixture corpus contains no PII, so "
+    "the query first derives a deterministic contact line per doc "
+    "(identically in both engines) and then redacts it — the operator "
+    "under test is the redaction pass itself: Spark regexp_replace is "
+    "global like DuckDB's 'g' flag, and the patterns stay inside the "
+    "Java-regex/RE2 common subset.  At 100 TB this is scan-speed "
+    "columnar work, no shuffle before the rollup.",
+    oracle=r"""
+        WITH lined AS (
+            SELECT source,
+                   concat('contact user', doc_id, '@example.com ip=10.0.',
+                          doc_id % 256, '.1 ', text) AS line
+            FROM documents
+        ),
+        red AS (
+            SELECT source,
+                   length(line) AS len_raw,
+                   len(regexp_extract_all(line,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS n_email,
+                   len(regexp_extract_all(line,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+                   length(regexp_replace(regexp_replace(line,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '[IP]', 'g')) AS len_redacted
+            FROM lined
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_email) AS BIGINT) AS emails_redacted,
+               CAST(SUM(n_ip) AS BIGINT)    AS ips_redacted,
+               CAST(SUM(len_raw - len_redacted) AS BIGINT) AS chars_removed
+        FROM red
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    email_pat = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ip_pat = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    docs = load_table(spark, sf_dir, "documents")
+    lined = docs.select(
+        "source",
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip=10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 "),
+            F.col("text"),
+        ).alias("line"),
+    )
+    red = lined.select(
+        "source",
+        F.length("line").alias("len_raw"),
+        F.regexp_count(F.col("line"), F.lit(email_pat)).alias("n_email"),
+        F.regexp_count(F.col("line"), F.lit(ip_pat)).alias("n_ip"),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace("line", email_pat, "[EMAIL]"), ip_pat, "[IP]"
+            )
+        ).alias("len_redacted"),
+    )
+    return (
+        red.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").cast("bigint").alias("emails_redacted"),
+            F.sum("n_ip").cast("bigint").alias("ips_redacted"),
+            F.sum(F.col("len_raw") - F.col("len_redacted")).cast("bigint").alias(
+                "chars_removed"
+            ),
+        )
+        .orderBy("source")
+    )
