@@ -250,3 +250,66 @@ def scd2_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.lead("vf").over(wv), _DAY_FMT).alias("valid_to"),
         "n_orders",
     ).orderBy("custkey", "version")
+
+
+@register(
+    "ts_ewma",
+    category="timeseries",
+    doc="Truncated EWMA (halflife = one observation, last 16 samples) per "
+    "user over the event stream — bit-deterministic across engines "
+    "because the weighted sum runs entirely in scaled-integer space: "
+    "values become cents (exact: value*100 can never sit on a binary "
+    ".5 midpoint since k/200 is not binary-representable), weights are "
+    "powers of two via shifts, and the single long/long double division "
+    "at the end is IEEE-exact-rounded identically everywhere.  Scale "
+    "shape: one shuffle on user_id; the 16-row frame keeps state O(1) "
+    "per row regardless of history length (contrast: a recursive EWMA "
+    "would serialize per key).",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, ts, event_id,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS vc
+            FROM events WHERE user_id % 25 = 0
+        ),
+        wl AS (
+            SELECT user_id, event_id, vc,
+                   list(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS l
+            FROM e
+        )
+        SELECT user_id, event_id,
+               CAST(vc AS DOUBLE) / 100 AS value_cents,
+               CAST(list_sum(list_transform(l,
+                        (x, i) -> x * ((CAST(1 AS BIGINT) << (i - 1))))) AS DOUBLE)
+               / CAST(((CAST(1 AS BIGINT) << len(l)) - 1) * 100 AS DOUBLE) AS ewma
+        FROM wl
+        ORDER BY user_id, event_id
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
+    vc = F.round(F.col("value") * 100, 0).cast("long")
+    frame = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-15, W.currentRow)
+    )
+    lst = F.collect_list(vc).over(frame)
+    # pyspark's F.shiftleft only takes a literal bit count, so the
+    # column-varying shifts run as a SQL expression
+    ewma = F.expr(
+        "cast(aggregate(zip_with(l, sequence(0, size(l) - 1),"
+        "                        (x, i) -> x * shiftleft(cast(1 as bigint), i)),"
+        "               cast(0 as bigint), (acc, x) -> acc + x) as double)"
+        " / cast((shiftleft(cast(1 as bigint), size(l)) - 1) * 100 as double)"
+    )
+    return (
+        ev.select("user_id", "event_id", vc.alias("vc"), lst.alias("l"))
+        .select(
+            "user_id",
+            "event_id",
+            (F.col("vc").cast("double") / 100).alias("value_cents"),
+            ewma.alias("ewma"),
+        )
+        .orderBy("user_id", "event_id")
+    )
