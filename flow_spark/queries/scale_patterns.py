@@ -173,3 +173,72 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = rows[0].unionByName(rows[1]).unionByName(rows[2])
     return out.orderBy("ord").select("stage", "n_users")
+
+
+def _sql_zvalue(x: str, y: str) -> str:
+    """DuckDB bit-interleave of the low 16 bits of x (even) and y (odd)."""
+    terms = [
+        f"(((({x}) >> {i}) & 1) << {2 * i}) + (((({y}) >> {i}) & 1) << {2 * i + 1})"
+        for i in range(16)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "scale_zorder_layout",
+    category="scale",
+    doc="Z-order (Morton curve) layout key over (custkey, order day): "
+    "interleaving the low 16 bits of both dimensions gives a single "
+    "sort key whose ranges bound BOTH columns at once — the layout "
+    "trick behind multi-dimensional data skipping (Delta/Iceberg "
+    "OPTIMIZE ZORDER).  The per-z-bucket min/max spans in the output "
+    "ARE the file-skipping stats a 100 TB table would store: both "
+    "per-bucket spans come out far under the global span, so a "
+    "predicate on either dimension prunes most buckets.  All bit "
+    "arithmetic is integer and JVM-side (shiftleft/shiftright/AND "
+    "fold into whole-stage codegen; no UDF).",
+    oracle=f"""
+        WITH z AS (
+            SELECT o_custkey AS x,
+                   datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS y,
+                   {_sql_zvalue("o_custkey",
+                                "datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))")}
+                       AS zval
+            FROM orders
+        )
+        SELECT zval >> 20 AS z_bucket,
+               COUNT(*) AS n,
+               MIN(x) AS x_min, MAX(x) AS x_max,
+               MIN(y) AS y_min, MAX(y) AS y_max,
+               MAX(x) - MIN(x) AS x_span,
+               MAX(y) - MIN(y) AS y_span
+        FROM z
+        GROUP BY z_bucket
+        ORDER BY z_bucket
+    """,
+)
+def scale_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    x = F.col("o_custkey")
+    y = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast("bigint")
+    one = F.lit(1).cast("bigint")
+    zval = None
+    for i in range(16):
+        term = F.shiftleft(F.shiftright(x, i).bitwiseAND(one), 2 * i) + F.shiftleft(
+            F.shiftright(y, i).bitwiseAND(one), 2 * i + 1
+        )
+        zval = term if zval is None else zval + term
+    z = orders.select(x.alias("x"), y.alias("y"), zval.alias("zval"))
+    return (
+        z.groupBy(F.shiftright(F.col("zval"), 20).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+            (F.max("x") - F.min("x")).alias("x_span"),
+            (F.max("y") - F.min("y")).alias("y_span"),
+        )
+        .orderBy("z_bucket")
+    )
