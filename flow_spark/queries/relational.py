@@ -732,6 +732,53 @@ def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_union_schema_evolution",
+    category="set-ops",
+    doc="Schema-drift union: two sources sharing only part of their "
+    "columns combine by NAME with missing columns null-filled "
+    "(unionByName allowMissingColumns / UNION ALL BY NAME) — the "
+    "append pattern a long-lived 100 TB table needs when producers add "
+    "columns over time; positional UNION would silently misalign.",
+    oracle="""
+        SELECT src, COUNT(*) AS n,
+               COUNT(segment)   AS n_with_segment,
+               COUNT(nationkey) AS n_with_nationkey,
+               CAST(SUM(id) AS BIGINT) AS id_sum
+        FROM (
+            SELECT 'c' AS src, c_custkey AS id, c_mktsegment AS segment
+            FROM customer
+            UNION ALL BY NAME
+            SELECT 's' AS src, s_suppkey AS id, s_nationkey AS nationkey
+            FROM supplier
+        )
+        GROUP BY src ORDER BY src
+    """,
+)
+def set_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.lit("c").alias("src"),
+        F.col("c_custkey").alias("id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.lit("s").alias("src"),
+        F.col("s_suppkey").alias("id"),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    return (
+        c.unionByName(s, allowMissingColumns=True)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("segment").alias("n_with_segment"),
+            F.count("nationkey").alias("n_with_nationkey"),
+            F.sum("id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("src")
+    )
+
+
+@register(
     "sort_topk_global",
     category="sort",
     doc="Global top-k with deterministic tiebreak (TakeOrderedAndProject).",
