@@ -169,3 +169,73 @@ def sketch_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pri")
     )
+
+
+@register(
+    "sketch_heavy_hitters",
+    category="sketch",
+    doc="Misra-Gries heavy hitters, two-pass: pass 1 runs a capacity-32 "
+    "MG summary per partition inside mapInPandas (batched decrement "
+    "variant — add a batch's value_counts, then subtract the (k+1)-th "
+    "largest count and drop non-positives, same frequency guarantee), "
+    "whose union is a PROVEN superset of every token with global "
+    "frequency > n/32 (pigeonhole over partitions: if an item is below "
+    "its local threshold everywhere, summing gives count <= n/32); "
+    "pass 2 exact-counts only the tiny candidate set via a broadcast "
+    "semi-join and keeps 32*count > n, tested in integer space.  The "
+    "result is therefore EXACT and partitioning-independent — the "
+    "oracle is a plain GROUP BY ... HAVING — while the scan stays one "
+    "pass per side with per-partition O(k) sketch state instead of a "
+    "full-vocabulary shuffle: the 100 TB shape for vocabulary/hot-key "
+    "discovery over trillions of tokens.",
+    oracle=f"""
+        WITH t AS (
+            SELECT unnest({{toks}}) AS tok FROM documents
+        ),
+        n AS (SELECT COUNT(*) AS n_total FROM t)
+        SELECT tok, COUNT(*) AS cnt,
+               (SELECT n_total FROM n) AS n_total
+        FROM t
+        GROUP BY tok
+        HAVING 32 * COUNT(*) > (SELECT n_total FROM n)
+        ORDER BY cnt DESC, tok
+    """.format(
+        toks="string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+    ),
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from flow_spark.operators.text import tokens
+
+    _CAP = 32
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+
+    def mg_partition(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            vc = pdf["tok"].value_counts()
+            for tok, c in vc.items():
+                counts[tok] = counts.get(tok, 0) + int(c)
+            if len(counts) > _CAP:
+                # batched MG decrement: subtract the (cap+1)-th largest
+                # count from everyone, drop the non-positive remainder
+                cut = sorted(counts.values(), reverse=True)[_CAP]
+                counts = {t: c - cut for t, c in counts.items() if c > cut}
+        if counts:
+            yield pd.DataFrame({"tok": list(counts.keys())})
+
+    candidates = toks.mapInPandas(mg_partition, "tok string").distinct()
+    exact = (
+        toks.join(F.broadcast(candidates), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        exact.crossJoin(F.broadcast(n_total))
+        .filter(32 * F.col("cnt") > F.col("n_total"))
+        .orderBy(F.desc("cnt"), "tok")
+    )
