@@ -6,7 +6,7 @@
   sample-derived one from `sample_schema`.
 - text reads expose the flow wire format (one opaque record per line,
   \\r\\n tolerated — receiver_tcp.go:177-191 framing).
-- kafka/jdbc are gated: the connector jars aren't in this image, so the
+- kafka/jdbc/avro are gated: the connector/module jars aren't in this image, so the
   helpers raise a clear error unless the classpath provides them.
 """
 
@@ -72,6 +72,47 @@ def write_any(df: DataFrame, fmt: str, path: str | None = None, mode: str = "ove
         options.setdefault("header", "true")
         writer = writer.option("header", "true")
     writer.format(fmt).save(path)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True if the spark-avro datasource module is on the classpath.
+
+    The core avro-*.jar ships with Spark, but the DataFrame datasource
+    (org.apache.spark:spark-avro) is a separate module not bundled in
+    this image.
+    """
+    try:
+        spark.read.format("avro").load("/nonexistent-avro-probe")
+        return True
+    except Exception as e:  # noqa: BLE001
+        return "AVRO" not in str(e) and "Failed to find data source" not in str(e)
+
+
+def read_avro(
+    spark: SparkSession, path: str, schema: StructType | str | None = None, **options: Any
+) -> DataFrame:
+    """Avro batch read (row-oriented interchange; no pushdown — prefer
+    parquet for analytics).  Requires the spark-avro module."""
+    if not avro_available(spark):
+        raise NotImplementedError(
+            "spark-avro module not on the classpath; add "
+            "org.apache.spark:spark-avro via spark.jars.packages"
+        )
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.options(**{k: str(v) for k, v in options.items()}).format("avro").load(path)
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite", **options: Any) -> None:
+    if not avro_available(df.sparkSession):
+        raise NotImplementedError(
+            "spark-avro module not on the classpath; add "
+            "org.apache.spark:spark-avro via spark.jars.packages"
+        )
+    df.write.mode(mode).options(**{k: str(v) for k, v in options.items()}).format(
+        "avro"
+    ).save(path)
 
 
 def kafka_available(spark: SparkSession) -> bool:

@@ -94,3 +94,14 @@ def test_jdbc_gated_and_partition_guard(spark):
     assert avail  # sanity: classpath probe works
     with pytest.raises(ValueError, match="unpartitioned"):
         read_jdbc(spark, "jdbc:x://h/db", "t", "java.lang.String")
+
+
+def test_avro_gated(spark):
+    from flow_spark.sources.formats import avro_available, read_avro, write_avro
+
+    if avro_available(spark):  # pragma: no cover - not in this image
+        pytest.skip("spark-avro module present")
+    with pytest.raises(NotImplementedError, match="avro"):
+        read_avro(spark, "/tmp/nope.avro")
+    with pytest.raises(NotImplementedError, match="avro"):
+        write_avro(spark.range(1), "/tmp/nope.avro")
