@@ -313,3 +313,111 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+#: spans CTE shared by the point-in-time probe (mirrors
+#: scd2_validity_intervals' history build)
+_SQL_SCD2_SPANS = """
+        seq AS (
+            SELECT o_custkey, o_orderdate, o_orderpriority, o_orderkey,
+                   CASE WHEN o_orderpriority IS DISTINCT FROM
+                             LAG(o_orderpriority) OVER w
+                        THEN 1 ELSE 0 END AS chg
+            FROM orders
+            WHERE o_custkey % 10 = 0
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        ),
+        ver AS (
+            SELECT o_custkey, o_orderpriority, o_orderdate,
+                   SUM(chg) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey
+                                  ROWS UNBOUNDED PRECEDING) AS version
+            FROM seq
+        ),
+        spans AS (
+            SELECT o_custkey AS custkey, version,
+                   ANY_VALUE(o_orderpriority) AS priority,
+                   MIN(o_orderdate) AS vf
+            FROM ver
+            GROUP BY o_custkey, version
+        )
+"""
+
+
+@register(
+    "join_pointintime_scd2",
+    category="join",
+    doc="Point-in-time (temporal validity) join: each lineitem probes the "
+    "SCD2 priority history of its customer for the version valid AT "
+    "l_shipdate — the leakage-prevention join a training pipeline needs "
+    "so features reflect what was knowable at event time, never a later "
+    "dimension state.  Runs on the union-based as-of operator "
+    "(operators/asof.py): history and probes share ONE shuffle on "
+    "custkey and a single window pass finds the last version with "
+    "vf <= t, so no per-row subquery and no range-join explosion; "
+    "versions tied on a day resolve to the highest version id, "
+    "identically to the oracle's arg_max; probes shipped before their "
+    "customer's first version (the fixture allows it) surface as an "
+    "explicit NULL-priority group rather than silently dropping.",
+    oracle=f"""
+        WITH {_SQL_SCD2_SPANS},
+        spans_dedup AS (
+            SELECT custkey, vf, arg_max(priority, version) AS priority
+            FROM spans GROUP BY custkey, vf
+        ),
+        probe AS (
+            SELECT o_custkey AS custkey, l_shipdate AS t
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_custkey % 10 = 0
+        )
+        SELECT s.priority,
+               COUNT(*) AS n_items,
+               COUNT(DISTINCT p.custkey) AS n_custkeys
+        FROM probe p
+        ASOF LEFT JOIN spans_dedup s
+            ON p.custkey = s.custkey AND s.vf <= p.t
+        GROUP BY s.priority
+        ORDER BY s.priority NULLS FIRST
+    """,
+)
+def join_pointintime_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.asof import asof_join
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select("o_custkey", "o_orderdate", "o_orderpriority", "o_orderkey").withColumn(
+        "chg",
+        F.when(
+            ~F.col("o_orderpriority").eqNullSafe(F.lag("o_orderpriority").over(w)), 1
+        ).otherwise(0),
+    )
+    ver = seq.withColumn(
+        "version", F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    spans = ver.groupBy(F.col("o_custkey").alias("custkey"), "version").agg(
+        F.any_value("o_orderpriority").alias("priority"),
+        F.min("o_orderdate").alias("t"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    probe = li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("l_shipdate").alias("t"),
+    )
+    matched = asof_join(
+        probe,
+        spans,
+        ts_col="t",
+        by="custkey",
+        value_cols=["priority", "version"],
+        right_id_col="version",
+        allow_exact_matches=True,
+    )
+    return (
+        matched.groupBy(F.col("asof_priority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("custkey").alias("n_custkeys"),
+        )
+        .orderBy("priority")
+    )
