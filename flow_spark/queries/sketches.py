@@ -184,9 +184,11 @@ def sketch_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pass 2 exact-counts only the tiny candidate set via a broadcast "
     "semi-join and keeps 32*count > n, tested in integer space.  The "
     "result is therefore EXACT and partitioning-independent — the "
-    "oracle is a plain GROUP BY ... HAVING — while the scan stays one "
-    "pass per side with per-partition O(k) sketch state instead of a "
-    "full-vocabulary shuffle: the 100 TB shape for vocabulary/hot-key "
+    "oracle is a plain GROUP BY ... HAVING — while the stream is read "
+    "three times (sketch pass, candidate recount, count-only total — "
+    "the last is pure-JVM columnar) but nothing resembling the full "
+    "vocabulary ever crosses a shuffle, per-partition sketch state is "
+    "O(k): the 100 TB shape for vocabulary/hot-key "
     "discovery over trillions of tokens.",
     oracle=f"""
         WITH t AS (
