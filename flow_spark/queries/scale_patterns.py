@@ -218,17 +218,12 @@ def _sql_zvalue(x: str, y: str) -> str:
     """,
 )
 def scale_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.functions.layout import morton_interleave16
+
     orders = load_table(spark, sf_dir, "orders")
     x = F.col("o_custkey")
     y = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast("bigint")
-    one = F.lit(1).cast("bigint")
-    zval = None
-    for i in range(16):
-        term = F.shiftleft(F.shiftright(x, i).bitwiseAND(one), 2 * i) + F.shiftleft(
-            F.shiftright(y, i).bitwiseAND(one), 2 * i + 1
-        )
-        zval = term if zval is None else zval + term
-    z = orders.select(x.alias("x"), y.alias("y"), zval.alias("zval"))
+    z = orders.select(x.alias("x"), y.alias("y"), morton_interleave16(x, y).alias("zval"))
     return (
         z.groupBy(F.shiftright(F.col("zval"), 20).alias("z_bucket"))
         .agg(

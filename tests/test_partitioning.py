@@ -175,3 +175,52 @@ def test_task_retry_determinism(sf_dir):
         [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
     )
     assert "RETRY_DETERMINISM_OK" in proc.stdout, proc.stderr[-2000:]
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """Partition-level idempotent re-runs: overwrite mode=dynamic replaces
+    ONLY the partitions present in the incoming batch — the property that
+    makes re-running one day of a 100 TB partitioned table safe (static
+    overwrite would wipe every other partition)."""
+    path = str(tmp_path / "pt")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, day string").write.partitionBy(
+        "day"
+    ).parquet(path, mode="overwrite")
+    spark.createDataFrame([(10, "a")], "id long, day string").write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy("day").parquet(path)
+    out = {(r.id, r.day) for r in spark.read.parquet(path).collect()}
+    assert out == {(10, "a"), (2, "b")}
+
+
+def test_morton_interleave_matches_reference(spark):
+    """Column-expression Morton key == pure-python reference, and the
+    z-curve locality property holds (shared prefix => bounded box)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from flow_spark.functions.layout import morton_interleave16, morton_interleave16_py
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(500)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = (
+        df.select("x", "y", morton_interleave16(F.col("x"), F.col("y")).alias("z"))
+        .orderBy("x", "y")
+        .collect()
+    )
+    for r in got:
+        assert r.z == morton_interleave16_py(r.x, r.y), (r.x, r.y)
+    # locality: equal z >> 2k prefix bounds both dims within 2^k
+    k = 6
+    from collections import defaultdict
+
+    boxes = defaultdict(list)
+    for r in got:
+        boxes[r.z >> (2 * k)].append((r.x, r.y))
+    for pts in boxes.values():
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        assert max(xs) - min(xs) < (1 << k)
+        assert max(ys) - min(ys) < (1 << k)
