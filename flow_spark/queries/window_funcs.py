@@ -413,3 +413,48 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") % 200 == 0)
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "win_rolling_median",
+    category="window",
+    doc="Rolling exact median over the last 15 observations per user, on "
+    "scaled-integer cents: the median of longs is an integer or an "
+    "exact .5 — both exactly representable doubles — so the result is "
+    "bit-identical in any engine with NO rounding step (rounding a "
+    ".5-capable double is the classic cross-engine trap).  One shuffle "
+    "on user_id; the 15-row frame keeps per-row state O(frame).",
+    oracle="""
+        SELECT user_id, event_id,
+               median(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 14 PRECEDING AND CURRENT ROW
+               ) AS rolling_median_cents
+        FROM events
+        WHERE user_id % 25 = 0
+        ORDER BY user_id, event_id
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark's median() refuses a window frame (INVALID_WINDOW_SPEC_FOR_
+    # AGGREGATION_FUNC), so the frame median comes from collect_list +
+    # array_sort + middle element(s) — identical exact semantics.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
+    vc = F.round(F.col("value") * 100, 0).cast("long")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-14, W.currentRow)
+    )
+    med = F.expr(
+        "CASE WHEN size(l) % 2 = 1"
+        " THEN cast(element_at(array_sort(l), cast((size(l) + 1) div 2 as int)) as double)"
+        " ELSE (cast(element_at(array_sort(l), cast(size(l) div 2 as int)) as double)"
+        "     + cast(element_at(array_sort(l), cast(size(l) div 2 + 1 as int)) as double)) / 2"
+        " END"
+    )
+    return (
+        ev.select("user_id", "event_id", F.collect_list(vc).over(w).alias("l"))
+        .select("user_id", "event_id", med.alias("rolling_median_cents"))
+        .orderBy("user_id", "event_id")
+    )
