@@ -237,3 +237,57 @@ def scale_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bucket")
     )
+
+
+@register(
+    "scale_incremental_agg",
+    category="scale",
+    doc="Incremental aggregate maintenance: the historical per-(user, "
+    "day) rollup (events before the cutoff day) is merged with a "
+    "freshly-aggregated delta batch (the cutoff day onward) by "
+    "unioning partials and re-aggregating — the sum/count partials "
+    "compose exactly because they are integers, so the maintained "
+    "state is PROVEN equal to a full recompute (the oracle IS the "
+    "full recompute).  At 100 TB this is the pattern that replaces "
+    "re-reading months of history every run with one delta-sized "
+    "read plus a merge keyed like the state (one shuffle).  avg is "
+    "derived at read time from (sum, count) — never stored, since "
+    "averages don't compose.",
+    oracle="""
+        SELECT user_id,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE)
+                   / (100 * COUNT(*)) AS avg_value
+        FROM events
+        WHERE user_id % 10 = 0
+        GROUP BY user_id, day
+        ORDER BY user_id, day
+    """,
+)
+def scale_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("2024-01-25").cast("timestamp")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    vc = F.round(F.col("value") * 100, 0).cast("long")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "user_id", F.date_trunc("day", "ts").alias("day_ts")
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum(vc).alias("cents"))
+
+    state = rollup(ev.filter(F.col("ts") < cutoff))  # persisted rollup
+    delta = rollup(ev.filter(F.col("ts") >= cutoff))  # the new batch
+    merged = (
+        state.unionByName(delta)
+        .groupBy("user_id", "day_ts")
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    )
+    return merged.select(
+        "user_id",
+        F.date_format("day_ts", "yyyy-MM-dd").alias("day"),
+        "n",
+        "cents",
+        (F.col("cents").cast("double") / (100 * F.col("n"))).alias("avg_value"),
+    ).orderBy("user_id", "day")
