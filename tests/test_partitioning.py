@@ -224,3 +224,59 @@ def test_morton_interleave_matches_reference(spark):
         ys = [p[1] for p in pts]
         assert max(xs) - min(xs) < (1 << k)
         assert max(ys) - min(ys) < (1 << k)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Spark injects a bloom-filter semijoin reduction on the fact side of
+    a selective shuffle join (runtime row-level pruning before the
+    exchange).  The production trigger is applicationSideScanSizeThreshold
+    = 10GB — i.e. it arms itself exactly at the scan sizes our 100 TB
+    target has; here the threshold drops to 0 so sf-scale fixtures
+    demonstrate the plan shape, and the result is asserted identical to
+    the filter-off plan."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+
+    def run():
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+
+    old_bloom = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled", None)
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        baseline = run()
+
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        df = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, "bloom filter not injected"
+        assert [tuple(r) for r in df.collect()] == [tuple(r) for r in baseline]
+    finally:
+        for key, val in (
+            ("spark.sql.optimizer.runtime.bloomFilter.enabled", old_bloom),
+            ("spark.sql.autoBroadcastJoinThreshold", old_bcast),
+        ):
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
