@@ -1271,3 +1271,45 @@ def merge_changeset_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("bal_cents", F.lit(0)) + F.coalesce("delta_cents", F.lit(0))
         ).alias("new_bal_cents"),
     ).orderBy("k")
+
+
+@register(
+    "join_existence_flags",
+    category="join",
+    doc="Existence-mark join: one pass computes multiple EXISTS flags per "
+    "customer (has urgent order / has large order) as MAX(CASE) over a "
+    "single left join — the scalable form of N correlated EXISTS "
+    "subqueries (one shuffle, no per-flag re-probe of the fact table).",
+    oracle="""
+        SELECT c_custkey,
+               COALESCE(MAX(CASE WHEN o_orderpriority = '1-URGENT'
+                                 THEN 1 ELSE 0 END), 0) AS has_urgent,
+               COALESCE(MAX(CASE WHEN o_totalprice > 200000
+                                 THEN 1 ELSE 0 END), 0) AS has_large,
+               COUNT(o_orderkey) AS n_orders
+        FROM customer
+        LEFT JOIN orders ON o_custkey = c_custkey
+        WHERE c_custkey % 20 = 0
+        GROUP BY c_custkey
+        ORDER BY c_custkey
+    """,
+)
+def join_existence_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 20 == 0)
+    orders = load_table(spark, sf_dir, "orders")
+    j = cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+    return (
+        j.groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)),
+                F.lit(0),
+            ).alias("has_urgent"),
+            F.coalesce(
+                F.max(F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)),
+                F.lit(0),
+            ).alias("has_large"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("c_custkey")
+    )

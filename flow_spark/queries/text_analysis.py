@@ -651,3 +651,43 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "sample_reservoir_per_group",
+    category="text-analysis",
+    doc="Deterministic per-group 'reservoir': the 3 docs with the "
+    "smallest portable hash per language are a uniform-without-"
+    "replacement sample that every engine, retry, and re-partitioning "
+    "reproduces bit-identically (a true random reservoir depends on "
+    "row arrival order — unusable as 100 TB pipeline state).  One "
+    "shuffle: hash ranking and selection ride a single window.",
+    oracle=f"""
+        WITH h AS (
+            SELECT lang, doc_id, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY {portable_hash_expr("CAST(doc_id AS VARCHAR)", salt='resv')},
+                                doc_id
+                   ) AS rn
+            FROM documents
+        )
+        SELECT lang, rn, doc_id, n_chars
+        FROM h WHERE rn <= 3
+        ORDER BY lang, rn
+    """,
+)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from flow_spark.functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    hv = portable_hash64(F.col("doc_id").cast("string"), salt="resv")
+    w = W.partitionBy("lang").orderBy(hv.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "rn", "doc_id", "n_chars")
+        .orderBy("lang", "rn")
+    )
