@@ -636,3 +636,71 @@ def test_foreachbatch_merge_upsert(spark, tmp_path):
         r.k: r.bal for r in spark.read.parquet(state["path"]).collect()
     }
     assert final == {1: 112, 2: 150, 3: 300, 9: 900}
+
+
+def test_streaming_curation_pipeline(spark, sf_dir, tmp_path):
+    """End-to-end streaming curation: documents arrive as a file stream
+    (one parquet batch), pass the same declarative quality gates as the
+    batch `curation_pipeline` query (language, length, token count), get
+    exact-dedup'd inside the micro-batch in foreachBatch, and land in a
+    parquet sink — the streaming ingest shape of the training-data funnel.
+    The survivor set must equal the batch computation of the same gates
+    (streaming vs batch parity, Spark's core semantics promise)."""
+    import pyspark.sql.functions as SF
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src_dir))
+    out_dir = str(tmp_path / "out")
+
+    def gates(df):
+        toks = SF.split(SF.trim(SF.regexp_replace(SF.lower(SF.col("text")), r"\s+", " ")), " ")
+        return df.filter(
+            (SF.col("lang") == "en")
+            & SF.col("n_chars").between(100, 10000)
+            & (SF.size(toks) >= 10)
+        )
+
+    def apply_batch(batch_df, batch_id):
+        from pyspark.sql.window import Window
+
+        from flow_spark.operators.dedup import normalize_text
+
+        kept = gates(batch_df)
+        deduped = (
+            kept.withColumn("__k", normalize_text(SF.col("text")))
+            .withColumn(
+                "__rn",
+                SF.row_number().over(Window.partitionBy("__k").orderBy("doc_id")),
+            )
+            .filter(SF.col("__rn") == 1)
+            .drop("__k", "__rn")
+        )
+        deduped.write.mode("append").parquet(out_dir)
+
+    stream = spark.readStream.schema(docs.schema).parquet(str(src_dir))
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    from flow_spark.operators.dedup import normalize_text
+
+    batch_kept = gates(docs)
+    from pyspark.sql.window import Window
+
+    expected = {
+        r.doc_id
+        for r in batch_kept.withColumn("__k", normalize_text(F.col("text")))
+        .withColumn(
+            "__rn", F.row_number().over(Window.partitionBy("__k").orderBy("doc_id"))
+        )
+        .filter(F.col("__rn") == 1)
+        .collect()
+    }
+    assert got == expected and len(got) > 0
