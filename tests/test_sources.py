@@ -105,3 +105,34 @@ def test_avro_gated(spark):
         read_avro(spark, "/tmp/nope.avro")
     with pytest.raises(NotImplementedError, match="avro"):
         write_avro(spark.range(1), "/tmp/nope.avro")
+
+
+def test_corrupt_file_skip(spark, tmp_path):
+    """A 100 TB ingest will meet truncated/garbage files; with
+    spark.sql.files.ignoreCorruptFiles the scan skips them and keeps the
+    good rows instead of failing the whole job (default conf: fail fast —
+    also asserted, because silently-on-by-default would hide data loss)."""
+    import pyspark.sql.utils
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    spark.range(10).coalesce(1).write.mode("overwrite").parquet(str(d))
+    (d / "garbage.parquet").write_bytes(b"this is not parquet at all")
+
+    with pytest.raises(Exception):
+        spark.read.parquet(str(d)).count()  # fail-fast default
+
+    old = spark.conf.get("spark.sql.files.ignoreCorruptFiles", None)
+    try:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        # explicit schema: footer-based inference would still die on the
+        # garbage file at planning time (and is a second full listing at
+        # scale anyway — the engine's csv/json readers refuse inference
+        # for the same reason)
+        schema = spark.range(1).selectExpr("id").schema
+        assert spark.read.schema(schema).parquet(str(d)).count() == 10
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+        else:
+            spark.conf.set("spark.sql.files.ignoreCorruptFiles", old)
