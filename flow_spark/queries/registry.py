@@ -74,6 +74,7 @@ def all_queries() -> dict[str, Query]:
         scale_patterns,
         sketches,
         timeseries,
+        chunking,
     )
 
     return dict(_REGISTRY)
