@@ -151,3 +151,67 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "pack_id")
     )
+
+
+@register(
+    "text_dedup_chunks",
+    category="dedup",
+    doc="Cross-document boilerplate detection composed ON the chunking "
+    "operator: chunks whose portable fingerprint appears in more than "
+    "one document (shared headers/templates) — the sub-document dedup "
+    "pass that exact whole-doc dedup misses.  groupBy on the 60-bit "
+    "hash is one shuffle of (hash, doc) pairs, never chunk text.",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+            WHERE doc_id % 5 = 0
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   {portable_hash_expr(
+                       f"array_to_string(list_slice(toks, i * {_STRIDE} + 1,"
+                       f" i * {_STRIDE} + {_CHUNK}), ' ')", salt='chunk')}
+                       AS chunk_hash
+            FROM d CROSS JOIN range(0, 128) t(i)
+            WHERE i * {_STRIDE} < len(toks)
+        )
+        SELECT chunk_hash,
+               COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               MIN(doc_id) AS first_doc
+        FROM chunks
+        GROUP BY chunk_hash
+        HAVING COUNT(DISTINCT doc_id) > 1
+        ORDER BY n_docs DESC, chunk_hash
+    """,
+)
+def text_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.functions.hashing import portable_hash64
+    from flow_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    d = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    exploded = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), ((F.size("toks") - 1) / _STRIDE).cast("int"))
+        ).alias("chunk_idx"),
+        "toks",
+    )
+    chunk_hash = portable_hash64(
+        F.array_join(
+            F.slice(F.col("toks"), F.col("chunk_idx") * _STRIDE + 1, _CHUNK), " "
+        ),
+        salt="chunk",
+    )
+    return (
+        exploded.select("doc_id", chunk_hash.alias("chunk_hash"))
+        .groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), "chunk_hash")
+    )
