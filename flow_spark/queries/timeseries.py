@@ -421,3 +421,46 @@ def join_pointintime_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "cohort_retention",
+    category="timeseries",
+    doc="Cohort retention matrix: users cohorted by first-activity week "
+    "(weeks since the corpus epoch, integer floor-div), counted "
+    "distinct per (cohort week, week offset) — the standard retention "
+    "triangle.  All-integer bucketing; two shuffles (per-user cohort "
+    "min, then the matrix rollup) keyed exactly like a 100 TB "
+    "events table would partition (user, then small matrix).",
+    oracle="""
+        WITH act AS (
+            SELECT DISTINCT user_id,
+                   datediff('day', DATE '2024-01-01',
+                            CAST(date_trunc('day', ts) AS DATE)) // 7 AS week
+            FROM events
+        ),
+        cohort AS (
+            SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id
+        )
+        SELECT c.cohort_week,
+               a.week - c.cohort_week AS week_offset,
+               COUNT(DISTINCT a.user_id) AS n_active
+        FROM act a JOIN cohort c ON a.user_id = c.user_id
+        GROUP BY c.cohort_week, week_offset
+        ORDER BY cohort_week, week_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = (
+        F.datediff(F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        / 7
+    ).cast("bigint")
+    act = ev.select("user_id", week.alias("week")).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
