@@ -1313,3 +1313,48 @@ def join_existence_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    category="aggregation",
+    doc="Statistical mode per group with an explicit deterministic "
+    "tiebreak (highest count, then lexicographically smallest value) — "
+    "built from counts + row_number because both engines' native "
+    "mode() leave ties unspecified, which is exactly the kind of "
+    "nondeterminism a retried 100 TB job cannot tolerate.",
+    oracle="""
+        WITH counts AS (
+            SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n
+            FROM customer JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_mktsegment, o_orderpriority
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY c_mktsegment
+                ORDER BY n DESC, o_orderpriority ASC
+            ) AS rn
+            FROM counts
+        )
+        SELECT c_mktsegment, o_orderpriority AS mode_priority, n
+        FROM ranked WHERE rn = 1
+        ORDER BY c_mktsegment
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    counts = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("n"), F.asc("o_orderpriority"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_mktsegment", F.col("o_orderpriority").alias("mode_priority"), "n")
+        .orderBy("c_mktsegment")
+    )

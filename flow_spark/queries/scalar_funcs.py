@@ -1079,3 +1079,57 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY pri
         """
     )
+
+
+@register(
+    "fn_generator_outer",
+    category="function",
+    doc="Generator edge semantics: explode vs explode_outer over empty "
+    "and NULL arrays — outer keeps the parent row with a NULL element "
+    "(the row-preserving contract an unnest-heavy pipeline relies on; "
+    "plain explode silently drops those parents).",
+    oracle="""
+        WITH src AS (
+            SELECT n_nationkey AS k,
+                   CASE WHEN n_nationkey % 3 = 0 THEN NULL
+                        WHEN n_nationkey % 3 = 1 THEN []
+                        ELSE [n_nationkey, n_nationkey * 10] END AS arr
+            FROM nation
+        ),
+        plain AS (
+            SELECT k, unnest(arr) AS v FROM src
+        ),
+        outer_u AS (
+            SELECT k, u.v
+            FROM src LEFT JOIN LATERAL (SELECT unnest(arr) AS v) u ON TRUE
+        )
+        SELECT 'plain' AS mode, COUNT(*) AS n_rows,
+               COUNT(v) AS n_values, COUNT(DISTINCT k) AS n_parents
+        FROM plain
+        UNION ALL
+        SELECT 'outer', COUNT(*), COUNT(v), COUNT(DISTINCT k) FROM outer_u
+        ORDER BY mode
+    """,
+)
+def fn_generator_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    src = nation.select(
+        F.col("n_nationkey").alias("k"),
+        F.when(F.col("n_nationkey") % 3 == 0, F.lit(None).cast("array<bigint>"))
+        .when(F.col("n_nationkey") % 3 == 1, F.array().cast("array<bigint>"))
+        .otherwise(F.array(F.col("n_nationkey"), F.col("n_nationkey") * 10))
+        .alias("arr"),
+    )
+    plain = src.select("k", F.explode("arr").alias("v")).agg(
+        F.lit("plain").alias("mode"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_values"),
+        F.countDistinct("k").alias("n_parents"),
+    )
+    outer = src.select("k", F.explode_outer("arr").alias("v")).agg(
+        F.lit("outer").alias("mode"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_values"),
+        F.countDistinct("k").alias("n_parents"),
+    )
+    return plain.unionByName(outer).orderBy("mode")
