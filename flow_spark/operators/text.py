@@ -7,7 +7,7 @@ zero Python in the hot path, so these run at scan throughput over 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from flow_spark.functions.hashing import portable_hash64
@@ -100,3 +100,22 @@ def fingerprint(col: Column) -> Column:
     """Deterministic 60-bit fingerprint of the normalized text (rolling-hash
     analogue; md5-based so it's portable across engines)."""
     return portable_hash64(normalize_text(col), salt="fp")
+
+
+def chunk_windows(
+    df: "DataFrame", toks_col: str = "toks", size: int = 32, stride: int = 24
+) -> "DataFrame":
+    """Overlapping token windows: adds ``chunk_idx`` and ``chunk`` columns.
+
+    Chunk i covers tokens [i*stride+1, i*stride+size] (1-based); the last
+    chunk may be short.  Chunk count derives from each row's own token
+    length via ``sequence`` + ``explode`` — rows materialize distributed,
+    never on the driver.
+    """
+    idx = F.explode(
+        F.sequence(F.lit(0), ((F.size(toks_col) - 1) / stride).cast("int"))
+    ).alias("chunk_idx")
+    out = df.select("*", idx)
+    return out.withColumn(
+        "chunk", F.slice(F.col(toks_col), F.col("chunk_idx") * stride + 1, size)
+    )

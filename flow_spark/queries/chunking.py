@@ -65,20 +65,12 @@ _SQL_TOKS = f"string_split({_SQL_NORM}, ' ')"
 )
 def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flow_spark.functions.hashing import portable_hash64
-    from flow_spark.operators.text import tokens
+    from flow_spark.operators.text import chunk_windows, tokens
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
     d = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
-    exploded = d.select(
-        "doc_id",
-        "toks",
-        F.explode(
-            F.sequence(F.lit(0), ((F.size("toks") - 1) / _STRIDE).cast("int"))
-        ).alias("chunk_idx"),
-    )
-    chunk = F.slice(F.col("toks"), F.col("chunk_idx") * _STRIDE + 1, _CHUNK)
     return (
-        exploded.select("doc_id", "chunk_idx", chunk.alias("chunk"))
+        chunk_windows(d, size=_CHUNK, stride=_STRIDE)
         .select(
             "doc_id",
             "chunk_idx",
@@ -187,25 +179,14 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flow_spark.functions.hashing import portable_hash64
-    from flow_spark.operators.text import tokens
+    from flow_spark.operators.text import chunk_windows, tokens
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     d = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
-    exploded = d.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(0), ((F.size("toks") - 1) / _STRIDE).cast("int"))
-        ).alias("chunk_idx"),
-        "toks",
-    )
-    chunk_hash = portable_hash64(
-        F.array_join(
-            F.slice(F.col("toks"), F.col("chunk_idx") * _STRIDE + 1, _CHUNK), " "
-        ),
-        salt="chunk",
-    )
+    chunk_hash = portable_hash64(F.array_join("chunk", " "), salt="chunk")
     return (
-        exploded.select("doc_id", chunk_hash.alias("chunk_hash"))
+        chunk_windows(d, size=_CHUNK, stride=_STRIDE)
+        .select("doc_id", chunk_hash.alias("chunk_hash"))
         .groupBy("chunk_hash")
         .agg(
             F.count(F.lit(1)).alias("n_occurrences"),

@@ -178,3 +178,37 @@ def test_kmv_sketch_accuracy(spark, sf_dir):
     assert rows
     for r in rows:
         assert abs(r.ndv_estimate - r.n_exact) <= 0.4 * r.n_exact, r
+
+
+def test_chunk_windows_tile_exactly(spark):
+    """Chunk tiling invariants: starts advance by exactly `stride`, every
+    token is covered, consecutive chunks overlap by size-stride tokens and
+    agree on the overlap, and short docs yield one whole-doc chunk."""
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.text import chunk_windows
+
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, toks), (2, ["only", "two"])], "doc_id long, toks array<string>"
+    )
+    rows = (
+        chunk_windows(df, size=4, stride=3)
+        .select("doc_id", "chunk_idx", "chunk")
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk))
+    # doc 1: 10 tokens, size 4 / stride 3 -> starts 0,3,6,9
+    chunks = [c for _, c in by_doc[1]]
+    assert [c[0] for c in chunks] == ["t0", "t3", "t6", "t9"]
+    assert chunks[0] == ["t0", "t1", "t2", "t3"]
+    assert chunks[-1] == ["t9"]  # short tail
+    covered = {t for c in chunks for t in c}
+    assert covered == set(toks)
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[3:] == b[: len(a[3:])]  # overlap agreement
+    # doc 2: shorter than one window -> exactly one whole-doc chunk
+    assert by_doc[2] == [(0, ["only", "two"])]
