@@ -253,3 +253,56 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate("qv", zero, lambda acc, v: acc + F.abs(v)).alias("l1_q"),
         F.size(F.filter("qv", lambda v: F.abs(v) == 127)).alias("n_saturated"),
     ).orderBy("vec_id")
+
+
+@register(
+    "emb_l2_normalize",
+    category="similarity",
+    doc="L2 normalization to unit vectors (the preprocessing step before "
+    "cosine ANN reduces to dot products): components divide by the l2 "
+    "norm via JVM higher-order functions — no shuffle, no Python — and "
+    "the output includes the re-computed norm of the normalized vector "
+    "(== 1 at 6 decimals) as a self-check.  sqrt and division are "
+    "IEEE-defined, and both engines fold the array in element order, "
+    "so values agree bit-for-bit before the display rounding.",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE vec_id % 20 = 0
+        ),
+        n AS (
+            SELECT vec_id, e,
+                   sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+            FROM v
+        ),
+        u AS (
+            SELECT vec_id, nrm,
+                   list_transform(e, x -> x / nrm) AS unit
+            FROM n
+        )
+        SELECT vec_id,
+               ROUND(nrm, 6) AS norm,
+               ROUND(unit[1], 6) AS u_first,
+               ROUND(sqrt(list_sum(list_transform(unit, x -> x * x))), 6)
+                   AS unit_norm
+        FROM u
+        ORDER BY vec_id
+    """,
+)
+def emb_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.functions.vectors import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 20 == 0)
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    d = emb.select("vec_id", e.alias("e")).withColumn("nrm", l2_norm(F.col("e")))
+    unit = F.transform("e", lambda x: x / F.col("nrm"))
+    return (
+        d.withColumn("unit", unit)
+        .select(
+            "vec_id",
+            F.round("nrm", 6).alias("norm"),
+            F.round(F.element_at("unit", 1), 6).alias("u_first"),
+            F.round(l2_norm(F.col("unit")), 6).alias("unit_norm"),
+        )
+        .orderBy("vec_id")
+    )

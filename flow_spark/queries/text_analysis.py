@@ -691,3 +691,46 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "rn", "doc_id", "n_chars")
         .orderBy("lang", "rn")
     )
+
+
+@register(
+    "sample_train_val_test",
+    category="text-analysis",
+    doc="Deterministic 80/10/10 train/val/test assignment from the "
+    "portable doc hash — every engine, re-run, and repartitioning "
+    "assigns each document to the SAME split (a rand()-based split "
+    "leaks val docs into train on any retry); per-(split, lang) counts "
+    "verify both the proportions and the assignment.",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT lang, doc_id, n_chars,
+                   CASE WHEN h < 80 THEN 'train'
+                        WHEN h < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT *, {portable_hash_expr("CAST(doc_id AS VARCHAR)", salt='tvt')}
+                          % 100 AS h
+                FROM documents
+            )
+        )
+        SELECT split, lang, COUNT(*) AS n,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM assigned
+        GROUP BY split, lang
+        ORDER BY split, lang
+    """,
+)
+def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.pmod(portable_hash64(F.col("doc_id").cast("string"), salt="tvt"), F.lit(100))
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", "doc_id", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").cast("bigint").alias("id_sum"))
+        .orderBy("split", "lang")
+    )
