@@ -133,3 +133,43 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("asset_id", "new_len", "payload_md5")
         .orderBy("asset_id")
     )
+
+
+@register(
+    "mm_payload_dedup",
+    category="multimodal",
+    doc="Binary payload dedup by content digest: assets group on md5 of "
+    "the raw bytes, keeper = min asset id — the exact-dedup pass a "
+    "media lake runs before any decode (at 100 TB only 16-byte digests "
+    "and ids cross the shuffle, never payloads; dedup-before-decode is "
+    "also the cost ordering that matters when decode dominates).",
+    oracle="""
+        SELECT md5(text) AS digest,
+               COUNT(*) AS n_copies,
+               MIN(doc_id) AS keeper_id,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT)
+                   AS bytes_reclaimable
+        FROM documents
+        GROUP BY digest
+        HAVING COUNT(*) > 1
+        ORDER BY n_copies DESC, keeper_id
+    """,
+)
+def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assets = documents_as_assets(docs)
+    return (
+        assets.select(
+            "asset_id",
+            F.md5(F.col("payload")).alias("digest"),
+            F.octet_length("payload").alias("n_bytes"),
+        )
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("asset_id").alias("keeper_id"),
+            F.sum("n_bytes").cast("bigint").alias("bytes_reclaimable"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy(F.desc("n_copies"), "keeper_id")
+    )
