@@ -734,3 +734,37 @@ def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").cast("bigint").alias("id_sum"))
         .orderBy("split", "lang")
     )
+
+
+@register(
+    "text_lang_confusion",
+    category="text-analysis",
+    doc="Language-ID confusion matrix: predicted (marker-evidence argmax) "
+    "vs labeled language, with per-cell counts — the evaluation rollup "
+    "that turns the lang_id operator into a measurable classifier; "
+    "composition of the same deterministic scorer as text_lang_id, "
+    "still pure column expressions at scan speed.",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   {_sql_lang_score('de')} AS s_de,
+                   {_sql_lang_score('en')} AS s_en,
+                   {_sql_lang_score('es')} AS s_es,
+                   {_sql_lang_score('fr')} AS s_fr
+            FROM documents
+        )
+        SELECT lang AS labeled, {_sql_lang_id()} AS predicted,
+               COUNT(*) AS n
+        FROM scored
+        GROUP BY labeled, predicted
+        ORDER BY labeled, predicted
+    """,
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("lang").alias("labeled"), lang_id(F.col("text")).alias("predicted"))
+        .groupBy("labeled", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("labeled", "predicted")
+    )

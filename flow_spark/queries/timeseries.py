@@ -464,3 +464,52 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "ts_longest_streak",
+    category="timeseries",
+    doc="Longest consecutive-week activity streak per user: distinct "
+    "active weeks -> gaps-and-islands on the integer week number "
+    "(week - dense row_number is constant within a consecutive run) "
+    "-> max run length.  The engagement metric next to "
+    "cohort_retention; one shuffle on user_id drives distinct, "
+    "window, and the final max.",
+    oracle="""
+        WITH weeks AS (
+            SELECT DISTINCT user_id,
+                   datediff('day', DATE '2024-01-01',
+                            CAST(date_trunc('day', ts) AS DATE)) // 7 AS week
+            FROM events WHERE user_id % 5 = 0
+        ),
+        runs AS (
+            SELECT user_id, week,
+                   week - ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY week) AS grp
+            FROM weeks
+        )
+        SELECT user_id, CAST(MAX(run_len) AS BIGINT) AS longest_streak
+        FROM (
+            SELECT user_id, grp, COUNT(*) AS run_len
+            FROM runs GROUP BY user_id, grp
+        )
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def ts_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
+    week = (
+        F.datediff(F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        / 7
+    ).cast("bigint")
+    weeks = ev.select("user_id", week.alias("week")).distinct()
+    w = W.partitionBy("user_id").orderBy("week")
+    runs = weeks.withColumn("grp", F.col("week") - F.row_number().over(w))
+    return (
+        runs.groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("user_id")
+        .agg(F.max("run_len").cast("bigint").alias("longest_streak"))
+        .orderBy("user_id")
+    )
