@@ -1358,3 +1358,52 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_mktsegment", F.col("o_orderpriority").alias("mode_priority"), "n")
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "sql_recursive_cte",
+    category="sql",
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE): each sampled customer "
+    "walks its derived ancestor chain (node -> node div 2, a binary-"
+    "tree encoding over the key space) to the root, aggregating chain "
+    "length and path-key sum — iterative reachability expressed "
+    "declaratively so the engine handles the fixed-point loop; the "
+    "same computation dedup_components hand-rolls with a driver loop. "
+    "All-integer arithmetic, identical recursion in DuckDB.",
+    oracle="""
+        WITH RECURSIVE chain(start, node, depth) AS (
+            SELECT c_custkey, c_custkey, 0
+            FROM customer WHERE c_custkey % 100 = 0
+            UNION ALL
+            SELECT start, node // 2, depth + 1
+            FROM chain WHERE node > 0
+        )
+        SELECT start,
+               CAST(MAX(depth) AS BIGINT) AS chain_len,
+               CAST(SUM(node) AS BIGINT)  AS key_path_sum
+        FROM chain
+        GROUP BY start
+        ORDER BY start
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(start, node, depth) AS (
+            SELECT c_custkey, c_custkey, 0
+            FROM customer WHERE c_custkey % 100 = 0
+            UNION ALL
+            SELECT start, node DIV 2, depth + 1
+            FROM chain WHERE node > 0
+        )
+        SELECT start,
+               CAST(MAX(depth) AS BIGINT) AS chain_len,
+               CAST(SUM(node) AS BIGINT)  AS key_path_sum
+        FROM chain
+        GROUP BY start
+        ORDER BY start
+        """
+    )
