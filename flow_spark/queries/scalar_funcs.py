@@ -1133,3 +1133,34 @@ def fn_generator_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("k").alias("n_parents"),
     )
     return plain.unionByName(outer).orderBy("mode")
+
+
+@register(
+    "fn_variant_json",
+    category="json-fn",
+    doc="VARIANT semi-structured type (Spark 4): events.props parses once "
+    "into a variant and fields extract with typed paths (variant_get) — "
+    "the scan-efficient pattern for schema-on-read JSON at scale "
+    "(binary-encoded variant beats per-access string re-parsing; "
+    "Parquet variant shredding pushes field access into the scan).  "
+    "Oracle uses DuckDB's JSON extraction over the same column.",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+               json_extract_string(props, '$.tag') AS tag
+        FROM events
+        WHERE event_id % 20 = 0
+        ORDER BY event_id
+    """,
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    v = F.parse_json("props")
+    return (
+        ev.select(
+            "event_id",
+            F.try_variant_get(v, "$.k", "bigint").alias("k_val"),
+            F.try_variant_get(v, "$.tag", "string").alias("tag"),
+        )
+        .orderBy("event_id")
+    )
