@@ -880,7 +880,8 @@ def subquery_correlated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderpriority,
                COUNT(*) AS n_orders,
-               SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS n_big
+               CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_big
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '1998-01-01'
           AND o_orderdate <  TIMESTAMP '1999-01-01'
@@ -1039,11 +1040,11 @@ def agg_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lexicographically sorted, which the oracle mirrors.",
     oracle="""
         SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
-               SUM(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
-               SUM(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
-               SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
-               SUM(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
-               SUM(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+               CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 END) AS BIGINT) AS click,
+               CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 END) AS BIGINT) AS error,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 END) AS BIGINT) AS signup,
+               CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 END) AS BIGINT) AS view
         FROM events
         GROUP BY day
         ORDER BY day
@@ -1219,7 +1220,8 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         deltas AS (
             SELECT o_custkey,
-                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS delta_cents
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS delta_cents
             FROM orders
             WHERE o_orderdate >= TIMESTAMP '1998-01-01'
             GROUP BY o_custkey
@@ -1234,8 +1236,8 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN b.k IS NULL THEN 'insert'
                     WHEN c.k IS NULL THEN 'carry'
                     ELSE 'update' END AS action,
-               COALESCE(b.bal_cents, 0) + COALESCE(c.delta_cents, 0)
-                   AS new_bal_cents
+               CAST(COALESCE(b.bal_cents, 0) + COALESCE(c.delta_cents, 0)
+                    AS BIGINT) AS new_bal_cents
         FROM base b FULL OUTER JOIN changes c ON b.k = c.k
         ORDER BY k
     """,

@@ -675,10 +675,11 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "single-bit state, the cheapest aggregates there are at scale.",
     oracle="""
         SELECT o_orderpriority,
-               count_if(o_totalprice > 200000)               AS n_big,
-               bool_and(o_totalprice > 1000)                 AS all_over_1k,
-               bool_or(o_orderstatus = 'F')                  AS any_finished,
-               count_if(o_orderdate >= TIMESTAMP '1998-01-01') AS n_recent
+               CAST(count_if(o_totalprice > 200000) AS BIGINT)  AS n_big,
+               bool_and(o_totalprice > 1000)                    AS all_over_1k,
+               bool_or(o_orderstatus = 'F')                     AS any_finished,
+               CAST(count_if(o_orderdate >= TIMESTAMP '1998-01-01')
+                    AS BIGINT) AS n_recent
         FROM orders
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
@@ -888,9 +889,9 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT k,
                COUNT(*) AS n_rows,
                COUNT(k) AS n_nonnull_key,
-               SUM(CASE WHEN k IS NOT DISTINCT FROM 'F' THEN 1 ELSE 0 END)
-                   AS n_nullsafe_f,
-               SUM(maybe_cents) AS cents_or_null
+               CAST(SUM(CASE WHEN k IS NOT DISTINCT FROM 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nullsafe_f,
+               CAST(SUM(maybe_cents) AS BIGINT) AS cents_or_null
         FROM t
         GROUP BY k
         ORDER BY k NULLS FIRST

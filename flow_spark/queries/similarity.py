@@ -225,8 +225,9 @@ def sim_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT vec_id,
                CAST(scale AS DOUBLE) AS scale,
-               list_aggregate(qv, 'sum') AS sum_q,
-               list_aggregate(list_transform(qv, v -> abs(v)), 'sum') AS l1_q,
+               CAST(list_aggregate(qv, 'sum') AS BIGINT) AS sum_q,
+               CAST(list_aggregate(list_transform(qv, v -> abs(v)), 'sum')
+                    AS BIGINT) AS l1_q,
                len(list_filter(qv, v -> abs(v) = 127)) AS n_saturated
         FROM q
         ORDER BY vec_id
@@ -245,7 +246,7 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
         ),
     )
-    zero = F.lit(0)
+    zero = F.lit(0).cast("long")
     return q.select(
         "vec_id",
         F.col("scale").cast("double").alias("scale"),

@@ -445,10 +445,10 @@ def q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle after the join is negligible at any scale.",
     oracle="""
         SELECT ship_bucket,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS low_line_count
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         FROM (
             SELECT CASE
                      WHEN datediff('day', CAST(o_orderdate AS DATE),
