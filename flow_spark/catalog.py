@@ -38,21 +38,41 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: per-session DataFrame memo: re-listing the files and re-inferring the
+#: schema for every query adds a fixed per-query cost (the dominant
+#: overhead at small SF; at 100 TB the listing of a large partitioned
+#: table is ALSO worth doing once).  A DataFrame is a lazy plan — reusing
+#: it shares the resolved relation + file index across queries while every
+#: execution still scans fresh.  Keyed by applicationId so a new session
+#: (tests spin several) never sees another session's plans.
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table: {name!r} (have {TABLES})")
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    cached = _TABLE_MEMO.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts is timestamp[ns] in the footer, surfaced as nanos-long via
-        # spark.sql.legacy.parquet.nanosAsLong; derive the canonical
-        # microsecond timestamp (Spark timestamps are us precision).
+        # Canonical contract: events.ts is TimestampType (UTC). Fixture
+        # generations have varied — timestamp[ns] (surfaced as nanos-long
+        # via spark.sql.legacy.parquet.nanosAsLong) and timestamp[us]
+        # without tz metadata (surfaced as TIMESTAMP_NTZ) — normalize both.
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             # integer division: ns magnitudes exceed double's 53-bit mantissa,
             # so (ts / 1000).cast(...) could land one microsecond off
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            # session tz is pinned to UTC (session.py), so this cast is an
+            # exact reinterpretation, matching the UTC-naive DuckDB oracle
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _TABLE_MEMO[key] = df
     return df
 
 

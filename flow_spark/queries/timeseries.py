@@ -114,7 +114,8 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         daily AS (
             SELECT user_id, date_trunc('day', ts) AS bucket,
-                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS day_cents
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                        AS BIGINT) AS day_cents
             FROM events WHERE user_id % 10 = 0
             GROUP BY user_id, bucket
         )
@@ -193,9 +194,10 @@ def ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ver AS (
             SELECT o_custkey, o_orderpriority,
-                   SUM(chg) OVER (PARTITION BY o_custkey
-                                  ORDER BY o_orderdate, o_orderkey
-                                  ROWS UNBOUNDED PRECEDING) AS version
+                   CAST(SUM(chg) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey
+                                       ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS version
             , o_orderdate
             FROM seq
         ),

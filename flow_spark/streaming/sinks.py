@@ -163,7 +163,7 @@ def socket_sink_batch(
     df: DataFrame,
     bind: str,
     body_col: str = "body_str",
-    distributed: bool = False,
+    distributed: bool | None = None,
 ) -> int:
     """Write each record's body over a socket — the tcp/udp/unix sink heads
     (actor/sink_head_{tcp,udp,unix}.go): stream heads frame with \r\n, the
@@ -171,28 +171,36 @@ def socket_sink_batch(
     propagates so the caller's backoff loop (write_with_backoff =
     sink.go:80-111 semantics) owns reconnection.
 
-    Default is one driver-side connection — the reference's contract (one
-    conn, in-order writes). `distributed=True` is the 100 TB shape: one
-    connection PER PARTITION via foreachPartition, executor-side, no
-    driver collect — ordering holds within a partition only, which is all
-    the reference guarantees across goroutines anyway.
+    `distributed=None` resolves by scheme: tcp/udp targets are network-
+    reachable from every executor, so they default to the 100 TB shape —
+    one connection PER PARTITION, executor-side, no driver collect
+    (ordering holds within a partition, which is all the reference
+    guarantees across goroutines anyway). unix:// sockets are node-local
+    by construction, so they keep the single driver-side connection (the
+    reference's one-conn in-order contract); pass distributed explicitly
+    to override either way.
     """
+    if distributed is None:
+        distributed = not bind.startswith("unix://")
     if distributed:
-        def write_partition(rows) -> None:
+        def write_partition(rows):
             sock = None
+            sent = 0
             try:
                 for r in rows:
                     if sock is None:  # dial lazily: empty partitions skip
                         sock, framed = _dial(bind)
                     body = (r[body_col] or "").encode()
                     sock.sendall(body + b"\r\n" if framed else body)
+                    sent += 1
             finally:
                 if sock is not None:
                     sock.close()
+            yield sent
 
-        n = df.count()
-        df.select(body_col).foreachPartition(write_partition)
-        return n
+        # Single pass: each partition writes AND reports its row count, so
+        # there is no separate count() job re-reading the batch.
+        return df.select(body_col).rdd.mapPartitions(write_partition).sum()
 
     rows = df.select(body_col).collect()
     sock, framed = _dial(bind)
@@ -212,14 +220,18 @@ def socket_sink(
     bind: str,
     max_retries: int = 3,
     body_col: str = "body_str",
+    distributed: bool | None = None,
 ):
     """Streaming socket sink head: foreachBatch -> dial + write with the
     reference's reconnect/backoff contract (a fresh dial per attempt =
-    sink.go's reconnect loop)."""
+    sink.go's reconnect loop). `distributed` follows socket_sink_batch's
+    scheme-based default: tcp/udp write executor-side per partition."""
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         write_with_backoff(
-            lambda d: socket_sink_batch(d, bind, body_col=body_col),
+            lambda d: socket_sink_batch(
+                d, bind, body_col=body_col, distributed=distributed
+            ),
             batch,
             max_retries=max_retries,
         )

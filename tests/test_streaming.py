@@ -446,8 +446,9 @@ def _five_messages(spark, sf_dir):
 
 
 def test_socket_sink_tcp_framing(spark, sf_dir, tmp_path):
-    """sink_head_tcp.go parity: bodies stream over one connection,
-    \r\n-terminated, in order."""
+    """sink_head_tcp.go parity: bodies stream \r\n-terminated. TCP heads
+    default to the distributed per-partition writer, so framing holds per
+    connection and every record arrives exactly once."""
     import time
 
     from flow_spark.streaming.sinks import socket_sink
@@ -538,6 +539,47 @@ def test_socket_sink_distributed_per_partition(spark, tmp_path):
         assert srv.conns == non_empty  # one dial per non-empty partition
     finally:
         srv.close()
+
+
+def test_socket_sink_scheme_default_resolution(spark, tmp_path):
+    """distributed=None resolves by scheme: tcp dials per non-empty
+    partition (executor-side, the scale default); unix keeps ONE
+    driver-side connection (node-local socket, single-fd contract)."""
+    import time
+
+    from flow_spark.streaming.sinks import socket_sink_batch
+
+    df = spark.createDataFrame(
+        [(f"d{i}",) for i in range(8)], "body_str string"
+    ).repartition(4)
+    non_empty = (
+        df.rdd.mapPartitions(lambda it: [sum(1 for _ in it)])
+        .filter(lambda c: c > 0)
+        .count()
+    )
+
+    srv = _CaptureServer("tcp", ("127.0.0.1", 0))
+    try:
+        n = socket_sink_batch(df, f"tcp://127.0.0.1:{srv.addr[1]}")
+        assert n == 8
+        deadline = time.time() + 10
+        while time.time() < deadline and srv.data().count(b"\r\n") < 8:
+            time.sleep(0.05)
+        assert srv.conns == non_empty  # default = per-partition dials
+    finally:
+        srv.close()
+
+    path = str(tmp_path / "default.sock")
+    usrv = _CaptureServer("unix", path)
+    try:
+        n = socket_sink_batch(df, f"unix://{path}")
+        assert n == 8
+        deadline = time.time() + 10
+        while time.time() < deadline and usrv.data().count(b"\r\n") < 8:
+            time.sleep(0.05)
+        assert usrv.conns == 1  # default = single driver-side conn
+    finally:
+        usrv.close()
 
 
 def test_socket_sink_reconnect_backoff(spark):
@@ -636,6 +678,26 @@ def test_foreachbatch_merge_upsert(spark, tmp_path):
         r.k: r.bal for r in spark.read.parquet(state["path"]).collect()
     }
     assert final == {1: 112, 2: 150, 3: 300, 9: 900}
+
+    # Streaming == batch parity: merging micro-batch by micro-batch must
+    # land exactly where ONE batch merge of the union of changesets lands
+    # (sum-of-deltas is associative across batches).
+    all_chg = (
+        spark.read.schema("k long, delta long")
+        .option("recursiveFileLookup", "true")
+        .json(str(chg_dir))
+        .groupBy("k")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    batch_merged = (
+        spark.read.parquet(base_dir)
+        .join(all_chg, "k", "full_outer")
+        .select(
+            "k",
+            (F.coalesce("bal", F.lit(0)) + F.coalesce("delta", F.lit(0))).alias("bal"),
+        )
+    )
+    assert final == {r.k: r.bal for r in batch_merged.collect()}
 
 
 def test_streaming_curation_pipeline(spark, sf_dir, tmp_path):

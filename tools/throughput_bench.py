@@ -127,8 +127,19 @@ def bench_tcp_bridge(n: int) -> dict:
 def main() -> None:
     n_stream = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     n_tcp = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
-    print(json.dumps(bench_gcra_stream(n_stream)))
-    print(json.dumps(bench_tcp_bridge(n_tcp)))
+    gcra = bench_gcra_stream(n_stream)
+    tcp = bench_tcp_bridge(n_tcp)
+    print(json.dumps(gcra))
+    print(json.dumps(tcp))
+    # Tracked artifact: THROUGHPUT.json at the repo root so the numbers are
+    # regression-diffable round over round instead of living in prose.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_THROUGHPUT_OUT",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "THROUGHPUT.json"),
+    )
+    with open(out_path, "w") as f:
+        json.dump({"gcra_stream": gcra, "tcp_bridge": tcp}, f, indent=2)
+        f.write("\n")
 
 
 if __name__ == "__main__":
