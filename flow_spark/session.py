@@ -53,6 +53,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    # Optional connector bootstrap: point SPARK_GRAFT_EXTRA_JARS at local
+    # jar paths (comma-separated) to un-gate kafka/avro/jdbc without any
+    # network fetch.  No-op when unset (the jars aren't in this image).
+    extra_jars = os.environ.get("SPARK_GRAFT_EXTRA_JARS")
+    if extra_jars:
+        builder = builder.config("spark.jars", extra_jars)
     if master:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):

@@ -115,6 +115,19 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite", **options: Any
     ).save(path)
 
 
+def kafka_jar_coordinate(spark: SparkSession) -> str:
+    """Exact Maven coordinate of the connector matching THIS runtime.
+
+    Derived from the live Scala binary version + Spark version so the error
+    message (and any spark.jars.packages bootstrap) names the one artifact
+    that will actually link, e.g.
+    ``org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2``.
+    """
+    scala_full = spark.sparkContext._jvm.scala.util.Properties.versionNumberString()
+    scala_bin = ".".join(scala_full.split(".")[:2])
+    return f"org.apache.spark:spark-sql-kafka-0-10_{scala_bin}:{spark.version}"
+
+
 def kafka_available(spark: SparkSession) -> bool:
     """True if the spark-sql-kafka connector is on the classpath."""
     try:
@@ -133,8 +146,9 @@ def read_kafka_stream(
     spark-sql-kafka jar (not bundled in this image)."""
     if not kafka_available(spark):
         raise NotImplementedError(
-            "kafka connector jar not on the classpath; add "
-            "org.apache.spark:spark-sql-kafka-0-10 via spark.jars.packages"
+            f"kafka connector jar not on the classpath; add "
+            f"{kafka_jar_coordinate(spark)} via spark.jars.packages, or point "
+            f"SPARK_GRAFT_EXTRA_JARS at a local copy of the jar"
         )
     raw = (
         spark.readStream.format("kafka")
@@ -175,8 +189,9 @@ def write_kafka_batch(
     spark = df.sparkSession
     if not kafka_available(spark):
         raise NotImplementedError(
-            "kafka connector jar not on the classpath; add "
-            "org.apache.spark:spark-sql-kafka-0-10 via spark.jars.packages"
+            f"kafka connector jar not on the classpath; add "
+            f"{kafka_jar_coordinate(spark)} via spark.jars.packages, or point "
+            f"SPARK_GRAFT_EXTRA_JARS at a local copy of the jar"
         )
     (
         _to_kafka_records(df, topic)
@@ -201,8 +216,9 @@ def write_kafka_stream(
     spark = df.sparkSession
     if not kafka_available(spark):
         raise NotImplementedError(
-            "kafka connector jar not on the classpath; add "
-            "org.apache.spark:spark-sql-kafka-0-10 via spark.jars.packages"
+            f"kafka connector jar not on the classpath; add "
+            f"{kafka_jar_coordinate(spark)} via spark.jars.packages, or point "
+            f"SPARK_GRAFT_EXTRA_JARS at a local copy of the jar"
         )
     return (
         _to_kafka_records(df, topic)

@@ -39,26 +39,47 @@ def test_unknown_formats_rejected(spark, sf_dir):
         write_any(src, "delta", "x")
 
 
+def test_kafka_jar_coordinate_exact(spark):
+    """The coordinate is derived from the LIVE runtime (scala binary +
+    spark version), so the gate error names the one artifact that links."""
+    from flow_spark.sources.formats import kafka_jar_coordinate
+
+    coord = kafka_jar_coordinate(spark)
+    org, artifact, version = coord.split(":")
+    assert org == "org.apache.spark"
+    assert artifact.startswith("spark-sql-kafka-0-10_2.1")  # scala 2.12/2.13
+    assert version == spark.version
+
+
 def test_kafka_gated(spark):
     from flow_spark.sources import kafka_available
-    from flow_spark.sources.formats import read_kafka_stream
+    from flow_spark.sources.formats import kafka_jar_coordinate, read_kafka_stream
 
     if kafka_available(spark):  # pragma: no cover - not in this image
         pytest.skip("kafka connector present")
-    with pytest.raises(NotImplementedError, match="kafka"):
+    with pytest.raises(NotImplementedError) as ei:
         read_kafka_stream(spark, "localhost:9092", "t")
+    # contract: the error names the exact versioned coordinate + the local
+    # jar escape hatch, so an operator can fix it without reading source
+    assert kafka_jar_coordinate(spark) in str(ei.value)
+    assert "SPARK_GRAFT_EXTRA_JARS" in str(ei.value)
 
 
 def test_kafka_writer_gated(spark):
-    from flow_spark.sources.formats import kafka_available, write_kafka_batch
+    from flow_spark.sources.formats import (
+        kafka_available,
+        kafka_jar_coordinate,
+        write_kafka_batch,
+    )
 
     if kafka_available(spark):  # pragma: no cover - not in this image
         pytest.skip("kafka connector present")
     df = spark.range(1).selectExpr(
         "id AS event_id", "CAST('x' AS BINARY) AS body"
     )
-    with pytest.raises(NotImplementedError, match="kafka"):
+    with pytest.raises(NotImplementedError) as ei:
         write_kafka_batch(df, "localhost:9092", "t")
+    assert kafka_jar_coordinate(spark) in str(ei.value)
 
 
 def test_kafka_record_mapping(spark):
