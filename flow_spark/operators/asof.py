@@ -33,14 +33,25 @@ def asof_join(
     value_cols: list[str],
     right_id_col: str | None = None,
     allow_exact_matches: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join; returns left columns + matched `value_cols`.
+    """As-of join; returns left columns + matched `value_cols`.
 
-    `right_id_col` (if given) breaks right-side timestamp ties by keeping
-    the row with the greatest id.
+    direction="backward" (default): most recent right row at-or-before the
+    left timestamp.  direction="forward": earliest right row at-or-after.
+    Same single-shuffle union+window plan either way — only the window
+    frame and the tie ordering flip.
+
+    `right_id_col` (if given) breaks right-side timestamp ties
+    deterministically: greatest id wins backward (the "latest" row),
+    smallest id wins forward (the "next" row) — mirroring how an oracle
+    would dedup with ROW_NUMBER ... ORDER BY id DESC/ASC.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if right_id_col is not None:
-        w_dedup = W.partitionBy(by, ts_col).orderBy(F.desc(right_id_col))
+        id_order = F.desc(right_id_col) if direction == "backward" else F.asc(right_id_col)
+        w_dedup = W.partitionBy(by, ts_col).orderBy(id_order)
         right = (
             right.withColumn("__rn", F.row_number().over(w_dedup))
             .filter(F.col("__rn") == 1)
@@ -61,20 +72,31 @@ def asof_join(
     )
     unioned = tagged_l.unionByName(tagged_r)
 
-    # at equal ts: side 0 (right) sorts first so an exact-ts right row is
-    # visible to the left row (merge_asof allow_exact_matches=True); for
-    # strict inequality the right row must sort AFTER the left one.
-    side_order = F.asc("__side") if allow_exact_matches else F.desc("__side")
-    w = (
-        W.partitionBy(by)
-        .orderBy(F.col(ts_col).asc(), side_order)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    # at equal ts the right row must fall inside the left row's frame iff
+    # exact matches are allowed.  Backward frame = [unbounded, current]:
+    # right (side 0) sorts first for exact matches.  Forward frame =
+    # [current, unbounded]: left (side 1) sorts first for exact matches.
+    if direction == "backward":
+        side_order = F.asc("__side") if allow_exact_matches else F.desc("__side")
+        w = (
+            W.partitionBy(by)
+            .orderBy(F.col(ts_col).asc(), side_order)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        pick = F.last
+    else:
+        side_order = F.desc("__side") if allow_exact_matches else F.asc("__side")
+        w = (
+            W.partitionBy(by)
+            .orderBy(F.col(ts_col).asc(), side_order)
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        pick = F.first
     filled = unioned.select(
         *lcols,
         "__side",
         *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            pick(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
             for c in value_cols
         ],
     )

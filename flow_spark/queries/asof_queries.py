@@ -65,3 +65,60 @@ def asof_join_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("purchase_value"),
         F.round(F.coalesce("asof_value", F.lit(-1.0)), 2).alias("last_click_value"),
     ).orderBy("event_id")
+
+
+@register(
+    "asof_join_forward",
+    category="join",
+    doc="As-of (forward) join: each purchase matched with the user's NEXT "
+    "click at-or-after it — same single-shuffle union+window plan as the "
+    "backward form with the frame flipped; oracle is DuckDB's native "
+    "ASOF JOIN with the inequality reversed.",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id ASC) AS rn
+            FROM events WHERE event_type = 'click'
+        ),
+        clicks_d AS (SELECT user_id, ts, value FROM clicks WHERE rn = 1),
+        purchases AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id,
+               p.user_id,
+               ROUND(p.value, 2)                 AS purchase_value,
+               ROUND(COALESCE(c.value, -1.0), 2) AS next_click_value
+        FROM purchases p
+        ASOF LEFT JOIN clicks_d c
+          ON p.user_id = c.user_id AND p.ts <= c.ts
+        ORDER BY p.event_id
+    """,
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("value"),
+        F.col("event_id").alias("click_id"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        ts_col="ts",
+        by="user_id",
+        value_cols=["value"],
+        right_id_col="click_id",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("purchase_value"),
+        F.round(F.coalesce("asof_value", F.lit(-1.0)), 2).alias("next_click_value"),
+    ).orderBy("event_id")

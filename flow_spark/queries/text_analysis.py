@@ -768,3 +768,66 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("labeled", "predicted")
     )
+
+
+@register(
+    "text_contamination_check",
+    category="text",
+    doc="Benchmark-contamination detection (decontamination pass of an "
+    "LLM training pipeline): the 'benchmark' is an 8-word excerpt (words "
+    "4..11) of every doc_id %% 53 == 0 document; every corpus document is "
+    "8-gram-shingled (JVM higher-order functions, no Python) and probed "
+    "against the broadcast excerpt set.  Scale shape: the benchmark side "
+    "is tiny by construction -> broadcast hash join against the shingle "
+    "stream, zero shuffle of the corpus; the per-doc rollup shuffles "
+    "only matching (doc, excerpt) pairs (rare at 100 TB).",
+    oracle="""
+        WITH normed AS (
+            SELECT doc_id, string_split(trim(regexp_replace(lower(text),
+                   '\\s+', ' ', 'g')), ' ') AS w
+            FROM documents
+        ),
+        bench AS (
+            SELECT doc_id AS bench_id,
+                   array_to_string(w[4:11], ' ') AS excerpt
+            FROM normed
+            WHERE doc_id % 53 = 0 AND len(w) >= 11
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   UNNEST(list_transform(range(1, greatest(len(w) - 7, 0) + 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                               w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+                               w[i+6] || ' ' || w[i+7])) AS shingle
+            FROM normed
+        )
+        SELECT g.doc_id,
+               COUNT(DISTINCT b.bench_id) AS n_bench_hits,
+               COUNT(*)                   AS n_gram_hits
+        FROM grams g JOIN bench b ON g.shingle = b.excerpt
+        GROUP BY g.doc_id
+        ORDER BY g.doc_id
+    """,
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.dedup import normalize_text, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    normed = docs.select("doc_id", F.split(normalize_text(F.col("text")), " ").alias("w"))
+    bench = (
+        normed.filter((F.col("doc_id") % 53 == 0) & (F.size("w") >= 11))
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.concat_ws(" ", F.slice("w", 4, 8)).alias("excerpt"),
+        )
+    )
+    grams = word_shingles(docs, n=8, distinct=True)
+    return (
+        grams.join(F.broadcast(bench), grams.shingle == bench.excerpt)
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("bench_id").alias("n_bench_hits"),
+            F.count("*").alias("n_gram_hits"),
+        )
+        .orderBy("doc_id")
+    )

@@ -515,3 +515,69 @@ def ts_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("run_len").cast("bigint").alias("longest_streak"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "ts_resample_ohlc",
+    category="timeseries",
+    doc="OHLC downsampling: per event_type per 6-hour slot, open/close "
+    "picked by deterministic (ts, event_id) ordering (row_number over the "
+    "slot, never a bare min/max that ties could flip), high/low exact "
+    "min/max.  One shuffle on (event_type, day, slot) serves both window "
+    "passes and the final agg — the window partition key IS the group key.",
+    oracle="""
+        WITH based AS (
+            SELECT event_type,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(hour(ts) // 6 AS INTEGER)              AS slot,
+                   ts, event_id, value
+            FROM events
+        ),
+        ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, day, slot
+                                      ORDER BY ts, event_id)      AS rn_f,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, day, slot
+                                      ORDER BY ts DESC, event_id DESC) AS rn_l
+            FROM based
+        )
+        SELECT event_type, day, slot,
+               MAX(CASE WHEN rn_f = 1 THEN value END) AS open,
+               MAX(value)                             AS high,
+               MIN(value)                             AS low,
+               MAX(CASE WHEN rn_l = 1 THEN value END) AS close,
+               COUNT(*)                               AS volume
+        FROM ranked
+        GROUP BY event_type, day, slot
+        ORDER BY event_type, day, slot
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        (F.hour("ts").cast("integer") / 6).cast("integer").alias("slot"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    grp = ["event_type", "day", "slot"]
+    w_f = W.partitionBy(*grp).orderBy("ts", "event_id")
+    w_l = W.partitionBy(*grp).orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = ev.select(
+        *grp,
+        "value",
+        F.row_number().over(w_f).alias("rn_f"),
+        F.row_number().over(w_l).alias("rn_l"),
+    )
+    return (
+        ranked.groupBy(*grp)
+        .agg(
+            F.max(F.when(F.col("rn_f") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_l") == 1, F.col("value"))).alias("close"),
+            F.count("*").alias("volume"),
+        )
+        .orderBy(*grp)
+    )

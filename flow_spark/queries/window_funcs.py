@@ -458,3 +458,73 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", med.alias("rolling_median_cents"))
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "win_sessionize",
+    category="window",
+    doc="Batch sessionization: per-user sessions split on >24h inactivity "
+    "gaps (lag + flag + running sum = session seq), then per-session "
+    "start/end/count/value rollup.  One shuffle on user_id serves the "
+    "lag, the cumulative sum, and the final agg; money summed in exact "
+    "cents space (integer), converted to double at finalization.",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, ts, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                   CASE WHEN epoch_us(ts)
+                             - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                       ORDER BY ts, event_id)
+                             > 86400000000
+                          OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id)
+                             IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events WHERE user_id < 40
+        ),
+        tagged AS (
+            SELECT user_id, ts, cents,
+                   SUM(new_sess) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM seq
+        )
+        SELECT user_id,
+               CAST(session_seq AS BIGINT)                     AS session_seq,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S')          AS session_start,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S')          AS session_end,
+               COUNT(*)                                        AS n_events,
+               CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 100.0 AS total_value
+        FROM tagged
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+    """,
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    gap_us = F.unix_micros("ts") - prev_us
+    new_sess = F.when(prev_us.isNull() | (gap_us > 86_400_000_000), 1).otherwise(0)
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.sum(new_sess)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_seq"),
+    )
+    return (
+        tagged.groupBy("user_id", "session_seq")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.count("*").alias("n_events"),
+            (F.sum("cents").cast("double") / 100.0).alias("total_value"),
+        )
+        .select(
+            "user_id", "session_seq", "session_start", "session_end",
+            "n_events", "total_value",
+        )
+        .orderBy("user_id", "session_seq")
+    )

@@ -19,7 +19,7 @@ row = st.tuples(
 )
 
 
-def reference(left_rows, right_rows, allow_exact):
+def reference(left_rows, right_rows, allow_exact, direction="backward"):
     lp = pd.DataFrame(left_rows, columns=["k", "ts", "v"]).assign(
         lid=lambda d: range(len(d))
     )
@@ -28,10 +28,11 @@ def reference(left_rows, right_rows, allow_exact):
     rp = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).assign(
         rid=lambda d: range(len(d))
     )
-    # same tie rule as the operator: latest rid wins per (k, ts)
+    # same tie rule as the operator: latest rid wins per (k, ts) backward,
+    # earliest rid wins forward
     rp = (
         rp.sort_values("rid")
-        .drop_duplicates(["k", "ts"], keep="last")
+        .drop_duplicates(["k", "ts"], keep="last" if direction == "backward" else "first")
         .sort_values(["ts", "rid"])
     )
     merged = pd.merge_asof(
@@ -39,7 +40,7 @@ def reference(left_rows, right_rows, allow_exact):
         rp.rename(columns={"v": "rv"})[["k", "ts", "rv"]],
         on="ts",
         by="k",
-        direction="backward",
+        direction=direction,
         allow_exact_matches=allow_exact,
     )
     return {
@@ -53,13 +54,14 @@ def reference(left_rows, right_rows, allow_exact):
     left=st.lists(row, min_size=0, max_size=8),
     right=st.lists(row, min_size=0, max_size=8),
     allow_exact=st.booleans(),
+    direction=st.sampled_from(["backward", "forward"]),
 )
 @settings(
-    max_examples=12,
+    max_examples=16,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-def test_asof_matches_merge_asof(spark, left, right, allow_exact):
+def test_asof_matches_merge_asof(spark, left, right, allow_exact, direction):
     if not left:
         return
     lp = spark.createDataFrame(
@@ -77,6 +79,7 @@ def test_asof_matches_merge_asof(spark, left, right, allow_exact):
         value_cols=["v"],
         right_id_col="rid",
         allow_exact_matches=allow_exact,
+        direction=direction,
     ).collect()
     got = {(r.k, r.ts, r.lid): r.asof_v for r in out}
-    assert got == reference(left, right, allow_exact)
+    assert got == reference(left, right, allow_exact, direction)
