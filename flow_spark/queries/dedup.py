@@ -18,6 +18,7 @@ from flow_spark.operators.dedup import (
     ROWS_PER_BAND,
     connected_components,
     exact_dedup_groups,
+    normalize_text,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -363,4 +364,58 @@ def dedup_editdist_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 20)
         .select("doc_a", "doc_b", "dist")
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_incremental",
+    category="dedup",
+    doc="Incremental-ingest dedup: a new batch (every 3rd doc + replayed "
+    "copies of corpus docs) is deduplicated against the EXISTING corpus "
+    "by 60-bit content fingerprint anti-join — the nightly-ingest step of "
+    "a training pipeline.  Scale shape: both sides reduce to (doc_id, "
+    "fingerprint) before the join, so the shuffle carries 16 bytes/doc "
+    "instead of document text; at 100 TB the corpus side is a bucketed "
+    "fingerprint index and the anti-join prunes to bucket-local work.",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id, {portable_hash_expr(_SQL_NORM, salt='fp')} AS fp
+            FROM documents WHERE doc_id % 3 != 0
+        ),
+        replayed AS (
+            SELECT doc_id + 2000000 AS doc_id,
+                   {portable_hash_expr(_SQL_NORM, salt='fp')} AS fp
+            FROM documents WHERE doc_id % 3 != 0 AND doc_id % 10 = 1
+        ),
+        batch AS (
+            SELECT doc_id, {portable_hash_expr(_SQL_NORM, salt='fp')} AS fp
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL SELECT doc_id, fp FROM replayed
+        )
+        SELECT b.doc_id, b.fp
+        FROM batch b ANTI JOIN corpus c ON b.fp = c.fp
+        ORDER BY b.doc_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = portable_hash64(normalize_text(F.col("text")), salt="fp")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", fp.alias("fp")
+    )
+    replayed = (
+        docs.filter((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 10 == 1))
+        .select((F.col("doc_id") + 2000000).alias("doc_id"), fp.alias("fp"))
+    )
+    batch = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", fp.alias("fp"))
+        .unionByName(replayed)
+    )
+    return (
+        batch.join(corpus.select("fp"), on="fp", how="left_anti")
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
     )

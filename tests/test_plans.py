@@ -100,3 +100,31 @@ def test_headline_aggs_are_partial(spark, sf_dir):
     both partial and final mode) so the shuffle carries groups, not rows."""
     plan = plan_of(spark, sf_dir, "q1_pricing_summary")
     assert plan.count("HashAggregate") >= 2
+
+
+def test_asof_forward_single_shuffle_no_python(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "asof_join_forward")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan and "Union" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_check_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark-excerpt side is tiny by construction — it must reach
+    the shingle stream as a broadcast, never a shuffle of the corpus."""
+    plan = plan_of(spark, sf_dir, "text_contamination_check")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """lag + cumulative sum + rollup all share the user_id partitioning:
+    exactly one Exchange over the events scan."""
+    plan = plan_of(spark, sf_dir, "win_sessionize")
+    # exactly 2 Exchange nodes (each named twice in the formatted plan:
+    # tree + detail): the user_id hash shuffle shared by lag/cumsum/agg,
+    # and the range shuffle of the final orderBy.  A third would mean the
+    # agg stopped reusing the window partitioning.
+    assert plan.count("Exchange") <= 4
+    assert plan.count("Window") >= 2
+    assert "BatchEvalPython" not in plan
