@@ -501,18 +501,16 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.sessionize import tag_sessions
+
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_us = F.lag(F.unix_micros("ts")).over(w)
-    gap_us = F.unix_micros("ts") - prev_us
-    new_sess = F.when(prev_us.isNull() | (gap_us > 86_400_000_000), 1).otherwise(0)
-    tagged = ev.select(
+    tagged = tag_sessions(
+        ev, ts_col="ts", by="user_id", gap=86_400_000_000, order_cols=["event_id"]
+    ).select(
         "user_id",
         "ts",
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
-        F.sum(new_sess)
-        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .alias("session_seq"),
+        "session_seq",
     )
     return (
         tagged.groupBy("user_id", "session_seq")
