@@ -36,6 +36,12 @@ def tag_sessions(
     column's own units (any numeric ordering column works — useful for
     property tests and pre-bucketed integer time).  ``order_cols`` breaks
     timestamp ties deterministically (engines disagree on ties otherwise).
+
+    Boundary convention: a gap of EXACTLY ``gap`` stays in-session (split
+    on strictly-greater), matching the SQL lag-cumsum idiom.  Spark's
+    streaming ``F.session_window`` uses half-open ``[ts, ts+gap)`` windows,
+    so an exactly-gap event starts a new session there — the two agree on
+    all other inputs (tests/test_sessionize_property.py).
     """
     t = df.schema[ts_col].dataType
     ts: Column = (

@@ -1409,3 +1409,116 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY start
         """
     )
+
+
+@register(
+    "dq_expectations",
+    category="data-quality",
+    doc="Declarative data-quality gate (expectations suite): range, "
+    "not-null, domain, referential-integrity, and cross-table ordering "
+    "checks, each reported as (check, n_checked, n_violations, passed). "
+    "Scale shape: per-table checks fold into ONE multi-aggregate scan "
+    "per table (no per-check passes); the referential check is a "
+    "broadcast anti-join on the dim key; nothing shuffles more than the "
+    "4-row summaries. The pattern a 100 TB ingest gate runs before "
+    "publishing a partition.",
+    oracle="""
+        WITH o AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS bad_price,
+                   CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS bad_date,
+                   CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
+            FROM orders
+        ),
+        l AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                        THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+                   CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc
+            FROM lineitem
+        ),
+        orphans AS (
+            SELECT (SELECT COUNT(*) FROM orders) AS n,
+                   COUNT(*) AS bad
+            FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        ship AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+                        THEN 1 ELSE 0 END) AS BIGINT) AS bad
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT * FROM (
+            SELECT 'orders_totalprice_positive' AS check_name, n AS n_checked,
+                   bad_price AS n_violations, bad_price = 0 AS passed FROM o
+            UNION ALL
+            SELECT 'orders_orderdate_not_null', n, bad_date, bad_date = 0 FROM o
+            UNION ALL
+            SELECT 'orders_status_domain', n, bad_status, bad_status = 0 FROM o
+            UNION ALL
+            SELECT 'lineitem_quantity_range', n, bad_qty, bad_qty = 0 FROM l
+            UNION ALL
+            SELECT 'lineitem_discount_range', n, bad_disc, bad_disc = 0 FROM l
+            UNION ALL
+            SELECT 'orders_custkey_referential', n, bad, bad = 0 FROM orphans
+            UNION ALL
+            SELECT 'lineitem_ship_after_order', n, bad, bad = 0 FROM ship
+        ) ORDER BY check_name
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def flag(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    o = orders.agg(
+        F.count("*").alias("n"),
+        flag(F.col("o_totalprice") <= 0).alias("bad_price"),
+        flag(F.col("o_orderdate").isNull()).alias("bad_date"),
+        flag(~F.col("o_orderstatus").isin("O", "F", "P")).alias("bad_status"),
+    )
+    l = li.agg(
+        F.count("*").alias("n"),
+        flag((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias("bad_qty"),
+        flag((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).alias("bad_disc"),
+    )
+    n_orders = orders.agg(F.count("*").alias("n"))
+    orphans = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count("*").alias("bad"))
+        .crossJoin(n_orders)
+    )
+    ship = (
+        li.select("l_orderkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == orders.o_orderkey)
+        .agg(
+            F.count("*").alias("n"),
+            flag(F.col("l_shipdate") < F.col("o_orderdate")).alias("bad"),
+        )
+    )
+
+    def row(src, name, bad_col):
+        return src.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("long").alias("n_checked"),
+            F.col(bad_col).cast("long").alias("n_violations"),
+            (F.col(bad_col) == 0).alias("passed"),
+        )
+
+    return (
+        row(o, "orders_totalprice_positive", "bad_price")
+        .unionByName(row(o, "orders_orderdate_not_null", "bad_date"))
+        .unionByName(row(o, "orders_status_domain", "bad_status"))
+        .unionByName(row(l, "lineitem_quantity_range", "bad_qty"))
+        .unionByName(row(l, "lineitem_discount_range", "bad_disc"))
+        .unionByName(row(orphans, "orders_custkey_referential", "bad"))
+        .unionByName(row(ship, "lineitem_ship_after_order", "bad"))
+        .orderBy("check_name")
+    )

@@ -241,3 +241,146 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(32 * F.col("cnt") > F.col("n_total"))
         .orderBy(F.desc("cnt"), "tok")
     )
+
+
+@register(
+    "sketch_kmv_union",
+    category="sketch",
+    doc="Mergeable-sketch set algebra: per-flag KMV sketches (k=64) are "
+    "UNIONED pairwise by taking the k smallest of the two 64-hash "
+    "sketches — the merge touches 128 rows per pair regardless of data "
+    "size, which is the entire point of sketches at 100 TB (set "
+    "operations on summaries, never re-scans).  Union NDV from the "
+    "merged kth-min; intersection via inclusion-exclusion, clamped at "
+    "0.  Exact union NDV joined alongside for error visibility (the "
+    "one full-data pass, same cost class as sketch_kmv_distinct).",
+    oracle=f"""
+        WITH h AS (
+            SELECT DISTINCT l_returnflag AS flag,
+                   CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS hv
+            FROM lineitem
+        ),
+        sk AS (
+            SELECT flag, hv FROM (
+                SELECT flag, hv,
+                       ROW_NUMBER() OVER (PARTITION BY flag ORDER BY hv) AS rn
+                FROM h) WHERE rn <= {_K}
+        ),
+        est1 AS (
+            SELECT flag, {_K - 1}.0 * {2**60} / MAX(hv) AS est
+            FROM sk GROUP BY flag
+        ),
+        pairs AS (
+            SELECT a.flag AS flag_a, b.flag AS flag_b
+            FROM (SELECT DISTINCT flag FROM sk) a
+            JOIN (SELECT DISTINCT flag FROM sk) b ON a.flag < b.flag
+        ),
+        uh AS (
+            -- set union of the two sketches: a hash present in BOTH
+            -- sketches (same key under both flags) must count once
+            SELECT DISTINCT p.flag_a, p.flag_b, s.hv
+            FROM pairs p
+            JOIN sk s ON s.flag = p.flag_a OR s.flag = p.flag_b
+        ),
+        merged AS (
+            SELECT flag_a, flag_b, hv,
+                   ROW_NUMBER() OVER (PARTITION BY flag_a, flag_b
+                                      ORDER BY hv) AS rn
+            FROM uh
+        ),
+        kth AS (
+            SELECT flag_a, flag_b, MAX(CASE WHEN rn = {_K} THEN hv END) AS kth_union
+            FROM merged GROUP BY flag_a, flag_b
+        ),
+        exact AS (
+            SELECT p.flag_a, p.flag_b, COUNT(DISTINCT h.hv) AS n_exact_union
+            FROM pairs p JOIN h ON h.flag IN (p.flag_a, p.flag_b)
+            GROUP BY p.flag_a, p.flag_b
+        )
+        SELECT k.flag_a, k.flag_b, k.kth_union,
+               CAST(ea.est AS DOUBLE)                           AS est_a,
+               CAST(eb.est AS DOUBLE)                           AS est_b,
+               CAST({_K - 1}.0 * {2**60} / k.kth_union AS DOUBLE) AS est_union,
+               CAST(GREATEST(0.0, ea.est + eb.est
+                    - {_K - 1}.0 * {2**60} / k.kth_union) AS DOUBLE)
+                                                                AS est_intersect,
+               x.n_exact_union
+        FROM kth k
+        JOIN est1 ea ON ea.flag = k.flag_a
+        JOIN est1 eb ON eb.flag = k.flag_b
+        JOIN exact x ON x.flag_a = k.flag_a AND x.flag_b = k.flag_b
+        ORDER BY k.flag_a, k.flag_b
+    """,
+)
+def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.conv(
+            F.substring(F.md5(F.col("l_partkey").cast("string").cast("binary")), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("hv"),
+    ).distinct()
+    w = W.partitionBy("flag").orderBy("hv")
+    sk = (
+        h.select("flag", "hv", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _K)
+        .select("flag", "hv")
+    )
+    est1 = sk.groupBy("flag").agg(
+        (F.lit((_K - 1) * _M) / F.max("hv")).alias("est")
+    )
+    flags = sk.select("flag").distinct()
+    pairs = (
+        flags.alias("a")
+        .join(flags.alias("b"), F.col("a.flag") < F.col("b.flag"))
+        .select(F.col("a.flag").alias("flag_a"), F.col("b.flag").alias("flag_b"))
+    )
+    # sketch merge: 64-row sketches joined per pair — broadcast, no shuffle
+    # of anything data-sized
+    merged = (
+        F.broadcast(pairs)
+        .join(
+            sk.alias("s"),
+            (F.col("s.flag") == F.col("flag_a")) | (F.col("s.flag") == F.col("flag_b")),
+        )
+        .select("flag_a", "flag_b", "hv")
+        .distinct()
+    )
+    w2 = W.partitionBy("flag_a", "flag_b").orderBy("hv")
+    kth = (
+        merged.select("flag_a", "flag_b", "hv", F.row_number().over(w2).alias("rn"))
+        .groupBy("flag_a", "flag_b")
+        .agg(F.max(F.when(F.col("rn") == _K, F.col("hv"))).alias("kth_union"))
+    )
+    exact = (
+        F.broadcast(pairs)
+        .join(h, (F.col("flag") == F.col("flag_a")) | (F.col("flag") == F.col("flag_b")))
+        .select("flag_a", "flag_b", "hv")
+        .distinct()
+        .groupBy("flag_a", "flag_b")
+        .agg(F.count("*").alias("n_exact_union"))
+    )
+    est_union = F.lit((_K - 1) * _M) / F.col("kth_union")
+    return (
+        kth.join(est1.select(F.col("flag").alias("flag_a"), F.col("est").alias("est_a")), "flag_a")
+        .join(est1.select(F.col("flag").alias("flag_b"), F.col("est").alias("est_b")), "flag_b")
+        .join(exact, ["flag_a", "flag_b"])
+        .select(
+            "flag_a",
+            "flag_b",
+            "kth_union",
+            F.col("est_a").cast("double").alias("est_a"),
+            F.col("est_b").cast("double").alias("est_b"),
+            est_union.cast("double").alias("est_union"),
+            F.greatest(F.lit(0.0), F.col("est_a") + F.col("est_b") - est_union)
+            .cast("double")
+            .alias("est_intersect"),
+            "n_exact_union",
+        )
+        .orderBy("flag_a", "flag_b")
+    )
