@@ -88,6 +88,11 @@ def test_asof_join_single_shuffle_no_python(spark, sf_dir):
         "sim_topk_bruteforce",
         "text_token_stats",
         "stream_window_tumbling",
+        "ts_resample_ohlc",
+        "dedup_incremental",
+        "sim_range_search_quantized",
+        "sketch_kmv_union",
+        "dq_expectations",
     ],
 )
 def test_headline_path_stays_jvm_side(spark, sf_dir, name):
