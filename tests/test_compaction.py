@@ -78,3 +78,34 @@ def test_oversize_file_sits_alone(spark):
     # the oversize file fills group 0 by itself; the small ones share the next
     assert plan["big"] == 0
     assert plan["a"] == plan["b"] == plan["c"] == 10  # floor(1000/100)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@pytest.mark.slow
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=30),
+    target=st.integers(min_value=10, max_value=300),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_packing_invariants(spark, sizes, target):
+    files = spark.createDataFrame(
+        [(f"f{i}", s) for i, s in enumerate(sizes)], "path string, size long"
+    )
+    rows = plan_compaction(files, target).collect()
+    assert len(rows) == len(sizes)  # every file assigned exactly once
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.group, []).append(r.size)
+    max_file = max(sizes)
+    for g, ss in by_group.items():
+        # greedy bound: group total < target + one file
+        assert sum(ss) < target + max_file
+    # group ids are the exclusive-cumsum quotients: contiguous from 0
+    assert min(by_group) == 0

@@ -766,3 +766,67 @@ def test_streaming_curation_pipeline(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_streaming_asof_enrichment(spark, tmp_path):
+    """Streaming point-in-time enrichment: each micro-batch of fact events
+    is as-of joined (backward) against a static rate-table history via the
+    batch operator inside foreachBatch — the lookup that attaches 'the
+    price in effect at event time' on a live stream.  Micro-batched
+    output must equal the single batch as-of join of all events (as-of is
+    per-row, so batching boundaries cannot change matches)."""
+    from flow_spark.operators.asof import asof_join
+
+    rates = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 120), (2, 10, 50)],
+        "k long, ts long, rate long",
+    )
+
+    ev_dir = tmp_path / "facts"
+    ev_dir.mkdir()
+    spark.createDataFrame(
+        [(1, 15, 1000), (2, 9, 2000)], "k long, ts long, amount long"
+    ).coalesce(1).write.json(str(ev_dir / "b0"))
+    spark.createDataFrame(
+        [(1, 25, 3000), (2, 11, 4000)], "k long, ts long, amount long"
+    ).coalesce(1).write.json(str(ev_dir / "b1"))
+
+    stream = (
+        spark.readStream.schema("k long, ts long, amount long")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .json(str(ev_dir))
+    )
+
+    out: list = []
+
+    def enrich(batch, epoch_id: int) -> None:
+        rows = asof_join(
+            batch, rates, ts_col="ts", by="k", value_cols=["rate"]
+        ).collect()
+        out.extend((r.k, r.ts, r.amount, r.asof_rate) for r in rows)
+
+    q = (
+        stream.writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", str(tmp_path / "ckpt_asof"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch_all = (
+        spark.read.schema("k long, ts long, amount long")
+        .option("recursiveFileLookup", "true")
+        .json(str(ev_dir))
+    )
+    expected = sorted(
+        (r.k, r.ts, r.amount, r.asof_rate)
+        for r in asof_join(
+            batch_all, rates, ts_col="ts", by="k", value_cols=["rate"]
+        ).collect()
+    )
+    assert sorted(out) == expected
+    # spot values: 15 -> rate@10; 9 -> no rate yet; 25 -> rate@20; 11 -> rate@10
+    assert dict(((k, t), rr) for k, t, _a, rr in out) == {
+        (1, 15): 100, (2, 9): None, (1, 25): 120, (2, 11): 50
+    }
