@@ -84,6 +84,15 @@ class Pipeline:
     def explain_dot(self) -> str:
         return to_dot(self.cfg)
 
+    def serve_admin(self, host: str = "127.0.0.1", port: int = 0):
+        """Start the admin web app (web/app/http.go analog) next to this
+        pipeline; returns the started server (``.port`` holds the bind)."""
+        from flow_spark.plans.admin import AdminServer
+
+        srv = AdminServer(self, host=host, port=port).start()
+        self._bridges.append(srv)  # stopped with the pipeline, like bridges
+        return srv
+
     # -- execution ----------------------------------------------------------
 
     def run(

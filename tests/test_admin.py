@@ -1,0 +1,92 @@
+"""Admin web app: every reference endpoint answers with live pipeline
+state (web/app/http.go + web/app/agent/* analog).
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from flow_spark.plans.builder import Pipeline
+
+YAML = """
+actors:
+  gen:
+    module: core.receiver
+    params: {bind: "memory://fixture"}
+  split:
+    module: core.replicator
+    params: {mode: each}
+  out_a:
+    module: core.sink
+    params: {target: "null://"}
+  out_b:
+    module: core.sink
+    params: {target: "null://"}
+pipeline:
+  gen:
+    connect: [split]
+  split:
+    connect: [out_a, out_b]
+"""
+
+
+@pytest.fixture()
+def admin(spark):
+    ppl = Pipeline.from_yaml(spark, YAML)
+    srv = ppl.serve_admin()
+    yield srv
+    ppl.stop()
+
+
+def _get(srv, path):
+    return urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}", timeout=10)
+
+
+def test_index_lists_endpoints_and_actors(admin):
+    body = json.load(_get(admin, "/"))
+    assert set(body["endpoints"]) >= {"/", "/config", "/pipeline/describe", "/expvar"}
+    assert body["actors"] == ["gen", "out_a", "out_b", "split"]
+
+
+def test_config_roundtrips_pipeline(admin):
+    body = json.load(_get(admin, "/config"))
+    assert body["actors"]["split"]["module"] == "core.replicator"
+    assert sorted(body["connections"]["split"]) == ["out_a", "out_b"]
+
+
+def test_describe_serves_dot(admin):
+    resp = _get(admin, "/pipeline/describe")
+    assert resp.headers["content-type"] == "text/vnd.graphviz"
+    dot = resp.read().decode()
+    assert "digraph" in dot and '"split" -> "out_a"' in dot
+
+
+def test_expvar_reports_runtime(admin, spark):
+    body = json.load(_get(admin, "/expvar"))
+    assert body["app_id"] == spark.sparkContext.applicationId
+    assert body["n_actors"] == 4
+    assert body["n_connections"] == 3
+    assert body["admin_hits"] >= 1
+
+
+def test_pprof_points_at_spark_ui(admin):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(admin, "/pprof/heap")
+    assert ei.value.code == 501
+    assert "Spark UI" in json.loads(ei.value.read())["error"]
+
+
+def test_unknown_path_404s_and_post_405s(admin):
+    with pytest.raises(urllib.error.HTTPError) as e404:
+        _get(admin, "/nope")
+    assert e404.value.code == 404
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{admin.port}/config", data=b"x", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as e405:
+        urllib.request.urlopen(req, timeout=10)
+    assert e405.value.code == 405
