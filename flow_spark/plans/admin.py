@@ -124,7 +124,10 @@ class AdminServer:
             )
             await writer.drain()
         finally:
-            writer.close()
+            # the loop may already be closed when the server stops with a
+            # live connection (GC'd coroutine) — closing is best-effort
+            with contextlib.suppress(Exception):
+                writer.close()
 
     def start(self) -> "AdminServer":
         started = threading.Event()

@@ -107,7 +107,10 @@ class SocketBridge:
                         writer.write(FAILED)
                         await writer.drain()
         finally:
-            writer.close()
+            # the loop may already be closed when the server stops with a
+            # live connection (GC'd coroutine) — closing is best-effort
+            with contextlib.suppress(Exception):
+                writer.close()
 
     def start(self) -> "SocketBridge":
         started = threading.Event()
@@ -234,7 +237,10 @@ class HttpBridge(SocketBridge):
                 if headers.get("connection", "").lower() == "close":
                     break
         finally:
-            writer.close()
+            # the loop may already be closed when the server stops with a
+            # live connection (GC'd coroutine) — closing is best-effort
+            with contextlib.suppress(Exception):
+                writer.close()
 
 
 def http_spool_stream(spark: SparkSession, spool_dir: str) -> DataFrame:
