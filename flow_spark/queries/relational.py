@@ -714,6 +714,56 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_except_all",
+    category="set-ops",
+    doc="EXCEPT ALL (bag semantics): per-customer urgent-order keys minus "
+    "high-priority ones, KEEPING multiplicity — a customer with three "
+    "urgent and one high keeps two rows.  exceptAll is one shuffle with "
+    "count-matching, no join explosion.",
+    oracle="""
+        SELECT c FROM (
+            SELECT o_custkey AS c FROM orders WHERE o_orderpriority = '1-URGENT'
+            EXCEPT ALL
+            SELECT o_custkey AS c FROM orders WHERE o_orderpriority = '2-HIGH'
+        ) ORDER BY c
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c")
+    )
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("c")
+    )
+    return urgent.exceptAll(high).orderBy("c")
+
+
+@register(
+    "set_intersect_all",
+    category="set-ops",
+    doc="INTERSECT ALL (bag semantics): min-multiplicity intersection of "
+    "urgent and high order keys per customer.",
+    oracle="""
+        SELECT c FROM (
+            SELECT o_custkey AS c FROM orders WHERE o_orderpriority = '1-URGENT'
+            INTERSECT ALL
+            SELECT o_custkey AS c FROM orders WHERE o_orderpriority = '2-HIGH'
+        ) ORDER BY c
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c")
+    )
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("c")
+    )
+    return urgent.intersectAll(high).orderBy("c")
+
+
+@register(
     "set_union_distinct",
     category="set-ops",
     doc="UNION (mux fan-in analogue, actor/mux.go:56-59) + distinct.",
