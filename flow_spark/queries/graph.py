@@ -1,0 +1,270 @@
+"""Graph analytics over a derived supplier<->part bipartite graph.
+
+The reference has no graph operators; this is north-star engine surface a
+training-data platform needs (PageRank-style importance for source
+weighting, triangle/community structure for spam rings, degree stats for
+skew detection) expressed Spark-first:
+
+- The edge list derives from ``lineitem`` as distinct (partkey, suppkey)
+  pairs, both directions, with node ids packed into one bigint domain
+  (part -> 2k, supplier -> 2k+1).  At 100 TB this is one hash-distinct
+  over the fact table, partitioned by edge source thereafter.
+- PageRank runs a FIXED number of iterations with all arithmetic in
+  scaled-integer space (micro-rank units, floor division) so Spark and
+  DuckDB agree bit-for-bit — the float formulation would diverge in the
+  last ulps under different summation orders.  Each iteration is one
+  shuffle (join ranks on src, aggregate on dst); the oracle unrolls the
+  same three iterations as chained CTEs.
+- Triangle counting first sparsifies to the top-E strongest co-supply
+  ties (E = 3x node count, deterministic (count, s1, s2) order) — the
+  standard strong-tie projection that keeps a naturally near-complete
+  co-occurrence graph tractable — then enumerates each triangle once via
+  the oriented s1 < s2 < s3 join.  At 100 TB the co-supply pair counts
+  are the expensive part: one groupBy keyed (s1, s2) after a per-part
+  self-join whose fan-out is bounded by max suppliers-per-part, and the
+  top-E cut is a global top-k (the same rank-pushdown shape as
+  sort_topk_global), after which the triangle join touches only E rows.
+
+Reference parity: none (novel surface); SURVEY.md §2.2 'iterative /
+graph' gap noted in round-1 COVERAGE notes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from flow_spark.catalog import load_table
+from flow_spark.queries.registry import register
+
+#: PageRank constants in micro-rank units (1.0 == 1_000_000)
+_INIT_MICRO = 1_000_000
+_TELEPORT_MICRO = 150_000  # 0.15 * 1e6
+_N_ITER = 3
+
+
+def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed edge list of the supplier<->part graph, both directions.
+
+    Node ids share one bigint domain: part p -> 2p, supplier s -> 2s+1.
+    """
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part_node = (F.col("l_partkey") * 2).cast("bigint")
+    supp_node = (F.col("l_suppkey") * 2 + 1).cast("bigint")
+    fwd = ps.select(supp_node.alias("src"), part_node.alias("dst"))
+    bwd = ps.select(part_node.alias("src"), supp_node.alias("dst"))
+    return fwd.unionByName(bwd)
+
+
+def _sql_pagerank_iterations(n: int) -> str:
+    """Chained CTEs r1..rN, each one PageRank step from the previous."""
+    steps = []
+    for i in range(1, n + 1):
+        steps.append(
+            f"""
+        r{i} AS (
+            SELECT e.dst AS node,
+                   CAST({_TELEPORT_MICRO}
+                        + (85 * SUM(r.rank // d.d)) // 100 AS BIGINT) AS rank
+            FROM edges e
+            JOIN r{i - 1} r ON e.src = r.node
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+        )"""
+        )
+    return ",".join(steps)
+
+
+@register(
+    "graph_pagerank",
+    category="graph",
+    doc="Fixed-iteration (3) PageRank over the supplier<->part bipartite "
+    "graph in exact scaled-integer arithmetic: rank in micro-units, "
+    "per-edge contribution = rank // out_degree (floor division), "
+    "update = 150000 + (85 * incoming) // 100.  Bit-deterministic "
+    "across engines because no floats are summed.  One shuffle per "
+    "iteration (join on src, aggregate on dst); the degree table is "
+    "computed once and reused.  Every node has both in- and out-edges "
+    "by construction, so there is no dangling-mass term.",
+    oracle=f"""
+        WITH ps AS (
+            SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        ),
+        edges AS (
+            SELECT s * 2 + 1 AS src, p * 2 AS dst FROM ps
+            UNION ALL
+            SELECT p * 2 AS src, s * 2 + 1 AS dst FROM ps
+        ),
+        deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        r0 AS (
+            SELECT src AS node, CAST({_INIT_MICRO} AS BIGINT) AS rank FROM deg
+        ),
+        {_sql_pagerank_iterations(_N_ITER)}
+        SELECT node, rank AS microrank FROM r{_N_ITER} ORDER BY node
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _bipartite_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(_INIT_MICRO).cast("bigint").alias("rank")
+    )
+    edges_deg = edges.join(deg, "src")
+    for _ in range(_N_ITER):
+        ranks = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select("dst", F.expr("rank div d").alias("contrib"))
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit(_TELEPORT_MICRO)
+                    + F.expr("(85 * sum(contrib)) div 100")
+                )
+                .cast("bigint")
+                .alias("rank")
+            )
+            .select(F.col("dst").alias("node"), "rank")
+        )
+    return ranks.select("node", F.col("rank").alias("microrank")).orderBy("node")
+
+
+def _strong_tie_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-E co-supply ties (E = 3x supplier count), s1 < s2 oriented.
+
+    The co-supply graph on a random-ish fixture is near-complete, so raw
+    triangle enumeration would be O(n^3); the deterministic top-E cut by
+    (co DESC, s1, s2) keeps the strongest ties at every SF.
+    """
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = ps.alias("a")
+    b = ps.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    n_edges = 3 * ps.select("s").distinct().count()
+    # global top-k: Spark pushes the limit through the sort (TakeOrdered)
+    return (
+        pairs.orderBy(F.desc("co"), "s1", "s2").limit(n_edges).select("s1", "s2")
+    )
+
+
+@register(
+    "graph_triangle_count",
+    category="graph",
+    doc="Per-node triangle participation over the strong-tie co-supply "
+    "graph: sparsify to the top-3n ties by co-supply count "
+    "(deterministic order), orient edges s1 < s2, enumerate each "
+    "triangle exactly once via the two-hop join "
+    "E(a,b) |x| E(b,c) |x| E(a,c), then credit all three corners.  "
+    "The expensive stage at scale is the co-supply pair aggregation "
+    "(one groupBy keyed (s1, s2), fan-out bounded by max suppliers "
+    "per part); the triangle join itself touches only the 3n "
+    "surviving edges.",
+    oracle="""
+        WITH ps AS (
+            SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.s AS s1, b.s AS s2, COUNT(*) AS co
+            FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+            GROUP BY a.s, b.s
+        ),
+        nn AS (SELECT 3 * COUNT(DISTINCT s) AS e FROM ps),
+        edges AS (
+            SELECT s1, s2 FROM (
+                SELECT s1, s2,
+                       ROW_NUMBER() OVER (ORDER BY co DESC, s1, s2) AS rn
+                FROM pairs
+            ), nn WHERE rn <= e
+        ),
+        tri AS (
+            SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+            FROM edges e1
+            JOIN edges e2 ON e1.s2 = e2.s1
+            JOIN edges e3 ON e1.s1 = e3.s1 AND e2.s2 = e3.s2
+        ),
+        corners AS (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        SELECT node, COUNT(*) AS n_triangles
+        FROM corners GROUP BY node ORDER BY node
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _strong_tie_edges(spark, sf_dir).cache()
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.s2") == F.col("e2.s1"))
+        .join(
+            e3,
+            (F.col("e1.s1") == F.col("e3.s1"))
+            & (F.col("e2.s2") == F.col("e3.s2")),
+        )
+        .select(
+            F.col("e1.s1").alias("a"),
+            F.col("e1.s2").alias("b"),
+            F.col("e2.s2").alias("c"),
+        )
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return (
+        corners.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("node")
+    )
+
+
+@register(
+    "graph_degree_histogram",
+    category="graph",
+    doc="Degree distribution of the bipartite graph, split by node side "
+    "(part vs supplier): degree per node via one groupBy on src, then "
+    "the histogram via a second tiny groupBy on (side, degree).  The "
+    "skew-detection primitive: a heavy-tailed histogram here is how a "
+    "100 TB pipeline discovers the hot keys that need salting.",
+    oracle="""
+        WITH ps AS (
+            SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        ),
+        edges AS (
+            SELECT s * 2 + 1 AS src, p * 2 AS dst FROM ps
+            UNION ALL
+            SELECT p * 2 AS src, s * 2 + 1 AS dst FROM ps
+        ),
+        deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src)
+        SELECT CASE WHEN src % 2 = 1 THEN 'supplier' ELSE 'part' END AS side,
+               d AS degree, COUNT(*) AS n_nodes
+        FROM deg GROUP BY side, degree
+        ORDER BY side, degree
+    """,
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _bipartite_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    side = F.when(F.col("src") % 2 == 1, F.lit("supplier")).otherwise(
+        F.lit("part")
+    )
+    return (
+        deg.groupBy(side.alias("side"), F.col("d").alias("degree"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("side", "degree")
+    )

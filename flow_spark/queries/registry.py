@@ -75,6 +75,7 @@ def all_queries() -> dict[str, Query]:
         sketches,
         timeseries,
         chunking,
+        graph,
     )
 
     return dict(_REGISTRY)

@@ -581,3 +581,99 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(*grp)
     )
+
+
+@register(
+    "seq_markov_transitions",
+    category="timeseries",
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lead(event_type) within (user ordered by ts, event_id) "
+    "gives the (from, to) pairs, one groupBy counts them, and the "
+    "transition probability is a single integer/integer division "
+    "(deterministic across engines) rounded to 6 places.  The "
+    "user-behavior-model primitive; one shuffle on user_id for the "
+    "window, one tiny 25-cell rollup.",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type AS from_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS to_type
+            FROM events
+        ),
+        cnt AS (
+            SELECT from_type, to_type, COUNT(*) AS n
+            FROM seq WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n,
+               ROUND(CAST(n AS DOUBLE) /
+                     SUM(n) OVER (PARTITION BY from_type), 6) AS p
+        FROM cnt
+        ORDER BY from_type, to_type
+    """,
+)
+def seq_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    wt = W.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wt), 6).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
+@register(
+    "seq_pattern_extrema",
+    category="timeseries",
+    doc="Local-extrema pattern detection (MATCH_RECOGNIZE-style): an "
+    "interior event is a peak when its value strictly exceeds both "
+    "neighbours in the user's (ts, event_id) sequence, a valley when "
+    "strictly below; pure double comparisons (no float arithmetic, so "
+    "engine-exact).  Output is the per-user peak/valley census — the "
+    "shape-mining primitive behind anomaly and changepoint screens.  "
+    "One shuffle on user_id serves both lag and lead.",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, value,
+                   LAG(value)  OVER w AS prev,
+                   LEAD(value) OVER w AS next
+            FROM events WHERE user_id % 7 = 0
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               CAST(SUM(CASE WHEN value > prev AND value > next
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks,
+               CAST(SUM(CASE WHEN value < prev AND value < next
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_valleys
+        FROM seq
+        WHERE prev IS NOT NULL AND next IS NOT NULL
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def seq_pattern_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev"),
+        F.lead("value").over(w).alias("next"),
+    ).filter(F.col("prev").isNotNull() & F.col("next").isNotNull())
+    peak = (F.col("value") > F.col("prev")) & (F.col("value") > F.col("next"))
+    valley = (F.col("value") < F.col("prev")) & (F.col("value") < F.col("next"))
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.sum(F.when(peak, 1).otherwise(0)).cast("bigint").alias("n_peaks"),
+            F.sum(F.when(valley, 1).otherwise(0)).cast("bigint").alias("n_valleys"),
+        )
+        .orderBy("user_id")
+    )
