@@ -374,3 +374,35 @@ def sim_range_search_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dot_q") >= 4032)
         .orderBy("query_id", "neighbor_id")
     )
+
+
+@register(
+    "sim_pq_adc",
+    category="similarity",
+    doc="Product-quantization ANN (asymmetric distance computation + "
+    "exact re-rank): codebooks trained driver-side on a deterministic "
+    "256-vector sample (Lloyd's, 16 subspaces x 16 centroids), "
+    "candidates encoded to 16 nibble codes by pure JVM argmin folds, "
+    "queries scored by element_at lookups against per-query distance "
+    "tables built in-plan, then the 100-candidate ADC shortlist "
+    "re-ranked by exact L2 (only the shortlist's full vectors are "
+    "read).  Rows-only by design: k-means training is iterative and "
+    "not SQL-expressible; pytest pins recall@10 >= 0.75 against the "
+    "exact answer and determinism across partitionings "
+    "(tests/test_pq.py).  At 100 TB the first-pass scan reads 8-byte "
+    "codes instead of 256-byte float32 vectors.",
+    oracle=None,
+)
+def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.similarity import pq_adc_topk, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = [
+        [float(x) for x in r.embedding]
+        for r in emb.orderBy("vec_id").limit(256).collect()
+    ]
+    books = pq_train(sample, n_subspaces=16, n_centroids=16)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return pq_adc_topk(queries, emb, books, k=10, rerank=100).orderBy(
+        "query_id", "rank"
+    )
