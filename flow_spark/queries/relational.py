@@ -21,6 +21,7 @@ from flow_spark.catalog import load_table
 from flow_spark.queries.registry import register
 from flow_spark.queries.util import (
     SQL_DISC_PCT,
+    SQL_CHARGE_CENTS,
     SQL_ONE_PLUS_TAX,
     SQL_PRICE,
     SQL_PRICE_CENTS,
@@ -28,10 +29,12 @@ from flow_spark.queries.util import (
     SQL_REVENUE_CENTS,
     cents,
     cents_sum_money,
+    charge_cents,
     dec,
     money_avg,
     money_sum,
     one_plus,
+    partial_cents_merge,
     revenue_cents,
     revenue_expr,
     sql_cents_sum_money,
@@ -47,16 +50,21 @@ from flow_spark.queries.util import (
     "q1_pricing_summary",
     category="aggregation",
     doc="TPC-H Q1: scan+filter pushdown, 8-agg groupBy, orderBy. "
-    "Money sums run on exact scaled integers (util.py cents fast path — "
-    "SUM(long) is ~2.3x faster than SUM(decimal) in the hash-agg loop and "
-    "equally order-independent); sum_charge (1e-6 units would near the "
-    "long range at extreme SF) stays on the exact DECIMAL path.",
+    "Money sums run as an explicit two-level aggregate on exact scaled "
+    "integers: the per-row hot loop accumulates LONGs per (group, scan "
+    "partition) — SUM(long) is ~2.3x faster than SUM(decimal) there, and "
+    "for the 1e-6-unit charge term ~3.5x (measured 0.85s -> 0.24s at "
+    "sf0.1) — and only the tiny merge step (a handful of partials per "
+    "group) sums in decimal(38,0), which also removes the long path's "
+    "per-group overflow bound at extreme SF.  The total is the same exact "
+    "integer under any partitioning, so the oracle can sum rows directly "
+    "(DuckDB accumulates BIGINT into HUGEINT).",
     oracle=f"""
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(l_quantity) AS DOUBLE)                                  AS sum_qty,
                {sql_cents_sum_money(SQL_PRICE_CENTS, 2)}                        AS sum_base_price,
                {sql_cents_sum_money(SQL_REVENUE_CENTS, 4)}                      AS sum_disc_price,
-               CAST(ROUND(SUM({SQL_REVENUE} * {SQL_ONE_PLUS_TAX}), 2) AS DOUBLE) AS sum_charge,
+               {sql_cents_sum_money(SQL_CHARGE_CENTS, 6)}                       AS sum_charge,
                ROUND(SUM(l_quantity) / COUNT(*), 4)                             AS avg_qty,
                ROUND(CAST(SUM({SQL_PRICE_CENTS}) AS DOUBLE) / 100 / COUNT(*), 4) AS avg_price,
                ROUND(CAST(SUM({SQL_DISC_PCT}) AS DOUBLE) / 100 / COUNT(*), 4)   AS avg_disc,
@@ -69,23 +77,34 @@ from flow_spark.queries.util import (
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    # level 1: per (group, scan partition) partials, all-long hot loop
+    partial = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid"))
         .agg(
             # l_quantity is integral -> double sum is exact as-is
-            F.sum("l_quantity").alias("sum_qty"),
-            cents_sum_money(cents("l_extendedprice"), 2).alias("sum_base_price"),
-            cents_sum_money(revenue_cents(), 4).alias("sum_disc_price"),
-            money_sum(revenue_expr() * one_plus("l_tax")).alias("sum_charge"),
-            F.round(F.sum("l_quantity") / F.count(F.lit(1)), 4).alias("avg_qty"),
-            F.round(
-                F.sum(cents("l_extendedprice")).cast("double") / 100 / F.count(F.lit(1)), 4
-            ).alias("avg_price"),
-            F.round(
-                F.sum(cents("l_discount")).cast("double") / 100 / F.count(F.lit(1)), 4
-            ).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.sum("l_quantity").alias("p_qty"),
+            F.sum(cents("l_extendedprice")).alias("p_base"),
+            F.sum(revenue_cents()).alias("p_rev"),
+            F.sum(charge_cents()).alias("p_charge"),
+            F.sum(cents("l_discount")).alias("p_disc"),
+            F.count(F.lit(1)).alias("p_n"),
+        )
+    )
+    # level 2: a handful of partials per group; decimal merge is exact at
+    # any SF and costs nothing at this cardinality
+    n = F.sum("p_n")
+    return (
+        partial.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("p_qty").alias("sum_qty"),
+            partial_cents_merge("p_base", 2).alias("sum_base_price"),
+            partial_cents_merge("p_rev", 4).alias("sum_disc_price"),
+            partial_cents_merge("p_charge", 6).alias("sum_charge"),
+            F.round(F.sum("p_qty") / n, 4).alias("avg_qty"),
+            F.round(F.sum("p_base").cast("double") / 100 / n, 4).alias("avg_price"),
+            F.round(F.sum("p_disc").cast("double") / 100 / n, 4).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )

@@ -138,7 +138,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "input before the shuffle; customer/nation broadcast.",
     oracle=f"""
         SELECT c_custkey, c_name,
-               CAST(ROUND(SUM({SQL_REVENUE}), 2) AS DOUBLE) AS revenue,
+               {sql_cents_sum_money(SQL_REVENUE_CENTS, 4)} AS revenue,
                ROUND(c_acctbal, 2) AS acctbal,
                n_name
         FROM customer
@@ -172,7 +172,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("c_acctbal", 2).alias("acctbal"),
             "n_name",
         )
-        .agg(money_sum(revenue_expr()).alias("revenue"))
+        .agg(cents_sum_money(revenue_cents(), 4).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "acctbal", "n_name")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -457,7 +457,7 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "equi-condition; the OR-of-ANDs stays as a post-join filter but the "
     "per-branch part filters (brand+size) still prune the broadcast side.",
     oracle=f"""
-        SELECT CAST(ROUND(SUM({SQL_REVENUE}), 2) AS DOUBLE) AS revenue
+        SELECT {sql_cents_sum_money(SQL_REVENUE_CENTS, 4)} AS revenue
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
                AND l_quantity BETWEEN 1 AND 21)
@@ -479,7 +479,7 @@ def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
-        .agg(money_sum(revenue_expr()).alias("revenue"))
+        .agg(cents_sum_money(revenue_cents(), 4).alias("revenue"))
     )
 
 

@@ -110,11 +110,49 @@ def revenue_cents() -> Column:
     return cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
 
 
+def charge_cents() -> Column:
+    """lineitem charge in 1e-6 units: price * (1-disc) * (1+tax), exact.
+
+    Per-row magnitude <= ~1.1e11 (price <= 1e5 dollars), so a LONG partial
+    may hold ~8e7 rows before overflow — always true of a single scan
+    partition (maxPartitionBytes caps it ~10x below that), NOT always true
+    of a whole group at extreme SF.  Use inside the two-level pattern
+    (partial long sum per partition, decimal(38,0) merge — see
+    partial_cents_merge), never in a single-level SUM over an unbounded
+    group.
+    """
+    return (
+        cents("l_extendedprice")
+        * (F.lit(100) - cents("l_discount"))
+        * (F.lit(100) + cents("l_tax"))
+    )
+
+
+def partial_cents_merge(partial_col: Column | str, in_scale: int, out_scale: int = 2) -> Column:
+    """Merge per-partition LONG partial sums exactly, at any scale.
+
+    The hot loop (per-row accumulation) stays on longs; only this merge —
+    a handful of rows per group — pays decimal cost.  decimal(38,0) holds
+    the true total far beyond any real table size, which removes the
+    single-level long path's documented per-group row bound.  Rounding is
+    the same integer half-up as cents_sum_money, just in decimal space.
+    """
+    c = F.col(partial_col) if isinstance(partial_col, str) else partial_col
+    total = F.sum(c.cast("decimal(38,0)"))
+    unit = 10 ** (in_scale - out_scale)
+    if unit > 1:
+        t = total + F.lit(unit // 2)
+        t = t - F.pmod(t, F.lit(unit))
+        total = (t / F.lit(unit)).cast("decimal(38,0)")
+    return total.cast("double") / (10**out_scale)
+
+
 #: DuckDB equivalents (HUGEINT sum, then scale back)
 SQL_PRICE_CENTS = "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
 SQL_DISC_PCT = "CAST(ROUND(l_discount * 100, 0) AS BIGINT)"
 SQL_TAX_PCT = "CAST(ROUND(l_tax * 100, 0) AS BIGINT)"
 SQL_REVENUE_CENTS = f"({SQL_PRICE_CENTS} * (100 - {SQL_DISC_PCT}))"
+SQL_CHARGE_CENTS = f"({SQL_PRICE_CENTS} * (100 - {SQL_DISC_PCT}) * (100 + {SQL_TAX_PCT}))"
 
 
 def sql_cents_sum_money(expr: str, in_scale: int, out_scale: int = 2) -> str:
