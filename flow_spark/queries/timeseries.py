@@ -677,3 +677,55 @@ def seq_pattern_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "seq_pattern_regex",
+    category="timeseries",
+    doc="Regex pattern matching over whole event sequences "
+    "(MATCH_RECOGNIZE analog): each user's history collapses to a "
+    "compact symbol string (first letter of event_type, deterministic "
+    "(ts, event_id) order via array_sort over structs — never a bare "
+    "collect_list, whose order is partition-dependent), then funnel "
+    "detection is regexp 'v.*c.*p' and strict-adjacency counting is "
+    "the replace-length trick.  One shuffle on user_id; per-user "
+    "strings stay KB-scale because they hold one char per event.",
+    oracle="""
+        WITH seqs AS (
+            SELECT user_id,
+                   string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS s
+            FROM events WHERE user_id % 11 = 0
+            GROUP BY user_id
+        )
+        SELECT user_id,
+               length(s) AS seq_len,
+               CASE WHEN regexp_matches(s, 'v.*c.*p') THEN 1 ELSE 0 END
+                   AS has_funnel,
+               CAST((length(s) - length(replace(s, 'vcp', ''))) // 3
+                    AS BIGINT) AS n_strict_vcp
+        FROM seqs
+        ORDER BY user_id
+    """,
+)
+def seq_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 11 == 0)
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("ch"))
+        )
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.concat_ws("", F.transform(arr, lambda x: x["ch"])).alias("s")
+    )
+    return seqs.select(
+        "user_id",
+        F.length("s").alias("seq_len"),
+        F.when(F.col("s").rlike("v.*c.*p"), 1).otherwise(0).alias("has_funnel"),
+        (
+            (F.length("s") - F.length(F.replace(F.col("s"), F.lit("vcp"), F.lit(""))))
+            / 3
+        )
+        .cast("bigint")
+        .alias("n_strict_vcp"),
+    ).orderBy("user_id")
