@@ -134,3 +134,86 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, pos
         """
     )
+
+
+@register(
+    "udtf_partitioned_cusum",
+    category="udf",
+    doc="Spark 4 table-argument UDTF with PARTITION BY / ORDER BY: a "
+    "CUSUM drift detector that consumes each user's event stream in "
+    "order inside the UDTF (eval buffers the partition, terminate "
+    "emits one summary row) — the custom-stateful-operator surface "
+    "the plugin-actor analog needs when per-group logic outgrows "
+    "window functions.  All arithmetic is exact integers: values "
+    "become cents, and the mean subtraction is cleared of division by "
+    "scaling the cusum by n (cs_t * n = n*prefix_t - t*total), so "
+    "Python, Spark, and DuckDB agree bit-for-bit.  At scale each "
+    "partition streams through one executor worker — same shuffle "
+    "shape as applyInPandas, no driver involvement.",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, ts, event_id,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS vc
+            FROM events WHERE user_id % 13 = 0
+        ),
+        tot AS (
+            SELECT user_id, SUM(vc) AS s, COUNT(*) AS n
+            FROM e GROUP BY user_id
+        ),
+        pre AS (
+            SELECT e.user_id, t.n, t.s,
+                   SUM(vc) OVER (PARTITION BY e.user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS run,
+                   ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM e JOIN tot t ON e.user_id = t.user_id
+        )
+        SELECT user_id,
+               CAST(ANY_VALUE(n) AS BIGINT) AS n_events,
+               CAST(MAX(ABS(n * run - rn * s)) AS BIGINT)
+                   AS max_abs_cusum_scaled
+        FROM pre GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def udtf_partitioned_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_events bigint, max_abs_cusum_scaled bigint")
+    class CusumDetector:
+        def __init__(self) -> None:
+            self._user = None
+            self._vals: list[int] = []
+
+        def eval(self, row):  # rows arrive ORDER BY (ts, event_id)
+            self._user = row["user_id"]
+            self._vals.append(row["vc"])
+
+        def terminate(self):
+            s = sum(self._vals)
+            n = len(self._vals)
+            run = 0
+            best = 0
+            for t, v in enumerate(self._vals, start=1):
+                run += v
+                best = max(best, abs(n * run - t * s))
+            yield self._user, n, best
+
+    spark.udtf.register("cusum_detector", CusumDetector)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 13 == 0)
+    ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+    ).createOrReplaceTempView("cusum_events")
+    return spark.sql(
+        """
+        SELECT * FROM cusum_detector(
+            TABLE(SELECT user_id, vc, ts, event_id FROM cusum_events)
+            PARTITION BY user_id ORDER BY (ts, event_id)
+        )
+        ORDER BY user_id
+        """
+    )
