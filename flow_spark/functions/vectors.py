@@ -33,3 +33,34 @@ def l2_norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def sql_double_array(vals) -> str:
+    """Literal array<double> as ONE SQL fragment.
+
+    Building literal vectors with per-element F.lit() costs one py4j round
+    trip each — a 16x256-entry codebook is ~4k driver calls (~1.5 s of
+    plan-build, measured).  A single expr string is one call.  repr(float)
+    round-trips exactly and Java's parseDouble is correctly rounded, so
+    the parsed literals are bit-identical to the Python values.
+    """
+    return "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in vals) + ")"
+
+
+def sql_dot(vec_sql: str, lit_array_sql: str) -> str:
+    """SQL fragment: dot(vec, literal) matching dot()'s fold semantics."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {lit_array_sql}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def sql_sq_l2(vec_sql: str, lit_array_sql: str) -> str:
+    """SQL fragment: squared L2 distance to a literal vector."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {lit_array_sql}, "
+        "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )

@@ -30,7 +30,14 @@ from pyspark.sql.types import DoubleType
 from pyspark.sql.window import Window as W
 
 from flow_spark.functions.hashing import portable_hash64
-from flow_spark.functions.vectors import cosine_similarity, dot, l2_norm
+from flow_spark.functions.vectors import (
+    cosine_similarity,
+    dot,
+    l2_norm,
+    sql_dot,
+    sql_double_array,
+    sql_sq_l2,
+)
 
 
 def brute_force_topk(
@@ -99,14 +106,22 @@ def _hyperplane_weights(plane: int, dim: int) -> list[float]:
     return out
 
 
-def lsh_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
-    """B-bit signature: bit p = 1 iff dot(vec, plane_p) >= 0."""
-    sig = None
+def lsh_signature(vec_sql: str, dim: int, n_planes: int = 8) -> Column:
+    """B-bit signature: bit p = 1 iff dot(vec, plane_p) >= 0.
+
+    `vec_sql` is a SQL fragment (usually just the column name).  The whole
+    signature is ONE expr string — per-element F.lit() literals would cost
+    dim * n_planes py4j round trips of plan-build (~0.5 s at 64x8,
+    measured; the driver-side analog of a row-level UDF tax).
+    """
+    bits = []
     for p in range(n_planes):
-        plane = F.array(*[F.lit(w) for w in _hyperplane_weights(p, dim)])
-        bit = F.when(dot(vec, plane) >= 0, F.lit(2**p)).otherwise(F.lit(0))
-        sig = bit if sig is None else (sig + bit)
-    return sig.cast("int")
+        plane = sql_double_array(_hyperplane_weights(p, dim))
+        bits.append(
+            f"(CASE WHEN {sql_dot(vec_sql, plane)} >= CAST(0.0 AS DOUBLE) "
+            f"THEN {2**p} ELSE 0 END)"
+        )
+    return F.expr("CAST((" + " + ".join(bits) + ") AS INT)")
 
 
 def lsh_topk(
@@ -119,7 +134,7 @@ def lsh_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking within the query's LSH bucket."""
-    sig = lsh_signature(F.col(vec_col), dim, n_planes)
+    sig = lsh_signature(vec_col, dim, n_planes)
     nparts = candidates.sparkSession.sparkContext.defaultParallelism
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -158,17 +173,29 @@ def ivf_assign(
     In production the centroid list comes from MLlib KMeans; here it is any
     deterministic pick so the whole index is oracle-checkable.
     """
-    vec = F.col(vec_col)
+    # one expr string for the whole argmax — per-element F.lit() centroids
+    # would cost k * dim py4j round trips of plan-build (1.5 s measured at
+    # 16x64); the literal-norm subtrees constant-fold in Catalyst
+    norm_sql = (
+        f"sqrt(aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
     entries = []
     for cid, cvec in centroids:
-        lit_vec = F.array(*[F.lit(float(x)) for x in cvec])
-        cos = cosine_similarity(vec, lit_vec)
+        lit_vec = sql_double_array(float(x) for x in cvec)
+        lit_norm = (
+            f"sqrt(aggregate({lit_vec}, CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + x * x))"
+        )
+        cos = f"({sql_dot(vec_col, lit_vec)} / ({norm_sql} * {lit_norm}))"
         # struct max orders field-by-field: highest cos wins, ties go to the
         # smaller centroid id via the negated second field
-        entries.append(F.struct(cos.alias("cos"), F.lit(-cid).alias("ncid")))
-    best = F.array_max(F.array(*entries))
+        entries.append(f"named_struct('cos', {cos}, 'ncid', {-cid})")
+    best = F.expr("array_max(array(" + ",".join(entries) + "))")
     return vectors.select(
-        F.col(id_col), vec.alias("v"), (-best["ncid"]).cast("int").alias("cluster")
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        (-best["ncid"]).cast("int").alias("cluster"),
     )
 
 
@@ -305,9 +332,9 @@ def pq_train(
     return books
 
 
-def _subspace_slice(vec: Column, m: int, dsub: int) -> Column:
-    # F.slice is 1-indexed
-    return F.slice(vec, m * dsub + 1, dsub)
+def _subspace_slice_sql(vec_col: str, m: int, dsub: int) -> str:
+    # slice() is 1-indexed
+    return f"slice(CAST({vec_col} AS ARRAY<DOUBLE>), {m * dsub + 1}, {dsub})"
 
 
 def _sq_l2(a: Column, b: Column) -> Column:
@@ -329,21 +356,23 @@ def pq_encode(
 
     argmin runs as array_min over (distance, code) structs — struct
     ordering is field-by-field, so ties resolve to the lower code id,
-    deterministically.  No Python executes per row.
+    deterministically.  No Python executes per row, and the whole encode
+    is ONE expr string (per-element F.lit() codebooks would cost
+    m * k * dsub py4j round trips of plan-build).
     """
     dsub = len(codebooks[0][0])
     codes = []
     for m, book in enumerate(codebooks):
-        sub = _subspace_slice(F.col(vec_col).cast("array<double>"), m, dsub)
-        entries = [
-            F.struct(
-                _sq_l2(sub, F.array(*[F.lit(v) for v in cent])).alias("d"),
-                F.lit(c).alias("code"),
-            )
+        sub = _subspace_slice_sql(vec_col, m, dsub)
+        entries = ",".join(
+            f"named_struct('d', {sql_sq_l2(sub, sql_double_array(cent))}, "
+            f"'code', {c})"
             for c, cent in enumerate(book)
-        ]
-        codes.append(F.array_min(F.array(*entries))["code"])
-    return vectors.select(F.col(id_col), F.array(*codes).alias("codes"))
+        )
+        codes.append(f"array_min(array({entries})).code")
+    return vectors.select(
+        F.col(id_col), F.expr("array(" + ",".join(codes) + ")").alias("codes")
+    )
 
 
 def pq_adc_topk(
@@ -375,12 +404,9 @@ def pq_adc_topk(
     m_count = len(codebooks)
     dtabs = []
     for m, book in enumerate(codebooks):
-        sub = _subspace_slice(F.col(vec_col).cast("array<double>"), m, dsub)
-        dtabs.append(
-            F.array(
-                *[_sq_l2(sub, F.array(*[F.lit(v) for v in cent])) for cent in book]
-            ).alias(f"dtab{m}")
-        )
+        sub = _subspace_slice_sql(vec_col, m, dsub)
+        cells = ",".join(sql_sq_l2(sub, sql_double_array(cent)) for cent in book)
+        dtabs.append(F.expr(f"array({cells})").alias(f"dtab{m}"))
     q = queries.select(F.col(id_col).alias("query_id"), *dtabs)
     c = pq_encode(candidates, codebooks, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "codes"
