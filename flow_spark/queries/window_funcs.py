@@ -31,7 +31,12 @@ from flow_spark.queries.util import (
     doc="Top-3 parts by revenue per supplier: row_number over desc revenue. "
     "Revenue summed as exact scaled integers (util.py cents path) so the "
     "ORDER BY — and thus the ranks — is deterministic across engines and "
-    "re-executions, and the hash agg runs on longs.",
+    "re-executions, and the hash agg runs on longs.  The fact is "
+    "repartitioned by suppkey up front: hash(suppkey) satisfies BOTH the "
+    "(suppkey, partkey) aggregation clustering and the window's suppkey "
+    "partitioning, so one exchange serves the agg and the window (3 -> 2 "
+    "exchanges; the (s,p) re-shuffle it removes carries ~n_groups rows, "
+    "the dominant shuffle at high key cardinality).",
     oracle=f"""
         WITH rev AS (
             SELECT l_suppkey, l_partkey,
@@ -52,7 +57,7 @@ from flow_spark.queries.util import (
     """,
 )
 def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").repartition("l_suppkey")
     rev = li.groupBy("l_suppkey", "l_partkey").agg(F.sum(revenue_cents()).alias("r"))
     w = W.partitionBy("l_suppkey").orderBy(F.desc("r"), F.asc("l_partkey"))
     return (
