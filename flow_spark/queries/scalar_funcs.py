@@ -1165,3 +1165,44 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "fn_try_arith",
+    category="conditional-fn",
+    doc="Error-safe arithmetic, the rest of the try_* family next to "
+    "fn_try_cast: try_divide (divide-by-zero -> NULL, not a job "
+    "abort), try_add at the bigint ceiling (overflow -> NULL, never a "
+    "silent wraparound), and try_element_at past the end of an array "
+    "(-> NULL).  DuckDB errors on all three, so the oracle encodes the "
+    "same semantics with explicit guards — which is precisely the "
+    "boilerplate try_* replaces.",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE ROUND(o_totalprice / (o_orderkey % 5), 4)
+               END AS safe_div,
+               CASE WHEN o_orderkey % 3 > 0 THEN NULL
+                    ELSE 9223372036854775807 END AS safe_add,
+               CASE WHEN o_orderkey % 4 + 1 <= 2
+                    THEN ['a', 'b'][CAST(o_orderkey % 4 + 1 AS INT)]
+                    ELSE NULL END AS safe_at
+        FROM orders WHERE o_orderkey % 30 = 0
+        ORDER BY o_orderkey
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 30 == 0)
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 5), 4
+        ).alias("safe_div"),
+        F.try_add(
+            F.lit(9223372036854775807), F.col("o_orderkey") % 3
+        ).alias("safe_add"),
+        F.try_element_at(
+            F.array(F.lit("a"), F.lit("b")),
+            (F.col("o_orderkey") % 4 + 1).cast("int"),
+        ).alias("safe_at"),
+    ).orderBy("o_orderkey")
