@@ -897,3 +897,55 @@ def test_streaming_incremental_neardup(spark, sf_dir, tmp_path):
         r.doc_id for r in incremental_neardup_batch(half1, store2).collect()
     } | {r.doc_id for r in incremental_neardup_batch(half2, store2).collect()}
     assert got == expected and len(got) > 0
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: true streaming dedup with BOUNDED
+    state — duplicate event_ids arriving within the watermark horizon are
+    suppressed, and state for ids older than the watermark is evicted
+    (the property plain dropDuplicates lacks: its state grows forever on
+    an unbounded stream).  Duplicates land in a second micro-batch to
+    prove dedup works across batches, not just within one."""
+    import pyspark.sql.functions as SF
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    rows1 = [(i, f"2024-01-01 10:{i % 60:02d}:00", f"m{i}") for i in range(20)]
+    # batch 2: re-deliveries of 0..9 (same ids, same ts) + fresh 20..24
+    rows2 = [(i, f"2024-01-01 10:{i % 60:02d}:00", f"dup{i}") for i in range(10)]
+    rows2 += [(i, f"2024-01-01 10:{i % 60:02d}:00", f"m{i}") for i in range(20, 25)]
+    schema = "event_id long, ts_s string, payload string"
+    for n, rows in [("00", rows1), ("01", rows2)]:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"stage{n}"))
+    import shutil
+
+    for n in ["00", "01"]:
+        part = next((tmp_path / f"stage{n}").glob("part-*.parquet"))
+        shutil.copy(part, src_dir / f"{n}.parquet")
+
+    out_dir = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+        .withColumn("ts", SF.to_timestamp("ts_s"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir).collect()
+    ids = sorted(r.event_id for r in got)
+    assert ids == sorted(range(25)), ids  # each id exactly once
+    # the re-delivered ids kept their FIRST payload (m*, not dup*)
+    by_id = {r.event_id: r.payload for r in got}
+    assert all(by_id[i] == f"m{i}" for i in range(10))
