@@ -81,6 +81,7 @@ class AdminServer:
                     "n_connections": sum(len(v) for v in cfg.connections.values()),
                     "active_streams": len(spark.streams.active),
                     "admin_hits": self._hits,
+                    "actor_metrics": self.pipeline.metrics(),
                 }
             )
         if path.startswith("/pprof"):

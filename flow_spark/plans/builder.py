@@ -59,9 +59,43 @@ class Pipeline:
     cfg: PipelineConfig
     order: list[str] = field(default_factory=list)
     _bridges: list = field(default_factory=list)
+    _observations: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         self.order = validate_dag(self.cfg)
+
+    # -- runtime metrics -----------------------------------------------------
+
+    def _observe_actor(self, name: str, df: DataFrame) -> DataFrame:
+        """Attach a per-actor row counter via Dataset.observe.
+
+        Free instrumentation: the count rides the existing job as an
+        accumulator — no extra action, no second scan (contrast a
+        .count() probe, which at 100 TB doubles the pipeline's I/O).
+        Streaming frames skip it (they surface metrics through the
+        StreamingQuery progress API instead).
+        """
+        if df.isStreaming:
+            return df
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        self._observations[name] = obs
+        return df.observe(obs, F.count(F.lit(1)).alias("rows"))
+
+    def metrics(self) -> dict[str, dict]:
+        """Per-actor observed metrics for frames whose action has run.
+
+        Non-blocking: actors whose output was never executed (or not yet)
+        are simply absent — the expvar counter model (expvar.go:37)."""
+        out: dict[str, dict] = {}
+        for name, obs in self._observations.items():
+            try:
+                if obs._jo is not None and obs._jo.getRowOrEmpty().isDefined():
+                    out[name] = obs.get
+            except Exception:  # pragma: no cover - defensive JVM interop
+                continue
+        return out
 
     def stop(self) -> None:
         """Stop any network bridges started by tcp/udp/unix/http receivers
@@ -126,7 +160,7 @@ class Pipeline:
                 sink_frames,
             )
             if df is not None:
-                out[name] = df
+                out[name] = self._observe_actor(name, df)
 
         dlv = None
         for d in delivery:

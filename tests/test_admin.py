@@ -90,3 +90,32 @@ def test_unknown_path_404s_and_post_405s(admin):
     with pytest.raises(urllib.error.HTTPError) as e405:
         urllib.request.urlopen(req, timeout=10)
     assert e405.value.code == 405
+
+
+def test_expvar_actor_metrics_after_run(spark, sf_dir):
+    """Per-actor observe() counters: empty before any action, populated
+    with true row counts once the pipeline's frames execute — the counts
+    ride the existing job as accumulators (no extra scan)."""
+    import json
+    import urllib.request
+
+    from tests.test_pipeline_builder import RELAY
+
+    from flow_spark.plans.builder import Pipeline
+
+    pipe = Pipeline.from_yaml(spark, RELAY.format(sf=sf_dir))
+    res = pipe.run()
+    srv = pipe.serve_admin()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/expvar") as r:
+            before = json.loads(r.read())
+        assert before["actor_metrics"] == {}  # nothing executed yet
+
+        n = res.sinks["out"].count()  # drive the sink frame
+        with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/expvar") as r:
+            after = json.loads(r.read())
+        got = after["actor_metrics"]
+        assert got, "observed metrics missing after execution"
+        assert all(m["rows"] >= n for m in got.values())
+    finally:
+        pipe.stop()
