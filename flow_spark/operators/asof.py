@@ -47,8 +47,14 @@ def asof_join(
     smallest id wins forward (the "next" row) — mirroring how an oracle
     would dedup with ROW_NUMBER ... ORDER BY id DESC/ASC.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
+    if direction == "nearest":
+        if not allow_exact_matches:
+            raise ValueError("direction='nearest' requires allow_exact_matches")
+        return _asof_nearest(left, right, ts_col, by, value_cols, right_id_col)
     if right_id_col is not None:
         id_order = F.desc(right_id_col) if direction == "backward" else F.asc(right_id_col)
         w_dedup = W.partitionBy(by, ts_col).orderBy(id_order)
@@ -101,3 +107,81 @@ def asof_join(
         ],
     )
     return filled.filter(F.col("__side") == 1).drop("__side")
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by: str,
+    value_cols: list[str],
+    right_id_col: str | None,
+) -> DataFrame:
+    """Nearest-direction as-of: closest right row in EITHER direction.
+
+    Both candidate matches come out of ONE shuffle+sort: the same
+    union+window pass evaluates the backward frame (last right row at or
+    before) and the forward frame (first right row at or after) as two
+    frames over one window ordering, then a per-row comparison keeps the
+    closer match (exact tie in distance -> the backward/earlier row,
+    matching pandas merge_asof's resolution).  Right-side timestamp ties
+    dedup to the greatest `right_id_col` (one rule for both directions).
+    """
+    if right_id_col is not None:
+        w_dedup = W.partitionBy(by, ts_col).orderBy(F.desc(right_id_col))
+        right = (
+            right.withColumn("__rn", F.row_number().over(w_dedup))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    carry = list(value_cols) + [ts_col]
+    lcols = left.columns
+    tagged_l = left.select(
+        *lcols,
+        F.lit(1).alias("__side"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in carry
+        ],
+    )
+    tagged_r = right.select(
+        *[
+            F.col(c) if c in (by, ts_col) else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in carry],
+    )
+    unioned = tagged_l.unionByName(tagged_r)
+    # right rows sort first at equal ts: the backward frame sees an exact
+    # match (distance 0), which then beats any forward candidate
+    order = [F.col(ts_col).asc(), F.asc("__side")]
+    w_b = W.partitionBy(by).orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_f = W.partitionBy(by).orderBy(*order).rowsBetween(W.currentRow, W.unboundedFollowing)
+    filled = unioned.select(
+        *lcols,
+        "__side",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w_b).alias(f"__b_{c}")
+            for c in carry
+        ],
+        *[
+            F.first(f"__r_{c}", ignorenulls=True).over(w_f).alias(f"__f_{c}")
+            for c in carry
+        ],
+    ).filter(F.col("__side") == 1)
+    bwd_ts, fwd_ts = F.col(f"__b_{ts_col}"), F.col(f"__f_{ts_col}")
+    t = F.col(ts_col)
+    use_backward = fwd_ts.isNull() | (
+        bwd_ts.isNotNull()
+        & (t.cast("double") - bwd_ts.cast("double") <= fwd_ts.cast("double") - t.cast("double"))
+    )
+    return filled.select(
+        *lcols,
+        *[
+            F.when(use_backward, F.col(f"__b_{c}"))
+            .otherwise(F.col(f"__f_{c}"))
+            .alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )

@@ -199,21 +199,61 @@ def ivf_assign(
     )
 
 
+def ivf_probe_clusters(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, cluster) with one row per probed cluster — the query-side
+    fan-out of IVF nprobe > 1.  Probing the n nearest lists instead of one
+    is THE recall/cost knob of a production IVF index: candidates whose
+    true nearest list wasn't the query's first choice become reachable at
+    n x the scan cost (still |C| * n / k_centroids, never the full table).
+    Same single-expr literal argsort as ivf_assign, sliced to n."""
+    norm_sql = (
+        f"sqrt(aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    entries = []
+    for cid, cvec in centroids:
+        lit_vec = sql_double_array(float(x) for x in cvec)
+        lit_norm = (
+            f"sqrt(aggregate({lit_vec}, CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + x * x))"
+        )
+        cos = f"({sql_dot(vec_col, lit_vec)} / ({norm_sql} * {lit_norm}))"
+        # ascending struct sort on (-cos, cid) = cos DESC, ties to low cid
+        entries.append(f"named_struct('ncos', -({cos}), 'cid', {cid})")
+    arr = f"slice(array_sort(array({','.join(entries)})), 1, {nprobe})"
+    return vectors.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        F.explode(F.expr(arr)).alias("pc"),
+    ).select(id_col, "v", F.col("pc.cid").cast("int").alias("cluster"))
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
     centroids: list[tuple[int, list[float]]],
     k: int = 3,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF ANN with nprobe=1: exact cosine top-k within the query's cluster.
+    """IVF ANN: exact cosine top-k within the query's nprobe nearest lists.
 
     The inverted-file structure is the `cluster` column: at scale the
-    candidate table is written partitioned by it, so a probe reads one
-    partition (|C|/k_centroids rows) instead of the full table.
+    candidate table is written partitioned by it, so a probe reads nprobe
+    partitions (|C| * nprobe / k_centroids rows) instead of the full table.
     """
-    q = ivf_assign(queries, centroids, id_col, vec_col).select(
+    if nprobe > 1:
+        q = ivf_probe_clusters(queries, centroids, nprobe, id_col, vec_col)
+    else:
+        q = ivf_assign(queries, centroids, id_col, vec_col)
+    q = q.select(
         F.col(id_col).alias("query_id"),
         F.col("v").alias("qvec"),
         "cluster",

@@ -122,3 +122,82 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("purchase_value"),
         F.round(F.coalesce("asof_value", F.lit(-1.0)), 2).alias("next_click_value"),
     ).orderBy("event_id")
+
+
+@register(
+    "asof_join_nearest",
+    category="join",
+    doc="Nearest-direction as-of join: each purchase matched with the "
+    "user's CLOSEST click in either direction (sensor-fusion / event "
+    "alignment semantics, pandas merge_asof direction='nearest').  "
+    "Both candidates come out of ONE shuffle: the union+window pass "
+    "evaluates the backward and forward frames over the same sort and "
+    "a row-local comparison keeps the closer match (distance ties -> "
+    "the earlier row).  The oracle composes two native DuckDB ASOF "
+    "joins with the same tie rule.",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'click'
+        ),
+        clicks_d AS (SELECT user_id, ts, value FROM clicks WHERE rn = 1),
+        purchases AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events WHERE event_type = 'purchase'
+        ),
+        b AS (
+            SELECT p.event_id, c.value AS bv, c.ts AS bts
+            FROM purchases p
+            ASOF LEFT JOIN clicks_d c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        ),
+        f AS (
+            SELECT p.event_id, c.value AS fv, c.ts AS fts
+            FROM purchases p
+            ASOF LEFT JOIN clicks_d c
+              ON p.user_id = c.user_id AND p.ts <= c.ts
+        )
+        SELECT p.event_id, p.user_id,
+               ROUND(p.value, 2) AS purchase_value,
+               ROUND(COALESCE(
+                   CASE WHEN fts IS NULL
+                             OR (bts IS NOT NULL
+                                 AND epoch(p.ts) - epoch(bts)
+                                     <= epoch(fts) - epoch(p.ts))
+                        THEN bv ELSE fv END, -1.0), 2) AS nearest_click_value
+        FROM purchases p
+        JOIN b ON p.event_id = b.event_id
+        JOIN f ON p.event_id = f.event_id
+        ORDER BY p.event_id
+    """,
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("value"),
+        F.col("event_id").alias("click_id"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        ts_col="ts",
+        by="user_id",
+        value_cols=["value"],
+        right_id_col="click_id",
+        direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("purchase_value"),
+        F.round(F.coalesce("asof_value", F.lit(-1.0)), 2).alias(
+            "nearest_click_value"
+        ),
+    ).orderBy("event_id")

@@ -406,3 +406,61 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(queries, emb, books, k=10, rerank=100).orderBy(
         "query_id", "rank"
     )
+
+
+@register(
+    "sim_ivf_nprobe2",
+    category="similarity",
+    doc="IVF ANN with nprobe=2 — the recall/cost knob of a production "
+    "IVF index: each query probes its TWO nearest inverted lists "
+    "(query-side fan-out via one literal argsort + explode; candidates "
+    "stay in exactly one list), so neighbors whose nearest centroid "
+    "wasn't the query's first choice become reachable at 2x the scan "
+    "cost, still |C| * 2 / k_centroids per probe, never the full table.",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        cent AS (
+            SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT {_N_CENTROIDS}
+        ),
+        ranked_assign AS (
+            SELECT v.vec_id, v.e, c.cid AS cluster,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cid ASC
+                   ) AS rn
+            FROM v CROSS JOIN cent c
+        ),
+        assigned AS (
+            SELECT vec_id, e, cluster FROM ranked_assign WHERE rn = 1
+        ),
+        q AS (
+            SELECT vec_id AS query_id, e AS qe, cluster
+            FROM ranked_assign WHERE vec_id % 50 = 0 AND rn <= 2
+        ),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.qe, c.e) AS cos_raw
+            FROM q JOIN assigned c
+              ON c.cluster = q.cluster AND c.vec_id != q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos_raw,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, ROUND(cos_raw, 4) AS cos
+        FROM ranked WHERE rank <= 3
+        ORDER BY query_id, rank
+    """,
+)
+def sim_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.orderBy("vec_id").limit(_N_CENTROIDS).collect()
+    ]
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(queries, emb, cents, k=3, nprobe=2).orderBy("query_id", "rank")

@@ -83,3 +83,49 @@ def test_asof_matches_merge_asof(spark, left, right, allow_exact, direction):
     ).collect()
     got = {(r.k, r.ts, r.lid): r.asof_v for r in out}
     assert got == reference(left, right, allow_exact, direction)
+
+
+def _reference_nearest(left_rows, right_rows):
+    """Independent O(n^2) reference: closest right row either direction,
+    distance tie -> backward (earlier), right (k, ts) ties -> greatest rid."""
+    dedup: dict[tuple[int, int], tuple[int, int]] = {}
+    for rid, (k, t, v) in enumerate(right_rows):
+        if (k, t) not in dedup or rid > dedup[(k, t)][0]:
+            dedup[(k, t)] = (rid, v)
+    out = {}
+    for lid, (k, t, _v) in enumerate(left_rows):
+        best = None  # (dist, is_forward, v)
+        for (rk, rt), (_rid, rv) in dedup.items():
+            if rk != k:
+                continue
+            cand = (abs(rt - t), rt > t, rv)
+            if best is None or cand[:2] < best[:2]:
+                best = cand
+        out[(k, t, lid)] = None if best is None else best[2]
+    return out
+
+
+@pytest.mark.slow
+@given(
+    left=st.lists(row, min_size=1, max_size=8),
+    right=st.lists(row, min_size=0, max_size=8),
+)
+@settings(
+    max_examples=16,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_nearest_matches_reference(spark, left, right):
+    lp = spark.createDataFrame(
+        [(k, t, v, i) for i, (k, t, v) in enumerate(left)], "k int, ts int, v int, lid int"
+    )
+    rp = spark.createDataFrame(
+        [(k, t, v, i) for i, (k, t, v) in enumerate(right)],
+        "k int, ts int, v int, rid int",
+    ) if right else spark.createDataFrame([], "k int, ts int, v int, rid int")
+    out = asof_join(
+        lp, rp, ts_col="ts", by="k", value_cols=["v"],
+        right_id_col="rid", direction="nearest",
+    ).collect()
+    got = {(r.k, r.ts, r.lid): r.asof_v for r in out}
+    assert got == _reference_nearest(left, right)
