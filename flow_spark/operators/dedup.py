@@ -357,3 +357,38 @@ def incremental_neardup_batch(
     kept_bands.write.mode("append").parquet(store_path)
     bands.unpersist()
     return kept
+
+
+def ngram_containment_pairs(
+    shingles: DataFrame, threshold: float = 0.7, max_gram_docs: int = 1000
+) -> DataFrame:
+    """Asymmetric containment |A∩B| / min(|A|, |B|) over shingle sets.
+
+    The partial-copy detector Jaccard misses: a paragraph quoted inside a
+    much longer document scores near-zero Jaccard (the union is huge) but
+    containment ~1.  Same shared-shingle candidate generation and
+    hot-gram cap as ngram_jaccard_pairs; at scale this runs on LSH
+    candidates, never standalone.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    gram_n = shingles.withColumn("gram_n", F.count("*").over(W.partitionBy("shingle")))
+    keep = gram_n.filter(F.col("gram_n") <= max_gram_docs).select("doc_id", "shingle")
+    a = keep.alias("a")
+    b = keep.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    cont = F.col("n_common") / F.least("sz_a", "sz_b")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

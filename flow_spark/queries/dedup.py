@@ -419,3 +419,41 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_ngram_containment",
+    category="dedup",
+    doc="Asymmetric containment pairs (|A∩B| / min size >= 0.7): the "
+    "partial-copy/quote detector Jaccard misses — a short doc embedded "
+    "in a long one unions to near-zero Jaccard but containment ~1.  "
+    "Same shared-shingle candidate join and hot-gram cap as "
+    "dedup_ngram_jaccard; at 100 TB it runs on LSH candidates.",
+    oracle=f"""
+        WITH {_SQL_SHINGLES},
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        kept AS (
+            SELECT doc_id, shingle FROM sh
+            QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000
+        ),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(n_common / LEAST(sa.sz, sb.sz), 4) AS containment
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE ROUND(n_common / LEAST(sa.sz, sb.sz), 4) >= 0.7
+        ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.dedup import ngram_containment_pairs
+
+    corpus = _augment(load_table(spark, sf_dir, "documents"))
+    return ngram_containment_pairs(word_shingles(corpus), threshold=0.7).orderBy(
+        "doc_a", "doc_b"
+    )
