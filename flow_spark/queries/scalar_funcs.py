@@ -1206,3 +1206,50 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderkey") % 4 + 1).cast("int"),
         ).alias("safe_at"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "agg_exact_covariance",
+    category="aggregation",
+    doc="Exact integer covariance: the scaled numerator "
+    "n*sum(xy) - sum(x)*sum(y) over (quantity, price-cents) per return "
+    "flag, computed entirely in integer space — the population "
+    "covariance times n^2 * 100, bit-identical across engines under "
+    "any partitioning (a float covar_pop diverges in the last ulps "
+    "with summation order).  Per-row sums stay in long range; the two "
+    "final products run in decimal(38,0)/HUGEINT.  The pattern for "
+    "any exact second-moment statistic at 100 TB.",
+    oracle="""
+        WITH s AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   SUM(CAST(l_quantity AS BIGINT)) AS sx,
+                   SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sy,
+                   SUM(CAST(l_quantity AS BIGINT)
+                       * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sxy
+            FROM lineitem
+            GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               CAST(n * sxy - sx * sy AS VARCHAR) AS cov_numerator
+        FROM s
+        ORDER BY l_returnflag
+    """,
+)
+def agg_exact_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(20,0)")  # noqa: E731
+    num = (dec("n") * dec("sxy") - dec("sx") * dec("sy")).cast("decimal(38,0)")
+    # serialized as string: the value exceeds bigint and the driver's
+    # hasher must see identical text on both sides
+    return s.select(
+        "l_returnflag", "n", num.cast("string").alias("cov_numerator")
+    ).orderBy("l_returnflag")

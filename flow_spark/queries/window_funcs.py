@@ -531,3 +531,38 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+@register(
+    "win_rolling_distinct",
+    category="window",
+    doc="Distinct count over a sliding row frame (behavioral diversity of "
+    "the user's last 10 events).  Neither engine supports DISTINCT "
+    "aggregates over windows natively, so both build the frame list and "
+    "dedup it — O(frame) per row, exact, and the idiom stays JVM-side "
+    "in Spark (collect_list -> array_distinct -> size).  One shuffle "
+    "on user_id.",
+    oracle="""
+        SELECT user_id, event_id,
+               CAST(len(list_distinct(list(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+               ))) AS INT) AS n_distinct_types
+        FROM events WHERE user_id % 9 = 0
+        ORDER BY user_id, event_id
+    """,
+)
+def win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 9 == 0)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w))).alias(
+            "n_distinct_types"
+        ),
+    ).orderBy("user_id", "event_id")
