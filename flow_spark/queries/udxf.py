@@ -217,3 +217,61 @@ def udtf_partitioned_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY user_id
         """
     )
+
+
+@register(
+    "udaf_pandas_grouped_agg",
+    category="udf",
+    doc="Pandas GROUPED_AGG UDAF (Series -> scalar, the custom-aggregate "
+    "surface next to scalar UDFs and grouped-map): exact integer Gini "
+    "numerator sum((2i - n - 1) * x_(i)) over price cents per return "
+    "flag — numpy does the per-group sort/dot in one Arrow batch, and "
+    "because the statistic is all-integer the result is bit-identical "
+    "to the oracle's window formulation.  At scale each group "
+    "aggregates on one executor (same shuffle as any groupBy agg); "
+    "groups above executor memory belong in the window form instead.",
+    oracle="""
+        WITH r AS (
+            SELECT l_returnflag,
+                   CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS xc,
+                   ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                      ORDER BY ROUND(l_extendedprice * 100, 0))
+                       AS i,
+                   COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               CAST(SUM((2 * i - n - 1) * xc) AS BIGINT) AS gini_numerator,
+               CAST(ANY_VALUE(n) AS BIGINT) AS n
+        FROM r GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def gini_numerator(cents: pd.Series) -> int:  # GROUPED_AGG: Series -> scalar
+        x = np.sort(cents.to_numpy(dtype=np.int64))
+        n = len(x)
+        w = 2 * np.arange(1, n + 1, dtype=np.int64) - n - 1
+        return int(np.dot(w, x))
+
+    @pandas_udf("long")
+    def n_rows(cents: pd.Series) -> int:  # companion UDAF: plain aggs
+        # cannot mix with a GROUPED_AGG pandas UDF in one agg()
+        return len(cents)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return (
+        li.select("l_returnflag", cents.alias("xc"))
+        .groupBy("l_returnflag")
+        .agg(
+            gini_numerator("xc").alias("gini_numerator"),
+            n_rows("xc").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
