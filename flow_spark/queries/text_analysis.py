@@ -831,3 +831,45 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sample_weighted_bernoulli",
+    category="text-analysis",
+    doc="Deterministic WEIGHTED sampling: each doc keeps with probability "
+    "proportional to its length (min(1, n_chars / 4000)) — the "
+    "importance-sampling step of curation (keep more of the long/rare "
+    "material) made reproducible: the coin is pmod(hash(id), 4000) "
+    "compared against the doc's own integer threshold, so the decision "
+    "is identical across engines, retries, and repartitionings, per "
+    "doc.  Contrast rand() < p, which resamples on every re-plan.",
+    oracle=f"""
+        SELECT source,
+               COUNT(*) AS n_kept,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+        FROM documents
+        WHERE {portable_hash_expr("CAST(doc_id AS VARCHAR)", salt='wsample')} % 4000
+              < LEAST(n_chars, 4000)
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    coin = F.pmod(
+        portable_hash64(F.col("doc_id").cast("string"), salt="wsample"),
+        F.lit(4000),
+    )
+    kept = docs.filter(coin < F.least(F.col("n_chars"), F.lit(4000)))
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
