@@ -1253,3 +1253,43 @@ def agg_exact_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag", "n", num.cast("string").alias("cov_numerator")
     ).orderBy("l_returnflag")
+
+
+@register(
+    "fn_mask",
+    category="string-fn",
+    doc="Data masking (governance surface next to text_pii_redact): "
+    "Spark's mask() builtin — uppercase -> X, lowercase -> x, digits -> "
+    "n, punctuation kept — applied to customer names plus a "
+    "last-4-visible account form via substring composition.  The oracle "
+    "spells the same policy as three character-class regex passes, "
+    "which is exactly the boilerplate the builtin replaces.",
+    oracle="""
+        SELECT c_custkey,
+               regexp_replace(regexp_replace(regexp_replace(
+                   c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+                   '[0-9]', 'n', 'g') AS masked_name,
+               regexp_replace(substr(c_name, 1, length(c_name) - 4),
+                              '[0-9]', 'n', 'g')
+                   || substr(c_name, length(c_name) - 3) AS last4_visible
+        FROM customer WHERE c_custkey % 20 = 0
+        ORDER BY c_custkey
+    """,
+)
+def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 20 == 0
+    )
+    name = F.col("c_name")
+    visible_tail = F.substring(name, F.length(name) - 3, F.lit(4))
+    masked_head = F.mask(
+        F.substring(name, F.lit(1), F.length(name) - 4),
+        upperChar=F.lit(None),
+        lowerChar=F.lit(None),
+        digitChar=F.lit("n"),
+    )
+    return cust.select(
+        "c_custkey",
+        F.mask(name).alias("masked_name"),
+        F.concat(masked_head, visible_tail).alias("last4_visible"),
+    ).orderBy("c_custkey")
