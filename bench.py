@@ -65,14 +65,14 @@ def main() -> None:
     for name in HEADLINE:
         q = queries[name]
         q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        # median of 3 timed runs: single-run numbers swing +-40% under
+        # median of 5 timed runs: single-run numbers swing +-40% under
         # background load; the median is the stable engine-cost signal
         runs = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[1], 3)
+        timings[name] = round(sorted(runs)[2], 3)
 
     total = round(sum(timings.values()), 3)
     print(
