@@ -949,3 +949,97 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     # the re-delivered ids kept their FIRST payload (m*, not dup*)
     by_id = {r.event_id: r.payload for r in got}
     assert all(by_id[i] == f"m{i}" for i in range(10))
+
+
+def test_stream_stream_left_outer_join(spark, tmp_path):
+    """LEFT OUTER stream-stream join: matched rows emit immediately, but
+    the null-extended rows for unmatched clicks may only emit once the
+    watermark has passed their join window (state can be declared
+    complete) — the semantics that make outer stream joins correct
+    without unbounded state.  A far-future sentinel row advances the
+    watermark so the early unmatched rows must flush."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    # users 0/1 match buys; user 9 never does
+    clicks1 = [(i, i % 2, t0 + timedelta(minutes=2 * i)) for i in range(10)]
+    clicks1 += [(90 + i, 9, t0 + timedelta(minutes=3 * i)) for i in range(3)]
+    buys = [(100 + i, i % 2, t0 + timedelta(minutes=2 * i + 1)) for i in range(10)]
+    sentinel = [(999, 8, t0 + timedelta(hours=2))]
+    c_schema = "click_id long, user long, c_ts timestamp"
+    b_schema = "buy_id long, user long, b_ts timestamp"
+    (tmp_path / "c").mkdir()
+    (tmp_path / "b").mkdir()
+    spark.createDataFrame(clicks1, c_schema).write.mode("append").parquet(str(tmp_path / "c"))
+    spark.createDataFrame(buys, b_schema).write.mode("append").parquet(str(tmp_path / "b"))
+
+    def run_round():
+        cs = (
+            spark.readStream.schema(c_schema)
+            .parquet(str(tmp_path / "c"))
+            .withWatermark("c_ts", "10 minutes")
+        )
+        bs = (
+            spark.readStream.schema(b_schema)
+            .parquet(str(tmp_path / "b"))
+            .withWatermark("b_ts", "10 minutes")
+        )
+        joined = cs.join(
+            bs,
+            (cs.user == bs.user)
+            & (bs.b_ts >= cs.c_ts)
+            & (bs.b_ts <= cs.c_ts + F.expr("INTERVAL 5 MINUTES")),
+            "left_outer",
+        ).select("click_id", "buy_id")
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_round()  # round 1: only the early data; watermark still low
+    # the sentinel arrives later: its batch advances the watermark past
+    # every early join window, forcing the outer flush (outer results
+    # emit only when state expires, never speculatively)
+    from datetime import timedelta as _td
+
+    for extra in range(3):
+        # BOTH sides: the global watermark is min(clicks_wm, buys_wm), so
+        # a quiet buys stream would pin it and block every outer flush
+        spark.createDataFrame(
+            [(999 + extra, 8, t0 + _td(hours=2 + extra))], c_schema
+        ).write.mode("append").parquet(str(tmp_path / "c"))
+        spark.createDataFrame(
+            [(899 + extra, 7, t0 + _td(hours=2 + extra))], b_schema
+        ).write.mode("append").parquet(str(tmp_path / "b"))
+        run_round()
+        got = spark.read.parquet(str(tmp_path / "out"))
+        flushed = {
+            r.click_id
+            for r in got.filter(F.col("buy_id").isNull()).collect()
+        }
+        if {90, 91, 92}.issubset(flushed):
+            break
+
+    matched = got.filter(F.col("buy_id").isNotNull()).count()
+    null_ext = {r.click_id for r in got.filter(F.col("buy_id").isNull()).collect()}
+    # batch reference for the matched portion
+    cb = spark.read.parquet(str(tmp_path / "c"))
+    bb = spark.read.parquet(str(tmp_path / "b"))
+    n_batch_matched = (
+        cb.join(
+            bb,
+            (cb.user == bb.user)
+            & (bb.b_ts >= cb.c_ts)
+            & (bb.b_ts <= cb.c_ts + F.expr("INTERVAL 5 MINUTES")),
+        ).count()
+    )
+    assert matched == n_batch_matched > 0
+    # every user-9 click is watermark-expired and must be null-extended
+    assert {90, 91, 92}.issubset(null_ext)
+    # the newest sentinel's window never passes the final watermark
+    assert max(null_ext) < 990
