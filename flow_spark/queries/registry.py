@@ -76,6 +76,7 @@ def all_queries() -> dict[str, Query]:
         timeseries,
         chunking,
         graph,
+        pysource,
     )
 
     return dict(_REGISTRY)

@@ -1,0 +1,144 @@
+"""Custom Python Data Source (Spark 4 DataSource API): a deterministic
+synthetic event generator with BOTH batch and streaming readers.
+
+This is the engine's analog of the reference's receiver factory
+(pkg/corev1alpha1/actor/receiver_factory.go dispatches bind schemes to
+receiver implementations): `spark.dataSource.register` plugs a pure-Python
+source into the planner, partition-parallel on executors, usable as
+`spark.read.format("synthetic_events")` and `spark.readStream.format(...)`.
+
+Generation is derived from the portable md5 hash (functions/hashing.py),
+row-index keyed — so the emitted data is a pure function of (row index),
+independent of partitioning, retries, or batch boundaries, and a DuckDB
+oracle can regenerate it exactly (see queries/pysource.py).  That is the
+property a custom source must have at 100 TB: task retries and AQE
+re-plans re-read partitions, and a nondeterministic source silently
+corrupts results.
+
+Scale notes: `partitions()` declares the split (rows_per_partition), the
+driver never materializes rows, and each executor generates only its
+slice.  The stream reader exposes offset-range micro-batches
+(initialOffset/latestOffset/partitions/read), the same contract a Kafka
+source implements; `simpledstream`-style progress tracking comes free
+from the checkpoint log.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+_HEX_DIGITS = 15
+
+
+def _h(s: str) -> int:
+    """Python twin of functions.hashing.portable_hash64 (md5, 60-bit)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:_HEX_DIGITS], 16)
+
+
+def synth_row(i: int) -> tuple[int, int, str, float]:
+    """The one true definition of row i — shared by batch reader, stream
+    reader, tests, and (as SQL) the DuckDB oracle."""
+    user = _h(f"u{i}") % 50
+    etype = _EVENT_TYPES[_h(f"t{i}") % 5]
+    value = (_h(f"v{i}") % 100000) / 100.0  # exact 2-decimal
+    return (i, user, etype, value)
+
+
+_SCHEMA = "event_id bigint, user_id bigint, event_type string, value double"
+
+
+@dataclass
+class _RangePartition(InputPartition):
+    start: int
+    end: int
+
+
+class SyntheticEventsDataSource(DataSource):
+    """format("synthetic_events"), options: n_rows, n_partitions."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema):  # noqa: ANN001
+        return _BatchReader(self.options)
+
+    def streamReader(self, schema):  # noqa: ANN001, N802
+        return _StreamReader(self.options)
+
+
+class _BatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_parts = int(options.get("n_partitions", 8))
+
+    def partitions(self):
+        per = -(-self.n_rows // self.n_parts)  # ceil
+        return [
+            _RangePartition(p * per, min((p + 1) * per, self.n_rows))
+            for p in range(self.n_parts)
+            if p * per < self.n_rows
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield synth_row(i)
+
+
+class _StreamReader(DataSourceStreamReader):
+    """Offset-range micro-batches over the same deterministic rows.
+
+    `n_rows` models how much data EXISTS at the source right now:
+    latestOffset() reports it all (availableNow snapshots this once and
+    drains to it), and the committed offset in the checkpoint log is the
+    resume point — re-running against a GROWN source (larger n_rows, same
+    checkpoint) emits only the new suffix, never re-emits, which is the
+    exactly-once contract a Kafka-style source keeps.  Per-batch rate
+    limiting belongs to ReadLimit, which the Python API does not expose
+    yet.
+    """
+
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_parts = int(options.get("n_partitions", 4))
+
+    def initialOffset(self):  # noqa: N802
+        return {"offset": 0}
+
+    def latestOffset(self):  # noqa: N802
+        return {"offset": self.n_rows}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["offset"], end["offset"]
+        if hi <= lo:
+            return [_RangePartition(lo, lo)]
+        per = -(-(hi - lo) // self.n_parts)
+        return [
+            _RangePartition(lo + p * per, min(lo + (p + 1) * per, hi))
+            for p in range(self.n_parts)
+            if lo + p * per < hi
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield synth_row(i)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+def register(spark) -> None:  # noqa: ANN001
+    """Idempotent registration of the custom source."""
+    spark.dataSource.register(SyntheticEventsDataSource)
