@@ -1591,3 +1591,53 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row(ship, "lineitem_ship_after_order", "bad"))
         .orderBy("check_name")
     )
+
+
+@register(
+    "sql_scripting",
+    category="sql",
+    doc="SQL scripting (Spark 4 BEGIN/DECLARE/WHILE control flow): an "
+    "exponential threshold search — double the price cutoff until fewer "
+    "than 100 orders exceed it — expressed procedurally, with each loop "
+    "iteration a full declarative (pushdown-optimized) COUNT.  The "
+    "oracle rewrites the loop as its closed form: the first 100*2^i "
+    "cutoff whose exceed-count drops below 100.  All-integer arithmetic.",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(100 * (CAST(1 AS BIGINT) << i) AS BIGINT) AS t
+            FROM range(0, 40) r(i)
+        ),
+        counts AS (
+            SELECT t,
+                   (SELECT COUNT(*) FROM orders WHERE o_totalprice > t)
+                       AS n_above
+            FROM c
+        )
+        SELECT t AS threshold, n_above
+        FROM counts WHERE n_above < 100 ORDER BY t LIMIT 1
+    """,
+)
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("script_orders")
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE t BIGINT DEFAULT 100;
+              DECLARE n BIGINT DEFAULT 0;
+              SET n = (SELECT COUNT(*) FROM script_orders
+                       WHERE o_totalprice > 100);
+              WHILE n >= 100 DO
+                SET t = t * 2;
+                SET n = (SELECT COUNT(*) FROM script_orders
+                         WHERE o_totalprice > t);
+              END WHILE;
+              SELECT t AS threshold, n AS n_above;
+            END
+            """
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
