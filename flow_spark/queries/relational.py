@@ -1641,3 +1641,89 @@ def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+@register(
+    "sql_parameterized",
+    category="sql",
+    doc="Parameterized SQL (named parameter markers, Spark 3.4+/4): the "
+    "injection-safe templating surface — spark.sql(query, args={...}) "
+    "binds :params as literals in the plan (Catalyst still folds and "
+    "pushes them down).  The oracle inlines the same constants.",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+          AND o_totalprice > 1000.0
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM param_orders
+        WHERE o_orderdate >= CAST(:lo AS TIMESTAMP)
+          AND o_orderdate <  CAST(:hi AS TIMESTAMP)
+          AND o_totalprice > :minprice
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"lo": "1996-01-01", "hi": "1997-01-01", "minprice": 1000.0},
+    )
+
+
+@register(
+    "fn_collation",
+    category="string-fn",
+    doc="Collation-aware comparison (Spark 4 COLLATE): grouping customer "
+    "market segments case-insensitively via UTF8_LCASE collation on a "
+    "deliberately case-mangled column — matching, grouping, and "
+    "DISTINCT all honor the collation with no manual lower() calls.  "
+    "The oracle expresses the same policy with explicit lower().",
+    oracle="""
+        WITH mangled AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                        ELSE lower(c_mktsegment) END AS seg
+            FROM customer
+        )
+        SELECT lower(seg) AS segment, COUNT(*) AS n
+        FROM mangled GROUP BY lower(seg) ORDER BY segment
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    mangled = cust.select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment")
+        )
+        .otherwise(F.lower("c_mktsegment"))
+        .alias("seg"),
+    )
+    collated = mangled.select(
+        F.expr("seg COLLATE UTF8_LCASE").alias("seg_ci")
+    )
+    return (
+        collated.groupBy("seg_ci")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            # normalize the representative for output comparison: the
+            # group representative under a case-insensitive collation is
+            # whichever spelling arrived first, so project lower() for a
+            # stable cross-engine answer
+            F.lower(F.col("seg_ci").cast("string")).alias("segment"),
+            "n",
+        )
+        .orderBy("segment")
+    )
