@@ -1043,3 +1043,43 @@ def test_stream_stream_left_outer_join(spark, tmp_path):
     assert {90, 91, 92}.issubset(null_ext)
     # the newest sentinel's window never passes the final watermark
     assert max(null_ext) < 990
+
+
+def test_statestore_reader_introspects_agg_state(spark, tmp_path):
+    """Spark 4 state data source: the streaming aggregation's state can be
+    read back from the checkpoint as a DataFrame — the ops/debugging
+    window into stateful queries (inspect hot keys, audit watermark
+    eviction) with no custom tooling.  The state contents must equal the
+    batch aggregation of the same input."""
+    import pyspark.sql.functions as SF
+
+    rows = [(i % 7, f"2024-01-01 10:{i:02d}:00") for i in range(30)]
+    src = spark.createDataFrame(rows, "k long, ts_s string")
+    src.write.parquet(str(tmp_path / "in"))
+    s = (
+        spark.readStream.schema("k long, ts_s string")
+        .parquet(str(tmp_path / "in"))
+        .withColumn("ts", SF.to_timestamp("ts_s"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy("k")
+        .count()
+    )
+    q = (
+        s.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ssr_agg_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+
+    state = spark.read.format("statestore").load(str(tmp_path / "ckpt"))
+    got = {
+        r["key"]["k"]: r["value"]["count"]
+        for r in state.collect()
+    }
+    want = {
+        r.k: r["count"] for r in src.groupBy("k").count().collect()
+    }
+    assert got == want and len(got) == 7
