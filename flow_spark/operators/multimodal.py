@@ -150,3 +150,39 @@ def documents_as_assets(docs: DataFrame) -> DataFrame:
         F.col("text").cast("binary").alias("payload"),
         F.create_map(F.lit("lang"), F.col("lang")).alias("meta"),
     )
+
+
+BLOCK_FEATURES = 8
+_BLOCK_SCHEMA = "asset_id long, " + ", ".join(
+    f"f{b} long" for b in range(BLOCK_FEATURES)
+)
+
+
+def blockmean_embedding(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Fake-decode -> fixed-size feature vector: bytes as intensities,
+    8 equal spans, integer mean per span (sum // span_len).
+
+    This is the media-embedding extractor's exact production shape — Arrow
+    batch in, numpy per batch, fixed-width vector out — with the decode
+    step replaced by the deterministic byte interpretation (per the
+    no-codec-libs gate).  All-integer arithmetic so the features are
+    engine-exact and the pipeline stays oracle-checkable end-to-end.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": pdf["asset_id"]}
+            feats = [[] for _ in range(BLOCK_FEATURES)]
+            for payload in pdf[payload_col]:
+                a = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                n = len(a)
+                for b in range(BLOCK_FEATURES):
+                    lo, hi = b * n // BLOCK_FEATURES, (b + 1) * n // BLOCK_FEATURES
+                    span = a[lo:hi]
+                    feats[b].append(int(span.sum()) // max(len(span), 1))
+            for b in range(BLOCK_FEATURES):
+                out[f"f{b}"] = feats[b]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=_BLOCK_SCHEMA)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from flow_spark.catalog import load_table
 from flow_spark.operators.multimodal import documents_as_assets, extract_features
@@ -173,3 +174,78 @@ def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_copies") > 1)
         .orderBy(F.desc("n_copies"), "keeper_id")
     )
+
+
+def _sql_block_feature(b: int) -> str:
+    """DuckDB twin of one block-mean feature over the ASCII payload."""
+    lo = f"({b} * length(text)) // 8 + 1"
+    hi = f"(({b} + 1) * length(text)) // 8"
+    return (
+        f"CAST(list_sum(list_transform(range({lo}, {hi} + 1), "
+        f"i -> ascii(substr(text, CAST(i AS INT), 1)))) "
+        f"// greatest({hi} - ({lo}) + 1, 1) AS BIGINT)"
+    )
+
+
+@register(
+    "mm_blockmean_embedding",
+    category="multimodal",
+    doc="Media-embedding pipeline end-to-end: fake-decode (bytes as "
+    "intensities) -> 8-block integer-mean feature vector via "
+    "mapInPandas/numpy (the production extractor's exact Arrow batch "
+    "shape) -> L1-nearest neighbor per asset over the feature table.  "
+    "All-integer features keep every stage engine-exact, so the whole "
+    "decode->embed->match chain is value-checked against the oracle's "
+    "byte-level reconstruction.  At 100 TB the pairwise stage runs on "
+    "LSH/IVF buckets; here the asset subset is bounded (doc_id % 25).",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id AS asset_id,
+                   {", ".join(f"{_sql_block_feature(b)} AS f{b}" for b in range(8))}
+            FROM documents WHERE doc_id % 25 = 0 AND n_chars >= 100
+        ),
+        pairs AS (
+            SELECT a.asset_id,
+                   b.asset_id AS nn_id,
+                   ({" + ".join(f"abs(a.f{b} - b.f{b})" for b in range(8))})
+                       AS l1,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.asset_id
+                       ORDER BY ({" + ".join(f"abs(a.f{b} - b.f{b})" for b in range(8))}),
+                                b.asset_id
+                   ) AS rn
+            FROM feats a JOIN feats b ON a.asset_id != b.asset_id
+        )
+        SELECT p.asset_id, f.f0, f.f7, p.nn_id, CAST(p.l1 AS BIGINT) AS l1_dist
+        FROM pairs p JOIN feats f ON p.asset_id = f.asset_id
+        WHERE p.rn = 1
+        ORDER BY p.asset_id
+    """,
+)
+def mm_blockmean_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.multimodal import blockmean_embedding
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 25 == 0) & (F.col("n_chars") >= 100)
+    )
+    feats = blockmean_embedding(documents_as_assets(docs))
+    a = feats.alias("a")
+    b = feats.alias("b")
+    l1 = None
+    for i in range(8):
+        term = F.abs(F.col(f"a.f{i}") - F.col(f"b.f{i}"))
+        l1 = term if l1 is None else l1 + term
+    w = W.partitionBy("a.asset_id").orderBy(F.asc("l1"), F.asc("b.asset_id"))
+    pairs = (
+        a.join(b, F.col("a.asset_id") != F.col("b.asset_id"))
+        .withColumn("l1", l1)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return pairs.select(
+        F.col("a.asset_id").alias("asset_id"),
+        F.col("a.f0").alias("f0"),
+        F.col("a.f7").alias("f7"),
+        F.col("b.asset_id").alias("nn_id"),
+        F.col("l1").cast("bigint").alias("l1_dist"),
+    ).orderBy("asset_id")
