@@ -1,0 +1,58 @@
+"""Family benchmark: steady-state timings of the NOVEL operator families
+(graph, PQ/ANN, dedup, text, multimodal, sequence) at sf0.1 — the
+operators bench.py's headline set doesn't track.  Writes
+FAMILY_BENCH.json so the numbers regression-gate round over round
+(same contract as THROUGHPUT.json).
+
+Usage: python tools/family_bench.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flow_spark.queries.registry import all_queries  # noqa: E402
+from flow_spark.session import get_spark  # noqa: E402
+
+FAMILIES = {
+    "graph": ["graph_pagerank", "graph_triangle_count", "graph_degree_histogram"],
+    "ann": ["sim_pq_adc", "sim_ivf_nprobe2", "sim_ivf_ann"],
+    "dedup": ["dedup_ngram_containment", "dedup_components", "dedup_incremental"],
+    "sequence": ["seq_markov_transitions", "seq_pattern_regex", "udtf_partitioned_cusum"],
+    "multimodal": ["mm_blockmean_embedding", "mm_extract_features"],
+    "source": ["pysource_synthetic_events"],
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("flow-spark-family-bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    queries = all_queries()
+    out: dict[str, dict] = {}
+    for family, names in FAMILIES.items():
+        fam: dict[str, float] = {}
+        for name in names:
+            q = queries[name]
+            q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            fam[name] = round(sorted(runs)[1], 3)
+        out[family] = {"queries": fam, "total_sec": round(sum(fam.values()), 3)}
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "FAMILY_BENCH.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
