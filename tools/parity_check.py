@@ -5,6 +5,7 @@ Usage: python tools/parity_check.py [sf_dir] [name_filter ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -18,7 +19,10 @@ from flow_spark.session import get_spark
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     filters = sys.argv[2:]
-    spark = get_spark("parity-check", shuffle_partitions=8)
+    # SPARK_GRAFT_SHUFFLE overrides for adversarial-partitioning sweeps
+    # (e.g. 7): results must be identical at ANY partition count
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
+    spark = get_spark("parity-check", shuffle_partitions=shuffle)
     failures = 0
     ran = 0
     qs = all_queries()
