@@ -62,3 +62,55 @@ def test_degree_histogram_accounts_every_node(spark):
         F.sum(F.col("degree") * F.col("n_nodes")).alias("m")
     ).collect()[0].m
     assert mass == _bipartite_edges(spark, SF).count()
+
+
+def test_pagerank_survives_task_retry(spark):
+    """Integer-exact PageRank must return identical microranks when a task
+    fails transiently mid-iteration and retries — the determinism claim
+    that justifies the scaled-integer formulation (a float PageRank's
+    re-summed partials could differ in the last ulps).  Runs in its own
+    interpreter: local mode only grants retries via local[N, maxFailures].
+    """
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import pandas as pd
+        from pyspark import TaskContext
+        from pyspark.sql import SparkSession
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from flow_spark.queries.registry import get
+
+        spark = (SparkSession.builder.master("local[4, 2]")
+                 .config("spark.sql.shuffle.partitions", "4")
+                 .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+
+        q = get("graph_pagerank")
+        clean = sorted((r.node, r.microrank)
+                       for r in q.builder(spark, "/root/testdata/sf0.001").collect())
+
+        @pandas_udf("long")
+        def flaky_identity(v):
+            ctx = TaskContext.get()
+            if ctx is not None and ctx.partitionId() == 0 and ctx.attemptNumber() == 0:
+                raise RuntimeError("injected transient failure")
+            return pd.Series(v)
+
+        flaky = q.builder(spark, "/root/testdata/sf0.001").withColumn(
+            "microrank", flaky_identity(F.col("microrank")))
+        got = sorted((r.node, r.microrank) for r in flaky.collect())
+        assert got == clean, (got[:3], clean[:3])
+        print("PAGERANK_RETRY_OK")
+        spark.stop()
+        """
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert "PAGERANK_RETRY_OK" in out.stdout, out.stderr[-2000:]
