@@ -1293,3 +1293,48 @@ def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.mask(name).alias("masked_name"),
         F.concat(masked_head, visible_tail).alias("last4_visible"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "fn_xml",
+    category="semistructured-fn",
+    doc="Native XML (Spark 4 built-in, the spark-xml merge): orders "
+    "rendered to XML strings in-plan, then parsed back with from_xml "
+    "against an explicit schema, plus xpath extraction of one field — "
+    "the semi-structured format surface next to JSON/variant.  The "
+    "round trip must reproduce the original columns exactly (cents "
+    "integer for the price), which is what the oracle checks from the "
+    "raw table; DuckDB has no XML support, so the oracle IS the "
+    "original data — any parse drift fails the hash.",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderpriority AS pri,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               o_orderpriority AS xpath_pri
+        FROM orders WHERE o_orderkey % 35 = 0
+        ORDER BY o_orderkey
+    """,
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 35 == 0)
+    xml = F.concat(
+        F.lit("<order><key>"),
+        F.col("o_orderkey"),
+        F.lit("</key><pri>"),
+        F.col("o_orderpriority"),
+        F.lit("</pri><cents>"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long"),
+        F.lit("</cents></order>"),
+    )
+    doc = o.select("o_orderkey", xml.alias("x"))
+    parsed = doc.select(
+        "o_orderkey",
+        F.from_xml("x", "key BIGINT, pri STRING, cents BIGINT").alias("p"),
+        F.xpath_string("x", F.lit("/order/pri")).alias("xpath_pri"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("p.pri").alias("pri"),
+        F.col("p.cents").alias("cents"),
+        "xpath_pri",
+    ).orderBy("o_orderkey")

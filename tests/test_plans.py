@@ -133,3 +133,51 @@ def test_sessionize_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange") <= 4
     assert plan.count("Window") >= 2
     assert "BatchEvalPython" not in plan
+
+
+def test_analyze_statistics_drive_broadcast_choice(spark, sf_dir, tmp_path):
+    """Cost-based planning from catalog statistics: ANALYZE TABLE writes
+    rowCount/sizeInBytes into the catalog, and the STATIC planner (AQE
+    disabled) picks a broadcast join for the small side from those stats
+    alone — the decision path a 100 TB warehouse relies on when plans
+    must be fixed before runtime (AQE fixes it at runtime; stats fix it
+    at compile time)."""
+    import pyspark.sql.functions as F
+
+    spark.sql("DROP TABLE IF EXISTS stats_nation")
+    spark.sql("DROP TABLE IF EXISTS stats_customer")
+    spark.sql(
+        f"CREATE TABLE stats_nation USING parquet "
+        f"LOCATION '{sf_dir}/nation.parquet'"
+    )
+    spark.sql(
+        f"CREATE TABLE stats_customer USING parquet "
+        f"LOCATION '{sf_dir}/customer.parquet'"
+    )
+    try:
+        spark.sql("ANALYZE TABLE stats_nation COMPUTE STATISTICS")
+        spark.sql("ANALYZE TABLE stats_customer COMPUTE STATISTICS")
+        desc = spark.sql("DESC EXTENDED stats_nation").collect()
+        stats_row = [r for r in desc if r.col_name == "Statistics"]
+        assert stats_row and "rows" in stats_row[0].data_type
+
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            plan = (
+                spark.table("stats_customer")
+                .join(
+                    spark.table("stats_nation"),
+                    F.col("c_nationkey") == F.col("n_nationkey"),
+                )
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        # no broadcast() hint anywhere: the stats alone made the choice
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stats_nation")
+        spark.sql("DROP TABLE IF EXISTS stats_customer")
