@@ -1338,3 +1338,51 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.cents").alias("cents"),
         "xpath_pri",
     ).orderBy("o_orderkey")
+
+
+@register(
+    "fn_datetime_advanced",
+    category="date-fn",
+    doc="Calendar arithmetic battery beyond fn_datetime: add_months with "
+    "end-of-month clamping, months_between (integral for same-day "
+    "pairs via first-of-month anchors — add_months CLAMPS month ends "
+    "so engines disagree on fractional months otherwise), last_day, "
+    "ISO day-of-week, quarter, week-of-year (ISO "
+    "8601 — both engines agree on isoyear weeks), and make_date "
+    "reconstruction.  All pure calendar math, no timezone dependence "
+    "(fixture timestamps are date-valued).",
+    oracle="""
+        SELECT o_orderkey,
+               strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus_2mo,
+               CAST(date_diff('month', date_trunc('month', o_orderdate),
+                              date_trunc('month', o_orderdate)
+                              + INTERVAL 3 MONTH) AS DOUBLE)
+                   AS months_fwd,
+               strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+               isodow(o_orderdate) AS iso_dow,
+               quarter(o_orderdate) AS q,
+               CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+               strftime(make_date(CAST(year(o_orderdate) AS INT),
+                                  CAST(month(o_orderdate) AS INT), 1),
+                        '%Y-%m-%d') AS rebuilt_month
+        FROM orders WHERE o_orderkey % 45 = 0
+        ORDER BY o_orderkey
+    """,
+)
+def fn_datetime_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 45 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months(d, 2), "yyyy-MM-dd").alias("plus_2mo"),
+        F.months_between(
+            F.add_months(F.date_trunc("month", d), 3), F.date_trunc("month", d)
+        ).alias("months_fwd"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.dayofweek(F.date_sub(d.cast("date"), 1)).alias("iso_dow"),
+        F.quarter(d).alias("q"),
+        F.weekofyear(d).alias("iso_week"),
+        F.date_format(
+            F.make_date(F.year(d), F.month(d), F.lit(1)), "yyyy-MM-dd"
+        ).alias("rebuilt_month"),
+    ).orderBy("o_orderkey")
