@@ -566,3 +566,67 @@ def win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct_types"
         ),
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "win_max_drawdown",
+    category="window",
+    doc="Maximum drawdown per customer over a signed cumulative flow "
+    "curve (fulfilled orders add, open orders subtract — a cash-flow "
+    "stand-in that actually oscillates): running cents sum, running "
+    "peak of the curve, drawdown = peak minus current, answer = max "
+    "drawdown.  The nested-window financial analytic, entirely in "
+    "exact integer space so curve and extrema are engine-identical; "
+    "one shuffle on custkey serves both window passes and the final "
+    "aggregate.",
+    oracle="""
+        SELECT o_custkey AS custkey,
+               CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_cents
+        FROM (
+            SELECT o_custkey, cum,
+                   MAX(cum) OVER (PARTITION BY o_custkey
+                                  ORDER BY ord
+                                  ROWS UNBOUNDED PRECEDING) AS peak
+            FROM (
+                SELECT o_custkey, cum,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey)
+                           AS ord
+                FROM (
+                    SELECT o_custkey, o_orderdate, o_orderkey,
+                           SUM(CASE WHEN o_orderstatus = 'F'
+                                    THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                                    ELSE -CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                               END) OVER (
+                               PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS cum
+                    FROM orders WHERE o_custkey % 15 = 0
+                )
+            )
+        )
+        GROUP BY o_custkey
+        ORDER BY custkey
+    """,
+)
+def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 15 == 0)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    delta = F.when(F.col("o_orderstatus") == "F", cents).otherwise(-cents)
+    w_cum = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    curve = o.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.sum(delta).over(w_cum).alias("cum"),
+    )
+    dd = curve.withColumn("peak", F.max("cum").over(w_cum))
+    return (
+        dd.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.max(F.col("peak") - F.col("cum")).cast("bigint").alias("max_drawdown_cents"))
+        .orderBy("custkey")
+    )
