@@ -630,3 +630,62 @@ def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.col("peak") - F.col("cum")).cast("bigint").alias("max_drawdown_cents"))
         .orderBy("custkey")
     )
+
+
+@register(
+    "win_sweepline_concurrency",
+    category="window",
+    doc="Sweep-line maximum concurrency: each order is 'open' for 30 days "
+    "([start, start+30d), end exclusive); explode to +1/-1 boundary "
+    "events, running-sum them in (ts, delta, orderkey) order (ends "
+    "before starts at the same instant, so touching intervals do not "
+    "count as concurrent), and take the per-customer peak — the "
+    "interval-scheduling primitive (rooms, sessions, connection "
+    "pools) as one explode + one window over a single custkey "
+    "shuffle.",
+    oracle="""
+        WITH ev AS (
+            SELECT o_custkey, o_orderdate AS ts, 1 AS delta, o_orderkey
+            FROM orders WHERE o_custkey % 12 = 0
+            UNION ALL
+            SELECT o_custkey, o_orderdate + INTERVAL 30 DAY, -1, o_orderkey
+            FROM orders WHERE o_custkey % 12 = 0
+        ),
+        running AS (
+            SELECT o_custkey,
+                   SUM(delta) OVER (PARTITION BY o_custkey
+                                    ORDER BY ts, delta, o_orderkey
+                                    ROWS UNBOUNDED PRECEDING) AS open_now
+            FROM ev
+        )
+        SELECT o_custkey AS custkey,
+               CAST(MAX(open_now) AS BIGINT) AS max_concurrent
+        FROM running GROUP BY o_custkey ORDER BY custkey
+    """,
+)
+def win_sweepline_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 12 == 0)
+    starts = o.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("ts"),
+        F.lit(1).alias("delta"),
+        "o_orderkey",
+    )
+    ends = o.select(
+        "o_custkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        F.lit(-1).alias("delta"),
+        "o_orderkey",
+    )
+    ev = starts.unionByName(ends)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("ts", "delta", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running = ev.withColumn("open_now", F.sum("delta").over(w))
+    return (
+        running.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.max("open_now").cast("bigint").alias("max_concurrent"))
+        .orderBy("custkey")
+    )
