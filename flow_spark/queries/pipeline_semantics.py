@@ -411,3 +411,81 @@ pipeline:
         .agg(F.count("*").alias("n"), F.sum("event_id").cast("bigint").alias("id_sum"))
         .orderBy("sink", "status")
     )
+
+
+@register(
+    "pipe_dead_letter",
+    category="pipeline",
+    doc="Dead-letter queue: messages failing validation gates (unknown "
+    "event type, negative value, oversized payload) divert to a DLQ "
+    "with a deterministic failure reason (FIRST failing gate in a "
+    "declared order — one CASE cascade, single pass) instead of "
+    "killing the pipeline; healthy rows continue.  The output is the "
+    "DLQ census by reason plus the delivered count — the "
+    "poison-message pattern every 100 TB ingest needs, expressed as "
+    "one filter split (no UDF, no exceptions as control flow).",
+    oracle="""
+        WITH dirty AS (
+            -- deterministic fault injection (fixture data is clean):
+            -- every 13th event gets a bogus type, every 17th a negated
+            -- value, every 19th oversized props
+            SELECT event_id,
+                   CASE WHEN event_id % 13 = 0 THEN 'mystery'
+                        ELSE event_type END AS event_type,
+                   CASE WHEN event_id % 17 = 0 THEN -value
+                        ELSE value END AS value,
+                   CASE WHEN event_id % 19 = 0 THEN repeat(props, 8)
+                        ELSE props END AS props
+            FROM events
+        ),
+        gated AS (
+            SELECT event_id,
+                   CASE
+                     WHEN event_type NOT IN
+                          ('view','click','purchase','signup','error')
+                          THEN 'unknown_type'
+                     WHEN value < 0 THEN 'negative_value'
+                     WHEN length(props) > 40 THEN 'oversized_props'
+                     ELSE 'ok'
+                   END AS reason
+            FROM dirty
+        )
+        SELECT reason, COUNT(*) AS n,
+               CAST(SUM(event_id) AS BIGINT) AS id_sum
+        FROM gated
+        GROUP BY reason
+        ORDER BY reason
+    """,
+)
+def pipe_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = load_table(spark, sf_dir, "events")
+    ev = raw.select(
+        "event_id",
+        F.when(F.col("event_id") % 13 == 0, F.lit("mystery"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.when(F.col("event_id") % 17 == 0, -F.col("value"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.when(F.col("event_id") % 19 == 0, F.repeat(F.col("props"), 8))
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    known = F.col("event_type").isin(
+        "view", "click", "purchase", "signup", "error"
+    )
+    reason = (
+        F.when(~known, F.lit("unknown_type"))
+        .when(F.col("value") < 0, F.lit("negative_value"))
+        .when(F.length("props") > 40, F.lit("oversized_props"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        ev.select("event_id", reason.alias("reason"))
+        .groupBy("reason")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("reason")
+    )
