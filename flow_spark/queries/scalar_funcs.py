@@ -1386,3 +1386,47 @@ def fn_datetime_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.make_date(F.year(d), F.month(d), F.lit(1)), "yyyy-MM-dd"
         ).alias("rebuilt_month"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "agg_weighted_avg_exact",
+    category="aggregation",
+    doc="Exact weighted average: quantity-weighted mean price per return "
+    "flag carried as an integer numerator (sum of qty * price-cents) "
+    "and denominator (sum qty) with ONE double division at the end — "
+    "the only FP op, IEEE-identical everywhere.  The pattern for any "
+    "exact ratio-of-sums statistic (CTR, yield, per-token loss) at "
+    "100 TB: both sums are map-side-combinable longs.",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS BIGINT)
+                        * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS num_cents,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS den_qty,
+               ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)
+                              * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                          AS DOUBLE)
+                     / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                     / 100, 4) AS weighted_avg_price
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_avg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.sum(q * pc).alias("num_cents"),
+        F.sum(q).alias("den_qty"),
+    )
+    return s.select(
+        "l_returnflag",
+        "num_cents",
+        "den_qty",
+        F.round(
+            F.col("num_cents").cast("double") / F.col("den_qty").cast("double") / 100,
+            4,
+        ).alias("weighted_avg_price"),
+    ).orderBy("l_returnflag")
