@@ -1430,3 +1430,75 @@ def agg_weighted_avg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("weighted_avg_price"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "agg_mad_outliers",
+    category="aggregation",
+    doc="Robust outlier census via median absolute deviation: per event "
+    "type, the exact median of value-cents, the exact median of "
+    "|x - median|, and the count of rows beyond 5 MADs — the "
+    "quality-screen statistic that survives the heavy tails that wreck "
+    "stddev-based z-scores.  Both medians run on integral cents (so "
+    "results are integers or .5, exactly representable — kept "
+    "UNROUNDED); the operator shape is two grouped exact medians with "
+    "a broadcast join back, all on one event_type shuffle key.",
+    oracle="""
+        WITH v AS (
+            SELECT event_type,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS vc
+            FROM events
+        ),
+        med AS (
+            SELECT event_type, median(vc) AS med_cents
+            FROM v GROUP BY event_type
+        ),
+        dev AS (
+            SELECT v.event_type, v.vc, m.med_cents,
+                   abs(v.vc - m.med_cents) AS adev
+            FROM v JOIN med m ON v.event_type = m.event_type
+        ),
+        mad AS (
+            SELECT event_type, median(adev) AS mad_cents
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type,
+               ANY_VALUE(d.med_cents) AS med_cents,
+               ANY_VALUE(ma.mad_cents) AS mad_cents,
+               CAST(SUM(CASE WHEN d.adev > 5 * ma.mad_cents
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               COUNT(*) AS n
+        FROM dev d JOIN mad ma ON d.event_type = ma.event_type
+        GROUP BY d.event_type
+        ORDER BY d.event_type
+    """,
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("vc")
+    )
+    med = v.groupBy("event_type").agg(
+        F.expr("percentile(vc, 0.5)").alias("med_cents")
+    )
+    dev = v.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("vc") - F.col("med_cents"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med_cents").alias("med_cents"),
+            F.any_value("mad_cents").alias("mad_cents"),
+            F.sum(
+                F.when(F.col("adev") > 5 * F.col("mad_cents"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
