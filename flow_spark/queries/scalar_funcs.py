@@ -1502,3 +1502,98 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_third_moment_exact",
+    category="aggregation",
+    doc="Exact third central moment (skewness numerator) of quantity per "
+    "return flag: m3 * n^3 = n^2*Sum(x^3) - 3n*Sum(x^2)*Sum(x) + "
+    "2*Sum(x)^3, all in integer space (quantity <= 50 keeps x^3 tiny; "
+    "the final products run in decimal(38,0)/HUGEINT, serialized as "
+    "strings past bigint range).  Completes the exact-moment family "
+    "with agg_exact_covariance — the same one-pass, map-side-"
+    "combinable shape extends to any polynomial statistic.",
+    oracle="""
+        WITH s AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   SUM(CAST(l_quantity AS BIGINT)) AS s1,
+                   SUM(CAST(l_quantity AS BIGINT)
+                       * CAST(l_quantity AS BIGINT)) AS s2,
+                   SUM(CAST(l_quantity AS BIGINT)
+                       * CAST(l_quantity AS BIGINT)
+                       * CAST(l_quantity AS BIGINT)) AS s3
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               CAST(n * n * s3 - 3 * n * s2 * s1 + 2 * s1 * s1 * s1
+                    AS VARCHAR) AS m3_scaled
+        FROM s ORDER BY l_returnflag
+    """,
+)
+def agg_third_moment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+    )
+    d = lambda c: F.col(c).cast("decimal(20,0)")  # noqa: E731
+    m3 = (
+        d("n") * d("n") * d("s3")
+        - F.lit(3).cast("decimal(20,0)") * d("n") * d("s2") * d("s1")
+        + F.lit(2).cast("decimal(20,0)") * d("s1") * d("s1") * d("s1")
+    ).cast("decimal(38,0)")
+    return s.select(
+        "l_returnflag", "n", m3.cast("string").alias("m3_scaled")
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "agg_gini_impurity",
+    category="aggregation",
+    doc="Gini impurity of each user's event-type mix, exactly: impurity "
+    "= 1 - sum(p_i^2) carried as the integer pair (n^2 - sum(c_i^2), "
+    "n^2) — the log-free diversity statistic (entropy needs "
+    "transcendentals, which are banned from oracle-compared outputs "
+    "because libm rounding differs across engines).  Two grouped "
+    "passes on one user_id shuffle; the final double division is the "
+    "only FP op.",
+    oracle="""
+        WITH counts AS (
+            SELECT user_id, event_type, COUNT(*) AS c
+            FROM events WHERE user_id % 21 = 0
+            GROUP BY user_id, event_type
+        ),
+        per_user AS (
+            SELECT user_id,
+                   SUM(c) AS n,
+                   SUM(c * c) AS sum_c2
+            FROM counts GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(n AS BIGINT) AS n,
+               CAST(n * n - sum_c2 AS BIGINT) AS impurity_num,
+               ROUND(CAST(n * n - sum_c2 AS DOUBLE) / CAST(n * n AS DOUBLE), 6)
+                   AS gini_impurity
+        FROM per_user ORDER BY user_id
+    """,
+)
+def agg_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 21 == 0)
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    per_user = counts.groupBy("user_id").agg(
+        F.sum("c").alias("n"), F.sum(F.col("c") * F.col("c")).alias("sum_c2")
+    )
+    num = F.col("n") * F.col("n") - F.col("sum_c2")
+    return per_user.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n"),
+        num.cast("bigint").alias("impurity_num"),
+        F.round(
+            num.cast("double") / (F.col("n") * F.col("n")).cast("double"), 6
+        ).alias("gini_impurity"),
+    ).orderBy("user_id")
