@@ -291,3 +291,80 @@ def scale_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         (F.col("cents").cast("double") / (100 * F.col("n"))).alias("avg_value"),
     ).orderBy("user_id", "day")
+
+
+@register(
+    "scale_interval_overlap_join",
+    category="scale",
+    doc="Interval-overlap join, bucketized: overlapping pairs of 14-day "
+    "order windows within each customer, found by exploding every "
+    "interval onto the ISO weeks it covers, equi-joining on "
+    "(custkey, week) — never a theta-join over the full table — "
+    "deduping pairs found in multiple shared weeks, then applying the "
+    "exact open-interval overlap predicate (a.start < b.end AND "
+    "b.start < a.end).  The oracle does the quadratic-within-customer "
+    "join directly; both agree, proving bucketization loses nothing "
+    "(a 14-day window spans at most 3 ISO weeks, so the fan-out is "
+    "bounded at 3 rows per interval at ANY scale).",
+    oracle="""
+        WITH iv AS (
+            SELECT o_custkey, o_orderkey,
+                   o_orderdate AS s,
+                   o_orderdate + INTERVAL 14 DAY AS e
+            FROM orders WHERE o_custkey % 18 = 0
+        )
+        SELECT a.o_custkey AS custkey,
+               COUNT(*) AS n_overlapping_pairs,
+               CAST(SUM(a.o_orderkey + b.o_orderkey) AS BIGINT) AS pair_keysum
+        FROM iv a JOIN iv b
+          ON a.o_custkey = b.o_custkey
+         AND a.o_orderkey < b.o_orderkey
+         AND a.s < b.e AND b.s < a.e
+        GROUP BY a.o_custkey
+        ORDER BY custkey
+    """,
+)
+def scale_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 18 == 0)
+    iv = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 14 DAYS")).alias("e"),
+    )
+    week = lambda c: F.floor(  # noqa: E731
+        F.datediff(F.col(c).cast("date"), F.lit("2024-01-01").cast("date")) / 7
+    )
+    # explode each interval onto its covered week buckets (<= 3 of them)
+    bucketed = iv.select(
+        "o_custkey",
+        "o_orderkey",
+        "s",
+        "e",
+        F.explode(F.sequence(week("s"), week("e"))).alias("wk"),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.wk") == F.col("b.wk"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .filter((F.col("a.s") < F.col("b.e")) & (F.col("b.s") < F.col("a.e")))
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("ka"),
+            F.col("b.o_orderkey").alias("kb"),
+        )
+        .distinct()  # same pair can share up to 3 week buckets
+    )
+    return (
+        pairs.groupBy("custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlapping_pairs"),
+            F.sum(F.col("ka") + F.col("kb")).cast("bigint").alias("pair_keysum"),
+        )
+        .orderBy("custkey")
+    )
