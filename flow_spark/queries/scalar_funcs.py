@@ -1597,3 +1597,92 @@ def agg_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
             num.cast("double") / (F.col("n") * F.col("n")).cast("double"), 6
         ).alias("gini_impurity"),
     ).orderBy("user_id")
+
+
+@register(
+    "agg_tv_distance_drift",
+    category="aggregation",
+    doc="Distribution drift via total-variation distance, exactly: the "
+    "event-type mix of even-id users vs odd-id users, TV = (1/2) "
+    "sum|p_i - q_i| carried as the integer numerator "
+    "sum|c_a_i * n_b - c_b_i * n_a| over denominator 2 * n_a * n_b — "
+    "the train/serve drift alarm without logs or floats (KL needs "
+    "transcendentals; TV bounds it and is exact).  One small "
+    "two-column pivot; the only FP op is the final division.",
+    oracle="""
+        WITH tagged AS (
+            SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS cohort,
+                   event_type
+            FROM events
+        ),
+        c AS (
+            SELECT event_type,
+                   SUM(CASE WHEN cohort = 'a' THEN 1 ELSE 0 END) AS ca,
+                   SUM(CASE WHEN cohort = 'b' THEN 1 ELSE 0 END) AS cb
+            FROM tagged GROUP BY event_type
+        ),
+        tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM c)
+        SELECT CAST(SUM(ABS(ca * nb - cb * na)) AS BIGINT) AS tv_numerator,
+               CAST(2 * ANY_VALUE(na) * ANY_VALUE(nb) AS BIGINT)
+                   AS tv_denominator,
+               ROUND(CAST(SUM(ABS(ca * nb - cb * na)) AS DOUBLE)
+                     / CAST(2 * ANY_VALUE(na) * ANY_VALUE(nb) AS DOUBLE), 8)
+                   AS tv_distance
+        FROM c CROSS JOIN tot
+    """,
+)
+def agg_tv_distance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("cb"),
+    )
+    tot = c.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    num = F.sum(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")))
+    den = F.lit(2) * F.any_value("na") * F.any_value("nb")
+    return c.crossJoin(F.broadcast(tot)).agg(
+        num.cast("bigint").alias("tv_numerator"),
+        den.cast("bigint").alias("tv_denominator"),
+        F.round(num.cast("double") / den.cast("double"), 8).alias("tv_distance"),
+    )
+
+
+@register(
+    "agg_density_grid_2d",
+    category="aggregation",
+    doc="2D density grid (the joint-distribution profile behind heatmap "
+    "data-skipping and bivariate skew detection): orders bucketed on "
+    "(customer-id bucket, price decile-width bucket) with exact "
+    "integer bucket arithmetic, counting rows and exact cents mass "
+    "per cell.  One groupBy on the composite cell key — the same "
+    "shuffle shape at any scale.",
+    oracle="""
+        SELECT CAST(o_custkey // 200 AS BIGINT) AS cust_bucket,
+               CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                    // 5000000 AS BIGINT) AS price_bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents_mass
+        FROM orders
+        GROUP BY cust_bucket, price_bucket
+        ORDER BY cust_bucket, price_bucket
+    """,
+)
+def agg_density_grid_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        o.select(
+            F.expr("o_custkey div 200").alias("cust_bucket"),
+            F.expr(
+                "cast(round(o_totalprice * 100, 0) as bigint) div 5000000"
+            ).alias("price_bucket"),
+            cents.alias("cents"),
+        )
+        .groupBy("cust_bucket", "price_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("bigint").alias("cents_mass"),
+        )
+        .orderBy("cust_bucket", "price_bucket")
+    )
