@@ -689,3 +689,46 @@ def win_sweepline_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("open_now").cast("bigint").alias("max_concurrent"))
         .orderBy("custkey")
     )
+
+
+@register(
+    "win_time_range_rolling",
+    category="window",
+    doc="Time-based rolling aggregate: each order's trailing-28-day spend "
+    "per customer via a RANGE frame over the actual timestamp axis "
+    "(epoch seconds in Spark, INTERVAL RANGE in DuckDB) — unlike a "
+    "ROWS frame this is irregular-sampling-correct: quiet periods "
+    "shrink the window's row count instead of reaching further back.  "
+    "Cents-exact sums; one custkey shuffle.",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 28 DAY PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS trailing_28d_cents,
+               COUNT(*) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 28 DAY PRECEDING AND CURRENT ROW
+               ) AS n_in_window
+        FROM orders WHERE o_custkey % 11 = 0
+        ORDER BY o_custkey, o_orderkey
+    """,
+)
+def win_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 11 == 0)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    # RANGE frames need a numeric ordering key: epoch seconds
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-28 * 86400, 0)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.sum(cents).over(w).cast("bigint").alias("trailing_28d_cents"),
+            F.count(F.lit(1)).over(w).alias("n_in_window"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
