@@ -464,3 +464,60 @@ def sim_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return ivf_topk(queries, emb, cents, k=3, nprobe=2).orderBy("query_id", "rank")
+
+
+@register(
+    "sim_topk_inner_product",
+    category="similarity",
+    doc="Maximum-inner-product search (MIPS) baseline: top-5 neighbors by "
+    "raw dot product — the retrieval metric of recommendation and "
+    "trained-embedding scoring (unnormalized vectors make magnitude "
+    "part of relevance; cosine deliberately discards it).  Same "
+    "broadcast-queries / one-candidate-scan / window-top-k shape as "
+    "the cosine baseline; ranking keys are the rounded dot plus "
+    "neighbor id so ties are deterministic.",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 50 = 0),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   list_inner_product(q.qe, c.e) AS ip_raw
+            FROM q JOIN v c ON c.vec_id != q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, ip_raw,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY ip_raw DESC, neighbor_id ASC)
+                       AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, ROUND(ip_raw, 4) AS ip
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+    """,
+)
+def sim_topk_inner_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.functions.vectors import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    nparts = emb.sparkSession.sparkContext.defaultParallelism
+    c = emb.repartition(nparts).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("ip_raw", dot(F.col("qvec"), F.col("cvec")))
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("ip_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", F.round("ip_raw", 4).alias("ip"))
+        .orderBy("query_id", "rank")
+    )
