@@ -280,3 +280,21 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
+    """AQE partition coalescing: a shuffle declared at 32 partitions over
+    a small aggregate must execute with FEWER partitions (AQEShuffleRead
+    'coalesced') — the runtime right-sizing that keeps 100 TB plans from
+    drowning in tiny tasks when a filter makes a stage small."""
+    import pyspark.sql.functions as F
+
+    df = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_custkey") % 97 == 0)  # small surviving set
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    df.collect()  # materialize so AQE finalizes the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan and "coalesced" in plan, plan[:1500]
