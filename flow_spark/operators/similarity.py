@@ -490,3 +490,57 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("approx_d2", 4).alias("approx_d2"))
     )
+
+
+def lsh_topk_multiprobe(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH: each query probes its own bucket PLUS every
+    one-bit-flip neighbor (n_planes + 1 buckets) — the recall knob for
+    hyperplane LSH, recovering neighbors that fell just across one
+    hyperplane.  Query-side fan-out only (candidates stay in one bucket),
+    so the probe cost is (n_planes + 1) bucket lookups, never a wider
+    candidate scan.  The signature XOR expansion is a single explode of a
+    literal-free expression.
+    """
+    sig = lsh_signature(vec_col, dim, n_planes)
+    nparts = candidates.sparkSession.sparkContext.defaultParallelism
+    probes = F.array(
+        F.col("sig"), *[F.col("sig").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            sig.alias("sig"),
+            l2_norm(F.col(vec_col)).alias("qnrm"),
+        )
+        .select("query_id", "qvec", "qnrm", F.explode(probes).alias("bucket"))
+    )
+    c = candidates.repartition(nparts).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        sig.alias("bucket"),
+        l2_norm(F.col(vec_col)).alias("cnrm"),
+    )
+    scored = (
+        c.join(F.broadcast(q), ["bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos", dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm"))
+        )
+        # a candidate can only match one bucket of a given query (buckets
+        # are distinct), so no pair dedup is needed
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
+    )

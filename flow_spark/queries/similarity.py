@@ -521,3 +521,54 @@ def sim_topk_inner_product(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank", F.round("ip_raw", 4).alias("ip"))
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "sim_lsh_multiprobe",
+    category="similarity",
+    doc="Multi-probe LSH ANN: each query probes its own bucket plus all 8 "
+    "one-bit-flip neighbor buckets (signature XOR per plane) — the "
+    "recall knob for hyperplane LSH, recovering neighbors that fell "
+    "just across one hyperplane at 9 bucket lookups instead of a "
+    "wider scan.  Query-side fan-out only; candidates stay in one "
+    "bucket, so no pair dedup is needed (a query's probe buckets are "
+    "distinct).  Completes the ANN cost/recall knob set with "
+    "sim_ivf_nprobe2 and sim_pq_adc's re-rank.",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        sig AS (
+            SELECT vec_id, e, {_sql_bucket('e')} AS bucket FROM v
+        ),
+        q AS (
+            SELECT vec_id AS query_id, e AS qe,
+                   CASE WHEN i = 0 THEN bucket
+                        ELSE xor(bucket, 1 << (i - 1)) END AS bucket
+            FROM sig CROSS JOIN range(0, 9) t(i)
+            WHERE vec_id % 50 = 0
+        ),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.qe, c.e) AS cos_raw
+            FROM q JOIN sig c ON c.bucket = q.bucket AND c.vec_id != q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos_raw,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, ROUND(cos_raw, 4) AS cos
+        FROM ranked WHERE rank <= 3
+        ORDER BY query_id, rank
+    """,
+)
+def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.similarity import lsh_topk_multiprobe
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return lsh_topk_multiprobe(
+        queries, emb, dim=_DIM, k=3, n_planes=_N_PLANES
+    ).orderBy("query_id", "rank")
