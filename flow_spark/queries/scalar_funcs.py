@@ -1686,3 +1686,46 @@ def agg_density_grid_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cust_bucket", "price_bucket")
     )
+
+
+@register(
+    "fn_array_predicates",
+    category="array-fn",
+    doc="Quantified array predicates: exists (any element above a "
+    "threshold), forall (every element inside a band), and a "
+    "three-argument aggregate fold with a FINISH lambda (mean via "
+    "sum-then-divide inside the fold) — the last higher-order "
+    "functions the array battery didn't exercise.  DuckDB has no "
+    "exists/forall, so the oracle encodes them as filtered-length "
+    "tests, which is the boilerplate the quantifiers replace.",
+    oracle="""
+        SELECT vec_id,
+               CASE WHEN len(list_filter(CAST(embedding AS DOUBLE[]),
+                                         x -> x > 0.99)) > 0
+                    THEN 1 ELSE 0 END AS has_extreme,
+               CASE WHEN len(list_filter(CAST(embedding AS DOUBLE[]),
+                                         x -> NOT (x >= -1.0 AND x <= 1.0))) = 0
+                    THEN 1 ELSE 0 END AS all_in_band,
+               ROUND(list_sum(CAST(embedding AS DOUBLE[]))
+                     / len(embedding), 6) AS mean_fold
+        FROM embeddings WHERE vec_id % 40 = 0
+        ORDER BY vec_id
+    """,
+)
+def fn_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 40 == 0)
+    e = F.col("embedding").cast("array<double>")
+    mean_fold = F.aggregate(
+        e,
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+        lambda acc: F.round(acc / F.size(e), 6),
+    )
+    return emb.select(
+        "vec_id",
+        F.when(F.exists(e, lambda x: x > 0.99), 1).otherwise(0).alias("has_extreme"),
+        F.when(F.forall(e, lambda x: (x >= -1.0) & (x <= 1.0)), 1)
+        .otherwise(0)
+        .alias("all_in_band"),
+        mean_fold.alias("mean_fold"),
+    ).orderBy("vec_id")
