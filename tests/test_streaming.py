@@ -1083,3 +1083,72 @@ def test_statestore_reader_introspects_agg_state(spark, tmp_path):
         r.k: r["count"] for r in src.groupBy("k").count().collect()
     }
     assert got == want and len(got) == 7
+
+
+def test_streaming_incremental_rollup_maintenance(spark, sf_dir, tmp_path):
+    """Continuous-aggregate maintenance: each micro-batch appends its
+    PARTIAL aggregates (count + exact cents sum per (event_type, day))
+    and the serving view folds partials on read — the
+    hypertable/materialized-view maintenance pattern where batch cost is
+    O(batch) and reads are O(partials), never a recompute over history.
+    The folded view must equal the batch aggregate of all events, and
+    partial-merge associativity is what makes that exact (long sums)."""
+    import shutil
+
+    import pyspark.sql.functions as SF
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    half1 = ev.filter(SF.col("event_id") % 2 == 0)
+    half2 = ev.filter(SF.col("event_id") % 2 == 1)
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    for i, h in enumerate([half1, half2]):
+        h.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"b{i}"))
+        part = next((tmp_path / f"b{i}").glob("part-*.parquet"))
+        shutil.copy(part, src_dir / f"{i:05d}.parquet")
+
+    partials_dir = str(tmp_path / "partials")
+
+    def maintain(batch_df, batch_id):
+        (
+            batch_df.groupBy(
+                "event_type", SF.date_trunc("day", "ts").alias("day")
+            )
+            .agg(
+                SF.count(SF.lit(1)).alias("p_n"),
+                SF.sum(
+                    SF.round(SF.col("value") * 100, 0).cast("long")
+                ).alias("p_cents"),
+            )
+            .withColumn("batch_id", SF.lit(batch_id))
+            .write.mode("append")
+            .parquet(partials_dir)
+        )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    partials = spark.read.parquet(partials_dir)
+    assert partials.select("batch_id").distinct().count() == 2
+    served = partials.groupBy("event_type", "day").agg(
+        SF.sum("p_n").alias("n"), SF.sum("p_cents").alias("cents")
+    )
+    batch = ev.groupBy(
+        "event_type", SF.date_trunc("day", "ts").alias("day")
+    ).agg(
+        SF.count(SF.lit(1)).alias("n"),
+        SF.sum(SF.round(SF.col("value") * 100, 0).cast("long")).alias("cents"),
+    )
+    got = sorted(tuple(r) for r in served.collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want and len(got) > 0
