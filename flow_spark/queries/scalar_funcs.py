@@ -1729,3 +1729,78 @@ def fn_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("all_in_band"),
         mean_fold.alias("mean_fold"),
     ).orderBy("vec_id")
+
+
+@register(
+    "fn_stack",
+    category="array-fn",
+    doc="stack(n, ...) generator: the SQL-side wide-to-long unpivot "
+    "(each nation row fans out to two metric rows).  Complements "
+    "agg_unpivot (the DataFrame melt): stack is a codegen'd generator, "
+    "so the fan-out never leaves the JVM and stays a narrow transform.",
+    oracle="""
+        SELECT n_nationkey, 'name_len' AS metric,
+               CAST(LENGTH(n_name) AS BIGINT) AS v
+        FROM nation
+        UNION ALL
+        SELECT n_nationkey, 'region', CAST(n_regionkey AS BIGINT)
+        FROM nation
+        ORDER BY n_nationkey, metric
+    """,
+)
+def fn_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("stack_nation")
+    return spark.sql(
+        """
+        SELECT n_nationkey, metric, v
+        FROM stack_nation
+        LATERAL VIEW stack(
+            2,
+            'name_len', CAST(LENGTH(n_name) AS BIGINT),
+            'region',   CAST(n_regionkey AS BIGINT)
+        ) s AS metric, v
+        ORDER BY n_nationkey, metric
+        """
+    )
+
+
+@register(
+    "fn_timezone",
+    category="datetime-fn",
+    doc="Timezone conversion battery: from_utc_timestamp re-renders the "
+    "UTC event instant as New-York / Tokyo wall time, and Spark 4's "
+    "convert_timezone handles the TIMESTAMP_NTZ path for a half-hour "
+    "offset zone (Asia/Kolkata, +05:30).  DuckDB oracle uses the ICU "
+    "timezone() double-hop (naive-UTC -> instant -> target wall time).  "
+    "Pure column expressions; narrow, codegen'd, scale-free.",
+    oracle="""
+        SELECT event_id,
+               strftime(timezone('America/New_York', timezone('UTC', ts)),
+                        '%Y-%m-%d %H:%M:%S') AS ny_wall,
+               CAST(EXTRACT(hour FROM timezone('Asia/Tokyo',
+                                               timezone('UTC', ts)))
+                    AS INT) AS tokyo_hour,
+               CAST(EXTRACT(minute FROM timezone('Asia/Kolkata',
+                                                 timezone('UTC', ts)))
+                    AS INT) AS kolkata_min
+        FROM events WHERE event_id % 17 = 0
+        ORDER BY event_id
+    """,
+)
+def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
+    return (
+        ev.select(
+            "event_id",
+            F.date_format(
+                F.from_utc_timestamp("ts", "America/New_York"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("ny_wall"),
+            F.hour(F.from_utc_timestamp("ts", "Asia/Tokyo")).alias("tokyo_hour"),
+            F.minute(
+                F.convert_timezone(
+                    F.lit("UTC"), F.lit("Asia/Kolkata"), F.col("ts").cast("timestamp_ntz")
+                )
+            ).alias("kolkata_min"),
+        )
+        .orderBy("event_id")
+    )

@@ -275,3 +275,152 @@ def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "udf_cogrouped_reconcile",
+    category="udf",
+    doc="Cogrouped applyInPandas (groupBy(...).cogroup(...).applyInPandas): "
+    "order-header vs lineitem-detail reconciliation, the classic per-key "
+    "two-table custom merge.  Each key's (orders, lines) pair arrives as "
+    "two pandas frames on one executor; the function sums detail cents "
+    "and diffs them against the header total in exact integers.  At "
+    "scale this is ONE co-partitioned shuffle on the key for both "
+    "inputs — the same exchange shape Catalyst plans for a join-agg — "
+    "with the Python batch path reserved for logic a join can't "
+    "express.  Header-only keys still emit (n_lines=0), matching the "
+    "oracle's LEFT JOIN; detail-only keys are dropped like its INNER "
+    "side on orders.",
+    oracle="""
+        SELECT o.o_orderkey,
+               CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lines,
+               CAST(COALESCE(SUM(CAST(ROUND(l.l_extendedprice * 100, 0)
+                                      AS BIGINT)), 0) AS BIGINT)
+                   AS line_sum_cents,
+               CAST(ROUND(ANY_VALUE(o.o_totalprice) * 100, 0) AS BIGINT)
+                   AS total_cents,
+               CAST(ROUND(ANY_VALUE(o.o_totalprice) * 100, 0) AS BIGINT)
+                   - CAST(COALESCE(SUM(CAST(ROUND(l.l_extendedprice * 100, 0)
+                                            AS BIGINT)), 0) AS BIGINT)
+                   AS diff_cents
+        FROM orders o
+        LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey % 37 = 0
+        GROUP BY o.o_orderkey
+        ORDER BY o.o_orderkey
+    """,
+)
+def udf_cogrouped_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def reconcile(key, orders_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFrame:
+        if orders_pdf.empty:  # detail-only key: oracle's inner side on orders
+            return pd.DataFrame(
+                columns=["o_orderkey", "n_lines", "line_sum_cents", "total_cents", "diff_cents"]
+            )
+        total = int(orders_pdf["total_cents"].iloc[0])
+        line_sum = int(lines_pdf["line_cents"].sum()) if not lines_pdf.empty else 0
+        return pd.DataFrame(
+            {
+                "o_orderkey": [int(key[0])],
+                "n_lines": [len(lines_pdf)],
+                "line_sum_cents": [line_sum],
+                "total_cents": [total],
+                "diff_cents": [total - line_sum],
+            }
+        )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 37 == 0)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("total_cents"),
+        )
+    )
+    lines = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 37 == 0)
+        .select(
+            "l_orderkey",
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("line_cents"),
+        )
+    )
+    return (
+        orders.groupBy("o_orderkey")
+        .cogroup(lines.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            schema="o_orderkey long, n_lines long, line_sum_cents long, "
+            "total_cents long, diff_cents long",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "udf_arrow_optimized",
+    category="udf",
+    doc="Arrow-optimized row UDF (Spark 4 useArrow=True): same per-row "
+    "Python signature as udf_python_row but the exchange is Arrow "
+    "batches instead of pickled rows — the drop-in upgrade path when "
+    "row logic can't be vectorized.  Exact integer bucketing keeps the "
+    "oracle bit-identical.",
+    oracle="""
+        SELECT event_id,
+               event_type || '#' ||
+                   CAST(CAST(FLOOR(value / 50) AS BIGINT) AS VARCHAR) AS tag
+        FROM events WHERE event_id % 20 = 1
+        ORDER BY event_id
+    """,
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    @F.udf(returnType=StringType(), useArrow=True)
+    def tag(event_type: str, value: float) -> str:
+        return f"{event_type}#{math.floor(value / 50)}"
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 1)
+    return ev.select("event_id", tag("event_type", "value").alias("tag")).orderBy("event_id")
+
+
+@register(
+    "udf_map_in_arrow",
+    category="udf",
+    doc="mapInArrow: whole-batch pyarrow RecordBatch transform with NO "
+    "pandas materialization — the cheapest Python hop (zero copy in, "
+    "columnar compute, zero copy out).  Computes char and space counts "
+    "per document with pyarrow.compute kernels; the partition-preserving "
+    "narrow map keeps whatever partitioning the scan produced.",
+    oracle="""
+        SELECT doc_id,
+               CAST(LENGTH(text) AS BIGINT) AS nchars,
+               CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS BIGINT)
+                   AS nspaces
+        FROM documents WHERE doc_id % 7 = 0
+        ORDER BY doc_id
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def batch_stats(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.record_batch(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.count_substring(text, " "), pa.int64()),
+                ],
+                names=["doc_id", "nchars", "nspaces"],
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", "text")
+    )
+    return docs.mapInArrow(
+        batch_stats, schema="doc_id long, nchars long, nspaces long"
+    ).orderBy("doc_id")
