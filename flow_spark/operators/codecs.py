@@ -159,8 +159,10 @@ _COMPRESSORS: dict[str, tuple[Callable[[bytes], bytes], Callable[[bytes], bytes]
     "bz2": (bz2.compress, bz2.decompress),
     "lzma": (lzma.compress, lzma.decompress),
 }
-# reference also supports zstd/snappy (compressor.go:61-76); gated on the
-# libs being present in the image
+# reference also supports zstd/snappy (compressor.go:61-76); prefer the
+# dedicated libs when present, else fall back to pyarrow's bundled codecs
+# (same wire formats: standard zstd frame, raw snappy block whose uvarint
+# preamble carries the uncompressed length — what Go's snappy.Encode emits)
 try:  # pragma: no cover
     import zstandard
 
@@ -175,6 +177,55 @@ try:  # pragma: no cover
 
     _COMPRESSORS["snappy"] = (snappy.compress, snappy.decompress)
 except ImportError:
+    pass
+
+
+def _snappy_raw_len(b: bytes) -> int:
+    """Uncompressed length from the raw-block uvarint preamble."""
+    n = shift = i = 0
+    while True:
+        if i >= len(b):
+            raise ValueError("truncated snappy preamble")
+        byte = b[i]
+        n |= (byte & 0x7F) << shift
+        i += 1
+        shift += 7
+        if not byte & 0x80:
+            return n
+
+
+try:
+    import pyarrow as _pa
+
+    def _pa_compress(name: str, b: bytes) -> bytes:
+        import pyarrow as pa
+
+        return pa.Codec(name).compress(b, asbytes=True)
+
+    def _pa_zstd_decompress(b: bytes) -> bytes:
+        # streaming reader: size-agnostic (content-size header optional)
+        import pyarrow as pa
+
+        return pa.input_stream(pa.BufferReader(b), compression="zstd").read()
+
+    def _pa_snappy_decompress(b: bytes) -> bytes:
+        import pyarrow as pa
+
+        return pa.Codec("snappy").decompress(
+            b, decompressed_size=_snappy_raw_len(b), asbytes=True
+        )
+
+    if "zstd" not in _COMPRESSORS and _pa.Codec.is_available("zstd"):
+        _COMPRESSORS["zstd"] = (
+            lambda b: _pa_compress("zstd", b),
+            _pa_zstd_decompress,
+        )
+    if "snappy" not in _COMPRESSORS and _pa.Codec.is_available("snappy"):
+        _COMPRESSORS["snappy"] = (
+            lambda b: _pa_compress("snappy", b),
+            _pa_snappy_decompress,
+        )
+except ImportError:  # pragma: no cover
     pass
 
 

@@ -212,3 +212,34 @@ def test_chunk_windows_tile_exactly(spark):
         assert a[3:] == b[: len(a[3:])]  # overlap agreement
     # doc 2: shorter than one window -> exactly one whole-doc chunk
     assert by_doc[2] == [(0, ["only", "two"])]
+
+
+def test_zstd_snappy_active_with_standard_wire_formats(spark):
+    """zstd + snappy are un-gated in this image (pyarrow-backed fallback):
+    the reference supports both (compressor.go:61-76), so their absence
+    was the one codec-parity gap.  Pin the wire formats: zstd emits a
+    standard frame (magic 28 B5 2F FD — interoperable with any zstd
+    decoder), snappy emits the raw block whose uvarint preamble carries
+    the uncompressed length (golang/snappy Encode format)."""
+    from flow_spark.operators.codecs import (
+        _snappy_raw_len,
+        compress,
+        decompress,
+        supported_codecs,
+    )
+
+    assert "zstd" in supported_codecs()
+    assert "snappy" in supported_codecs()
+    payload = b"flow-spark wire format " * 40
+    df = spark.createDataFrame([(payload,)], "body binary")
+    for codec in ("zstd", "snappy"):
+        row = df.select(
+            compress(F.col("body"), codec).alias("c"),
+            decompress(compress(F.col("body"), codec), codec).alias("rt"),
+        ).collect()[0]
+        assert bytes(row.rt) == payload, codec
+        comp = bytes(row.c)
+        if codec == "zstd":
+            assert comp[:4] == b"\x28\xb5\x2f\xfd"
+        else:
+            assert _snappy_raw_len(comp) == len(payload)
