@@ -80,7 +80,7 @@ def throttle_stream(
     )
 
     def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
-        (tat,) = state.get() if state.exists else (0,)
+        (tat,) = state.get if state.exists else (0,)  # .get is a property
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts_ns", "event_id"])
             admits, tat = gcra_admit(list(pdf["ts_ns"]), tat, rps)
@@ -96,4 +96,93 @@ def throttle_stream(
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf="NoTimeout",
+    )
+
+
+# --- event-time-timeout sessionization --------------------------------------
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("skey", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n", LongType()),
+        StructField("total", LongType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+        StructField("total", LongType()),
+    ]
+)
+
+
+def sessionize_stream(
+    df: DataFrame,
+    gap_minutes: int,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Custom stateful sessionization with EVENT-TIME TIMEOUT state expiry —
+    the applyInPandasWithState surface F.session_window can't reach: the
+    operator owns when a session closes (watermark passes last_event +
+    gap), so it can emit arbitrary per-session summaries and drop state
+    deterministically on replay.  Complements stream_session_window (the
+    built-in) the way the GCRA throttler complements window ranking.
+
+    Emits one row per CLOSED session (skey, start_us, end_us, n, total);
+    in-batch gaps close sessions inline, cross-batch gaps close via
+    ``state.hasTimedOut`` when the watermark crosses last_us + gap.  All
+    arithmetic is integer microseconds — replay-deterministic.  At scale
+    state is per-key in the state store, one shuffle on the key, and the
+    watermark bounds state size exactly as the built-in operator's.
+
+    Input must already carry ``withWatermark(ts_col, ...)``.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    prepared = df.select(
+        F.col(key_col).cast("long").alias("skey"),
+        F.col(ts_col).alias("ts"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(val_col).cast("long").alias("v"),
+    )
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        closed: list[tuple[int, int, int, int, int]] = []
+        if state.hasTimedOut:
+            start_us, last_us, n, total = state.get  # .get is a property
+            closed.append((key[0], start_us, last_us, n, total))
+            state.remove()
+        else:
+            pdf = pd.concat(list(pdfs)).sort_values(["ts_us"])
+            cur = list(state.get) if state.exists else None
+            for ts_us, v in zip(pdf["ts_us"], pdf["v"]):
+                ts_us, v = int(ts_us), int(v)
+                if cur is not None and ts_us - cur[1] > gap_us:
+                    closed.append((key[0], cur[0], cur[1], cur[2], cur[3]))
+                    cur = None
+                if cur is None:
+                    cur = [ts_us, ts_us, 0, 0]
+                cur[1] = ts_us
+                cur[2] += 1
+                cur[3] += v
+            state.update(tuple(cur))
+            # close when the watermark passes last_event + gap
+            state.setTimeoutTimestamp(cur[1] // 1000 + gap_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            closed, columns=["skey", "start_us", "end_us", "n", "total"]
+        )
+
+    return prepared.groupBy("skey").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
     )

@@ -1152,3 +1152,139 @@ def test_streaming_incremental_rollup_maintenance(spark, sf_dir, tmp_path):
     got = sorted(tuple(r) for r in served.collect())
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want and len(got) > 0
+
+
+def test_stateful_session_event_time_timeout(spark, tmp_path):
+    """Custom sessionization via applyInPandasWithState with
+    EventTimeTimeout: in-batch gaps close sessions inline; cross-batch
+    gaps close when the WATERMARK passes last_event + gap (the state
+    expiry path state.hasTimedOut reaches and session_window hides).
+    The schedule is engineered so every closure is deterministic:
+
+      file A: u10 @10:00,10:02 | u20 @10:00,10:30 (in-batch gap) | u99 @10:00
+      file B: u99 @11:00  -> batch starts at wm 10:25: u10 times out
+      file C: u99 @11:30  -> wm 10:55: u20's open session times out
+      file D: u99 @12:00  -> u99 sessions split inline as data arrives
+
+    Expected closed sessions: u20@10:00 (inline), u10@10:00 (timer),
+    u20@10:30 (timer), u99@10:00/11:00/11:30 (inline); u99@12:00 stays
+    open (no later watermark) and must NOT be emitted."""
+    from datetime import datetime
+
+    from flow_spark.streaming.stateful import sessionize_stream
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    schema = "skey long, ts timestamp, v long"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src / name)
+        )
+
+    t = lambda h, m: datetime(2024, 1, 1, h, m)  # noqa: E731
+    write_file("a", [(10, t(10, 0), 1), (10, t(10, 2), 2),
+                     (20, t(10, 0), 5), (20, t(10, 30), 7),
+                     (99, t(10, 0), 1)])
+    write_file("b", [(99, t(11, 0), 1)])
+    write_file("c", [(99, t(11, 30), 1)])
+    write_file("d", [(99, t(12, 0), 1)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .withWatermark("ts", "5 minutes")
+    )
+    sessions = sessionize_stream(
+        stream, gap_minutes=10, key_col="skey", ts_col="ts", val_col="v"
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.skey, r.start_us, r.end_us, r.n, r.total)
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    us = lambda h, m: int(datetime(2024, 1, 1, h, m).timestamp() * 1_000_000)  # noqa: E731
+    expected = {
+        (10, us(10, 0), us(10, 2), 2, 3),
+        (20, us(10, 0), us(10, 0), 1, 5),
+        (20, us(10, 30), us(10, 30), 1, 7),
+        (99, us(10, 0), us(10, 0), 1, 1),
+        (99, us(11, 0), us(11, 0), 1, 1),
+        (99, us(11, 30), us(11, 30), 1, 1),
+    }
+    assert got == expected
+
+
+def test_gcra_tat_persists_across_micro_batches(spark, tmp_path):
+    """Cross-batch GCRA: the TAT stored in the state store must carry into
+    the next micro-batch (pins the GroupState.get-is-a-property fix — a
+    single-batch run never reads existing state, so only a multi-batch
+    schedule exercises it).  Two files -> two batches, same key, all ten
+    messages inside one burst window: batch 1 admits the burst, batch 2's
+    five messages 100ms later must be throttled BECAUSE the TAT survived;
+    a fresh (lost-state) GCRA would re-admit."""
+    from flow_spark.streaming.stateful import throttle_stream
+
+    src = tmp_path / "gcra_src"
+    src.mkdir()
+
+    def write_file(name, t0_ms, n, base_id):
+        rows = [
+            (base_id + i, "u", "2024-01-01 00:00:00.%03d" % (t0_ms + i))
+            for i in range(n)
+        ]
+        spark.createDataFrame(
+            rows, "event_id long, user string, ts string"
+        ).selectExpr(
+            "event_id",
+            "CAST(ts AS TIMESTAMP) AS ingest_ts",
+            "CAST('x' AS BINARY) AS body",
+            "'x' AS body_str",
+            "map('user', user) AS meta",
+        ).coalesce(1).write.mode("append").parquet(str(src / name))
+
+    write_file("a", 0, 5, 0)
+    write_file("b", 100, 5, 100)
+
+    static_schema = spark.read.parquet(str(src / "a")).schema
+    msgs = (
+        spark.readStream.schema(static_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = throttle_stream(msgs, rps=2, key_col="user")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gcra_cross")
+        .option("checkpointLocation", str(tmp_path / "gcra_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql(
+        "SELECT event_id, throttle_status FROM gcra_cross ORDER BY event_id"
+    ).collect()
+    assert len(rows) == 10
+    by_id = {r.event_id: r.throttle_status for r in rows}
+    # batch 1 (t=0ms x5 at rps=2, burst 0.5s): first two admitted
+    assert [by_id[i] for i in range(5)] == [
+        "admitted", "admitted", "throttled", "throttled", "throttled"
+    ]
+    # batch 2 (t=100..104ms): TAT is already 1.0s ahead -> ALL throttled
+    assert all(by_id[100 + i] == "throttled" for i in range(5))
