@@ -181,3 +181,30 @@ def test_analyze_statistics_drive_broadcast_choice(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS stats_nation")
         spark.sql("DROP TABLE IF EXISTS stats_customer")
+
+
+def test_join_strategy_hints_select_physical_operators(spark, sf_dir):
+    """The three join-strategy hints each reach their physical operator —
+    the knobs a 100 TB tuning pass turns when the optimizer's default is
+    wrong: BROADCAST forces a map-side join regardless of size estimate,
+    SHUFFLE_HASH builds a hash table per partition (beats sort-merge when
+    one side is much smaller but too big to broadcast), MERGE forces
+    sort-merge (the safe choice when both sides are huge and a hash table
+    would spill)."""
+    from pyspark.sql import functions as F
+
+    from flow_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def plan_with(hint: str) -> str:
+        df = orders.join(cust.hint(hint), orders.o_custkey == cust.c_custkey)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    assert "BroadcastHashJoin" in plan_with("broadcast")
+    assert "ShuffledHashJoin" in plan_with("shuffle_hash")
+    assert "SortMergeJoin" in plan_with("merge")

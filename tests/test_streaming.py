@@ -1288,3 +1288,65 @@ def test_gcra_tat_persists_across_micro_batches(spark, tmp_path):
     ]
     # batch 2 (t=100..104ms): TAT is already 1.0s ahead -> ALL throttled
     assert all(by_id[100 + i] == "throttled" for i in range(5))
+
+
+def test_foreachbatch_idempotent_replay(spark, tmp_path):
+    """Exactly-once EFFECT from at-least-once foreachBatch: keying the
+    write by batch_id with dynamic partition overwrite makes a replayed
+    batch overwrite its own partition instead of appending duplicates —
+    the sink-side idempotence contract Spark's docs prescribe for
+    foreachBatch (which may re-run a batch after failure).  Replaying
+    batch 0 by hand leaves the output byte-identical."""
+    import pyspark.sql.functions as SF
+
+    src = tmp_path / "idem_src"
+    src.mkdir()
+    out = tmp_path / "idem_out"
+    schema = "k long, v long"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src / name)
+        )
+
+    write_file("a", [(1, 10), (2, 20)])
+    write_file("b", [(3, 30)])
+
+    def apply_batch(bdf, bid):
+        (
+            bdf.withColumn("batch_id", SF.lit(bid).cast("long"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(str(out))
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "idem_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def snapshot():
+        return sorted(
+            (r.k, r.v, r.batch_id)
+            for r in spark.read.parquet(str(out)).collect()
+        )
+
+    before = snapshot()
+    assert len(before) == 3  # two batches landed once each
+
+    # simulate the at-least-once replay: re-apply batch 0's exact data
+    batch0 = spark.createDataFrame([(1, 10), (2, 20)], schema)
+    apply_batch(batch0, 0)
+    assert snapshot() == before
