@@ -1727,3 +1727,133 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "join_lateral_dataframe",
+    category="joins",
+    doc="Spark 4 DataFrame-API lateral join (df.lateralJoin + "
+    "Column.outer() correlation): top-2 customers by balance per nation, "
+    "the same decorrelation path as the SQL LATERAL form (sql_lateral) "
+    "but composed programmatically — Catalyst rewrites the correlated "
+    "limit into a window rank, so the physical plan is one shuffle on "
+    "the correlation key, never a per-row re-scan.  Balance compared in "
+    "exact cents with custkey tiebreak for determinism.",
+    oracle="""
+        SELECT n_nationkey, c_custkey, bal_cents
+        FROM (
+            SELECT n.n_nationkey, c.c_custkey,
+                   CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.n_nationkey
+                       ORDER BY CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT)
+                                DESC, c.c_custkey) AS rn
+            FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        )
+        WHERE rn <= 2
+        ORDER BY n_nationkey, bal_cents DESC, c_custkey
+    """,
+)
+def join_lateral_dataframe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
+    )
+    top2 = (
+        cust.where(F.col("c_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.desc("bal_cents"), F.asc("c_custkey"))
+        .limit(2)
+        .select("c_custkey", "bal_cents")
+    )
+    return (
+        nation.lateralJoin(top2)
+        .select("n_nationkey", "c_custkey", "bal_cents")
+        .orderBy("n_nationkey", F.desc("bal_cents"), "c_custkey")
+    )
+
+
+@register(
+    "sql_udf_declared",
+    category="sql",
+    doc="Declared SQL UDFs (Spark 4 CREATE FUNCTION ... RETURNS): a scalar "
+    "function (net price in cents — pure integer arithmetic) and a table "
+    "function (a constant tier table) used together in one query.  SQL "
+    "UDFs inline into the plan (no Python boundary, full codegen), so "
+    "they are the preferred extension point before reaching for "
+    "pandas_udf.  Oracle expands both definitions inline.",
+    oracle="""
+        WITH tiers(tier, lo, hi) AS (
+            VALUES (1, 0, 10), (2, 10, 25), (3, 25, 100)
+        )
+        SELECT t.tier,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT)))
+                    AS BIGINT) AS net_e4
+        FROM lineitem l
+        JOIN tiers t ON l.l_quantity >= t.lo AND l.l_quantity < t.hi
+        GROUP BY t.tier
+        ORDER BY t.tier
+    """,
+)
+def sql_udf_declared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("sqludf_lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION net_e4(price DOUBLE, disc DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(ROUND(price * 100, 0) AS BIGINT)
+               * (100 - CAST(ROUND(disc * 100, 0) AS BIGINT))
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION qty_tiers()
+        RETURNS TABLE(tier INT, lo INT, hi INT)
+        RETURN SELECT * FROM VALUES (1, 0, 10), (2, 10, 25), (3, 25, 100)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT t.tier,
+               COUNT(*) AS n,
+               SUM(net_e4(l.l_extendedprice, l.l_discount)) AS net_e4
+        FROM sqludf_lineitem l
+        JOIN qty_tiers() t ON l.l_quantity >= t.lo AND l.l_quantity < t.hi
+        GROUP BY t.tier
+        ORDER BY t.tier
+        """
+    )
+
+
+@register(
+    "sql_pipe_syntax",
+    category="sql",
+    doc="SQL pipe syntax (Spark 4 |> operators): filter -> derive -> "
+    "aggregate -> order as a left-to-right pipeline — same Catalyst plan "
+    "as the nested classic form the oracle uses, purely surface syntax.",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("pipe_orders")
+    return spark.sql(
+        """
+        FROM pipe_orders
+        |> WHERE o_orderstatus = 'F'
+        |> EXTEND CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |> AGGREGATE COUNT(*) AS n, SUM(cents) AS total_cents
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )
