@@ -873,3 +873,67 @@ def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "sample_source_rebalance",
+    category="text-analysis",
+    doc="Deterministic source-mix rebalancing: every source is downsampled "
+    "to the SMALLEST source's document count (uniform target mix), "
+    "keeping each source's lowest portable-hash doc_ids — so the "
+    "selection is reproducible across retries, engines, and "
+    "repartitioning, unlike rand()-based resampling.  This is the "
+    "domain-weighting step of a pre-training mix.  Here the exact-n "
+    "selection is a per-source window rank (one shuffle on source); at "
+    "100 TB swap the rank for a per-source hash THRESHOLD (keep hv < "
+    "target/total * 2^60) — no global sort, same determinism, "
+    "approximate n within per-bucket noise.",
+    oracle=f"""
+        WITH h AS (
+            SELECT source, doc_id,
+                   {portable_hash_expr("CAST(doc_id AS VARCHAR)", salt='rebal')}
+                       AS hv
+            FROM documents
+        ),
+        ranked AS (
+            SELECT source, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY hv, doc_id) AS rn
+            FROM h
+        ),
+        tgt AS (
+            SELECT MIN(cnt) AS target
+            FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY source)
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM ranked, tgt
+        WHERE rn <= target
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def sample_source_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from flow_spark.functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        portable_hash64(F.col("doc_id").cast("string"), salt="rebal").alias("hv"),
+    )
+    target = docs.groupBy("source").count().agg(F.min("count").alias("target"))
+    w = Window.partitionBy("source").orderBy("hv", "doc_id")
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.crossJoin(F.broadcast(target))
+        .filter(F.col("rn") <= F.col("target"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
