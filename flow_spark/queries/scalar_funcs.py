@@ -1804,3 +1804,45 @@ def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "fn_string_numeric_format",
+    category="string-fn",
+    doc="Formatting/bit battery: overlay (string splice), to_char with a "
+    "grouping picture ('999,999' — right-aligned, comma only between "
+    "digits), getbit/bit_count over the key, array_repeat join.  DuckDB "
+    "lacks overlay/to_char/getbit, so the oracle reconstructs each from "
+    "primitives (substr splice, format('{:>7}', format('{:,}', x)), "
+    "shift-and-mask) — pinning Spark's exact output contract.",
+    oracle="""
+        SELECT o_orderkey,
+               substr(o_orderpriority, 1, 2) || 'XX'
+                   || substr(o_orderpriority, 5) AS spliced,
+               CASE WHEN o_orderkey = 0 THEN '       '  -- '9' blanks zero
+                    ELSE format('{:>7}', format('{:,}', o_orderkey)) END
+                   AS key_pic,
+               CAST((o_orderkey >> 3) & 1 AS INT) AS bit3,
+               CAST(bit_count(o_orderkey) AS INT) AS popcount,
+               array_to_string(
+                   list_transform(range(3), i -> substr(o_orderstatus, 1, 1)),
+                   '*') AS status3
+        FROM orders WHERE o_orderkey % 29 = 0
+        ORDER BY o_orderkey
+    """,
+)
+def fn_string_numeric_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 29 == 0)
+    return (
+        orders.select(
+            "o_orderkey",
+            F.overlay("o_orderpriority", F.lit("XX"), 3).alias("spliced"),
+            F.to_char(F.col("o_orderkey"), F.lit("999,999")).alias("key_pic"),
+            F.getbit("o_orderkey", F.lit(3)).cast("int").alias("bit3"),
+            F.bit_count("o_orderkey").cast("int").alias("popcount"),
+            F.array_join(
+                F.array_repeat(F.substring("o_orderstatus", 1, 1), 3), "*"
+            ).alias("status3"),
+        )
+        .orderBy("o_orderkey")
+    )
