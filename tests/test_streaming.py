@@ -1350,3 +1350,126 @@ def test_foreachbatch_idempotent_replay(spark, tmp_path):
     batch0 = spark.createDataFrame([(1, 10), (2, 20)], schema)
     apply_batch(batch0, 0)
     assert snapshot() == before
+
+
+def test_rocksdb_state_store_provider(spark, tmp_path):
+    """RocksDB state store: the scale-grade state backend (state lives
+    off-heap/on-disk per executor instead of in JVM memory — at 100 TB a
+    keyed state that outgrows the heap is the norm, and RocksDB with
+    changelog checkpointing is the prescribed provider).  Prove a
+    cross-batch stateful agg is correct under it and that the checkpoint
+    is really RocksDB (zip snapshot layout, not the HDFS provider's
+    .delta files)."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "rocks_src"
+        src.mkdir()
+        schema = "k long, v string"
+
+        def write_file(name, rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src / name))
+
+        write_file("a", [(1, "a"), (2, "b")])
+        write_file("b", [(3, "a"), (4, "c")])
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            stream.groupBy("v")
+            .count()
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("rocks_agg")
+            .option("checkpointLocation", str(tmp_path / "rocks_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = {r.v: r["count"] for r in spark.sql("SELECT * FROM rocks_agg").collect()}
+        assert got == {"a": 2, "b": 1, "c": 1}
+
+        state_files = [
+            p.name for p in (tmp_path / "rocks_ckpt" / "state" / "0" / "0").iterdir()
+        ]
+        assert any(n.endswith(".zip") for n in state_files), state_files
+        assert not any(n.endswith(".delta") for n in state_files), state_files
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_streaming_query_listener_observes_progress(spark, tmp_path):
+    """StreamingQueryListener: the engine-level observability hook (the
+    admin /expvar analog for streams) — progress events must report the
+    exact input row counts per micro-batch."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    events = {"rows": [], "names": []}
+
+    class Capture(StreamingQueryListener):
+        def onQueryStarted(self, e):
+            events["names"].append(e.name)
+
+        def onQueryProgress(self, e):
+            events["rows"].append(e.progress.numInputRows)
+
+        def onQueryIdle(self, e):
+            pass
+
+        def onQueryTerminated(self, e):
+            pass
+
+    listener = Capture()
+    spark.streams.addListener(listener)
+    try:
+        src = tmp_path / "lst_src"
+        src.mkdir()
+        schema = "k long"
+        spark.createDataFrame([(i,) for i in range(7)], schema).coalesce(
+            1
+        ).write.mode("append").parquet(str(src / "a"))
+        spark.createDataFrame([(i,) for i in range(5)], schema).coalesce(
+            1
+        ).write.mode("append").parquet(str(src / "b"))
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("lst_out")
+            .option("checkpointLocation", str(tmp_path / "lst_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # listener delivery is async; progress events land shortly after
+        import time
+
+        for _ in range(50):
+            if sum(events["rows"]) >= 12:
+                break
+            time.sleep(0.2)
+        assert sum(events["rows"]) == 12
+        assert sorted(events["rows"], reverse=True)[:2] == [7, 5]
+        assert "lst_out" in events["names"]
+    finally:
+        spark.streams.removeListener(listener)
