@@ -32,7 +32,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 _EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
@@ -73,6 +76,8 @@ class SyntheticEventsDataSource(DataSource):
         return _SCHEMA
 
     def reader(self, schema):  # noqa: ANN001
+        if self.options.get("pushdown", "").lower() == "true":
+            return _PushdownBatchReader(self.options)
         return _BatchReader(self.options)
 
     def streamReader(self, schema):  # noqa: ANN001, N802
@@ -140,5 +145,171 @@ class _StreamReader(DataSourceStreamReader):
 
 
 def register(spark) -> None:  # noqa: ANN001
-    """Idempotent registration of the custom source."""
+    """Idempotent registration of the custom source and sink."""
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(JsonlSinkDataSource)
+
+
+# --- filter pushdown (Spark 4.1 pushFilters) --------------------------------
+
+
+class _PushdownBatchReader(_BatchReader):
+    """Batch reader with event_id range pushdown: Catalyst hands the scan
+    its filters (requires spark.sql.python.filterPushdown.enabled=true)
+    and the generator narrows the row range BEFORE planning partitions —
+    the Python-source analog of parquet row-group pruning: pruned rows
+    are never generated and pruned partitions never scheduled.
+    """
+
+    def __init__(self, options: dict):
+        super().__init__(options)
+        self.lo = 0
+        self.hi = self.n_rows
+
+    def pushFilters(self, filters):  # noqa: N802, ANN001
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            if getattr(f, "attribute", None) != ("event_id",):
+                yield f  # unsupported -> Spark re-applies it post-scan
+            elif isinstance(f, GreaterThan):
+                self.lo = max(self.lo, f.value + 1)
+            elif isinstance(f, GreaterThanOrEqual):
+                self.lo = max(self.lo, f.value)
+            elif isinstance(f, LessThan):
+                self.hi = min(self.hi, f.value)
+            elif isinstance(f, LessThanOrEqual):
+                self.hi = min(self.hi, f.value + 1)
+            elif isinstance(f, EqualTo):
+                self.lo = max(self.lo, f.value)
+                self.hi = min(self.hi, f.value + 1)
+            else:
+                yield f
+
+    def partitions(self):
+        lo, hi = self.lo, max(self.lo, self.hi)
+        per = -(-max(hi - lo, 1) // self.n_parts)
+        return [
+            _RangePartition(lo + p * per, min(lo + (p + 1) * per, hi))
+            for p in range(self.n_parts)
+            if lo + p * per < hi
+        ]
+
+
+# --- custom Python sink (DataSourceWriter / DataSourceStreamWriter) ---------
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    path: str
+    n: int
+
+
+class JsonlSinkDataSource(DataSource):
+    """format("jsonl_sink"), option path=<dir>: newline-delimited-JSON sink
+    with a real two-phase commit — executors write part-*.tmp and return
+    commit messages; the driver's commit() atomically renames and writes a
+    _SUCCESS manifest with the total row count; abort() removes temp
+    files, so a failed job leaves no visible output.  This is the sink
+    head factory analog (reference sink_head_file.go) on the Spark 4
+    Python writer API; the streaming variant keys files and manifests by
+    batchId, so a replayed micro-batch overwrites its own files —
+    idempotent under at-least-once delivery.  Local-FS paths only (a
+    production sink would speak fsspec / Hadoop FS)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite):  # noqa: ANN001
+        return _JsonlWriter(self.options, schema)
+
+    def streamWriter(self, schema, overwrite):  # noqa: ANN001, N802
+        return _JsonlStreamWriter(self.options, schema)
+
+
+class _JsonlWriterBase:
+    def __init__(self, options: dict, schema) -> None:  # noqa: ANN001
+        self.path = options["path"]
+        self.cols = [f.name for f in schema.fields]
+
+    def _write_partition(self, it, prefix: str) -> _FileCommit:  # noqa: ANN001
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tmp = os.path.join(self.path, f"{prefix}part-{pid:05d}.jsonl.tmp")
+        n = 0
+        os.makedirs(self.path, exist_ok=True)
+        with open(tmp, "w") as fh:
+            for row in it:
+                fh.write(json.dumps(dict(zip(self.cols, row)), sort_keys=True))
+                fh.write("\n")
+                n += 1
+        return _FileCommit(tmp, n)
+
+    @staticmethod
+    def _finalize(messages, manifest: str) -> None:  # noqa: ANN001
+        import os
+
+        total = 0
+        for m in messages:
+            os.replace(m.path, m.path[: -len(".tmp")])
+            total += m.n
+        with open(manifest, "w") as fh:
+            fh.write(str(total))
+
+    @staticmethod
+    def _cleanup(messages) -> None:  # noqa: ANN001
+        import contextlib
+        import os
+
+        for m in messages:
+            if m is not None:
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(m.path)
+
+
+class _JsonlWriter(_JsonlWriterBase, DataSourceWriter):
+    def write(self, iterator):  # noqa: ANN001
+        return self._write_partition(iterator, "")
+
+    def commit(self, messages):  # noqa: ANN001
+        import os
+
+        self._finalize(messages, os.path.join(self.path, "_SUCCESS"))
+
+    def abort(self, messages):  # noqa: ANN001
+        self._cleanup(messages)
+
+
+class _JsonlStreamWriter(_JsonlWriterBase, DataSourceStreamWriter):
+    def write(self, iterator):  # noqa: ANN001
+        return self._write_partition(iterator, "")
+
+    def commit(self, messages, batchId):  # noqa: ANN001, N802
+        import os
+
+        # rename into batchId-keyed names: a replayed batch overwrites
+        # its own files instead of appending duplicates
+        total = 0
+        for m in messages:
+            final = os.path.join(
+                self.path,
+                f"batch-{batchId:05d}-{os.path.basename(m.path)[: -len('.tmp')]}",
+            )
+            os.replace(m.path, final)
+            total += m.n
+        with open(os.path.join(self.path, f"_SUCCESS-{batchId:05d}"), "w") as fh:
+            fh.write(str(total))
+
+    def abort(self, messages, batchId):  # noqa: ANN001, N802
+        self._cleanup(messages)

@@ -88,3 +88,123 @@ def test_stream_resumes_from_checkpoint(spark, tmp_path):
     run(300)  # the source grew; only rows 200..299 may be emitted
     got = sorted(r.event_id for r in spark.read.parquet(out_dir).collect())
     assert got == list(range(300))  # no duplicates, no gaps
+
+
+def test_reader_filter_pushdown_prunes_generation(spark):
+    """pushFilters (Spark 4.1): the event_id range predicate reaches the
+    Python reader BEFORE partition planning, so pruned rows are never
+    generated and pruned partitions never scheduled — observable as a
+    smaller task count, the Python-source analog of row-group pruning.
+    Results must equal the unpruned reader + post-filter."""
+    register(spark)
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        pushed = (
+            spark.read.format("synthetic_events")
+            .option("n_rows", 1000)
+            .option("n_partitions", 8)
+            .option("pushdown", "true")
+            .load()
+            .filter((F.col("event_id") >= 990) & (F.col("event_id") < 998))
+        )
+        # 8 ids over 8 requested partitions -> 1 id per partition, and the
+        # planner schedules only the 8 narrowed partitions' range ceil(8/8)=1
+        assert pushed.rdd.getNumPartitions() == 8
+        baseline = (
+            spark.read.format("synthetic_events")
+            .option("n_rows", 1000)
+            .load()
+            .filter((F.col("event_id") >= 990) & (F.col("event_id") < 998))
+        )
+        assert sorted(map(tuple, pushed.collect())) == sorted(
+            map(tuple, baseline.collect())
+        )
+
+        # equality pushdown narrows to a single row / single partition
+        one = (
+            spark.read.format("synthetic_events")
+            .option("n_rows", 1000)
+            .option("pushdown", "true")
+            .load()
+            .filter(F.col("event_id") == 123)
+        )
+        assert one.rdd.getNumPartitions() == 1
+        assert [tuple(r) for r in one.collect()] == [synth_row(123)]
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+
+
+def test_jsonl_sink_two_phase_commit(spark, tmp_path):
+    """Custom Python batch sink: executors write part-*.tmp, driver-side
+    commit renames and writes the _SUCCESS manifest — visible output
+    exists only after commit, and every temp file is gone."""
+    import json
+    import os
+
+    register(spark)
+    out = str(tmp_path / "jsonl_out")
+    df = spark.range(25).selectExpr("id AS k", "id * 2 AS v").repartition(3)
+    df.write.format("jsonl_sink").option("path", out).mode("append").save()
+
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names
+    assert not any(n.endswith(".tmp") for n in names)
+    rows = []
+    for n in names:
+        if n.endswith(".jsonl"):
+            with open(os.path.join(out, n)) as fh:
+                rows += [json.loads(line) for line in fh]
+    assert sorted((r["k"], r["v"]) for r in rows) == [(i, 2 * i) for i in range(25)]
+    assert open(os.path.join(out, "_SUCCESS")).read() == "25"
+
+
+def test_jsonl_stream_sink_batchid_keyed(spark, tmp_path):
+    """Custom Python STREAMING sink: files and manifests are keyed by
+    batchId, so each micro-batch commits its own namespace (a replayed
+    batch would overwrite, not append)."""
+    import json
+    import os
+
+    register(spark)
+    src = tmp_path / "sink_src"
+    src.mkdir()
+    out = str(tmp_path / "stream_jsonl_out")
+    schema = "k long"
+
+    spark.createDataFrame([(1,), (2,)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src / "a"))
+    spark.createDataFrame([(3,)], schema).coalesce(1).write.mode("append").parquet(
+        str(src / "b")
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.format("jsonl_sink")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "sink_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS-00000" in names and "_SUCCESS-00001" in names
+    assert not any(n.endswith(".tmp") for n in names)
+    rows = []
+    for n in names:
+        if n.endswith(".jsonl"):
+            assert n.startswith("batch-0000")
+            with open(os.path.join(out, n)) as fh:
+                rows += [json.loads(line)["k"] for line in fh]
+    assert sorted(rows) == [1, 2, 3]
