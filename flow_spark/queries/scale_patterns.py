@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flow_spark.catalog import load_table
+from flow_spark.functions.hashing import portable_hash_expr
 from flow_spark.queries.registry import register
 
 _SALT = 8
@@ -367,4 +368,52 @@ def scale_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("ka") + F.col("kb")).cast("bigint").alias("pair_keysum"),
         )
         .orderBy("custkey")
+    )
+
+
+@register(
+    "feat_hashing_trick",
+    category="scale-pattern",
+    doc="Feature hashing (the hashing trick): categorical event_type maps "
+    "to one of 8 feature buckets via the portable hash, with a second "
+    "independent hash choosing a +/-1 sign so collisions cancel in "
+    "expectation (Weinberger et al. 2009).  Output is the SPARSE long "
+    "form (user, bucket, count, signed_sum) — the only shape that "
+    "scales: a dense vector column explodes storage at large K, and "
+    "the long form is one groupBy shuffle, mergeable incrementally.  "
+    "No vocabulary pass needed — the point of the trick at 100 TB: "
+    "new categories never require re-fitting an encoder.",
+    oracle=f"""
+        WITH h AS (
+            SELECT user_id,
+                   {portable_hash_expr("event_type", salt='fh')} % 8 AS bucket,
+                   CASE WHEN {portable_hash_expr("event_type", salt='fhsign')}
+                             % 2 = 0 THEN 1 ELSE -1 END AS sgn
+            FROM events WHERE user_id % 7 = 0
+        )
+        SELECT user_id,
+               CAST(bucket AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(sgn) AS BIGINT) AS signed_sum
+        FROM h
+        GROUP BY user_id, bucket
+        ORDER BY user_id, bucket
+    """,
+)
+def feat_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.functions.hashing import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    bucket = F.pmod(portable_hash64("event_type", salt="fh"), F.lit(8)).cast("int")
+    sgn = F.when(
+        F.pmod(portable_hash64("event_type", salt="fhsign"), F.lit(2)) == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        ev.select("user_id", bucket.alias("bucket"), sgn.alias("sgn"))
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("sgn").cast("bigint").alias("signed_sum"),
+        )
+        .orderBy("user_id", "bucket")
     )

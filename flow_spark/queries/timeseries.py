@@ -729,3 +729,100 @@ def seq_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_strict_vcp"),
     ).orderBy("user_id")
+
+
+@register(
+    "ts_seasonal_decompose",
+    category="timeseries",
+    doc="Exact additive seasonal decomposition over a weekly cycle: per "
+    "user, each day's value splits into (grand mean + day-of-week "
+    "seasonal offset + residual).  All in scaled-integer space — value "
+    "cents x n_days x 7 keeps every mean an exact integer ratio, so "
+    "both engines agree bit-for-bit (no double division until the "
+    "caller's display layer).  Emits the per-(user, dow) seasonal "
+    "component numerator and the largest absolute residual numerator.  "
+    "Two grouped aggregations over one shuffle key family (user) — the "
+    "same shape at 100 TB; the dow re-aggregation is a 7-row-per-user "
+    "rollup.",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   isodow(CAST(date_trunc('day', ts) AS DATE)) AS dow,
+                   CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS vc
+            FROM events WHERE user_id % 10 = 0
+            GROUP BY 1, 2, 3
+        ),
+        tot AS (
+            SELECT user_id,
+                   CAST(SUM(vc) AS BIGINT) AS sum_all,
+                   CAST(COUNT(*) AS BIGINT) AS n_all
+            FROM daily GROUP BY user_id
+        ),
+        dow AS (
+            SELECT user_id, dow,
+                   CAST(SUM(vc) AS BIGINT) AS sum_dow,
+                   CAST(COUNT(*) AS BIGINT) AS n_dow
+            FROM daily GROUP BY user_id, dow
+        ),
+        j AS (
+            SELECT dd.user_id, dd.dow, dd.vc,
+                   d.n_dow, d.sum_dow, t.n_all, t.sum_all
+            FROM daily dd
+            JOIN dow d ON d.user_id = dd.user_id AND d.dow = dd.dow
+            JOIN tot t ON t.user_id = dd.user_id
+        )
+        SELECT user_id, dow,
+               CAST(ANY_VALUE(n_dow) AS BIGINT) AS n_dow,
+               -- seasonal offset numerator, common denominator n_dow*n_all:
+               CAST(ANY_VALUE(sum_dow) * ANY_VALUE(n_all)
+                    - ANY_VALUE(sum_all) * ANY_VALUE(n_dow) AS BIGINT)
+                   AS seasonal_num,
+               -- residual numerator per day: vc*n_dow - sum_dow, max |.|
+               CAST(MAX(ABS(vc * n_dow - sum_dow)) AS BIGINT)
+                   AS max_abs_resid_num
+        FROM j
+        GROUP BY user_id, dow
+        ORDER BY user_id, dow
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _user_events(spark, sf_dir)
+    daily = (
+        ev.groupBy(
+            "user_id",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("vc")
+        )
+        .withColumn("dow", F.dayofweek(F.col("day")))
+        # DuckDB isodow: Mon=1..Sun=7; Spark dayofweek: Sun=1..Sat=7
+        .withColumn("dow", ((F.col("dow") + 5) % 7 + 1).cast("int"))
+    )
+    tot = daily.groupBy("user_id").agg(
+        F.sum("vc").cast("long").alias("sum_all"),
+        F.count("*").cast("long").alias("n_all"),
+    )
+    dow = daily.groupBy("user_id", "dow").agg(
+        F.sum("vc").cast("long").alias("sum_dow"),
+        F.count("*").cast("long").alias("n_dow"),
+    )
+    return (
+        daily.join(dow, ["user_id", "dow"])
+        .join(tot, "user_id")
+        .groupBy("user_id", "dow")
+        .agg(
+            F.first("n_dow").cast("long").alias("n_dow"),
+            (F.first("sum_dow") * F.first("n_all") - F.first("sum_all") * F.first("n_dow"))
+            .cast("long")
+            .alias("seasonal_num"),
+            F.max(F.abs(F.col("vc") * F.col("n_dow") - F.col("sum_dow")))
+            .cast("long")
+            .alias("max_abs_resid_num"),
+        )
+        .orderBy("user_id", "dow")
+    )
