@@ -1846,3 +1846,111 @@ def fn_string_numeric_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "fn_width_bucket",
+    category="math-fn",
+    doc="Equi-width binning via width_bucket over exact order-total cents "
+    "(bounds 0..60000_00 in 12 bins; out-of-range clamps to bin 13).  "
+    "The bucketing primitive behind histograms and numeric-feature "
+    "discretization; DuckDB oracle reconstructs the same bin arithmetic "
+    "from floor division (integer space, bit-identical).",
+    oracle="""
+        WITH b AS (
+            SELECT CAST(CASE
+                     WHEN cents < 0 THEN 0
+                     WHEN cents >= 6000000 THEN 13
+                     ELSE cents // 500000 + 1
+                   END AS INT) AS bin
+            FROM (
+                SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+                FROM orders
+            )
+        )
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n
+        FROM b GROUP BY bin ORDER BY bin
+    """,
+)
+def fn_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        orders.select(
+            F.width_bucket(cents, F.lit(0), F.lit(6000000), F.lit(12))
+            .cast("int")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bin")
+    )
+
+
+@register(
+    "win_period_over_period",
+    category="window",
+    doc="Period-over-period analytics: monthly revenue per order priority "
+    "with month-over-month delta (lag 1) and year-over-year ratio "
+    "(lag 12) — the standard reporting pair.  Exact cents throughout; "
+    "the YoY ratio is emitted as an integer ppm numerator "
+    "(cur*1e6 // prev) so both engines agree bit-for-bit.  One window "
+    "shuffle on (priority), frames over the month sequence.",
+    oracle="""
+        WITH m AS (
+            SELECT o_orderpriority AS pri,
+                   strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mon,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS rev_cents
+            FROM orders
+            GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT pri, mon, rev_cents,
+                   LAG(rev_cents, 1) OVER (PARTITION BY pri ORDER BY mon)
+                       AS prev_cents,
+                   LAG(rev_cents, 12) OVER (PARTITION BY pri ORDER BY mon)
+                       AS yoy_cents
+            FROM m
+        )
+        SELECT pri, mon, rev_cents,
+               CAST(rev_cents - prev_cents AS BIGINT) AS mom_delta_cents,
+               CAST(rev_cents * 1000000 // yoy_cents AS BIGINT) AS yoy_ppm
+        FROM w
+        WHERE mon >= '1996-01'
+        ORDER BY pri, mon
+    """,
+)
+def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("mon"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    w = Window.partitionBy("pri").orderBy("mon")
+    return (
+        m.select(
+            "pri",
+            "mon",
+            "rev_cents",
+            (F.col("rev_cents") - F.lag("rev_cents", 1).over(w))
+            .cast("long")
+            .alias("mom_delta_cents"),
+            F.lag("rev_cents", 12).over(w).alias("yoy_prev"),
+        )
+        # exact integer division (div), never floor(double/) — a quotient
+        # landing within 1 ulp of an integer would flip the floor
+        .withColumn(
+            "yoy_ppm",
+            F.expr("(rev_cents * 1000000L) div yoy_prev").cast("long"),
+        )
+        .filter(F.col("mon") >= "1996-01")
+        .select("pri", "mon", "rev_cents", "mom_delta_cents", "yoy_ppm")
+        .orderBy("pri", "mon")
+    )
