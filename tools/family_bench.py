@@ -26,6 +26,8 @@ FAMILIES = {
     "sequence": ["seq_markov_transitions", "seq_pattern_regex", "udtf_partitioned_cusum"],
     "multimodal": ["mm_blockmean_embedding", "mm_extract_features"],
     "source": ["pysource_synthetic_events"],
+    "python-exec": ["udf_cogrouped_reconcile", "udf_map_in_arrow", "udf_arrow_optimized"],
+    "curation": ["sample_source_rebalance", "feat_hashing_trick", "ts_seasonal_decompose"],
 }
 
 
