@@ -249,3 +249,57 @@ def mm_blockmean_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.asset_id").alias("nn_id"),
         F.col("l1").cast("bigint").alias("l1_dist"),
     ).orderBy("asset_id")
+
+
+@register(
+    "mm_audio_energy",
+    category="multimodal",
+    doc="Audio-analog feature extraction: payload bytes as unsigned 8-bit "
+    "PCM samples, per-window energy sum((b-128)^2) over non-overlapping "
+    "64-sample windows (first 4 windows per asset) — the windowed-"
+    "energy/VAD primitive of an audio pipeline, numpy-vectorized inside "
+    "mapInPandas (frombuffer -> reshape -> square-sum per row, no "
+    "Python loop over samples).  Exact integers end-to-end; the oracle "
+    "recomputes each window from ascii codes.  Narrow map, partition-"
+    "preserving — same scale shape as the real decode would have.",
+    oracle="""
+        SELECT doc_id AS asset_id,
+               CAST(w AS INT) AS win_idx,
+               CAST(list_sum(list_transform(range(1, 65),
+                    i -> CAST(ascii(substr(text, w * 64 + i, 1)) - 128
+                              AS BIGINT)
+                         * (ascii(substr(text, w * 64 + i, 1)) - 128)))
+                    AS BIGINT) AS energy
+        FROM documents, range(0, 4) t(w)
+        WHERE doc_id % 11 = 0
+          AND octet_length(encode(text)) >= (w + 1) * 64
+        ORDER BY asset_id, win_idx
+    """,
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def energy_windows(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_id, out_w, out_e = [], [], []
+            for doc_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n_win = min(4, len(buf) // 64)
+                if n_win == 0:
+                    continue
+                w = buf[: n_win * 64].reshape(n_win, 64).astype(np.int64) - 128
+                e = (w * w).sum(axis=1)
+                out_id += [doc_id] * n_win
+                out_w += list(range(n_win))
+                out_e += [int(x) for x in e]
+            yield pd.DataFrame(
+                {"asset_id": out_id, "win_idx": out_w, "energy": out_e}
+            )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    assets = documents_as_assets(docs).select("asset_id", "payload")
+    return assets.mapInPandas(
+        energy_windows, schema="asset_id long, win_idx int, energy long"
+    ).orderBy("asset_id", "win_idx")
