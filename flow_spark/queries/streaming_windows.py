@@ -241,3 +241,110 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@register(
+    "stream_sessionize_stateful",
+    category="streaming",
+    doc="RUNTIME stateful streaming inside an oracle-checked query: the "
+    "events table streams through sessionize_stream "
+    "(applyInPandasWithState, EventTimeTimeout) with trigger("
+    "availableNow) draining the single fixture file as ONE micro-batch "
+    "into a memory sink.  With one batch, every in-batch gap closes its "
+    "session inline and each key's trailing session stays open in state "
+    "(no later watermark ever fires its timer) — so the closed-session "
+    "set is deterministic: every non-trailing session closes inline, "
+    "AND Spark's trailing no-data batch fires event-time timers against "
+    "the final watermark (global max ts - 1 min), so a user's last "
+    "session also closes iff its end + gap fell behind that watermark "
+    "(millisecond precision, as setTimeoutTimestamp uses ms).  The "
+    "DuckDB oracle reproduces both rules with lag-gap sessionization — "
+    "value-checking the custom stateful operator INCLUDING its "
+    "timer-expiry path.",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, ts, epoch_us(ts) AS us,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS vc
+            FROM events WHERE user_id % 10 = 0
+        ),
+        d AS (
+            SELECT user_id, us, vc,
+                   CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+                                                ORDER BY us) > 600000000
+                             OR LAG(us) OVER (PARTITION BY user_id
+                                              ORDER BY us) IS NULL
+                        THEN 1 ELSE 0 END AS brk
+            FROM e
+        ),
+        s AS (
+            SELECT user_id, us, vc,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM d
+        ),
+        g AS (
+            SELECT user_id AS skey, sid,
+                   CAST(MIN(us) AS BIGINT) AS start_us,
+                   CAST(MAX(us) AS BIGINT) AS end_us,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(vc) AS BIGINT) AS total
+            FROM s GROUP BY user_id, sid
+        )
+        SELECT skey, start_us, end_us, n, total
+        FROM g
+        WHERE sid < (SELECT MAX(sid) FROM g g2 WHERE g2.skey = g.skey)
+           -- trailing session: closed by the no-data batch's timer if its
+           -- timeout (end + gap, in ms) fell behind the final watermark
+           OR (SELECT MAX(us) FROM e) // 1000 - 60000
+              > end_us // 1000 + 600000
+        ORDER BY skey, start_us
+    """,
+)
+def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    from flow_spark.catalog import table_path
+    from flow_spark.streaming.stateful import sessionize_stream
+
+    path = table_path(sf_dir, "events")
+    raw_schema = spark.read.parquet(path).schema
+    # the file source wants a directory: stream the sf dir, globbed to the
+    # one fixture file
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # same ts normalization as catalog.load_table (fixture generations vary)
+    if isinstance(stream.schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(stream.schema["ts"].dataType, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    prepared = (
+        stream.filter(F.col("user_id") % 10 == 0)
+        .select(
+            "user_id",
+            "ts",
+            F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+        )
+        .withWatermark("ts", "1 minute")
+    )
+    sessions = sessionize_stream(
+        prepared, gap_minutes=10, key_col="user_id", ts_col="ts", val_col="vc"
+    )
+    import tempfile
+
+    name = "stream_sessionize_stateful_sink"
+    # fresh scratch checkpoint per invocation: a reused one would replay
+    # as "no new data" and drain zero rows
+    ckpt = tempfile.mkdtemp(prefix="flow-spark-ckpt-sessionize-")
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("skey", "start_us")
