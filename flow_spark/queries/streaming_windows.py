@@ -146,11 +146,46 @@ def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="True stateful streaming: the GCRA rate limiter "
     "(applyInPandasWithState, per-user token state in the state store) "
     "over the events stream with event time compressed 100000x so the "
-    "fixture's hours-apart per-user events form real bursts. Not "
-    "SQL-expressible (per-key sequential state) -> rows-only check; "
-    "GCRA semantics are oracle-checked in batch by pipe_throttler and "
-    "unit-tested in test_streaming.py.",
-    oracle=None,
+    "fixture's hours-apart per-user events form real bursts.  VALUE-"
+    "checked: the single-file availableNow drain is one micro-batch, so "
+    "each key's admission sequence is the deterministic GCRA recurrence "
+    "from TAT=0 over (ts_ns, event_id) order — which the oracle replays "
+    "exactly with a RECURSIVE CTE (one recursion step per per-key event "
+    "rank, all-integer ns arithmetic, rps=5 -> cost 2e8, burst 8e8).  "
+    "The timestamp compression replicates Spark's double-divide-then-"
+    "truncate bit-for-bit via TRUNC(us / 100000.0).",
+    oracle="""
+        WITH RECURSIVE e AS (
+            SELECT CAST(user_id AS VARCHAR) AS k, event_id,
+                   CAST(TRUNC(epoch_us(ts) / 100000.0) AS BIGINT) * 1000
+                       AS ts_ns,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(TRUNC(epoch_us(ts) / 100000.0) AS BIGINT),
+                                event_id) AS rn
+            FROM events
+        ),
+        g AS (
+            SELECT k, 0 AS rn, CAST(0 AS BIGINT) AS tat,
+                   CAST(NULL AS BOOLEAN) AS admitted
+            FROM (SELECT DISTINCT k FROM e)
+            UNION ALL
+            SELECT e.k, e.rn,
+                   CASE WHEN g.tat <= e.ts_ns + 800000000
+                        THEN GREATEST(g.tat, e.ts_ns) + 200000000
+                        ELSE g.tat END,
+                   g.tat <= e.ts_ns + 800000000
+            FROM g JOIN e ON e.k = g.k AND e.rn = g.rn + 1
+        )
+        SELECT CASE WHEN admitted THEN 'admitted' ELSE 'throttled' END
+                   AS throttle_status,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT g.k) AS BIGINT) AS n_keys,
+               CAST(SUM(e.event_id) AS BIGINT) AS id_sum
+        FROM g JOIN e ON e.k = g.k AND e.rn = g.rn
+        WHERE g.rn > 0
+        GROUP BY 1 ORDER BY 1
+    """,
 )
 def stream_gcra_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -178,7 +213,11 @@ def stream_gcra_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.table(name)
         .groupBy("throttle_status")
-        .agg(F.count("*").alias("n"), F.countDistinct("throttle_key").alias("n_keys"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("throttle_key").alias("n_keys"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+        )
         .orderBy("throttle_status")
     )
 
