@@ -425,6 +425,19 @@ class Pipeline:
                 return heads.file_sink(
                     sink_name, df, checkpoint_dir, path, max_retries=retries
                 )
+            if scheme == "jsonl":
+                # custom Python sink (DataSourceStreamWriter): batchId-keyed
+                # files + manifests, idempotent under micro-batch replay
+                from flow_spark.sources.python_datasource import register
+
+                register(self.spark)
+                return (
+                    df.writeStream.format("jsonl_sink")
+                    .outputMode("append")
+                    .option("path", rest)
+                    .option("checkpointLocation", f"{checkpoint_dir}/{sink_name}")
+                    .start()
+                )
             return (
                 df.writeStream.outputMode("append")
                 .format("memory")

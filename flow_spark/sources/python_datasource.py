@@ -239,6 +239,16 @@ class _JsonlWriterBase:
         self.path = options["path"]
         self.cols = [f.name for f in schema.fields]
 
+    @staticmethod
+    def _json_default(o):  # noqa: ANN001
+        # binary columns -> base64 (JSON has no bytes); anything else
+        # non-native (Decimal, datetime, Row) -> str
+        import base64
+
+        if isinstance(o, (bytes, bytearray)):
+            return base64.b64encode(bytes(o)).decode("ascii")
+        return str(o)
+
     def _write_partition(self, it, prefix: str) -> _FileCommit:  # noqa: ANN001
         import json
         import os
@@ -251,7 +261,15 @@ class _JsonlWriterBase:
         os.makedirs(self.path, exist_ok=True)
         with open(tmp, "w") as fh:
             for row in it:
-                fh.write(json.dumps(dict(zip(self.cols, row)), sort_keys=True))
+                fh.write(
+                    json.dumps(
+                        row.asDict(recursive=True)
+                        if hasattr(row, "asDict")
+                        else dict(zip(self.cols, row)),
+                        sort_keys=True,
+                        default=self._json_default,
+                    )
+                )
                 fh.write("\n")
                 n += 1
         return _FileCommit(tmp, n)

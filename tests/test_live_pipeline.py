@@ -90,3 +90,49 @@ def test_reference_udp2tcp_example_delivers_over_socket(spark, tmp_path):
             q.stop()
         p.stop()
         srv.close()
+
+
+def test_pipeline_jsonl_sink_scheme(spark, tmp_path):
+    """A YAML pipeline whose sink binds jsonl://<dir> lands its deliveries
+    through the custom Python DataSourceStreamWriter: batchId-keyed
+    newline-JSON files plus per-batch _SUCCESS manifests, no temp files
+    left behind — the sink-head-factory contract extended with an
+    engine-native sink scheme."""
+    import json
+    import os
+
+    out = tmp_path / "jsonl_sink_out"
+    yaml_text = open(EXAMPLE).read()
+    p = Pipeline.from_yaml(
+        spark,
+        yaml_text,
+        cli_overrides={
+            "actors.tcp_rcv.params.bind": "tcp://127.0.0.1:0",
+            "actors.dumper.params.bind": f"jsonl://{out}",
+        },
+    )
+    queries = []
+    try:
+        queries = p.run_streaming(checkpoint_dir=str(tmp_path / "ckpt"))
+        port = p._bridges[0].port
+        with socket.create_connection(("127.0.0.1", port), timeout=10) as s:
+            s.sendall(b"alpha\r\nbeta\r\n")
+            f = s.makefile("rb")
+            assert [f.readline().rstrip(b"\r\n") for _ in range(2)] == [b"OK"] * 2
+        p._bridges[0].flush()
+        for q in queries:
+            q.processAllAvailable()
+    finally:
+        for q in queries:
+            q.stop()
+        p.stop()
+
+    names = sorted(os.listdir(out))
+    assert any(n.startswith("_SUCCESS-") for n in names)
+    assert not any(n.endswith(".tmp") for n in names)
+    bodies = []
+    for n in names:
+        if n.endswith(".jsonl"):
+            with open(out / n) as fh:
+                bodies += [json.loads(line)["body_str"] for line in fh]
+    assert sorted(bodies) == ["alpha", "beta"]
