@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -82,6 +83,43 @@ class SyntheticEventsDataSource(DataSource):
 
     def streamReader(self, schema):  # noqa: ANN001, N802
         return _StreamReader(self.options)
+
+
+class SyntheticEventsSimpleDataSource(DataSource):
+    """format("synthetic_events_simple"): the SAME rows through
+    SimpleDataSourceStreamReader — the prototype-grade streaming reader
+    API (driver-side read(start) -> (rows, nextOffset), replay via
+    readBetweenOffsets, no partition planning).  Exists to cover the
+    third reader surface; the partitioned _StreamReader is the scale
+    path (a driver-side reader caps throughput at one core)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_simple"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def simpleStreamReader(self, schema):  # noqa: ANN001, N802
+        return _SimpleStreamReader(self.options)
+
+
+class _SimpleStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict) -> None:
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.step = int(options.get("rows_per_batch", 400))
+
+    def initialOffset(self):  # noqa: N802
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        lo = start["offset"]
+        hi = min(lo + self.step, self.n_rows)
+        return (iter([synth_row(i) for i in range(lo, hi)]), {"offset": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        # deterministic replay after failure: same rows for same range
+        return iter([synth_row(i) for i in range(start["offset"], end["offset"])])
 
 
 class _BatchReader(DataSourceReader):
@@ -147,6 +185,7 @@ class _StreamReader(DataSourceStreamReader):
 def register(spark) -> None:  # noqa: ANN001
     """Idempotent registration of the custom source and sink."""
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(SyntheticEventsSimpleDataSource)
     spark.dataSource.register(JsonlSinkDataSource)
 
 

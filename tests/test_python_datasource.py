@@ -208,3 +208,31 @@ def test_jsonl_stream_sink_batchid_keyed(spark, tmp_path):
             with open(os.path.join(out, n)) as fh:
                 rows += [json.loads(line)["k"] for line in fh]
     assert sorted(rows) == [1, 2, 3]
+
+
+def test_simple_stream_reader_drains_same_rows(spark, tmp_path):
+    """SimpleDataSourceStreamReader (the driver-side prototype API): the
+    same deterministic rows arrive through read(start)->(rows, next) in
+    rows_per_batch increments; the availableNow drain must equal the
+    batch reader's output exactly."""
+    register(spark)
+    out = str(tmp_path / "simple_out")
+    q = (
+        spark.readStream.format("synthetic_events_simple")
+        .option("n_rows", 500)
+        .option("rows_per_batch", 200)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "simple_ckpt"))
+        .start()
+    )
+    try:
+        # the simple reader advances its offset per prefetched read();
+        # processAllAvailable drains until read() returns an empty range
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(synth_row(i) for i in range(500))
+    assert got == want
