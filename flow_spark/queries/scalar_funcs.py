@@ -1954,3 +1954,120 @@ def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pri", "mon", "rev_cents", "mom_delta_cents", "yoy_ppm")
         .orderBy("pri", "mon")
     )
+
+
+@register(
+    "fn_array_setops",
+    category="array-fn",
+    doc="Array set algebra battery: except/intersect/union (order-"
+    "normalized via array_sort for cross-engine equality), overlap "
+    "test, position, insert/remove/compact, zip of two slices.  Arrays "
+    "built from each embedding's leading integer-cents slices so every "
+    "element is exact.  Emitted as joined strings (the driver compares "
+    "primitives).",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding[1:6],
+                                  x -> CAST(ROUND(x * 100, 0) AS BIGINT)) AS a,
+                   list_transform(embedding[4:9],
+                                  x -> CAST(ROUND(x * 100, 0) AS BIGINT)) AS b
+            FROM embeddings WHERE vec_id % 23 = 0
+        )
+        SELECT vec_id,
+               -- Spark's array_except/array_intersect dedupe their output
+               array_to_string(list_sort(list_distinct(
+                   list_filter(a, x -> NOT list_contains(b, x)))), ',')
+                   AS a_except_b,
+               array_to_string(list_sort(list_distinct(
+                   list_filter(a, x -> list_contains(b, x)))), ',')
+                   AS a_intersect_b,
+               array_to_string(list_sort(list_distinct(list_concat(a, b))), ',')
+                   AS a_union_b,
+               len(list_filter(a, x -> list_contains(b, x))) > 0 AS overlaps,
+               CAST(COALESCE(list_position(a, a[3]), 0) AS BIGINT) AS pos3,
+               array_to_string(a[1:2] || [CAST(-1 AS BIGINT)] || a[3:], ',')
+                   AS inserted,
+               array_to_string(list_filter(a, x -> x != a[1]), ',') AS removed
+        FROM v ORDER BY vec_id
+    """,
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 23 == 0)
+    cents = lambda c: F.transform(c, lambda x: F.round(x * 100, 0).cast("long"))  # noqa: E731
+    v = emb.select(
+        "vec_id",
+        cents(F.slice("embedding", 1, 6)).alias("a"),
+        cents(F.slice("embedding", 4, 6)).alias("b"),
+    )
+    return v.select(
+        "vec_id",
+        F.array_join(F.array_sort(F.array_except("a", "b")), ",").alias("a_except_b"),
+        F.array_join(F.array_sort(F.array_intersect("a", "b")), ",").alias(
+            "a_intersect_b"
+        ),
+        F.array_join(F.array_sort(F.array_union("a", "b")), ",").alias("a_union_b"),
+        F.arrays_overlap("a", "b").alias("overlaps"),
+        F.array_position(F.col("a"), F.element_at("a", 3)).cast("long").alias("pos3"),
+        F.array_join(F.array_insert("a", 3, F.lit(-1)), ",").alias("inserted"),
+        F.array_join(F.array_remove("a", F.element_at("a", 1)), ",").alias("removed"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "agg_bit_ops",
+    category="aggregation",
+    doc="Bitwise aggregates: bit_and / bit_or / bit_xor of order keys per "
+    "priority — the fold primitives behind permission masks and bitmap "
+    "rollups.  Exact integers; identical in DuckDB.",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(bit_and(o_orderkey) AS BIGINT) AS all_bits,
+               CAST(bit_or(o_orderkey)  AS BIGINT) AS any_bits,
+               CAST(bit_xor(o_orderkey) AS BIGINT) AS parity_bits
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def agg_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.bit_and("o_orderkey").alias("all_bits"),
+            F.bit_or("o_orderkey").alias("any_bits"),
+            F.bit_xor("o_orderkey").alias("parity_bits"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "fn_aes_roundtrip",
+    category="string-fn",
+    doc="AES encrypt/decrypt round trip (ECB mode — deterministic, unlike "
+    "the default GCM whose random IV defeats value comparison): the "
+    "oracle can't run AES, so it checks what IS deterministic — the "
+    "recovered plaintext equals the original and the ciphertext length "
+    "is the exact PKCS#7-padded block count.  The column-level "
+    "encryption primitive for at-rest PII fields.",
+    oracle="""
+        SELECT doc_id,
+               substr(text, 1, 40) AS recovered,
+               CAST(((LENGTH(substr(text, 1, 40)) // 16) + 1) * 16 AS INT)
+                   AS cipher_len
+        FROM documents WHERE doc_id % 31 = 0
+        ORDER BY doc_id
+    """,
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 31 == 0)
+    key = F.lit("0123456789abcdef")  # 16-byte key
+    head = F.substring("text", 1, 40)
+    cipher = F.aes_encrypt(head, key, F.lit("ECB"))
+    return docs.select(
+        "doc_id",
+        F.aes_decrypt(cipher, key, F.lit("ECB")).cast("string").alias("recovered"),
+        F.length(cipher).cast("int").alias("cipher_len"),
+    ).orderBy("doc_id")
