@@ -2071,3 +2071,80 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aes_decrypt(cipher, key, F.lit("ECB")).cast("string").alias("recovered"),
         F.length(cipher).cast("int").alias("cipher_len"),
     ).orderBy("doc_id")
+
+
+@register(
+    "fn_round_modes",
+    category="math-fn",
+    doc="Rounding-mode battery on EXACT decimal midpoints (cents/100 as "
+    "DECIMAL(12,2), so .x5 cases are exact, never the double-midpoint "
+    "trap): round (HALF_UP, away from zero) vs bround (HALF_EVEN, "
+    "banker's) vs ceil/floor with negative scale.  DuckDB twins: ROUND "
+    "/ ROUND_EVEN on decimals.",
+    oracle="""
+        SELECT o_orderkey,
+               -- exact integer deci-units: DuckDB's ROUND_EVEN is
+               -- double-only and misrounds exact decimal midpoints
+               CAST(c // 10 + CASE WHEN c % 10 >= 5 THEN 1 ELSE 0 END
+                    AS BIGINT) AS half_up_deci,
+               CAST(c // 10 + CASE WHEN c % 10 > 5
+                                   OR (c % 10 = 5 AND (c // 10) % 2 = 1)
+                              THEN 1 ELSE 0 END AS BIGINT) AS half_even_deci,
+               CAST(CEIL(dec1) AS DOUBLE)           AS ceiled,
+               CAST(FLOOR(dec1) AS DOUBLE)          AS floored,
+               CAST(ROUND(dec1, -1) AS DOUBLE)      AS tens
+        FROM (
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c,
+                   CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS
+                        DECIMAL(14,0)) / 100 AS dec1
+            FROM orders WHERE o_orderkey % 41 = 0
+        )
+        ORDER BY o_orderkey
+    """,
+)
+def fn_round_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 41 == 0)
+    dec1 = (
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("decimal(14,0)") / 100
+    ).alias("dec1")
+    v = orders.select("o_orderkey", dec1)
+    return v.select(
+        "o_orderkey",
+        (F.round("dec1", 1) * 10).cast("long").alias("half_up_deci"),
+        (F.bround("dec1", 1) * 10).cast("long").alias("half_even_deci"),
+        F.ceil("dec1").cast("double").alias("ceiled"),
+        F.floor("dec1").cast("double").alias("floored"),
+        F.round("dec1", -1).cast("double").alias("tens"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "fn_string_repr",
+    category="string-fn",
+    doc="Representation battery: bin (binary digits of the key), chr "
+    "(codepoint to char), btrim with a custom trim set, bit_length, "
+    "left/right slices.",
+    oracle="""
+        SELECT o_orderkey,
+               bin(o_orderkey)                             AS key_bits,
+               chr(65 + CAST(o_orderkey % 26 AS INT))      AS key_char,
+               trim(o_orderpriority, '0123456789-')        AS pri_word,
+               CAST(8 * LENGTH(o_orderstatus) AS INT)      AS status_bits,
+               left(o_orderpriority, 3)                    AS l3,
+               right(o_orderpriority, 4)                   AS r4
+        FROM orders WHERE o_orderkey % 43 = 0
+        ORDER BY o_orderkey
+    """,
+)
+def fn_string_repr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 43 == 0)
+    return orders.select(
+        "o_orderkey",
+        F.bin("o_orderkey").alias("key_bits"),
+        F.chr(F.lit(65) + F.pmod("o_orderkey", F.lit(26))).alias("key_char"),
+        F.btrim("o_orderpriority", F.lit("0123456789-")).alias("pri_word"),
+        F.bit_length("o_orderstatus").cast("int").alias("status_bits"),
+        F.left(F.col("o_orderpriority"), F.lit(3)).alias("l3"),
+        F.right(F.col("o_orderpriority"), F.lit(4)).alias("r4"),
+    ).orderBy("o_orderkey")
