@@ -298,3 +298,55 @@ def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
     df.collect()  # materialize so AQE finalizes the plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan and "coalesced" in plan, plan[:1500]
+
+
+def test_max_partition_bytes_controls_scan_parallelism(spark, sf_dir):
+    """spark.sql.files.maxPartitionBytes is THE scan fan-out knob: shrinking
+    it must split the same parquet file into more input partitions (how a
+    100 TB read sizes its map side to executor memory)."""
+    path = f"{sf_dir}/lineitem.parquet"
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        wide = spark.read.parquet(path).rdd.getNumPartitions()
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024))
+        narrow = spark.read.parquet(path).rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    assert narrow > wide
+    assert narrow >= 4  # 16k slices of the ~100KB smoke fixture
+
+
+def test_coalesce_is_narrow_repartition_is_exchange(spark, sf_dir):
+    """coalesce shrinks partition count WITHOUT a shuffle (narrow — the
+    cheap post-filter compaction); repartition always exchanges.  Getting
+    these backwards at 100 TB either serializes the job (coalesce too
+    far) or pays a pointless full shuffle."""
+    import contextlib
+    import io
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter("l_quantity > 49")
+
+    def plan_of(d):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            d.explain("formatted")
+        return buf.getvalue()
+
+    assert "Exchange" not in plan_of(df.coalesce(2))
+    assert "Exchange" in plan_of(df.repartition(2))
+
+
+def test_rebalance_hint_inserts_aqe_rebalance(spark, sf_dir):
+    """The REBALANCE hint plans an AQE-optimizable exchange that splits
+    skewed output partitions before a write — the knob that fixes the
+    one-giant-output-file problem without hand-tuning a partition count."""
+    import contextlib
+    import io
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").hint("rebalance")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" in plan and ("REBALANCE" in plan or "RebalancePartitions" in plan)
