@@ -100,16 +100,28 @@ def mh_coeffs(i: int) -> tuple[int, int]:
     return (a or 1, b)
 
 
-def minhash_signatures(shingles: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+def minhash_signatures(
+    shingles: DataFrame, n_hashes: int = N_HASHES, portable: bool = True
+) -> DataFrame:
     """doc_id -> [min_i(hash_i(shingle))] as n_hashes columns mh0..mhN.
 
-    One md5 per shingle + n_hashes cheap integer mixes
+    One base hash per shingle + n_hashes cheap integer mixes
     ((a_i * h + b_i) mod P, the standard universal family) — 16x less
-    hashing than salting md5 per permutation.  Single groupBy with
-    n_hashes MIN aggregates (partial mins map-side, so the shuffle
+    hashing than salting the base hash per permutation.  Single groupBy
+    with n_hashes MIN aggregates (partial mins map-side, so the shuffle
     carries one row per doc per partition).
+
+    ``portable=True`` (default) uses the md5-derived cross-engine hash so
+    the DuckDB oracle can replay signatures bit-for-bit; ``portable=False``
+    is the PRODUCTION path — xxhash64, JVM-native, no md5 hex round trip —
+    for the 100 TB run where the oracle is a test artifact (measured
+    speedup in SCALE.md).  Same algorithm, same independence guarantees,
+    different base hash.
     """
-    base = F.pmod(portable_hash64(F.col("shingle")), F.lit(MH_P))
+    if portable:
+        base = F.pmod(portable_hash64(F.col("shingle")), F.lit(MH_P))
+    else:
+        base = F.pmod(F.xxhash64(F.col("shingle")), F.lit(MH_P))
     with_base = shingles.select("doc_id", base.alias("h"))
     aggs = []
     for i in range(n_hashes):
