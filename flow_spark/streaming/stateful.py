@@ -81,13 +81,16 @@ def throttle_stream(
 
     def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         (tat,) = state.get if state.exists else (0,)  # .get is a property
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts_ns", "event_id"])
-            admits, tat = gcra_admit(list(pdf["ts_ns"]), tat, rps)
-            pdf = pdf.assign(
-                throttle_status=["admitted" if a else "throttled" for a in admits]
-            )
-            yield pdf[["event_id", "throttle_key", "ts_ns", "throttle_status"]]
+        # buffer the whole group before sorting: a >maxRecordsPerBatch group
+        # arrives as SEVERAL Arrow chunks in shuffle order, and GCRA is
+        # order-sensitive — per-chunk sorting with cross-chunk TAT carry
+        # would admit by chunk-local order, not event time
+        pdf = pd.concat(list(pdfs)).sort_values(["ts_ns", "event_id"])
+        admits, tat = gcra_admit(list(pdf["ts_ns"]), tat, rps)
+        pdf = pdf.assign(
+            throttle_status=["admitted" if a else "throttled" for a in admits]
+        )
+        yield pdf[["event_id", "throttle_key", "ts_ns", "throttle_status"]]
         state.update((tat,))
 
     return prepared.groupBy("throttle_key").applyInPandasWithState(

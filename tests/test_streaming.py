@@ -1473,3 +1473,69 @@ def test_streaming_query_listener_observes_progress(spark, tmp_path):
         assert "lst_out" in events["names"]
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_gcra_correct_when_group_spans_arrow_chunks(spark, tmp_path):
+    """A group larger than arrow.maxRecordsPerBatch arrives at the
+    stateful function as SEVERAL chunks in shuffle order.  GCRA is
+    order-sensitive, so the operator must buffer and sort the whole
+    group before admitting — per-chunk sorting would admit by
+    chunk-local order.  Input is written shuffled; expected admissions
+    come from the pure-function GCRA over the globally-sorted sequence."""
+    import datetime
+    import random
+
+    from flow_spark.streaming.stateful import gcra_admit, throttle_stream
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        rows = [
+            (i, "u", "2024-01-01 00:00:00.%03d" % i) for i in range(200)
+        ]
+        random.seed(123)
+        random.shuffle(rows)
+        src = tmp_path / "chunky_src"
+        spark.createDataFrame(
+            rows, "event_id long, user string, ts string"
+        ).selectExpr(
+            "event_id",
+            "CAST(ts AS TIMESTAMP) AS ingest_ts",
+            "CAST('x' AS BINARY) AS body",
+            "'x' AS body_str",
+            "map('user', user) AS meta",
+        ).coalesce(1).write.parquet(str(src))
+
+        msgs = spark.readStream.schema(
+            spark.read.parquet(str(src)).schema
+        ).parquet(str(src))
+        q = (
+            throttle_stream(msgs, rps=2, key_col="user")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("chunky_out")
+            .option("checkpointLocation", str(tmp_path / "chunky_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = {
+            r.event_id: r.throttle_status
+            for r in spark.table("chunky_out").collect()
+        }
+        ordered = sorted(rows, key=lambda r: (r[2], r[0]))
+        ts_ns = [
+            int(
+                datetime.datetime.fromisoformat(r[2] + "+00:00").timestamp() * 1e9
+            )
+            for r in ordered
+        ]
+        admits, _ = gcra_admit(ts_ns, 0, 2)
+        want = {
+            r[0]: ("admitted" if a else "throttled")
+            for r, a in zip(ordered, admits)
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
