@@ -2148,3 +2148,40 @@ def fn_string_repr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.left(F.col("o_orderpriority"), F.lit(3)).alias("l3"),
         F.right(F.col("o_orderpriority"), F.lit(4)).alias("r4"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "fn_inline_structs",
+    category="array-fn",
+    doc="inline() generator over an array of structs: each embedding "
+    "yields (pos, cents, sq) rows from a transform-built struct array — "
+    "the multi-column generator (explode yields one column, inline "
+    "yields the struct's fields as columns).  arrays_zip provides the "
+    "struct source; everything stays JVM-side.",
+    oracle="""
+        SELECT vec_id,
+               CAST(i AS INT) AS pos,
+               CAST(ROUND(embedding[i] * 100, 0) AS BIGINT) AS cents,
+               CAST(ROUND(embedding[i] * 100, 0) AS BIGINT)
+                   * CAST(ROUND(embedding[i] * 100, 0) AS BIGINT) AS sq
+        FROM embeddings, range(1, 5) t(i)
+        WHERE vec_id % 29 = 0
+        ORDER BY vec_id, pos
+    """,
+)
+def fn_inline_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 29 == 0)
+    structs = F.transform(
+        F.sequence(F.lit(1), F.lit(4)),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.round(F.element_at("embedding", i.cast("int")) * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        ),
+    )
+    return (
+        emb.select("vec_id", F.inline(structs))
+        .withColumn("sq", F.col("cents") * F.col("cents"))
+        .orderBy("vec_id", "pos")
+    )
