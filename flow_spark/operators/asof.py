@@ -34,6 +34,7 @@ def asof_join(
     right_id_col: str | None = None,
     allow_exact_matches: bool = True,
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join; returns left columns + matched `value_cols`.
 
@@ -46,6 +47,11 @@ def asof_join(
     deterministically: greatest id wins backward (the "latest" row),
     smallest id wins forward (the "next" row) — mirroring how an oracle
     would dedup with ROW_NUMBER ... ORDER BY id DESC/ASC.
+
+    `tolerance_seconds` (pandas merge_asof's knob): a match farther than
+    this from the left timestamp is NULLED, not replaced by an older row
+    — identical to post-filtering the matched pair, so it adds one
+    column to the window pass and zero extra shuffles.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
@@ -54,7 +60,34 @@ def asof_join(
     if direction == "nearest":
         if not allow_exact_matches:
             raise ValueError("direction='nearest' requires allow_exact_matches")
+        if tolerance_seconds is not None:
+            raise ValueError("tolerance_seconds unsupported for direction='nearest'")
         return _asof_nearest(left, right, ts_col, by, value_cols, right_id_col)
+    if tolerance_seconds is not None:
+        # carry the matched right timestamp through the same window pass,
+        # then null out-of-tolerance matches
+        carry_ts = "__asof_ts"
+        inner = asof_join(
+            left,
+            right.withColumn(carry_ts, F.col(ts_col)),
+            ts_col,
+            by,
+            list(value_cols) + [carry_ts],
+            right_id_col=right_id_col,
+            allow_exact_matches=allow_exact_matches,
+            direction=direction,
+        )
+        gap = F.abs(
+            F.col(ts_col).cast("double") - F.col(f"asof_{carry_ts}").cast("double")
+        )
+        ok = F.col(f"asof_{carry_ts}").isNotNull() & (gap <= tolerance_seconds)
+        return inner.select(
+            *left.columns,
+            *[
+                F.when(ok, F.col(f"asof_{c}")).alias(f"asof_{c}")
+                for c in value_cols
+            ],
+        )
     if right_id_col is not None:
         id_order = F.desc(right_id_col) if direction == "backward" else F.asc(right_id_col)
         w_dedup = W.partitionBy(by, ts_col).orderBy(id_order)

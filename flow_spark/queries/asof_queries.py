@@ -201,3 +201,64 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nearest_click_value"
         ),
     ).orderBy("event_id")
+
+
+@register(
+    "asof_join_tolerance",
+    category="join",
+    doc="As-of backward join with a 30-minute tolerance (pandas "
+    "merge_asof's max-gap knob): a stale match is NULLED, never "
+    "replaced by an older row.  Same single-shuffle union+window plan "
+    "— the matched right timestamp rides along and one comparison "
+    "invalidates out-of-tolerance matches.  DuckDB oracle: native ASOF "
+    "JOIN post-filtered by the same gap rule.",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'click'
+        ),
+        clicks_d AS (SELECT user_id, ts, value FROM clicks WHERE rn = 1),
+        purchases AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id,
+               p.user_id,
+               ROUND(CASE WHEN c.ts IS NOT NULL
+                          AND p.ts - c.ts <= INTERVAL 30 MINUTE
+                     THEN c.value ELSE -1.0 END, 2) AS recent_click_value
+        FROM purchases p
+        ASOF LEFT JOIN clicks_d c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("value"),
+        F.col("event_id").alias("click_id"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        ts_col="ts",
+        by="user_id",
+        value_cols=["value"],
+        right_id_col="click_id",
+        tolerance_seconds=30 * 60,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round(F.coalesce("asof_value", F.lit(-1.0)), 2).alias(
+            "recent_click_value"
+        ),
+    ).orderBy("event_id")

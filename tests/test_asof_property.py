@@ -129,3 +129,74 @@ def test_asof_nearest_matches_reference(spark, left, right):
     ).collect()
     got = {(r.k, r.ts, r.lid): r.asof_v for r in out}
     assert got == _reference_nearest(left, right)
+
+
+def _reference_tolerance(left_rows, right_rows, direction, tol):
+    lp = pd.DataFrame(left_rows, columns=["k", "ts", "v"]).assign(
+        lid=lambda d: range(len(d))
+    )
+    if not right_rows:
+        return {(r.k, r.ts, r.lid): None for r in lp.itertuples()}
+    rp = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).assign(
+        rid=lambda d: range(len(d))
+    )
+    rp = (
+        rp.sort_values("rid")
+        .drop_duplicates(
+            ["k", "ts"], keep="last" if direction == "backward" else "first"
+        )
+        .sort_values(["ts", "rid"])
+    )
+    merged = pd.merge_asof(
+        lp.sort_values(["ts", "lid"]),
+        rp.rename(columns={"v": "rv"})[["k", "ts", "rv"]],
+        on="ts",
+        by="k",
+        direction=direction,
+        tolerance=tol,
+    )
+    return {
+        (r.k, r.ts, r.lid): (None if pd.isna(r.rv) else int(r.rv))
+        for r in merged.itertuples()
+    }
+
+
+@pytest.mark.slow
+@given(
+    left=st.lists(row, min_size=1, max_size=8),
+    right=st.lists(row, min_size=0, max_size=8),
+    direction=st.sampled_from(["backward", "forward"]),
+    tol=st.integers(min_value=0, max_value=10),
+)
+@settings(
+    max_examples=16,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_tolerance_matches_merge_asof(spark, left, right, direction, tol):
+    """tolerance_seconds must null stale matches exactly like pandas
+    merge_asof's tolerance — never fall back to an older row."""
+    lp = spark.createDataFrame(
+        [(k, t, v, i) for i, (k, t, v) in enumerate(left)],
+        "k int, ts int, v int, lid int",
+    )
+    rp = (
+        spark.createDataFrame(
+            [(k, t, v, i) for i, (k, t, v) in enumerate(right)],
+            "k int, ts int, v int, rid int",
+        )
+        if right
+        else spark.createDataFrame([], "k int, ts int, v int, rid int")
+    )
+    out = asof_join(
+        lp,
+        rp,
+        ts_col="ts",
+        by="k",
+        value_cols=["v"],
+        right_id_col="rid",
+        direction=direction,
+        tolerance_seconds=tol,
+    ).collect()
+    got = {(r.k, r.ts, r.lid): r.asof_v for r in out}
+    assert got == _reference_tolerance(left, right, direction, tol)
