@@ -417,3 +417,106 @@ def feat_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "bucket")
     )
+
+
+@register(
+    "funnel_time_bounded",
+    category="scale-pattern",
+    doc="Time-bounded conversion funnel: first view -> first click within "
+    "30 minutes -> first purchase within 2 hours of that click, per "
+    "user.  Three window passes over ONE shuffle on user_id (each stage "
+    "anchor is a windowed conditional min over the previous anchor — no "
+    "self-joins, no re-scan), then one global rollup.  Conversion lags "
+    "are exact epoch-microsecond integers.  The attribution query shape "
+    "that at 100 TB must NOT be written as three joins of the events "
+    "table to itself.",
+    oracle="""
+        WITH va AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                       AS v_us
+            FROM events GROUP BY user_id
+        ),
+        ca AS (
+            SELECT e.user_id,
+                   MIN(CASE WHEN e.event_type = 'click'
+                            AND epoch_us(e.ts) > va.v_us
+                            AND epoch_us(e.ts) <= va.v_us + 1800000000
+                       THEN epoch_us(e.ts) END) AS c_us,
+                   ANY_VALUE(va.v_us) AS v_us
+            FROM events e JOIN va ON va.user_id = e.user_id
+            WHERE va.v_us IS NOT NULL
+            GROUP BY e.user_id
+        ),
+        pa AS (
+            SELECT e.user_id,
+                   MIN(CASE WHEN e.event_type = 'purchase'
+                            AND epoch_us(e.ts) > ca.c_us
+                            AND epoch_us(e.ts) <= ca.c_us + 7200000000
+                       THEN epoch_us(e.ts) END) AS p_us,
+                   ANY_VALUE(ca.c_us) AS c_us,
+                   ANY_VALUE(ca.v_us) AS v_us
+            FROM events e JOIN ca ON ca.user_id = e.user_id
+            GROUP BY e.user_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_viewers,
+               CAST(COUNT(c_us) AS BIGINT) AS n_clicked_30m,
+               CAST(COUNT(p_us) AS BIGINT) AS n_purchased_2h,
+               CAST(COALESCE(SUM(c_us - v_us), 0) AS BIGINT)
+                   AS total_click_lag_us,
+               CAST(COALESCE(SUM(p_us - c_us), 0) AS BIGINT)
+                   AS total_purchase_lag_us
+        FROM pa
+    """,
+)
+def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "v_us",
+            F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w),
+        )
+        .withColumn(
+            "c_us",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("us") > F.col("v_us"))
+                    & (F.col("us") <= F.col("v_us") + 1_800_000_000),
+                    F.col("us"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "p_us",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") > F.col("c_us"))
+                    & (F.col("us") <= F.col("c_us") + 7_200_000_000),
+                    F.col("us"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("v_us").alias("v_us"),
+        F.first("c_us").alias("c_us"),
+        F.first("p_us").alias("p_us"),
+    )
+    return per_user.filter(F.col("v_us").isNotNull()).agg(
+        F.count("*").alias("n_viewers"),
+        F.count("c_us").alias("n_clicked_30m"),
+        F.count("p_us").alias("n_purchased_2h"),
+        F.coalesce(F.sum(F.col("c_us") - F.col("v_us")), F.lit(0))
+        .cast("long")
+        .alias("total_click_lag_us"),
+        F.coalesce(F.sum(F.col("p_us") - F.col("c_us")), F.lit(0))
+        .cast("long")
+        .alias("total_purchase_lag_us"),
+    )
