@@ -1857,3 +1857,40 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY o_orderpriority
         """
     )
+
+
+@register(
+    "agg_multi_distinct",
+    category="aggregation",
+    doc="Several COUNT(DISTINCT ...) on DIFFERENT columns in one "
+    "aggregation: Catalyst plans this with an Expand (one row replica "
+    "per distinct-aggregate) — correct but data-multiplying, which is "
+    "why q21-style queries restructure to two-level aggregation when "
+    "the fact table is huge.  This entry pins the semantics; the plan "
+    "cost trade-off is documented in SCALE.md.",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+               CAST(COUNT(DISTINCT strftime(date_trunc('month', o_orderdate),
+                                            '%Y-%m')) AS BIGINT) AS n_months,
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.countDistinct(
+                F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+            ).alias("n_months"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
