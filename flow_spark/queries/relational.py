@@ -1894,3 +1894,40 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "agg_pow2_histogram",
+    category="aggregation",
+    doc="Power-of-two (log-scale) histogram WITHOUT libm: the bin is "
+    "floor(log2(cents)) computed exactly as LENGTH(bin(cents)) - 1 — "
+    "binary-digit counting, bit-identical in any engine, where a "
+    "floating log2 would be banned from oracle comparison (libm "
+    "rounding differs).  The standard long-tail histogram for value "
+    "distributions at scale.",
+    oracle="""
+        SELECT CAST(LENGTH(bin(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)))
+                    - 1 AS INT) AS log2_bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS lo_cents,
+               CAST(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS hi_cents
+        FROM orders
+        GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_pow2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    log2_bin = (F.length(F.bin(cents)) - 1).cast("int")
+    return (
+        orders.select(log2_bin.alias("log2_bin"), cents.alias("c"))
+        .groupBy("log2_bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c").alias("lo_cents"),
+            F.max("c").alias("hi_cents"),
+        )
+        .orderBy("log2_bin")
+    )

@@ -937,3 +937,59 @@ def sample_source_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_oov_rate",
+    category="text-analysis",
+    doc="Out-of-vocabulary rate: corpus vocabulary = top-100 tokens by "
+    "document frequency (ties broken lexically), each document scored "
+    "by how many of its tokens fall outside it — the log-free novelty/"
+    "quality feature (high OOV = jargon, noise, or another language).  "
+    "Exact integer numerator/denominator; the vocabulary is a broadcast "
+    "semi-join, the token explode is the same one the TF-IDF pass uses.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_SQL_TOKS}) AS tok
+            FROM documents
+        ),
+        df AS (
+            SELECT tok, COUNT(DISTINCT doc_id) AS df
+            FROM toks GROUP BY tok
+        ),
+        vocab AS (
+            SELECT tok FROM df
+            ORDER BY df DESC, tok
+            LIMIT 100
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov
+        FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+        WHERE t.doc_id % 9 = 0
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), F.asc("tok"))
+        .limit(100)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.filter(F.col("doc_id") % 9 == 0)
+        .join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count_if(F.col("in_vocab").isNull()).cast("long").alias("n_oov"),
+        )
+        .orderBy("doc_id")
+    )
