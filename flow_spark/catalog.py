@@ -57,22 +57,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # Canonical contract: events.ts is TimestampType (UTC). Fixture
-        # generations have varied — timestamp[ns] (surfaced as nanos-long
-        # via spark.sql.legacy.parquet.nanosAsLong) and timestamp[us]
-        # without tz metadata (surfaced as TIMESTAMP_NTZ) — normalize both.
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType, TimestampNTZType
-
-        if isinstance(df.schema["ts"].dataType, LongType):
-            # integer division: ns magnitudes exceed double's 53-bit mantissa,
-            # so (ts / 1000).cast(...) could land one microsecond off
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
-            # session tz is pinned to UTC (session.py), so this cast is an
-            # exact reinterpretation, matching the UTC-naive DuckDB oracle
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = normalize_events_ts(df)
     _TABLE_MEMO[key] = df
+    return df
+
+
+def normalize_events_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Canonical contract: events.ts is TimestampType (UTC). Fixture
+    generations have varied — timestamp[ns] (surfaced as nanos-long via
+    spark.sql.legacy.parquet.nanosAsLong) and timestamp[us] without tz
+    metadata (surfaced as TIMESTAMP_NTZ) — normalize both.  The ONE
+    definition, shared by the batch catalog and every streaming reader.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    if isinstance(df.schema[ts_col].dataType, LongType):
+        # integer division: ns magnitudes exceed double's 53-bit mantissa,
+        # so (ts / 1000).cast(...) could land one microsecond off
+        return df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        # session tz is pinned to UTC (session.py), so this cast is an
+        # exact reinterpretation, matching the UTC-naive DuckDB oracle
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 
 

@@ -64,8 +64,9 @@ def asof_join(
             raise ValueError("tolerance_seconds unsupported for direction='nearest'")
         return _asof_nearest(left, right, ts_col, by, value_cols, right_id_col)
     if tolerance_seconds is not None:
-        # carry the matched right timestamp through the same window pass,
-        # then null out-of-tolerance matches
+        # the matched right timestamp rides inside the SAME row-wise match
+        # struct as the values (see below), so the gap check validates the
+        # exact row that supplied them
         carry_ts = "__asof_ts"
         inner = asof_join(
             left,
@@ -97,9 +98,21 @@ def asof_join(
             .drop("__rn")
         )
 
+    # the right side rides in ONE struct column, picked with ignorenulls as
+    # a unit: the match is ROW-wise (merge_asof semantics).  Per-column
+    # picks would fill each value column from a DIFFERENT right row when a
+    # matched row carries NULL in some value column.
     lcols = left.columns
     tagged_l = left.select(
-        *lcols, F.lit(1).alias("__side"), *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols]
+        *lcols,
+        F.lit(1).alias("__side"),
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols)
+            + ">"
+        )
+        .alias("__r"),
     )
     tagged_r = right.select(
         *[
@@ -107,7 +120,7 @@ def asof_join(
             for c in lcols
         ],
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__r"),
     )
     unioned = tagged_l.unionByName(tagged_r)
 
@@ -134,12 +147,12 @@ def asof_join(
     filled = unioned.select(
         *lcols,
         "__side",
-        *[
-            pick(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in value_cols
-        ],
+        pick("__r", ignorenulls=True).over(w).alias("__m"),
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    return filled.filter(F.col("__side") == 1).select(
+        *lcols,
+        *[F.col("__m").getField(c).alias(f"asof_{c}") for c in value_cols],
+    )
 
 
 def _asof_nearest(
@@ -169,13 +182,17 @@ def _asof_nearest(
         )
     carry = list(value_cols) + [ts_col]
     lcols = left.columns
+    # one struct per right row, picked as a unit in both frames -> both
+    # candidate matches are ROWS, never per-column mixes (see asof_join)
+    struct_sql = (
+        "struct<"
+        + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in carry)
+        + ">"
+    )
     tagged_l = left.select(
         *lcols,
         F.lit(1).alias("__side"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-            for c in carry
-        ],
+        F.lit(None).cast(struct_sql).alias("__r"),
     )
     tagged_r = right.select(
         *[
@@ -183,7 +200,7 @@ def _asof_nearest(
             for c in lcols
         ],
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in carry],
+        F.struct(*[F.col(c).alias(c) for c in carry]).alias("__r"),
     )
     unioned = tagged_l.unionByName(tagged_r)
     # right rows sort first at equal ts: the backward frame sees an exact
@@ -194,16 +211,11 @@ def _asof_nearest(
     filled = unioned.select(
         *lcols,
         "__side",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w_b).alias(f"__b_{c}")
-            for c in carry
-        ],
-        *[
-            F.first(f"__r_{c}", ignorenulls=True).over(w_f).alias(f"__f_{c}")
-            for c in carry
-        ],
+        F.last("__r", ignorenulls=True).over(w_b).alias("__b"),
+        F.first("__r", ignorenulls=True).over(w_f).alias("__f"),
     ).filter(F.col("__side") == 1)
-    bwd_ts, fwd_ts = F.col(f"__b_{ts_col}"), F.col(f"__f_{ts_col}")
+    bwd_ts = F.col("__b").getField(ts_col)
+    fwd_ts = F.col("__f").getField(ts_col)
     t = F.col(ts_col)
     use_backward = fwd_ts.isNull() | (
         bwd_ts.isNotNull()
@@ -212,8 +224,8 @@ def _asof_nearest(
     return filled.select(
         *lcols,
         *[
-            F.when(use_backward, F.col(f"__b_{c}"))
-            .otherwise(F.col(f"__f_{c}"))
+            F.when(use_backward, F.col("__b").getField(c))
+            .otherwise(F.col("__f").getField(c))
             .alias(f"asof_{c}")
             for c in value_cols
         ],

@@ -1810,7 +1810,7 @@ def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_string_numeric_format",
     category="string-fn",
     doc="Formatting/bit battery: overlay (string splice), to_char with a "
-    "grouping picture ('999,999' — right-aligned, comma only between "
+    "grouping picture ('9,999,999' — right-aligned, comma only between "
     "digits), getbit/bit_count over the key, array_repeat join.  DuckDB "
     "lacks overlay/to_char/getbit, so the oracle reconstructs each from "
     "primitives (substr splice, format('{:>7}', format('{:,}', x)), "
@@ -1819,8 +1819,8 @@ def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey,
                substr(o_orderpriority, 1, 2) || 'XX'
                    || substr(o_orderpriority, 5) AS spliced,
-               CASE WHEN o_orderkey = 0 THEN '       '  -- '9' blanks zero
-                    ELSE format('{:>7}', format('{:,}', o_orderkey)) END
+               CASE WHEN o_orderkey = 0 THEN '         '  -- '9' blanks zero
+                    ELSE format('{:>9}', format('{:,}', o_orderkey)) END
                    AS key_pic,
                CAST((o_orderkey >> 3) & 1 AS INT) AS bit3,
                CAST(bit_count(o_orderkey) AS INT) AS popcount,
@@ -1837,7 +1837,7 @@ def fn_string_numeric_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             "o_orderkey",
             F.overlay("o_orderpriority", F.lit("XX"), 3).alias("spliced"),
-            F.to_char(F.col("o_orderkey"), F.lit("999,999")).alias("key_pic"),
+            F.to_char(F.col("o_orderkey"), F.lit("9,999,999")).alias("key_pic"),
             F.getbit("o_orderkey", F.lit(3)).cast("int").alias("bit3"),
             F.bit_count("o_orderkey").cast("int").alias("popcount"),
             F.array_join(

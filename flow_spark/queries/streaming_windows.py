@@ -340,25 +340,18 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.types import LongType, TimestampNTZType
-
-    from flow_spark.catalog import table_path
+    from flow_spark.catalog import normalize_events_ts, table_path
     from flow_spark.streaming.stateful import sessionize_stream
 
     path = table_path(sf_dir, "events")
     raw_schema = spark.read.parquet(path).schema
     # the file source wants a directory: stream the sf dir, globbed to the
     # one fixture file
-    stream = (
+    stream = normalize_events_ts(
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # same ts normalization as catalog.load_table (fixture generations vary)
-    if isinstance(stream.schema["ts"].dataType, LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif isinstance(stream.schema["ts"].dataType, TimestampNTZType):
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     prepared = (
         stream.filter(F.col("user_id") % 10 == 0)
         .select(

@@ -233,7 +233,11 @@ class _PushdownBatchReader(_BatchReader):
 
     def partitions(self):
         lo, hi = self.lo, max(self.lo, self.hi)
-        per = -(-max(hi - lo, 1) // self.n_parts)
+        if hi <= lo:
+            # fully pruned: Spark substitutes [None] for an empty partition
+            # list, so return one degenerate empty-range partition instead
+            return [_RangePartition(lo, lo)]
+        per = -(-(hi - lo) // self.n_parts)
         return [
             _RangePartition(lo + p * per, min(lo + (p + 1) * per, hi))
             for p in range(self.n_parts)
@@ -294,8 +298,14 @@ class _JsonlWriterBase:
 
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        tmp = os.path.join(self.path, f"{prefix}part-{pid:05d}.jsonl.tmp")
+        tc = TaskContext.get()
+        pid = tc.partitionId()
+        # attempt id in the TEMP name: a task retry / speculative twin must
+        # never share a file with the zombie first attempt — only commit()
+        # renames the winning attempt to the stable part name
+        tmp = os.path.join(
+            self.path, f"{prefix}part-{pid:05d}-a{tc.taskAttemptId()}.jsonl.tmp"
+        )
         n = 0
         os.makedirs(self.path, exist_ok=True)
         with open(tmp, "w") as fh:
@@ -314,12 +324,24 @@ class _JsonlWriterBase:
         return _FileCommit(tmp, n)
 
     @staticmethod
-    def _finalize(messages, manifest: str) -> None:  # noqa: ANN001
+    def _final_name(tmp_path: str) -> str:
+        # part-00003-a17.jsonl.tmp -> part-00003.jsonl
+        import os
+        import re
+
+        base = os.path.basename(tmp_path)
+        return os.path.join(
+            os.path.dirname(tmp_path),
+            re.sub(r"-a\d+\.jsonl\.tmp$", ".jsonl", base),
+        )
+
+    @classmethod
+    def _finalize(cls, messages, manifest: str) -> None:  # noqa: ANN001
         import os
 
         total = 0
         for m in messages:
-            os.replace(m.path, m.path[: -len(".tmp")])
+            os.replace(m.path, cls._final_name(m.path))
             total += m.n
         with open(manifest, "w") as fh:
             fh.write(str(total))
@@ -353,15 +375,21 @@ class _JsonlStreamWriter(_JsonlWriterBase, DataSourceStreamWriter):
         return self._write_partition(iterator, "")
 
     def commit(self, messages, batchId):  # noqa: ANN001, N802
+        import glob
         import os
 
-        # rename into batchId-keyed names: a replayed batch overwrites
-        # its own files instead of appending duplicates
+        # a REPLAYED batch may produce FEWER partitions than the original
+        # attempt (different parallelism after restart): clear every file
+        # of this batchId first so no stale part survives the overwrite
+        for stale in glob.glob(
+            os.path.join(self.path, f"batch-{batchId:05d}-*")
+        ) + glob.glob(os.path.join(self.path, f"_SUCCESS-{batchId:05d}")):
+            os.remove(stale)
         total = 0
         for m in messages:
             final = os.path.join(
                 self.path,
-                f"batch-{batchId:05d}-{os.path.basename(m.path)[: -len('.tmp')]}",
+                f"batch-{batchId:05d}-{os.path.basename(self._final_name(m.path))}",
             )
             os.replace(m.path, final)
             total += m.n

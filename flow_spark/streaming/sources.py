@@ -33,15 +33,6 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.readStream.schema(static.schema).parquet(
         _as_stream_dir(table_path(sf_dir, "events"))
     )
-    df = raw
-    ts_type = dict(df.dtypes).get("ts")
-    if ts_type == "bigint":
-        from pyspark.sql import functions as F
+    from flow_spark.catalog import normalize_events_ts
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        from pyspark.sql import functions as F
-
-        # exact under the UTC session tz pinned in session.py
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return events_to_messages(df)
+    return events_to_messages(normalize_events_ts(raw))

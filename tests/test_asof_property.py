@@ -15,7 +15,9 @@ from flow_spark.operators.asof import asof_join
 row = st.tuples(
     st.integers(min_value=0, max_value=2),  # key
     st.integers(min_value=0, max_value=50),  # ts
-    st.integers(min_value=-100, max_value=100),  # value
+    # value may be NULL: the match must stay ROW-wise (a matched right row
+    # with a NULL value yields NULL, never an older row's value)
+    st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),
 )
 
 

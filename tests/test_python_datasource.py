@@ -236,3 +236,27 @@ def test_simple_stream_reader_drains_same_rows(spark, tmp_path):
     got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     want = sorted(synth_row(i) for i in range(500))
     assert got == want
+
+
+def test_pushdown_fully_pruned_range_returns_empty(spark):
+    """A predicate that prunes the whole generation range must yield an
+    empty result — not crash: Spark substitutes [None] for an empty
+    partition list, so the reader returns one degenerate empty-range
+    partition instead."""
+    register(spark)
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        df = (
+            spark.read.format("synthetic_events")
+            .option("n_rows", 100)
+            .option("pushdown", "true")
+            .load()
+            .filter("event_id < 0")
+        )
+        assert df.count() == 0
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
