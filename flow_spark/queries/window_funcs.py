@@ -732,3 +732,72 @@ def win_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@register(
+    "win_streak_lengths",
+    category="window",
+    doc="Longest strictly-increasing streak per user over the ts-ordered "
+    "event values (gaps-and-islands with a comparison break condition "
+    "rather than a time gap): break flag -> running island id -> island "
+    "length -> per-user max.  Exact integer cents comparisons; two "
+    "window passes and one groupBy over a single user_id shuffle.",
+    oracle="""
+        WITH v AS (
+            SELECT user_id,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS vc,
+                   ts, event_id
+            FROM events WHERE user_id % 6 = 0
+        ),
+        f AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN LAG(vc) OVER w IS NULL
+                             OR vc <= LAG(vc) OVER w
+                        THEN 1 ELSE 0 END AS brk
+            FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        isl AS (
+            SELECT user_id,
+                   SUM(brk) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS island
+            FROM f
+        ),
+        lens AS (
+            SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+            FROM isl GROUP BY user_id, island
+        )
+        SELECT user_id,
+               CAST(MAX(len) AS BIGINT) AS longest_streak,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks
+        FROM lens GROUP BY user_id ORDER BY user_id
+    """,
+)
+def win_streak_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 6 == 0)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+        "ts",
+        "event_id",
+    ).withColumn(
+        "brk",
+        F.when(
+            F.lag("vc").over(w).isNull() | (F.col("vc") <= F.lag("vc").over(w)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    lens = islands.groupBy("user_id", "island").agg(F.count("*").alias("len"))
+    return (
+        lens.groupBy("user_id")
+        .agg(
+            F.max("len").cast("long").alias("longest_streak"),
+            F.count("*").cast("long").alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
