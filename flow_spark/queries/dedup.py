@@ -457,3 +457,105 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(word_shingles(corpus), threshold=0.7).orderBy(
         "doc_a", "doc_b"
     )
+
+
+@register(
+    "dedup_simhash_hamming",
+    category="dedup",
+    doc="SimHash near-dup candidates via PIGEONHOLE bucketing: the 32-bit "
+    "signature splits into 4 bytes, and any pair within Hamming "
+    "distance 3 must agree on at least one byte (4 chunks, <=3 "
+    "differing bits -> one chunk untouched) — so candidates come from "
+    "4 cheap equi-join buckets, NEVER an all-pairs scan, then the "
+    "exact distance bit_count(xor) <= 3 refines.  The multi-index "
+    "hashing pattern that makes Hamming search linear at 100 TB; "
+    "bucket join + HOF pair expansion mirror the MinHash LSH stage.",
+    oracle=f"""
+        WITH corpus AS ({{corpus}}),
+        toks AS (
+            SELECT doc_id, UNNEST(string_split({{norm}}, ' ')) AS tok
+            FROM corpus WHERE doc_id % 5 = 0
+        ),
+        bits AS (
+            SELECT doc_id, COUNT(*) AS n_tok,
+               {{bitsums}}
+            FROM toks WHERE length(tok) > 0 GROUP BY doc_id
+        ),
+        sigs AS (SELECT doc_id, {{sig}} AS simhash FROM bits),
+        bands AS (
+            SELECT doc_id, simhash, k,
+                   (simhash >> (8 * k)) & 255 AS chunk
+            FROM sigs, range(0, 4) t(k)
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   ANY_VALUE(a.simhash) AS sa, ANY_VALUE(b.simhash) AS sb
+            FROM bands a
+            JOIN bands b ON a.k = b.k AND a.chunk = b.chunk
+                        AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM pairs
+        WHERE bit_count(xor(sa, sb)) <= 3
+        ORDER BY doc_a, doc_b
+    """.format(
+        corpus=_SQL_CORPUS,
+        norm=_SQL_NORM,
+        bitsums=_bit_sum_cols(),
+        sig=_sig_expr(),
+    ),
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _augment(load_table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % 5 == 0
+    )
+    sigs = simhash(corpus, bits=_SIMHASH_BITS)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("k"),
+                    F.shiftright("simhash", 8 * k).bitwiseAND(F.lit(255)).alias("chunk"),
+                )
+                for k in range(4)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.k", "b.chunk")
+    buckets = (
+        chunks.groupBy("k", "chunk")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("doc_id").alias("id"), F.col("simhash").alias("sig")))
+            ).alias("members")
+        )
+        .filter(F.size("members") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "members",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("members"), i + 2, F.size("members")),
+                        lambda y: F.struct(
+                            x.getField("id").alias("doc_a"),
+                            y.getField("id").alias("doc_b"),
+                            x.getField("sig").alias("sa"),
+                            y.getField("sig").alias("sb"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.sa", "p.sb").distinct()
+    hamming = F.bit_count(F.expr("sa ^ sb")).cast("int")
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
