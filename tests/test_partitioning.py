@@ -350,3 +350,43 @@ def test_rebalance_hint_inserts_aqe_rebalance(spark, sf_dir):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "Exchange" in plan and ("REBALANCE" in plan or "RebalancePartitions" in plan)
+
+
+def test_incremental_join_maintenance(spark, sf_dir, tmp_path):
+    """Incremental ETL delta pattern: maintaining an enriched (fact JOIN
+    dim) table by processing only NEW fact partitions and appending must
+    equal the full recompute — valid because an inner equi-join
+    distributes over union of the fact side.  At 100 TB this is the
+    difference between joining a day's delta and re-joining the table;
+    the append target is partitioned by the ingest batch so reprocessing
+    a batch overwrites only its own partition."""
+    import pyspark.sql.functions as SF
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    def enrich(fact):
+        return fact.join(SF.broadcast(cust), fact.o_custkey == cust.c_custkey).select(
+            "o_orderkey", "o_custkey", "c_mktsegment",
+            SF.round(SF.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+
+    out = str(tmp_path / "enriched")
+    batch0 = orders.filter("o_orderkey % 3 != 0")
+    delta = orders.filter("o_orderkey % 3 = 0")
+
+    enrich(batch0).withColumn("batch", SF.lit(0)).write.partitionBy("batch").parquet(out)
+    # incremental: ONLY the delta flows through the join, appended
+    enrich(delta).withColumn("batch", SF.lit(1)).write.mode("append").partitionBy(
+        "batch"
+    ).parquet(out)
+
+    incremental = sorted(
+        (r.o_orderkey, r.o_custkey, r.c_mktsegment, r.cents)
+        for r in spark.read.parquet(out).collect()
+    )
+    full = sorted(
+        (r.o_orderkey, r.o_custkey, r.c_mktsegment, r.cents)
+        for r in enrich(orders).collect()
+    )
+    assert incremental == full
