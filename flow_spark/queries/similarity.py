@@ -572,3 +572,107 @@ def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk_multiprobe(
         queries, emb, dim=_DIM, k=3, n_planes=_N_PLANES
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "sim_hybrid_rrf",
+    category="similarity",
+    doc="Hybrid retrieval with reciprocal-rank fusion: within each "
+    "query's LSH bucket, candidates are ranked TWICE (cosine — "
+    "direction, and raw inner product — direction x magnitude), and "
+    "the two rank lists fuse via RRF computed in EXACT integers "
+    "(floor(1e12 / (60 + rank)) per list, summed) so the fusion score "
+    "is bit-identical across engines where the textbook 1/(k+r) double "
+    "sum would not be.  The standard two-retriever fusion shape "
+    "(semantic + lexical at 100 TB) on one bucket equi-join + two "
+    "window ranks over the same shuffle.",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        b AS (SELECT vec_id, e, {_sql_bucket('e')} AS bucket FROM v),
+        q AS (
+            SELECT vec_id AS query_id, e AS qe, bucket
+            FROM b WHERE vec_id % 50 = 0
+        ),
+        cand AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.qe, c.e) AS cos,
+                   list_sum(list_transform(range(1, {_DIM + 1}),
+                                           j -> q.qe[j] * c.e[j])) AS ip
+            FROM q JOIN b c USING (bucket)
+            WHERE c.vec_id != q.query_id
+        ),
+        r AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id)
+                       AS cos_rank,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY ip DESC, neighbor_id)
+                       AS ip_rank
+            FROM cand
+        ),
+        f AS (
+            SELECT query_id, neighbor_id,
+                   CAST(cos_rank AS INT) AS cos_rank,
+                   CAST(ip_rank AS INT) AS ip_rank,
+                   CAST(1000000000000 // (60 + cos_rank)
+                        + 1000000000000 // (60 + ip_rank) AS BIGINT) AS rrf
+            FROM r
+        )
+        SELECT query_id, neighbor_id, cos_rank, ip_rank, rrf,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, neighbor_id)
+                    AS INT) AS final_rank
+        FROM f
+        QUALIFY final_rank <= 5
+        ORDER BY query_id, final_rank
+    """,
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from flow_spark.operators.similarity import dot, l2_norm, lsh_signature
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = lsh_signature("embedding", _DIM, _N_PLANES)
+    nparts = spark.sparkContext.defaultParallelism
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        sig.alias("bucket"),
+        l2_norm(F.col("embedding")).alias("qnrm"),
+    )
+    c = emb.repartition(nparts).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        sig.alias("bucket"),
+        l2_norm(F.col("embedding")).alias("cnrm"),
+    )
+    scored = (
+        c.join(F.broadcast(q), ["bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("ip", dot(F.col("qvec"), F.col("cvec")))
+        .withColumn("cos", F.col("ip") / (F.col("qnrm") * F.col("cnrm")))
+    )
+    w_cos = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    w_ip = W.partitionBy("query_id").orderBy(F.desc("ip"), F.asc("neighbor_id"))
+    ranked = (
+        scored.withColumn("cos_rank", F.row_number().over(w_cos).cast("int"))
+        .withColumn("ip_rank", F.row_number().over(w_ip).cast("int"))
+        .withColumn(
+            "rrf",
+            F.expr(
+                "1000000000000L div (60 + cos_rank)"
+                " + 1000000000000L div (60 + ip_rank)"
+            ).cast("long"),
+        )
+    )
+    w_f = W.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("neighbor_id"))
+    return (
+        ranked.withColumn("final_rank", F.row_number().over(w_f).cast("int"))
+        .filter(F.col("final_rank") <= 5)
+        .select("query_id", "neighbor_id", "cos_rank", "ip_rank", "rrf", "final_rank")
+        .orderBy("query_id", "final_rank")
+    )
