@@ -21,8 +21,8 @@ from flow_spark.session import get_spark  # noqa: E402
 
 FAMILIES = {
     "graph": ["graph_pagerank", "graph_triangle_count", "graph_degree_histogram"],
-    "ann": ["sim_pq_adc", "sim_ivf_nprobe2", "sim_ivf_ann"],
-    "dedup": ["dedup_ngram_containment", "dedup_components", "dedup_incremental"],
+    "ann": ["sim_pq_adc", "sim_ivf_nprobe2", "sim_ivf_ann", "sim_hybrid_rrf"],
+    "dedup": ["dedup_ngram_containment", "dedup_components", "dedup_simhash_hamming"],
     "sequence": ["seq_markov_transitions", "seq_pattern_regex", "udtf_partitioned_cusum"],
     "multimodal": ["mm_blockmean_embedding", "mm_extract_features"],
     "source": ["pysource_synthetic_events"],
