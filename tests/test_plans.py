@@ -208,3 +208,50 @@ def test_join_strategy_hints_select_physical_operators(spark, sf_dir):
     assert "BroadcastHashJoin" in plan_with("broadcast")
     assert "ShuffledHashJoin" in plan_with("shuffle_hash")
     assert "SortMergeJoin" in plan_with("merge")
+
+
+def test_two_level_distinct_rewrite_avoids_expand(spark, sf_dir):
+    """Multiple COUNT(DISTINCT ...) in one aggregation plan through an
+    Expand that replicates every input row once per distinct aggregate —
+    fine on a 5-row group-by, a 3x data blow-up on a 100 TB fact table.
+    The scalable rewrite (dedupe each column family separately, then
+    join the small per-group results) must produce identical numbers
+    with NO Expand in any branch."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    def plan_text(d):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            d.explain("formatted")
+        return buf.getvalue()
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    direct = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+    assert "Expand" in plan_text(direct)
+
+    custs = (
+        orders.select("o_orderpriority", "o_custkey")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_custs"))
+    )
+    stats = (
+        orders.select("o_orderpriority", "o_orderstatus")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_statuses"))
+    )
+    rewrite = custs.join(stats, "o_orderpriority")
+    assert "Expand" not in plan_text(rewrite)
+
+    key = lambda rows: sorted(  # noqa: E731
+        (r.o_orderpriority, r.n_custs, r.n_statuses) for r in rows
+    )
+    assert key(direct.collect()) == key(rewrite.collect())
