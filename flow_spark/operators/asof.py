@@ -22,7 +22,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
 from pyspark.sql.window import Window as W
+
+
+def _is_timestamp(df: DataFrame, col: str) -> bool:
+    return isinstance(df.schema[col].dataType, (TimestampType, TimestampNTZType))
 
 
 def asof_join(
@@ -78,10 +83,23 @@ def asof_join(
             allow_exact_matches=allow_exact_matches,
             direction=direction,
         )
-        gap = F.abs(
-            F.col(ts_col).cast("double") - F.col(f"asof_{carry_ts}").cast("double")
-        )
-        ok = F.col(f"asof_{carry_ts}").isNotNull() & (gap <= tolerance_seconds)
+        # exact integer microseconds for timestamp keys: a double epoch has
+        # only ~0.25 us resolution at 2^30-second epochs, so a pair whose
+        # true gap is exactly the tolerance boundary could round past it
+        # and be NULLed where an engine comparing exact intervals keeps it.
+        # Numeric keys subtract in their own type (ints stay exact).
+        if _is_timestamp(left, ts_col):
+            tol_us = int(round(tolerance_seconds * 1_000_000))
+            gap = F.abs(
+                F.unix_micros(F.col(ts_col))
+                - F.unix_micros(F.col(f"asof_{carry_ts}"))
+            )
+            ok = F.col(f"asof_{carry_ts}").isNotNull() & (gap <= F.lit(tol_us))
+        else:
+            gap = F.abs(F.col(ts_col) - F.col(f"asof_{carry_ts}"))
+            ok = F.col(f"asof_{carry_ts}").isNotNull() & (
+                gap <= F.lit(tolerance_seconds)
+            )
         return inner.select(
             *left.columns,
             *[
@@ -217,10 +235,17 @@ def _asof_nearest(
     bwd_ts = F.col("__b").getField(ts_col)
     fwd_ts = F.col("__f").getField(ts_col)
     t = F.col(ts_col)
-    use_backward = fwd_ts.isNull() | (
-        bwd_ts.isNotNull()
-        & (t.cast("double") - bwd_ts.cast("double") <= fwd_ts.cast("double") - t.cast("double"))
-    )
+    # distances in exact integer microseconds for timestamp keys (not
+    # double epoch seconds): an exact distance tie must resolve to the
+    # backward row on both engines, which double rounding could flip.
+    # Numeric keys subtract in their own type.
+    if _is_timestamp(left, ts_col):
+        b_dist = F.unix_micros(t) - F.unix_micros(bwd_ts)
+        f_dist = F.unix_micros(fwd_ts) - F.unix_micros(t)
+    else:
+        b_dist = t - bwd_ts
+        f_dist = fwd_ts - t
+    use_backward = fwd_ts.isNull() | (bwd_ts.isNotNull() & (b_dist <= f_dist))
     return filled.select(
         *lcols,
         *[

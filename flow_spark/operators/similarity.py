@@ -423,6 +423,7 @@ def pq_adc_topk(
     rerank: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: "int | None" = 4,
 ) -> DataFrame:
     """Approximate L2 top-k via ADC: (query_id, neighbor_id, rank, approx_d2).
 

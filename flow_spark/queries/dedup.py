@@ -296,11 +296,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH v AS (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
             FROM embeddings
+        ),
+        -- cosine via the exact Spark expression (left-fold dot /
+        -- (sqrt(sumsq) * sqrt(sumsq))), NOT list_cosine_similarity whose
+        -- different FP order could flip threshold-boundary pairs
+        p AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_sum(list_transform(range(1, 65), j -> a.e[j] * b.e[j]))
+                     / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                        * sqrt(list_sum(list_transform(b.e, x -> x * x))))
+                     AS cos_raw
+            FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
         )
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND(list_cosine_similarity(a.e, b.e), 4) AS cos
-        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+        SELECT id_a, id_b, ROUND(cos_raw, 4) AS cos
+        FROM p WHERE cos_raw >= 0.4
         ORDER BY id_a, id_b
     """,
 )

@@ -2046,12 +2046,14 @@ def agg_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_aes_roundtrip",
     category="string-fn",
-    doc="AES encrypt/decrypt round trip (ECB mode — deterministic, unlike "
-    "the default GCM whose random IV defeats value comparison): the "
-    "oracle can't run AES, so it checks what IS deterministic — the "
+    doc="AES encrypt/decrypt round trip.  ECB mode is used HERE ONLY for "
+    "oracle determinism (the default GCM's random IV defeats value "
+    "comparison); ECB is NOT safe for real at-rest encryption — it is "
+    "deterministic and leaks equal-plaintext blocks.  Production "
+    "column-level PII encryption should use Spark's default GCM mode. "
+    "The oracle can't run AES, so it checks what IS deterministic — the "
     "recovered plaintext equals the original and the ciphertext length "
-    "is the exact PKCS#7-padded block count.  The column-level "
-    "encryption primitive for at-rest PII fields.",
+    "is the exact PKCS#7-padded block count.",
     oracle="""
         SELECT doc_id,
                substr(text, 1, 40) AS recovered,

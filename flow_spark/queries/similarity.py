@@ -37,19 +37,36 @@ def _sql_bucket(vec: str) -> str:
     return "(" + " + ".join(dots) + ")"
 
 
+def _sql_cos(q: str, c: str) -> str:
+    """DuckDB cosine via the EXACT expression the Spark side evaluates.
+
+    Spark computes left-fold dot / (sqrt(left-fold sumsq(q)) * sqrt(
+    left-fold sumsq(c))) (functions/vectors.py).  DuckDB's
+    list_cosine_similarity divides by sqrt(product-of-sums) — a different
+    IEEE evaluation order — so near-tied cosines could flip ROW_NUMBER
+    ranks across engines.  Same formula on both sides = bit-identical
+    doubles = identical ranks (ADVICE r2).
+    """
+    return (
+        f"(list_sum(list_transform(range(1, {_DIM + 1}), j -> {q}[j] * {c}[j]))"
+        f" / (sqrt(list_sum(list_transform({q}, x -> x * x)))"
+        f" * sqrt(list_sum(list_transform({c}, x -> x * x)))))"
+    )
+
+
 @register(
     "sim_topk_bruteforce",
     category="similarity",
     doc="Exact cosine top-5 neighbors for each query vector (vec_id % 50 = "
     "0): broadcast queries x one candidate scan + per-query window top-k.",
-    oracle="""
+    oracle=f"""
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
         ),
         q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 50 = 0),
         scored AS (
             SELECT q.query_id, c.vec_id AS neighbor_id,
-                   list_cosine_similarity(q.qe, c.e) AS cos_raw
+                   {_sql_cos('q.qe', 'c.e')} AS cos_raw
             FROM q JOIN v c ON c.vec_id != q.query_id
         ),
         ranked AS (
@@ -85,7 +102,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM sig WHERE vec_id % 50 = 0),
         scored AS (
             SELECT q.query_id, c.vec_id AS neighbor_id,
-                   list_cosine_similarity(q.qe, c.e) AS cos_raw
+                   {_sql_cos('q.qe', 'c.e')} AS cos_raw
             FROM q JOIN sig c ON c.bucket = q.bucket AND c.vec_id != q.query_id
         ),
         ranked AS (
@@ -131,7 +148,7 @@ _N_CENTROIDS = 8
                 SELECT v.vec_id, v.e, c.cid AS cluster,
                        ROW_NUMBER() OVER (
                            PARTITION BY v.vec_id
-                           ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cid ASC
+                           ORDER BY {_sql_cos('v.e', 'c.ce')} DESC, c.cid ASC
                        ) AS rn
                 FROM v CROSS JOIN cent c
             ) WHERE rn = 1
@@ -142,7 +159,7 @@ _N_CENTROIDS = 8
         ),
         scored AS (
             SELECT q.query_id, c.vec_id AS neighbor_id,
-                   list_cosine_similarity(q.qe, c.e) AS cos_raw
+                   {_sql_cos('q.qe', 'c.e')} AS cos_raw
             FROM q JOIN assigned c
               ON c.cluster = q.cluster AND c.vec_id != q.query_id
         ),
@@ -428,7 +445,7 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT v.vec_id, v.e, c.cid AS cluster,
                    ROW_NUMBER() OVER (
                        PARTITION BY v.vec_id
-                       ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cid ASC
+                       ORDER BY {_sql_cos('v.e', 'c.ce')} DESC, c.cid ASC
                    ) AS rn
             FROM v CROSS JOIN cent c
         ),
@@ -441,7 +458,7 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         scored AS (
             SELECT q.query_id, c.vec_id AS neighbor_id,
-                   list_cosine_similarity(q.qe, c.e) AS cos_raw
+                   {_sql_cos('q.qe', 'c.e')} AS cos_raw
             FROM q JOIN assigned c
               ON c.cluster = q.cluster AND c.vec_id != q.query_id
         ),
@@ -476,14 +493,17 @@ def sim_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast-queries / one-candidate-scan / window-top-k shape as "
     "the cosine baseline; ranking keys are the rounded dot plus "
     "neighbor id so ties are deterministic.",
-    oracle="""
+    oracle=f"""
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
         ),
         q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 50 = 0),
         scored AS (
+            -- explicit left-fold sum (not list_inner_product) so the FP
+            -- accumulation order matches Spark's aggregate() fold exactly
             SELECT q.query_id, c.vec_id AS neighbor_id,
-                   list_inner_product(q.qe, c.e) AS ip_raw
+                   list_sum(list_transform(range(1, {_DIM + 1}),
+                                           j -> q.qe[j] * c.e[j])) AS ip_raw
             FROM q JOIN v c ON c.vec_id != q.query_id
         ),
         ranked AS (
@@ -550,7 +570,7 @@ def sim_topk_inner_product(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         scored AS (
             SELECT q.query_id, c.vec_id AS neighbor_id,
-                   list_cosine_similarity(q.qe, c.e) AS cos_raw
+                   {_sql_cos('q.qe', 'c.e')} AS cos_raw
             FROM q JOIN sig c ON c.bucket = q.bucket AND c.vec_id != q.query_id
         ),
         ranked AS (
@@ -596,8 +616,17 @@ def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM b WHERE vec_id % 50 = 0
         ),
         cand AS (
+            -- cosine via the EXACT expression the Spark side evaluates
+            -- (left-fold dot / (sqrt(left-fold sumsq) * sqrt(left-fold
+            -- sumsq))), not list_cosine_similarity: that builtin divides
+            -- by sqrt(product-of-sums), a different FP evaluation order,
+            -- and near-tied cosines could flip cos_rank across engines
             SELECT q.query_id, c.vec_id AS neighbor_id,
-                   list_cosine_similarity(q.qe, c.e) AS cos,
+                   list_sum(list_transform(range(1, {_DIM + 1}),
+                                           j -> q.qe[j] * c.e[j]))
+                     / (sqrt(list_sum(list_transform(q.qe, x -> x * x)))
+                        * sqrt(list_sum(list_transform(c.e, x -> x * x))))
+                     AS cos,
                    list_sum(list_transform(range(1, {_DIM + 1}),
                                            j -> q.qe[j] * c.e[j])) AS ip
             FROM q JOIN b c USING (bucket)

@@ -356,6 +356,20 @@ class _JsonlWriterBase:
                 with contextlib.suppress(FileNotFoundError):
                     os.remove(m.path)
 
+    def _sweep_orphan_tmps(self) -> None:
+        # commit/abort only see commit messages from task attempts that
+        # RETURNED one — a failed or zombie (speculative-loser) attempt's
+        # part-*-aN.jsonl.tmp would otherwise accumulate forever.  At this
+        # point every winning attempt's tmp has just been renamed (or the
+        # job is aborted), so any remaining *.jsonl.tmp is an orphan.
+        import contextlib
+        import glob
+        import os
+
+        for orphan in glob.glob(os.path.join(self.path, "*.jsonl.tmp")):
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(orphan)
+
 
 class _JsonlWriter(_JsonlWriterBase, DataSourceWriter):
     def write(self, iterator):  # noqa: ANN001
@@ -365,9 +379,11 @@ class _JsonlWriter(_JsonlWriterBase, DataSourceWriter):
         import os
 
         self._finalize(messages, os.path.join(self.path, "_SUCCESS"))
+        self._sweep_orphan_tmps()
 
     def abort(self, messages):  # noqa: ANN001
         self._cleanup(messages)
+        self._sweep_orphan_tmps()
 
 
 class _JsonlStreamWriter(_JsonlWriterBase, DataSourceStreamWriter):
@@ -395,6 +411,8 @@ class _JsonlStreamWriter(_JsonlWriterBase, DataSourceStreamWriter):
             total += m.n
         with open(os.path.join(self.path, f"_SUCCESS-{batchId:05d}"), "w") as fh:
             fh.write(str(total))
+        self._sweep_orphan_tmps()
 
     def abort(self, messages, batchId):  # noqa: ANN001, N802
         self._cleanup(messages)
+        self._sweep_orphan_tmps()

@@ -162,6 +162,26 @@ def test_jsonl_sink_two_phase_commit(spark, tmp_path):
     assert open(os.path.join(out, "_SUCCESS")).read() == "25"
 
 
+def test_jsonl_sink_sweeps_zombie_tmp_files(spark, tmp_path):
+    """A failed/zombie task attempt's part-*-aN.jsonl.tmp never reaches
+    commit() as a commit message (only returning attempts do) — commit
+    must sweep such orphans instead of letting them accumulate forever."""
+    import os
+
+    register(spark)
+    out = tmp_path / "jsonl_out"
+    out.mkdir()
+    zombie = out / "part-00007-a999.jsonl.tmp"
+    zombie.write_text('{"k": -1, "v": -1}\n')
+
+    df = spark.range(5).selectExpr("id AS k", "id * 2 AS v")
+    df.write.format("jsonl_sink").option("path", str(out)).mode("append").save()
+
+    names = sorted(os.listdir(out))
+    assert not any(n.endswith(".tmp") for n in names), names
+    assert "_SUCCESS" in names
+
+
 def test_jsonl_stream_sink_batchid_keyed(spark, tmp_path):
     """Custom Python STREAMING sink: files and manifests are keyed by
     batchId, so each micro-batch commits its own namespace (a replayed
