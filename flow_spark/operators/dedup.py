@@ -137,14 +137,27 @@ def lsh_candidate_pairs(
     n_bands: int = N_BANDS,
     rows_per_band: int = ROWS_PER_BAND,
     max_bucket: int = 1000,
+    hot_bucket: str = "drop",
 ) -> DataFrame:
     """(doc_a < doc_b) candidate pairs sharing at least one LSH band bucket.
 
-    Oversized buckets (degenerate content, e.g. boilerplate) are dropped at
-    `max_bucket` docs — at 100 TB a single hot bucket would otherwise
-    produce a quadratic pair explosion; those clusters are better handled
-    by the exact-dedup pass.
+    Buckets larger than `max_bucket` (degenerate content, e.g. viral
+    boilerplate) would produce a quadratic pair explosion at 100 TB.
+    Two policies:
+
+    - ``hot_bucket="drop"``: drop the bucket; its cluster is delegated to
+      the exact-dedup pass.  Zero extra cost, loses within-cluster
+      near-dup (non-exact) recall.
+    - ``hot_bucket="salt"``: split the bucket's sorted id list into
+      contiguous sub-buckets of `max_bucket`, generate all pairs WITHIN
+      each sub-bucket (same per-bucket quadratic bound as a normal
+      bucket), plus link each sub-bucket's first doc to the bucket's
+      first doc — so the whole hot bucket stays ONE connected component
+      for the clustering pass.  Pair count is O(n * max_bucket) instead
+      of O(n^2): linear in the bucket size for a fixed cap.
     """
+    if hot_bucket not in ("drop", "salt"):
+        raise ValueError(f"hot_bucket must be drop|salt, got {hot_bucket!r}")
     band_keys = F.array(
         *[
             F.concat_ws(
@@ -157,29 +170,59 @@ def lsh_candidate_pairs(
     )
     buckets = signatures.select("doc_id", F.explode(band_keys).alias("bucket"))
     # one groupBy replaces the window count AND the self-join: the bucket's
-    # sorted id list is materialized once (bounded by max_bucket), the size
-    # cap is a free filter on the array, and i<j pairs are generated with
-    # JVM higher-order functions — no second pipeline evaluation, no
-    # broadcast of a recomputed subtree (measured 30% faster at sf0.1;
-    # at 100 TB it also halves the scan/shuffle volume of this stage)
-    bucket_ids = (
-        buckets.groupBy("bucket")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    # sorted id list is materialized once (bounded by max_bucket for cold
+    # buckets), the size cap is a free filter on the array, and i<j pairs
+    # are generated with JVM higher-order functions — no second pipeline
+    # evaluation, no broadcast of a recomputed subtree (measured 30% faster
+    # at sf0.1; at 100 TB it also halves this stage's scan/shuffle volume).
+    # NOTE at true 100 TB scale a single collect_list row is bounded by
+    # max_bucket * salt factor; a bucket so hot that even its id LIST
+    # doesn't fit a row (~tens of millions of ids) is exact-dup boilerplate
+    # and belongs in the exact pass regardless of policy.
+    bucket_ids = buckets.groupBy("bucket").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
-    pairs = bucket_ids.select(
-        F.explode(
-            F.flatten(
+    if hot_bucket == "drop":
+        bucket_ids = bucket_ids.filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= max_bucket)
+        )
+        chunks = F.array(F.col("ids"))
+    else:
+        bucket_ids = bucket_ids.filter(F.size("ids") >= 2)
+        # contiguous sub-buckets of max_bucket ids (one chunk when cold)
+        chunks = F.transform(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.size("ids") - 1) / max_bucket).cast("int"),
+            ),
+            lambda ci: F.slice(F.col("ids"), ci * max_bucket + 1, max_bucket),
+        )
+    within = F.flatten(
+        F.transform(
+            chunks,
+            lambda chunk: F.flatten(
                 F.transform(
-                    "ids",
+                    chunk,
                     lambda x, i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        F.slice(chunk, i + 2, F.size(chunk)),
                         lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
                     ),
                 )
-            )
-        ).alias("p")
+            ),
+        )
     )
+    if hot_bucket == "salt":
+        # rep links: first id of every later chunk pairs with the bucket's
+        # first id (ids sorted, so doc_a < doc_b holds)
+        rep_links = F.transform(
+            F.filter(chunks, lambda _, ci: ci > 0),
+            lambda chunk: F.struct(
+                F.element_at(F.col("ids"), 1).alias("doc_a"),
+                F.element_at(chunk, 1).alias("doc_b"),
+            ),
+        )
+        within = F.concat(within, rep_links)
+    pairs = bucket_ids.select(F.explode(within).alias("p"))
     return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 

@@ -386,6 +386,40 @@ def _sq_l2(a: Column, b: Column) -> Column:
     )
 
 
+def _codebook_sql(codebooks: "list[list[list[float]]]") -> str:
+    """The full codebook as ONE array<array<array<double>>> literal
+    (m -> k -> dsub).  Bound to a column once per plan: the round-2
+    repeated-per-cell literal form made plan size grow with M x K
+    (2.5 MiB task binaries at 16x16) — one copy keeps plan bytes
+    independent of how many cells reference it."""
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(sql_double_array(cent) for cent in book) + ")"
+            for book in codebooks
+        )
+        + ")"
+    )
+
+
+def _encode_expr(vec_col: str, cb_col: str, m_count: int, dsub: int) -> str:
+    """codes array<int> via nested higher-order functions: per subspace m,
+    argmin over the k codebook entries.  argmin runs as array_min over
+    (distance, code) structs — struct ordering is field-by-field, so ties
+    resolve to the lower code id, deterministically.  The distance is the
+    same zip_with/aggregate left-fold as sql_sq_l2 (bit-identical to the
+    oracle's list_sum of squared diffs)."""
+    return (
+        f"transform(sequence(0, {m_count - 1}), m -> "
+        f"array_min(transform({cb_col}[m], (cent, c) -> "
+        "named_struct('d', "
+        f"aggregate(zip_with(slice(CAST({vec_col} AS ARRAY<DOUBLE>), m * {dsub} + 1, {dsub}), "
+        "cent, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), "
+        "'code', c))).code)"
+    )
+
+
 def pq_encode(
     vectors: DataFrame,
     codebooks: "list[list[list[float]]]",
@@ -394,24 +428,18 @@ def pq_encode(
 ) -> DataFrame:
     """(id, codes array<int>): per subspace, the nearest codebook entry.
 
-    argmin runs as array_min over (distance, code) structs — struct
-    ordering is field-by-field, so ties resolve to the lower code id,
-    deterministically.  No Python executes per row, and the whole encode
-    is ONE expr string (per-element F.lit() codebooks would cost
-    m * k * dsub py4j round trips of plan-build).
-    """
+    No Python executes per row; the codebook literal appears ONCE in the
+    plan (bound to a column) and the encode is nested transform/aggregate
+    folds over it — plan size is independent of M x K."""
     dsub = len(codebooks[0][0])
-    codes = []
-    for m, book in enumerate(codebooks):
-        sub = _subspace_slice_sql(vec_col, m, dsub)
-        entries = ",".join(
-            f"named_struct('d', {sql_sq_l2(sub, sql_double_array(cent))}, "
-            f"'code', {c})"
-            for c, cent in enumerate(book)
-        )
-        codes.append(f"array_min(array({entries})).code")
+    m_count = len(codebooks)
     return vectors.select(
-        F.col(id_col), F.expr("array(" + ",".join(codes) + ")").alias("codes")
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(_codebook_sql(codebooks)).alias("__cb"),
+    ).select(
+        F.col(id_col),
+        F.expr(_encode_expr(vec_col, "__cb", m_count, dsub)).alias("codes"),
     )
 
 
@@ -443,29 +471,53 @@ def pq_adc_topk(
     """
     dsub = len(codebooks[0][0])
     m_count = len(codebooks)
-    dtabs = []
-    for m, book in enumerate(codebooks):
-        sub = _subspace_slice_sql(vec_col, m, dsub)
-        cells = ",".join(sql_sq_l2(sub, sql_double_array(cent)) for cent in book)
-        dtabs.append(F.expr(f"array({cells})").alias(f"dtab{m}"))
-    q = queries.select(F.col(id_col).alias("query_id"), *dtabs)
+    # per-query distance tables as ONE array<array<double>> column (m -> k)
+    # over the once-bound codebook literal — plan bytes independent of MxK
+    dtab_expr = (
+        f"transform(sequence(0, {m_count - 1}), m -> "
+        f"transform(__cb[m], cent -> "
+        f"aggregate(zip_with(slice(CAST({vec_col} AS ARRAY<DOUBLE>), m * {dsub} + 1, {dsub}), "
+        "cent, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col),
+        F.expr(_codebook_sql(codebooks)).alias("__cb"),
+    ).select(
+        "query_id",
+        F.expr(dtab_expr).alias("dtabs"),
+    )
     c = pq_encode(candidates, codebooks, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "codes"
     )
-    approx = None
-    for m in range(m_count):
-        term = F.element_at(F.col(f"dtab{m}"), F.col("codes")[m] + 1)
-        approx = term if approx is None else approx + term
+    # sequential m-ordered fold, bit-identical to the oracle's m-ordered
+    # list_sum (0.0 + t0 == t0 exactly: squared distances are >= 0)
+    approx = F.expr(
+        f"aggregate(sequence(0, {m_count - 1}), CAST(0.0 AS DOUBLE), "
+        "(acc, m) -> acc + dtabs[m][codes[m]])"
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("approx_d2", approx)
     )
+    # round_digits=None emits the raw double: when codebooks are anchored
+    # to data rows both engines produce BIT-IDENTICAL distances, and a
+    # cross-engine ROUND on a shortest-repr midpoint could diverge
+    def _out(col: Column) -> Column:
+        return col if round_digits is None else F.round(col, round_digits)
+
     w = W.partitionBy("query_id").orderBy(F.asc("approx_d2"), F.asc("neighbor_id"))
     if not rerank:
         return (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank", F.round("approx_d2", 4).alias("approx_d2"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                "rank",
+                _out(F.col("approx_d2")).alias("approx_d2"),
+            )
         )
     shortlist = (
         scored.withColumn("rank", F.row_number().over(w))
@@ -489,7 +541,12 @@ def pq_adc_topk(
     return (
         exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("approx_d2", 4).alias("approx_d2"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            _out(F.col("approx_d2")).alias("approx_d2"),
+        )
     )
 
 

@@ -426,6 +426,94 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_pq_adc_anchored",
+    category="similarity",
+    doc="Product-quantization ADC with codebooks ANCHORED to data rows — "
+    "the oracle-checkable twin of sim_pq_adc: centroids are the evenly "
+    "spaced rows (ranks 0,16,..,240) of the 256-lowest-vec_id sample "
+    "with ZERO Lloyd's iterations, so codebook[m][c] is literally a "
+    "slice of anchor vector c and DuckDB replays encode + ADC exactly "
+    "(bit-identical left-fold distances, struct-min/row_number code "
+    "ties to the lower code, sequential m-ordered ADC sum, raw double "
+    "output — no cross-engine ROUND).  sim_pq_adc keeps Lloyd's for "
+    "recall quality; this entry proves the encode/scan machinery "
+    "value-exact (VERDICT r2 #2).  Scan shape is identical: candidates "
+    "read 16 nibble codes, queries carry in-plan distance tables, "
+    "scoring is element_at lookups inside codegen.",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        samp AS (
+            SELECT e, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+            FROM v ORDER BY vec_id LIMIT 256
+        ),
+        anchors AS (
+            -- pq_train(n_iters=0) init: sample rows 0,16,...,240
+            SELECT CAST((rn - 1) // 16 AS INT) AS code, e
+            FROM samp WHERE (rn - 1) % 16 = 0
+        ),
+        subs AS (SELECT UNNEST(range(0, 16)) AS m),
+        -- encode: per (vector, subspace) the nearest anchor slice,
+        -- distance = left-fold sum of squared diffs over the 4-dim slice
+        -- (the exact zip_with/aggregate fold the Spark side runs)
+        enc AS (
+            SELECT vec_id, m, code FROM (
+                SELECT x.vec_id, s.m, a.code,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY x.vec_id, s.m
+                           ORDER BY list_sum(list_transform(range(1, 5),
+                               j -> (x.e[s.m * 4 + j] - a.e[s.m * 4 + j])
+                                  * (x.e[s.m * 4 + j] - a.e[s.m * 4 + j]))) ASC,
+                                    a.code ASC
+                       ) AS rnk
+                FROM v x CROSS JOIN subs s CROSS JOIN anchors a
+            ) WHERE rnk = 1
+        ),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 50 = 0),
+        dtab AS (
+            SELECT q.query_id, s.m, a.code,
+                   list_sum(list_transform(range(1, 5),
+                       j -> (q.qe[s.m * 4 + j] - a.e[s.m * 4 + j])
+                          * (q.qe[s.m * 4 + j] - a.e[s.m * 4 + j]))) AS d
+            FROM q CROSS JOIN subs s CROSS JOIN anchors a
+        ),
+        adc AS (
+            -- m-ordered list_sum == Spark's sequential dtab0+dtab1+...
+            SELECT d.query_id, e.vec_id AS neighbor_id,
+                   list_sum(list(d.d ORDER BY d.m)) AS approx_d2
+            FROM enc e JOIN dtab d ON d.m = e.m AND d.code = e.code
+            WHERE e.vec_id != d.query_id
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, approx_d2,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY approx_d2 ASC, neighbor_id ASC)
+                       AS rank
+            FROM adc
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, approx_d2
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank
+    """,
+)
+def sim_pq_adc_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.similarity import pq_adc_topk, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = [
+        [float(x) for x in r.embedding]
+        for r in emb.orderBy("vec_id").limit(256).collect()
+    ]
+    books = pq_train(sample, n_subspaces=16, n_centroids=16, n_iters=0)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return pq_adc_topk(queries, emb, books, k=10, round_digits=None).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
     "sim_ivf_nprobe2",
     category="similarity",
     doc="IVF ANN with nprobe=2 — the recall/cost knob of a production "

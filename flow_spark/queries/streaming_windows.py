@@ -380,3 +380,92 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name).orderBy("skey", "start_us")
+
+
+@register(
+    "stream_asof_enrich",
+    category="streaming",
+    doc="Streaming point-in-time enrichment (stream-batch as-of join, "
+    "VERDICT r2 #7): a watermarked stream of click events is enriched "
+    "per micro-batch with the most recent purchase value at-or-before "
+    "each click's event time for the same user — the SCD2/as-of probe "
+    "shape (operators/asof.py) running on live data.  foreachBatch "
+    "applies the batch as-of operator (union+window, one shuffle) and "
+    "appends to a parquet spool, all executor-side; the availableNow "
+    "drain equals the batch as-of join because as-of matches are "
+    "per-row (runtime-proven in test_streaming_asof_enrichment).  "
+    "Right-side timestamp ties dedup to the greatest purchase event_id "
+    "on both engines; the carried value is untouched parquet data, so "
+    "the comparison is exact.",
+    oracle="""
+        WITH h AS (
+            SELECT user_id, ts, value, event_id FROM events
+            WHERE event_type = 'purchase'
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                       ORDER BY event_id DESC) = 1
+        ),
+        p AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'click' AND event_id % 7 = 0
+        )
+        SELECT p.event_id, p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+               h.value AS asof_value
+        FROM p ASOF LEFT JOIN h
+          ON p.user_id = h.user_id AND p.ts >= h.ts
+        ORDER BY p.event_id
+    """,
+)
+def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flow_spark.catalog import normalize_events_ts, table_path
+    from flow_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    history = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+
+    path = table_path(sf_dir, "events")
+    raw_schema = spark.read.parquet(path).schema
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    probe = (
+        stream.withWatermark("ts", "10 minutes")
+        .filter((F.col("event_type") == "click") & (F.col("event_id") % 7 == 0))
+        .select("event_id", "user_id", "ts")
+    )
+    out_dir = tempfile.mkdtemp(prefix="asof_enrich_out_")
+
+    def enrich(batch: DataFrame, _epoch: int) -> None:
+        enriched = asof_join(
+            batch,
+            history,
+            ts_col="ts",
+            by="user_id",
+            value_cols=["value"],
+            right_id_col="event_id",
+        )
+        enriched.write.mode("append").parquet(out_dir)
+
+    q = (
+        probe.writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="asof_enrich_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(out_dir)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+            F.col("asof_value"),
+        )
+        .orderBy("event_id")
+    )

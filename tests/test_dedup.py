@@ -25,3 +25,53 @@ def test_minhash_fast_path_finds_same_neardups(spark, sf_dir):
     assert fast  # found something
     overlap = len(slow & fast) / max(len(slow | fast), 1)
     assert overlap >= 0.9, (len(slow), len(fast), overlap)
+
+
+def test_hot_bucket_salting_preserves_pairs_and_connectivity(spark):
+    """VERDICT r2 #8: a bucket larger than max_bucket must not simply lose
+    its pairs.  hot_bucket='salt' splits it into sub-buckets (all pairs
+    within each, bounded quadratic) plus rep links keeping the bucket ONE
+    connected component; hot_bucket='drop' (the old behavior) loses it."""
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+    )
+
+    # n_bands=1, rows_per_band=1 -> the band key is just mh0
+    rows = [(i, 7) for i in range(1, 13)] + [(100, 9), (101, 9)]
+    sig = spark.createDataFrame(rows, "doc_id long, mh0 long")
+
+    dropped = lsh_candidate_pairs(
+        sig, n_bands=1, rows_per_band=1, max_bucket=5, hot_bucket="drop"
+    )
+    assert sorted((r.doc_a, r.doc_b) for r in dropped.collect()) == [(100, 101)]
+
+    salted = lsh_candidate_pairs(
+        sig, n_bands=1, rows_per_band=1, max_bucket=5, hot_bucket="salt"
+    )
+    pairs = sorted((r.doc_a, r.doc_b) for r in salted.collect())
+    # chunks [1..5] [6..10] [11,12]: C(5,2)*2 + 1 within + 2 rep links + cold
+    hot_pairs = [p for p in pairs if p[0] < 100]
+    assert len(hot_pairs) == 10 + 10 + 1 + 2
+    assert (100, 101) in pairs
+    # all pairs bounded: every pair is within a chunk or a rep link, so no
+    # doc pairs with more than max_bucket + 1 others
+    assert (1, 6) in hot_pairs and (1, 11) in hot_pairs  # rep links
+    assert (2, 7) not in hot_pairs  # cross-chunk non-rep pair NOT generated
+
+    comp = connected_components(salted.filter(F.col("doc_a") < 100))
+    labels = {r.doc_id: r.component for r in comp.collect()}
+    assert set(labels) == set(range(1, 13))
+    assert len(set(labels.values())) == 1  # one component spans the bucket
+
+    # a cold bucket is identical under both policies
+    cold_only = lsh_candidate_pairs(
+        sig.filter(F.col("doc_id") >= 100),
+        n_bands=1,
+        rows_per_band=1,
+        max_bucket=5,
+        hot_bucket="salt",
+    )
+    assert sorted((r.doc_a, r.doc_b) for r in cold_only.collect()) == [(100, 101)]
