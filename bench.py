@@ -52,6 +52,22 @@ HEADLINE = (
 )
 
 
+def _time_set(spark, queries, sf_dir: str, n_timed: int) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = queries[name]
+        q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # median of n timed runs: single-run numbers swing +-40% under
+        # background load; the median is the stable engine-cost signal
+        runs = []
+        for _ in range(n_timed):
+            t0 = time.perf_counter()
+            q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[n_timed // 2], 3)
+    return timings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
@@ -61,31 +77,40 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     queries = all_queries()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = queries[name]
-        q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        # median of 5 timed runs: single-run numbers swing +-40% under
-        # background load; the median is the stable engine-cost signal
-        runs = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[2], 3)
-
+    timings = _time_set(spark, queries, sf_dir, n_timed=5)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # sf1 section (10x data, same 19 headliners, 3 timed runs): per-query
+    # scale-up ratios are the tracked regression artifact for the 100 TB
+    # question — cost should grow with data while plan shapes don't.
+    # Generated once into .fixtures/sf1 (disjoint key ranges, see
+    # tools/make_sf1.py); skipped when the main run isn't sf0.1.
+    if sf == "0.1" and os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+            from make_sf1 import ensure_sf1
+
+            sf1_dir = ensure_sf1(src=sf_dir)
+            t1 = _time_set(spark, queries, sf1_dir, n_timed=3)
+            out["sf1"] = {
+                "queries": t1,
+                "total_sec": round(sum(t1.values()), 3),
+                "ratio_vs_sf0.1": {
+                    k: round(t1[k] / timings[k], 2) if timings[k] > 0 else None
+                    for k in t1
+                },
             }
-        )
-    )
+        except Exception as e:  # noqa: BLE001 — sf1 is auxiliary, never fail the bench
+            out["sf1"] = {"error": f"{type(e).__name__}: {e}"}
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -134,6 +134,59 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs).orderBy("doc_a", "doc_b")
 
 
+@register(
+    "dedup_minhash_lsh_salted",
+    category="dedup",
+    doc="MinHash LSH with the hot-bucket SALTING policy (VERDICT r2 #8) "
+    "made oracle-checkable: max_bucket=4 forces real hot buckets at "
+    "this corpus, which split into contiguous sub-buckets of 4 (all "
+    "pairs within each) plus rep links from each later sub-bucket's "
+    "first doc to the bucket's first doc — viral clusters keep "
+    "within-chunk recall AND stay one connected component at "
+    "O(n*cap) pairs instead of being dropped (the production default "
+    "keeps cap=1000; cap=4 here is the test harness).  The oracle "
+    "replays chunking via 0-based bucket positions: chunk = pos // 4.",
+    oracle=f"""
+        WITH {_SQL_SHINGLES},
+        sig AS (
+            SELECT doc_id,
+               {_min_cols()}
+            FROM sh GROUP BY doc_id
+        ),
+        buckets AS (
+            SELECT doc_id, UNNEST([{_band_exprs()}]) AS bucket FROM sig
+        ),
+        pos AS (
+            SELECT doc_id, bucket,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY bucket
+                                           ORDER BY doc_id) - 1 AS BIGINT) AS p
+            FROM buckets
+            QUALIFY COUNT(*) OVER (PARTITION BY bucket) >= 2
+        ),
+        within AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM pos a JOIN pos b
+              ON a.bucket = b.bucket AND a.p // 4 = b.p // 4
+             AND a.doc_id < b.doc_id
+        ),
+        rep AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM pos a JOIN pos b
+              ON a.bucket = b.bucket AND a.p = 0 AND b.p % 4 = 0 AND b.p > 0
+        )
+        SELECT DISTINCT doc_a, doc_b
+        FROM (SELECT * FROM within UNION ALL SELECT * FROM rep)
+        ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _augment(load_table(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(word_shingles(corpus, distinct=False))
+    return lsh_candidate_pairs(
+        sigs, max_bucket=4, hot_bucket="salt"
+    ).orderBy("doc_a", "doc_b")
+
+
 # ---- connected components over the near-dup graph --------------------------
 
 

@@ -4,7 +4,15 @@ operators bench.py's headline set doesn't track.  Writes
 FAMILY_BENCH.json so the numbers regression-gate round over round
 (same contract as THROUGHPUT.json).
 
+Regression gate (VERDICT r2 #6): before overwriting, the previous
+FAMILY_BENCH.json is diffed — any query slower than REGRESSION_FACTOR x
+its previous time (and above NOISE_FLOOR_SEC, where scheduling jitter
+dominates) fails the run with exit 2, so the novel-operator families get
+the same round-over-round protection as the 19 bench.py headliners.
+
 Usage: python tools/family_bench.py [sf_dir]
+Exit: 0 ok, 2 regression detected (FAMILY_BENCH.json still refreshed,
+with the offending entries listed in the "regressions" key).
 """
 
 from __future__ import annotations
@@ -21,7 +29,13 @@ from flow_spark.session import get_spark  # noqa: E402
 
 FAMILIES = {
     "graph": ["graph_pagerank", "graph_triangle_count", "graph_degree_histogram"],
-    "ann": ["sim_pq_adc", "sim_ivf_nprobe2", "sim_ivf_ann", "sim_hybrid_rrf"],
+    "ann": [
+        "sim_pq_adc",
+        "sim_pq_adc_anchored",
+        "sim_ivf_nprobe2",
+        "sim_ivf_ann",
+        "sim_hybrid_rrf",
+    ],
     "dedup": ["dedup_ngram_containment", "dedup_components", "dedup_simhash_hamming"],
     "sequence": ["seq_markov_transitions", "seq_pattern_regex", "udtf_partitioned_cusum"],
     "multimodal": ["mm_blockmean_embedding", "mm_extract_features"],
@@ -29,16 +43,45 @@ FAMILIES = {
     "python-exec": ["udf_cogrouped_reconcile", "udf_map_in_arrow", "udf_arrow_optimized"],
     "curation": ["sample_source_rebalance", "feat_hashing_trick", "ts_seasonal_decompose"],
     # full streaming drains (readStream -> stateful op -> memory sink)
-    "stateful-stream": ["stream_gcra_throttle", "stream_sessionize_stateful"],
+    "stateful-stream": [
+        "stream_gcra_throttle",
+        "stream_sessionize_stateful",
+        "stream_asof_enrich",
+    ],
 }
 
+REGRESSION_FACTOR = 1.5
+NOISE_FLOOR_SEC = 0.4  # below this, scheduling jitter dominates the median
 
-def main() -> None:
+
+def _previous(path: str) -> dict[str, float]:
+    """Flat {query: sec} from the prior round's FAMILY_BENCH.json."""
+    if not os.path.exists(path):
+        return {}
+    try:
+        with open(path) as f:
+            prior = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+    flat: dict[str, float] = {}
+    for fam in prior.values():
+        if isinstance(fam, dict):
+            flat.update(fam.get("queries", {}))
+    return flat
+
+
+def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "FAMILY_BENCH.json",
+    )
+    prior = _previous(path)
     spark = get_spark("flow-spark-family-bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     queries = all_queries()
     out: dict[str, dict] = {}
+    regressions: list[dict] = []
     for family, names in FAMILIES.items():
         fam: dict[str, float] = {}
         for name in names:
@@ -50,13 +93,31 @@ def main() -> None:
                 q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
             fam[name] = round(sorted(runs)[1], 3)
+            was = prior.get(name)
+            if (
+                was is not None
+                and fam[name] > NOISE_FLOOR_SEC
+                and fam[name] > REGRESSION_FACTOR * was
+            ):
+                regressions.append(
+                    {"query": name, "was_sec": was, "now_sec": fam[name]}
+                )
         out[family] = {"queries": fam, "total_sec": round(sum(fam.values()), 3)}
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "FAMILY_BENCH.json")
+    if regressions:
+        out["regressions"] = regressions
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
     print(f"wrote {path}")
+    if regressions:
+        for r in regressions:
+            print(
+                f"REGRESSION {r['query']}: {r['was_sec']}s -> {r['now_sec']}s "
+                f"(> {REGRESSION_FACTOR}x)"
+            )
+        return 2
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())
