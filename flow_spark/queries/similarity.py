@@ -793,3 +793,139 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cos_rank", "ip_rank", "rrf", "final_rank")
         .orderBy("query_id", "final_rank")
     )
+
+
+@register(
+    "ml_kmeans_quantized",
+    category="ml",
+    doc="Iterative ML training as EXACT-integer DataFrame ops: one "
+    "unrolled Lloyd's iteration of k-means (k=4) over quantized "
+    "embeddings (q_j = floor(e_j * 1000) — floor of identical doubles, "
+    "no midpoint risk).  Seeds = the 4 lowest-id vectors; assignment = "
+    "integer squared-L2 argmin (struct-min ties to the lower centroid "
+    "id); centroid update = floor(sum/count) per dimension (identical "
+    "IEEE division + floor on both engines); then re-assignment and "
+    "per-cluster (size, integer inertia).  Plan shape per iteration: "
+    "one broadcast of k tiny centroid rows + one groupBy — the exact "
+    "shape MLlib KMeans runs at 100 TB, here value-checked to the last "
+    "integer against DuckDB (the quantization is the algorithm "
+    "contract, not a fudge: every compare/sum is exact, so the oracle "
+    "proves the ITERATION machinery, complementing sim_pq_adc_anchored "
+    "which proves encode/scan).",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(FLOOR(x * 1000.0) AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        seeds AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+                   q AS cent
+            FROM v ORDER BY vec_id LIMIT 4
+        ),
+        a1 AS (
+            SELECT vec_id, cid, q FROM (
+                SELECT v.vec_id, s.cid, v.q,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_sum(list_transform(range(1, 65),
+                               j -> (v.q[j] - s.cent[j]) * (v.q[j] - s.cent[j])))
+                               ASC, s.cid ASC) AS rn
+                FROM v CROSS JOIN seeds s
+            ) WHERE rn = 1
+        ),
+        dims AS (
+            SELECT cid, UNNEST(q) AS qj, UNNEST(range(1, 65)) AS j FROM a1
+        ),
+        upd AS (
+            SELECT cid, j,
+                   CAST(FLOOR(CAST(SUM(qj) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                       AS cj
+            FROM dims GROUP BY cid, j
+        ),
+        cent2 AS (
+            SELECT cid, list(cj ORDER BY j) AS cent FROM upd GROUP BY cid
+        ),
+        a2 AS (
+            SELECT vec_id, cid, d2 FROM (
+                SELECT v.vec_id, c.cid,
+                       list_sum(list_transform(range(1, 65),
+                           j -> (v.q[j] - c.cent[j]) * (v.q[j] - c.cent[j])))
+                           AS d2,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_sum(list_transform(range(1, 65),
+                               j -> (v.q[j] - c.cent[j]) * (v.q[j] - c.cent[j])))
+                               ASC, c.cid ASC) AS rn
+                FROM v CROSS JOIN cent2 c
+            ) WHERE rn = 1
+        )
+        SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(d2) AS BIGINT) AS inertia
+        FROM a2 GROUP BY cid ORDER BY cid
+    """,
+)
+def ml_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 4
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"
+        ).alias("q"),
+    )
+
+    def assign(cents: "list[list[int]]"):
+        # centroids are k tiny model rows shipped as ONE bound literal
+        # (the pq_encode pattern): assignment is a pure map, zero shuffle
+        cb = (
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{int(x)}L" for x in c) + ")" for c in cents
+            )
+            + ")"
+        )
+        pick = (
+            "array_min(transform(__cb, (cent, c) -> named_struct("
+            "'d', aggregate(zip_with(q, cent, (x, y) -> (x - y) * (x - y)), "
+            "0L, (acc, v) -> acc + v), 'cid', c)))"
+        )
+        return q.select("vec_id", "q", F.expr(cb).alias("__cb")).select(
+            "vec_id", "q", F.expr(pick).alias("m")
+        )
+
+    # seeds: the k lowest-id quantized vectors (k model rows -> driver)
+    seeds = [
+        [int(x) for x in r.q] for r in q.orderBy("vec_id").limit(k).collect()
+    ]
+    a1 = assign(seeds).select(F.col("m.cid").alias("cid"), "q")
+    sums = (
+        a1.groupBy("cid")
+        .agg(
+            F.count("*").alias("c"),
+            *[F.sum(F.col("q")[j]).alias(f"s{j}") for j in range(_DIM)],
+        )
+        .collect()
+    )
+    # centroid update on the driver over k EXACT-integer (sum, count)
+    # rows: floor(sum/count) in IEEE double — bit-identical to the
+    # oracle's FLOOR(CAST(SUM AS DOUBLE) / COUNT(*))
+    cents2 = [
+        [int(math.floor(r[f"s{j}"] / r["c"])) for j in range(_DIM)]
+        for r in sorted(sums, key=lambda r: r["cid"])
+    ]
+    a2 = assign(cents2).select(
+        F.col("m.cid").alias("cid"), F.col("m.d").alias("d2")
+    )
+    return (
+        a2.groupBy("cid")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("d2").cast("bigint").alias("inertia"),
+        )
+        .orderBy("cid")
+    )
