@@ -929,3 +929,94 @@ def ml_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+@register(
+    "ml_knn_classify",
+    category="ml",
+    doc="k-NN classification of query vectors: top-7 cosine neighbors "
+    "(same broadcast-queries/one-scan/window-top-k shape as the ANN "
+    "baselines) -> majority label vote with a deterministic tiebreak "
+    "(higher count wins, then smaller label).  The label-propagation / "
+    "weak-supervision primitive of a training-data pipeline, exact on "
+    "both engines: cosine via the shared left-fold expression, votes "
+    "are integers.",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 37 = 0
+        ),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id, c.label,
+                   {_sql_cos('q.qe', 'c.e')} AS cos_raw
+            FROM q JOIN v c ON c.vec_id != q.query_id
+        ),
+        topk AS (
+            SELECT query_id, neighbor_id, label FROM (
+                SELECT query_id, neighbor_id, label,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos_raw DESC, neighbor_id ASC)
+                           AS rank
+                FROM scored
+            ) WHERE rank <= 7
+        ),
+        votes AS (
+            SELECT query_id, label, COUNT(*) AS n_votes
+            FROM topk GROUP BY query_id, label
+        )
+        SELECT query_id, label AS predicted,
+               CAST(n_votes AS BIGINT) AS n_votes
+        FROM (
+            SELECT query_id, label, n_votes,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY n_votes DESC, label ASC) AS rn
+            FROM votes
+        ) WHERE rn = 1
+        ORDER BY query_id
+    """,
+)
+def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from flow_spark.functions.vectors import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        l2_norm(F.col("embedding")).alias("qnrm"),
+    )
+    nparts = spark.sparkContext.defaultParallelism
+    c = emb.repartition(nparts).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("embedding").alias("cvec"),
+        l2_norm(F.col("embedding")).alias("cnrm"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos", dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm"))
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 7)
+        .select("query_id", "label")
+    )
+    votes = topk.groupBy("query_id", "label").agg(F.count("*").alias("n_votes"))
+    w_v = W.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w_v))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("predicted"),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+        )
+        .orderBy("query_id")
+    )

@@ -42,7 +42,7 @@ FAMILIES = {
     "source": ["pysource_synthetic_events"],
     "python-exec": ["udf_cogrouped_reconcile", "udf_map_in_arrow", "udf_arrow_optimized"],
     "curation": ["sample_source_rebalance", "feat_hashing_trick", "ts_seasonal_decompose"],
-    "ml": ["ml_kmeans_quantized"],
+    "ml": ["ml_kmeans_quantized", "ml_knn_classify"],
     # full streaming drains (readStream -> stateful op -> memory sink)
     "stateful-stream": [
         "stream_gcra_throttle",
