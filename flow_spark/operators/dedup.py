@@ -423,6 +423,42 @@ def incremental_neardup_batch(
     return kept
 
 
+def verify_pairs_jaccard(
+    pairs: DataFrame, shingles: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard verification restricted to CANDIDATE pairs — the
+    post-LSH second stage of the canonical near-dup pipeline.
+
+    Unlike ngram_jaccard_pairs (which GENERATES pairs from shared
+    shingles and is therefore quadratic within hot grams), this takes an
+    existing candidate set, so cost is O(|pairs| x shingles-per-doc):
+    two hash joins against the shingle table and one count — linear in
+    the candidate list.  This is the form that runs at 100 TB.
+
+    `shingles` must be the DISTINCT (doc_id, shingle) set (word_shingles
+    default) so counts are set sizes.  Candidate pairs sharing zero
+    shingles verify to jaccard 0 and are dropped by any threshold > 0.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a_sh = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_sh = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        pairs.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
 def ngram_containment_pairs(
     shingles: DataFrame, threshold: float = 0.7, max_gram_docs: int = 1000
 ) -> DataFrame:

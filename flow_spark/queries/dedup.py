@@ -187,6 +187,65 @@ def dedup_minhash_lsh_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+@register(
+    "dedup_lsh_verified",
+    category="dedup",
+    doc="The CANONICAL two-stage near-dup pipeline composed end-to-end: "
+    "MinHash-LSH candidate generation (bucketed, never all-pairs) -> "
+    "exact word-3-gram Jaccard verification >= 0.5 restricted to the "
+    "candidate list (operators/dedup.py::verify_pairs_jaccard — "
+    "O(|candidates| x shingles/doc), two hash joins, linear in the "
+    "candidate list).  This is the production form of the standalone "
+    "ngram entries, whose shared-shingle pair GENERATION is documented "
+    "as quadratic-within-cap; here generation is LSH's job and "
+    "verification never expands beyond the candidates.",
+    oracle=f"""
+        WITH {_SQL_SHINGLES},
+        sig AS (
+            SELECT doc_id,
+               {_min_cols()}
+            FROM sh GROUP BY doc_id
+        ),
+        buckets AS (
+            SELECT doc_id, UNNEST([{_band_exprs()}]) AS bucket FROM sig
+        ),
+        kept AS (
+            SELECT doc_id, bucket FROM buckets
+            QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 1000
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM kept a JOIN kept b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+            FROM pairs p
+            JOIN sh a ON a.doc_id = p.doc_a
+            JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+            GROUP BY p.doc_a, p.doc_b
+        )
+        SELECT doc_a, doc_b,
+               ROUND(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.5
+        ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.dedup import verify_pairs_jaccard
+
+    corpus = _augment(load_table(spark, sf_dir, "documents"))
+    cands = lsh_candidate_pairs(
+        minhash_signatures(word_shingles(corpus, distinct=False))
+    )
+    return verify_pairs_jaccard(cands, word_shingles(corpus), threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 # ---- connected components over the near-dup graph --------------------------
 
 
