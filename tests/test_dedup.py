@@ -75,3 +75,47 @@ def test_hot_bucket_salting_preserves_pairs_and_connectivity(spark):
         hot_bucket="salt",
     )
     assert sorted((r.doc_a, r.doc_b) for r in cold_only.collect()) == [(100, 101)]
+
+
+def test_verify_pairs_jaccard_restricted_to_candidates(spark):
+    """verify_pairs_jaccard scores ONLY the supplied candidate pairs:
+    a high-Jaccard pair NOT in the candidate list must not appear, and a
+    zero-overlap candidate drops under any positive threshold."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from flow_spark.operators.dedup import verify_pairs_jaccard, word_shingles
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),  # exact dup of 1
+            (3, "alpha beta gamma delta zeta"),     # near dup of 1
+            (4, "one two three four five"),         # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    sh = word_shingles(docs)
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 4)], "doc_a long, doc_b long"
+    )  # (1,3) deliberately NOT a candidate
+    out = {(r.doc_a, r.doc_b): r.jaccard for r in
+           verify_pairs_jaccard(cands, sh, threshold=0.5).collect()}
+    assert out == {(1, 2): 1.0}  # (1,4) zero overlap dropped; (1,3) not scored
+
+
+def test_ml_kmeans_quantized_partitioning_invariant(spark):
+    """Exact-integer k-means must give identical clusters/inertia at any
+    shuffle partitioning (all math is exact; argmin ties deterministic)."""
+    from flow_spark.queries.registry import get
+
+    q = get("ml_kmeans_quantized")
+    sf = "/root/testdata/sf0.001"
+    base = [tuple(r) for r in q.builder(spark, sf).collect()]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        alt = [tuple(r) for r in q.builder(spark, sf).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert base == alt
+    assert len(base) == 4 and all(n > 0 for _, n, _ in base)
