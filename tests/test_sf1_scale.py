@@ -29,14 +29,9 @@ PLAN_OPS = (
     "Window",
 )
 
-#: representative mix: scan+agg, multi-join with broadcast dims,
-#: window top-k, decorrelated subquery
-QUERIES = (
-    "q1_pricing_summary",
-    "q9_product_profit",
-    "win_topk_per_group",
-    "q21_waiting_supplier",
-)
+#: ALL 19 bench headliners: a silent broadcast->shuffle flip or a new
+#: Exchange in ANY of them at 10x is exactly the regression this guards
+from bench import HEADLINE as QUERIES  # noqa: E402
 
 
 def _census(df) -> dict[str, int]:
