@@ -1,0 +1,110 @@
+"""Manifest-based table snapshots: reproducible dataset versions.
+
+A training-data pipeline must be able to say "the model was trained on
+dataset v3" and re-read EXACTLY v3 forever, even while the table keeps
+growing.  Lakehouse formats (Delta/Iceberg) do this with manifest files;
+this is the same mechanism, self-contained on parquet + JSON manifests —
+no external format dependency, every piece idiomatic Spark:
+
+- ``snapshot_write(df, table_dir)`` writes the DataFrame's parquet files
+  into a content-addressed data area and commits a JSON manifest
+  ``v{N}.json`` listing exactly the files of that version (an atomic
+  rename makes the version visible all-or-nothing).
+- ``snapshot_read(spark, table_dir, version)`` reads ONLY the files in
+  that manifest (``spark.read.parquet(*files)``), so later writes never
+  leak into an old version — time travel by construction.
+- Versions share unchanged files at the storage level when the caller
+  passes ``reuse_files`` (append-style versions), the same trick that
+  keeps lakehouse snapshots cheap: a new version is a new manifest, not
+  a data copy.
+
+At 100 TB the manifest lists thousands of files; reading a version is
+one driver-side JSON read + a normal parallel parquet scan with full
+pushdown (the file list is just the scan's input split set).
+
+Local-FS paths only, like the jsonl sink (a production variant would
+speak fsspec/Hadoop FS and write manifests with a conditional put).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST_DIR = "_manifests"
+DATA_DIR = "data"
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, MANIFEST_DIR, f"v{version}.json")
+
+
+def current_version(table_dir: str) -> int:
+    """Highest committed version, or 0 if none."""
+    mdir = os.path.join(table_dir, MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return 0
+    versions = [
+        int(f[1:-5])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    return max(versions, default=0)
+
+
+def snapshot_write(
+    df: DataFrame,
+    table_dir: str,
+    reuse_files: "list[str] | None" = None,
+) -> int:
+    """Commit `df` (+ optionally prior files) as the next version.
+
+    Returns the committed version number.  The data files are written
+    under a fresh uuid subdirectory (never overwritten by later writes);
+    the manifest commit is an atomic rename, so a crash mid-write leaves
+    the previous version intact and no partial version visible.
+    """
+    os.makedirs(os.path.join(table_dir, MANIFEST_DIR), exist_ok=True)
+    write_dir = os.path.join(table_dir, DATA_DIR, uuid.uuid4().hex[:12])
+    df.write.mode("error").parquet(write_dir)
+    files = sorted(
+        os.path.join(write_dir, f)
+        for f in os.listdir(write_dir)
+        if f.endswith(".parquet")
+    )
+    version = current_version(table_dir) + 1
+    manifest = {
+        "version": version,
+        "committed_at": time.time(),
+        "files": list(reuse_files or []) + files,
+        "schema": df.schema.json(),
+    }
+    tmp = _manifest_path(table_dir, version) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, _manifest_path(table_dir, version))
+    return version
+
+
+def snapshot_files(table_dir: str, version: int) -> list[str]:
+    with open(_manifest_path(table_dir, version)) as fh:
+        return json.load(fh)["files"]
+
+
+def snapshot_read(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read exactly one committed version (default: latest).
+
+    The manifest's file list becomes the scan's input set — a normal
+    parallel parquet read with pushdown/pruning; files written by later
+    versions are invisible because they are simply not in the list.
+    """
+    v = version if version is not None else current_version(table_dir)
+    if v < 1:
+        raise FileNotFoundError(f"no committed versions in {table_dir}")
+    return spark.read.parquet(*snapshot_files(table_dir, v))

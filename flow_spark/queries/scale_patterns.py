@@ -520,3 +520,62 @@ def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_purchase_lag_us"),
     )
+
+
+@register(
+    "snap_time_travel",
+    category="scale-pattern",
+    doc="Manifest-based dataset snapshots (operators/snapshots.py) — the "
+    "training-data reproducibility primitive: v1 commits orders before "
+    "1997; v2 commits the rest while REUSING v1's files (a new version "
+    "is a new manifest, not a data copy — the lakehouse trick).  Both "
+    "versions are then read back via their manifests (time travel) and "
+    "summarized with exact integers; v1 must be unchanged by v2's "
+    "write.  The atomic-rename manifest commit and crash-safety are "
+    "runtime-tested in tests/test_snapshots.py.",
+    oracle="""
+        SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        UNION ALL
+        SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT)
+        FROM orders
+        ORDER BY version
+    """,
+)
+def snap_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flow_spark.operators.snapshots import (
+        snapshot_files,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    table_dir = tempfile.mkdtemp(prefix="snap_orders_")
+    v1 = snapshot_write(orders.filter(F.col("o_orderdate") < cutoff), table_dir)
+    v2 = snapshot_write(
+        orders.filter(F.col("o_orderdate") >= cutoff),
+        table_dir,
+        reuse_files=snapshot_files(table_dir, v1),
+    )
+    parts = []
+    for v in (v1, v2):
+        parts.append(
+            snapshot_read(spark, table_dir, v).select(
+                F.lit(v).cast("int").alias("version"),
+                F.lit(1).alias("__one"),
+                F.col("o_orderkey"),
+            )
+        )
+    both = parts[0].unionByName(parts[1])
+    return (
+        both.groupBy("version")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("version")
+    )
