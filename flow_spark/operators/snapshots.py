@@ -103,8 +103,19 @@ def snapshot_read(
     The manifest's file list becomes the scan's input set — a normal
     parallel parquet read with pushdown/pruning; files written by later
     versions are invisible because they are simply not in the list.
+
+    The scan uses the MANIFEST's recorded schema, not footer inference:
+    a version whose write added a column reads older reused files with
+    NULLs in the new column (standard parquet missing-column fill),
+    without the all-footers cost of mergeSchema — the manifest is the
+    schema authority, exactly as in lakehouse formats.
     """
+    from pyspark.sql.types import StructType
+
     v = version if version is not None else current_version(table_dir)
     if v < 1:
         raise FileNotFoundError(f"no committed versions in {table_dir}")
-    return spark.read.parquet(*snapshot_files(table_dir, v))
+    with open(_manifest_path(table_dir, v)) as fh:
+        manifest = json.load(fh)
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    return spark.read.schema(schema).parquet(*manifest["files"])

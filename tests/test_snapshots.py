@@ -67,3 +67,20 @@ def test_reads_prune_and_push_down(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(k), EqualTo(k,7)]" in plan
     assert [tuple(r) for r in df.collect()] == [(14,)]
+
+
+def test_schema_evolution_reads_old_files_with_nulls(spark, tmp_path):
+    """A version that ADDS a column still reuses v1's files: the manifest
+    schema is the read authority, so old files fill the new column with
+    NULLs (no mergeSchema footer sweep)."""
+    t = str(tmp_path / "tbl")
+    v1 = snapshot_write(spark.range(3).selectExpr("id AS k"), t)
+    v2 = snapshot_write(
+        spark.range(3, 5).selectExpr("id AS k", "id * 10 AS v"),
+        t,
+        reuse_files=snapshot_files(t, v1),
+    )
+    rows = {r.k: r.v for r in snapshot_read(spark, t, v2).collect()}
+    assert rows == {0: None, 1: None, 2: None, 3: 30, 4: 40}
+    # v1 unchanged, still its own (narrower) schema
+    assert snapshot_read(spark, t, v1).columns == ["k"]
