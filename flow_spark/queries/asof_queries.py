@@ -262,3 +262,84 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recent_click_value"
         ),
     ).orderBy("event_id")
+
+
+@register(
+    "asof_pointintime_features",
+    category="join",
+    doc="Point-in-time feature assembly (the feature-store join that keeps "
+    "training data leakage-free): each purchase ('label event') is "
+    "enriched with the user's most recent click value AND most recent "
+    "view value at-or-before the purchase timestamp — two chained "
+    "as-of joins, each the single-shuffle union+window plan from "
+    "operators/asof.py, so features strictly respect event time (no "
+    "future leakage) and the whole assembly is 2 shuffles on user_id.  "
+    "At 100 TB each feature stream joins independently and the shuffles "
+    "share the user_id partitioning.  Oracle: two native DuckDB ASOF "
+    "LEFT JOINs.",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'click'
+        ),
+        clicks_d AS (SELECT user_id, ts, value FROM clicks WHERE rn = 1),
+        views AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'view'
+        ),
+        views_d AS (SELECT user_id, ts, value FROM views WHERE rn = 1),
+        purchases AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id,
+               p.user_id,
+               ROUND(p.value, 2)                 AS label_value,
+               ROUND(COALESCE(c.value, -1.0), 2) AS f_last_click,
+               ROUND(COALESCE(v.value, -1.0), 2) AS f_last_view
+        FROM purchases p
+        ASOF LEFT JOIN clicks_d c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ASOF LEFT JOIN views_d v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+        ORDER BY p.event_id
+    """,
+)
+def asof_pointintime_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value"), F.col("event_id").alias("click_id")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value"), F.col("event_id").alias("view_id")
+    )
+    with_click = asof_join(
+        purchases,
+        clicks,
+        ts_col="ts",
+        by="user_id",
+        value_cols=["value"],
+        right_id_col="click_id",
+    ).withColumnRenamed("asof_value", "f_click")
+    with_both = asof_join(
+        with_click,
+        views,
+        ts_col="ts",
+        by="user_id",
+        value_cols=["value"],
+        right_id_col="view_id",
+    ).withColumnRenamed("asof_value", "f_view")
+    return with_both.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("label_value"),
+        F.round(F.coalesce("f_click", F.lit(-1.0)), 2).alias("f_last_click"),
+        F.round(F.coalesce("f_view", F.lit(-1.0)), 2).alias("f_last_view"),
+    ).orderBy("event_id")

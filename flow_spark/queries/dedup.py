@@ -680,3 +680,139 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "dedup_url_canonical",
+    category="dedup",
+    doc="URL canonicalization dedup — the first stage of every web-crawl "
+    "training pipeline: raw URLs differ in scheme/host case, an "
+    "explicit default port, tracking (utm_*) params, param order, "
+    "fragments and trailing slashes, yet name the same resource.  "
+    "Canonical form = lower(scheme+host), strip :443, drop fragment, "
+    "drop utm_* params, sort the remaining query params, strip the "
+    "trailing slash; then one hash-groupBy counts raw variants per "
+    "canonical URL.  Pure column expressions (regexp + array HOFs) in "
+    "whole-stage codegen followed by a single shuffle on the canonical "
+    "key — scan-speed at 100 TB.  URLs are synthesized deterministically "
+    "from order keys (the fixtures carry no real URLs).",
+    oracle="""
+        WITH raw AS (
+            SELECT o_orderkey AS k,
+                   (CASE WHEN o_orderkey % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+                   || '://'
+                   || (CASE WHEN o_orderkey % 3 = 0
+                            THEN 'Shop.Example.COM' ELSE 'shop.example.com' END)
+                   || (CASE WHEN o_orderkey % 4 = 0 THEN ':443' ELSE '' END)
+                   || '/cat/' || CAST((o_orderkey % 97) % 7 AS VARCHAR)
+                   || '/item'
+                   || (CASE WHEN o_orderkey % 5 = 0 THEN '/' ELSE '' END)
+                   || (CASE WHEN o_orderkey % 2 = 0
+                            THEN '?b=' || CAST((o_orderkey % 97) % 10 AS VARCHAR)
+                                 || '&a=' || CAST(o_orderkey % 97 AS VARCHAR)
+                                 || '&utm_source=mail'
+                            ELSE '?a=' || CAST(o_orderkey % 97 AS VARCHAR)
+                                 || '&b=' || CAST((o_orderkey % 97) % 10 AS VARCHAR)
+                       END)
+                   || (CASE WHEN o_orderkey % 3 = 1 THEN '#ref' ELSE '' END)
+                   AS url
+            FROM orders
+        ),
+        parts AS (
+            SELECT k, url,
+                   lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+                   replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/]+)', 1)),
+                           ':443', '') AS host,
+                   regexp_replace(
+                       regexp_extract(url, '^[A-Za-z]+://[^/]+([^?#]*)', 1),
+                       '/$', '') AS path,
+                   regexp_extract(url, '\\?([^#]*)', 1) AS query
+            FROM raw
+        ),
+        canon AS (
+            SELECT k, url,
+                   scheme || '://' || host || path ||
+                   CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+            FROM (
+                SELECT k, url, scheme, host, path,
+                       array_to_string(
+                           list_sort(
+                               list_filter(string_split(query, '&'),
+                                           x -> NOT starts_with(x, 'utm_'))),
+                           '&') AS q
+                FROM parts
+            )
+        )
+        SELECT canonical_url,
+               COUNT(*) AS n_raw,
+               COUNT(DISTINCT url) AS n_distinct_raw
+        FROM canon
+        GROUP BY canonical_url
+        ORDER BY canonical_url
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = (k % 97).cast("string")
+    b10 = ((k % 97) % 10).cast("string")
+    url = F.concat(
+        F.when(k % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(k % 3 == 0, F.lit("Shop.Example.COM")).otherwise(
+            F.lit("shop.example.com")
+        ),
+        F.when(k % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/cat/"),
+        ((k % 97) % 7).cast("string"),
+        F.lit("/item"),
+        F.when(k % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            k % 2 == 0,
+            F.concat(F.lit("?b="), b10, F.lit("&a="), base, F.lit("&utm_source=mail")),
+        ).otherwise(F.concat(F.lit("?a="), base, F.lit("&b="), b10)),
+        F.when(k % 3 == 1, F.lit("#ref")).otherwise(F.lit("")),
+    )
+    raw = o.select(F.col("o_orderkey").alias("k"), url.alias("url"))
+    parts = raw.select(
+        "k",
+        "url",
+        F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1)).alias("scheme"),
+        F.replace(
+            F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/]+)", 1)),
+            F.lit(":443"),
+            F.lit(""),
+        ).alias("host"),
+        F.regexp_replace(
+            F.regexp_extract("url", r"^[A-Za-z]+://[^/]+([^?#]*)", 1), r"/$", ""
+        ).alias("path"),
+        F.regexp_extract("url", r"\?([^#]*)", 1).alias("query"),
+    )
+    q = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split("query", "&"),
+                lambda x: ~x.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    canon = parts.select(
+        "k",
+        "url",
+        F.concat(
+            F.col("scheme"),
+            F.lit("://"),
+            F.col("host"),
+            F.col("path"),
+            F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+        ).alias("canonical_url"),
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.countDistinct("url").alias("n_distinct_raw"),
+        )
+        .orderBy("canonical_url")
+    )

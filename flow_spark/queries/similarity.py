@@ -1020,3 +1020,92 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "sample_negatives_contrastive",
+    category="similarity",
+    doc="Deterministic negative sampling for contrastive training: each "
+    "anchor embedding gets k=3 negatives drawn by MODULAR PROBING — "
+    "probe j targets vec_id (anchor*48271 + j*2654435761 + 12345) mod N "
+    "— then an equi-join fetches the candidates, same-label and "
+    "self collisions are filtered, duplicate probes collapse to their "
+    "first slot, and the 3 lowest surviving slots win.  All-integer "
+    "and replayable from the ids alone (no RNG state, no shuffle "
+    "dependence): retries, re-partitions and the DuckDB oracle all "
+    "produce the identical pair set.  One broadcast-able join on the "
+    "probe key instead of the anchors x candidates cross join — "
+    "O(m*n) rows with m=8 probes, linear at 100 TB.  Hard-negative "
+    "variants swap the probe target for an LSH bucket key (see "
+    "sim_lsh_ann); the sampling skeleton is identical.",
+    oracle="""
+        WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+        probes AS (
+            SELECT e.vec_id AS anchor_id, e.label AS anchor_label, t.j,
+                   (e.vec_id * 48271 + t.j * 2654435761 + 12345) % n.n AS cand_id
+            FROM embeddings e, n, range(0, 8) t(j)
+        ),
+        hits AS (
+            SELECT p.anchor_id, p.cand_id AS neg_id, MIN(p.j) AS slot,
+                   ANY_VALUE(c.label) AS neg_label
+            FROM probes p
+            JOIN embeddings c ON c.vec_id = p.cand_id
+            WHERE c.label <> p.anchor_label AND p.cand_id <> p.anchor_id
+            GROUP BY p.anchor_id, p.cand_id
+        ),
+        ranked AS (
+            SELECT anchor_id, neg_id, neg_label,
+                   ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                      ORDER BY slot, neg_id) AS neg_rank
+            FROM hits
+        )
+        SELECT anchor_id, neg_rank, neg_id, neg_label
+        FROM ranked WHERE neg_rank <= 3
+        ORDER BY anchor_id, neg_rank
+    """,
+)
+def sample_negatives_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_row = emb.agg(F.count("*").alias("n"))
+    anchors = emb.select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("anchor_label")
+    )
+    probes = (
+        anchors.crossJoin(F.broadcast(n_row))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"),
+            F.col("n"),
+        )
+        .withColumn(
+            "cand_id",
+            (
+                F.col("anchor_id") * F.lit(48271)
+                + F.col("j") * F.lit(2654435761)
+                + F.lit(12345)
+            )
+            % F.col("n"),
+        )
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("label").alias("neg_label")
+    )
+    hits = (
+        probes.join(cands, "cand_id")
+        .filter(
+            (F.col("neg_label") != F.col("anchor_label"))
+            & (F.col("cand_id") != F.col("anchor_id"))
+        )
+        .groupBy("anchor_id", F.col("cand_id").alias("neg_id"))
+        .agg(F.min("j").alias("slot"), F.any_value("neg_label").alias("neg_label"))
+    )
+    w = W.partitionBy("anchor_id").orderBy("slot", "neg_id")
+    return (
+        hits.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 3)
+        .select("anchor_id", "neg_rank", "neg_id", "neg_label")
+        .orderBy("anchor_id", "neg_rank")
+    )

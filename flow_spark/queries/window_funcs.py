@@ -801,3 +801,89 @@ def win_streak_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def _skyline_prune(parts: DataFrame, price: str, size: str) -> DataFrame:
+    """Keep only rows not dominated WITHIN their current partition.
+
+    Dominance (minimize price, maximize size): b dominates a iff
+    b.price <= a.price AND b.size >= a.size with at least one strict.
+    Within one partition a sort by price makes this two running checks:
+
+    - strictly cheaper rows: ``max(size) RANGE UNBOUNDED..-1`` on the
+      integer price axis — if that max >= my size, a strictly cheaper
+      row is at-least-as-big and dominates me;
+    - equal-price rows: ``max(size) PARTITION BY (pid, price)`` — if a
+      price-tie has strictly more size it dominates me (equal price AND
+      equal size is a duplicate, not dominance: both survive).
+
+    Correctness of partition-local pruning: dominance is transitive and
+    partition-local domination implies global domination, so pruning per
+    partition never removes a global skyline point — it only shrinks the
+    candidate set the (tiny) global pass must sort.
+    """
+    pid = parts.withColumn("__pid", F.spark_partition_id())
+    w_cheaper = (
+        W.partitionBy("__pid")
+        .orderBy(price)
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    w_tie = W.partitionBy("__pid", price)
+    pruned = (
+        pid.withColumn("__mx_cheaper", F.max(size).over(w_cheaper))
+        .withColumn("__mx_tie", F.max(size).over(w_tie))
+        .filter(
+            ~(
+                F.coalesce(F.col("__mx_cheaper") >= F.col(size), F.lit(False))
+                | (F.col("__mx_tie") > F.col(size))
+            )
+        )
+        .drop("__pid", "__mx_cheaper", "__mx_tie")
+    )
+    return pruned
+
+
+@register(
+    "win_skyline_pareto",
+    category="window",
+    doc="Pareto frontier (skyline) of parts — minimize retail price, "
+    "maximize size — WITHOUT a self-join: phase 1 prunes each "
+    "partition to its local skyline with two window running-max checks "
+    "(local domination implies global domination, so no frontier point "
+    "is lost), phase 2 re-runs the same two checks on the tiny survivor "
+    "set in one partition.  The classic distributed-skyline shape: the "
+    "O(n) data is touched once map-side, only O(frontier) rows reach "
+    "the global sort — the NOT EXISTS self-join form the oracle uses "
+    "would be quadratic at 100 TB.  Prices compare in exact integer "
+    "cents; equal (price, size) duplicates all survive (dominance "
+    "requires one strict inequality).",
+    oracle="""
+        WITH p AS (
+            SELECT p_partkey,
+                   CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+                   p_size
+            FROM part
+        )
+        SELECT a.p_partkey, a.price_cents, CAST(a.p_size AS INT) AS p_size
+        FROM p a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p b
+            WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+              AND (b.price_cents < a.price_cents OR b.p_size > a.p_size)
+        )
+        ORDER BY a.p_partkey
+    """,
+)
+def win_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+        F.col("p_size").cast("int").alias("p_size"),
+    )
+    local = _skyline_prune(parts, "price_cents", "p_size")
+    # survivors are O(frontier) per partition; one partition is safe for
+    # the global pass (coalesce(1) not repartition: no extra shuffle map)
+    global_sky = _skyline_prune(local.coalesce(1), "price_cents", "p_size")
+    return global_sky.select("p_partkey", "price_cents", "p_size").orderBy(
+        "p_partkey"
+    )
