@@ -119,3 +119,58 @@ def snapshot_read(
         manifest = json.load(fh)
     schema = StructType.fromJson(json.loads(manifest["schema"]))
     return spark.read.schema(schema).parquet(*manifest["files"])
+
+
+def snapshot_upsert(
+    spark: SparkSession,
+    batch: DataFrame,
+    table_dir: str,
+    key_col: str,
+) -> int:
+    """MERGE (upsert) `batch` into the latest version, copy-on-write.
+
+    Lakehouse MERGE semantics at the manifest layer: rows whose key
+    appears in `batch` are replaced, new keys are inserted, and — the
+    part that matters at 100 TB — only the FILES that actually contain
+    an affected key are rewritten:
+
+    1. scan the current version with ``_metadata.file_path`` and
+       semi-join against the batch keys -> the affected-file list
+       (driver-side collect bounded by the file count, not row count);
+    2. anti-join ONLY those files' rows against the batch keys -> the
+       surviving rows that must be carried over;
+    3. commit survivors + batch as new files, manifest = (old files
+       minus affected) + new files.
+
+    Untouched files are reused by reference, so a point update to one
+    key rewrites one file, not the table.  First write (version 0)
+    degenerates to a plain snapshot_write.  Returns the new version.
+    """
+    from pyspark.sql import functions as F
+
+    if current_version(table_dir) < 1:
+        return snapshot_write(batch.dropDuplicates([key_col]), table_dir)
+
+    cur_files = snapshot_files(table_dir, current_version(table_dir))
+    keys = batch.select(key_col).distinct()
+    with_path = spark.read.parquet(*cur_files).select(
+        F.col(key_col), F.col("_metadata.file_path").alias("__fp")
+    )
+    affected = [
+        r[0]
+        for r in with_path.join(F.broadcast(keys), key_col, "left_semi")
+        .select("__fp")
+        .distinct()
+        .collect()
+    ]
+    # file_path comes back URI-style (file:///...); manifests store raw paths
+    affected_raw = {p.removeprefix("file:") for p in affected}
+    untouched = [f for f in cur_files if f not in affected_raw]
+    if affected_raw:
+        survivors = spark.read.parquet(*sorted(affected_raw)).join(
+            F.broadcast(keys), key_col, "left_anti"
+        )
+        new_rows = survivors.unionByName(batch.dropDuplicates([key_col]))
+    else:
+        new_rows = batch.dropDuplicates([key_col])
+    return snapshot_write(new_rows, table_dir, reuse_files=untouched)

@@ -114,6 +114,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(_INIT_MICRO).cast("bigint").alias("rank")
     )
+    # NOTE: edges_deg is deliberately NOT cached/checkpointed even though
+    # the loop reuses it N times — measured at sf0.1, localCheckpoint
+    # (store + truncate) costs MORE than the re-run of the scan+distinct
+    # (2.9 s -> 3.4 s): the recompute is two codegen stages over a small
+    # distinct set, while checkpointing serializes every partition.  At
+    # 100 TB with an expensive upstream, flip to .localCheckpoint().
     edges_deg = edges.join(deg, "src")
     for _ in range(_N_ITER):
         ranks = (

@@ -579,3 +579,69 @@ def snap_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version")
     )
+
+
+@register(
+    "snap_upsert_merge",
+    category="scale-pattern",
+    doc="Copy-on-write MERGE at the manifest layer "
+    "(operators/snapshots.py:snapshot_upsert) — the CDC-apply primitive "
+    "lakehouse tables are built on: an initial customer load takes two "
+    "update batches (balance adjustments keyed by custkey, later batch "
+    "wins), each committed as a new snapshot version that rewrites ONLY "
+    "the parquet files containing an affected key (file-level pruning "
+    "via _metadata.file_path semi-join) and reuses the rest by "
+    "reference.  The latest version is then summarized in exact integer "
+    "cents per custkey%10 bucket; the oracle replays the same two-batch "
+    "merge as a CASE expression.  Streaming foreachBatch drives the "
+    "identical operator in tests/test_snapshots.py.  At 100 TB a point "
+    "update rewrites one file, not the table — and every intermediate "
+    "version stays readable (the training-set audit trail).",
+    oracle="""
+        WITH final AS (
+            SELECT c_custkey,
+                   CASE
+                     WHEN c_custkey % 7 = 0
+                       THEN CAST(ROUND(c_acctbal * 100) AS BIGINT) + 2000
+                     WHEN c_custkey % 5 = 0
+                       THEN CAST(ROUND(c_acctbal * 100) AS BIGINT) + 1000
+                     ELSE CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                   END AS bal_cents
+            FROM customer
+        )
+        SELECT c_custkey % 10 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(bal_cents) AS BIGINT) AS sum_bal_cents
+        FROM final
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+)
+def snap_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flow_spark.operators.snapshots import snapshot_read, snapshot_upsert
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    table_dir = tempfile.mkdtemp(prefix="snap_cust_")
+    snapshot_upsert(spark, cust.repartitionByRange(4, "c_custkey"), table_dir, "c_custkey")
+    batch1 = cust.filter(F.col("c_custkey") % 5 == 0).withColumn(
+        "bal_cents", F.col("bal_cents") + 1000
+    )
+    snapshot_upsert(spark, batch1, table_dir, "c_custkey")
+    batch2 = cust.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "bal_cents", F.col("bal_cents") + 2000
+    )
+    snapshot_upsert(spark, batch2, table_dir, "c_custkey")
+    latest = snapshot_read(spark, table_dir)
+    return (
+        latest.groupBy((F.col("c_custkey") % 10).alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("bal_cents").cast("bigint").alias("sum_bal_cents"),
+        )
+        .orderBy("bucket")
+    )

@@ -84,3 +84,78 @@ def test_schema_evolution_reads_old_files_with_nulls(spark, tmp_path):
     assert rows == {0: None, 1: None, 2: None, 3: 30, 4: 40}
     # v1 unchanged, still its own (narrower) schema
     assert snapshot_read(spark, t, v1).columns == ["k"]
+
+
+def test_upsert_replaces_and_inserts(spark, tmp_path):
+    from flow_spark.operators.snapshots import snapshot_upsert
+
+    t = str(tmp_path / "tbl")
+    v1 = snapshot_upsert(
+        spark, spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string"),
+        t, "k",
+    )
+    v2 = snapshot_upsert(
+        spark, spark.createDataFrame([(2, "B"), (4, "d")], "k int, v string"), t, "k"
+    )
+    got = {(r.k, r.v) for r in snapshot_read(spark, t, v2).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+    # old version untouched (time travel across MERGE)
+    old = {(r.k, r.v) for r in snapshot_read(spark, t, v1).collect()}
+    assert old == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_upsert_rewrites_only_affected_files(spark, tmp_path):
+    from flow_spark.operators.snapshots import snapshot_upsert
+
+    t = str(tmp_path / "tbl")
+    # two files with disjoint key ranges (repartition by range on k)
+    base = spark.range(100).selectExpr("CAST(id AS INT) AS k", "'old' AS v")
+    snapshot_write(base.repartitionByRange(2, "k"), t)
+    v1_files = set(snapshot_files(t, 1))
+    assert len(v1_files) == 2
+    # update one key -> exactly one of the two files is rewritten
+    v2 = snapshot_upsert(
+        spark, spark.createDataFrame([(7, "new")], "k int, v string"), t, "k"
+    )
+    v2_files = set(snapshot_files(t, v2))
+    assert len(v1_files & v2_files) == 1, "untouched file must be reused by reference"
+    got = dict((r.k, r.v) for r in snapshot_read(spark, t, v2).collect())
+    assert got[7] == "new" and got[8] == "old" and len(got) == 100
+
+
+def test_streaming_upsert_foreachbatch(spark, tmp_path):
+    """Streaming MERGE: a rate-limited stream of key updates drained with
+    availableNow + foreachBatch(snapshot_upsert) must land the same final
+    state as applying the batches sequentially in batch mode — and every
+    intermediate version stays readable (audit trail of the stream)."""
+    import json as _json
+    from flow_spark.operators.snapshots import current_version, snapshot_upsert
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [(1, 10), (2, 20)],
+        [(2, 21), (3, 30)],
+        [(1, 11), (4, 40)],
+    ]
+    for i, rows in enumerate(batches):
+        with open(src / f"b{i}.jsonl", "w") as fh:
+            for k, v in rows:
+                fh.write(_json.dumps({"k": k, "v": v}) + "\n")
+    t = str(tmp_path / "tbl")
+    stream = (
+        spark.readStream.schema("k int, v int")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda df, bid: snapshot_upsert(df.sparkSession, df, t, "k"))
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {(r.k, r.v) for r in snapshot_read(spark, t).collect()}
+    assert final == {(1, 11), (2, 21), (3, 30), (4, 40)}
+    # the per-batch versions are the stream's audit trail
+    assert current_version(t) >= 1
