@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from flow_spark.catalog import load_table
+from flow_spark.functions.hashing import portable_hash_expr
 from flow_spark.queries.registry import register
 
 _K = 64
@@ -383,4 +384,114 @@ def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact_union",
         )
         .orderBy("flag_a", "flag_b")
+    )
+
+
+_CMS_D = 4  # depth: independent hash rows
+_CMS_W = 64  # width: buckets per row
+
+
+def _cms_bucket_sql(depth: int) -> str:
+    h = portable_hash_expr("CAST(user_id AS VARCHAR)", salt=f"cms{depth}")
+    return f"(({h}) % {_CMS_W} + {_CMS_W}) % {_CMS_W}"
+
+
+@register(
+    "sketch_countmin",
+    category="sketch",
+    doc="Count-Min sketch (Cormode & Muthukrishnan 2005) built as a pure "
+    "aggregation: each event fans out to depth=4 (row, bucket) cells "
+    "on independent portable hashes, one groupBy counts the 4x64 cell "
+    "matrix (mergeable map-side — the sketch IS a partial aggregate, "
+    "which is why it works at 100 TB where exact per-key counts "
+    "shuffle every key), and point queries take the MIN over the 4 "
+    "cells a key hashes to (overestimates only, never under).  The "
+    "probe set's exact counts ride along so the driver checks both the "
+    "sketch cells and the one-sided error invariant.  Every count and "
+    "hash is exact integer — bit-identical in the DuckDB replay.",
+    oracle=f"""
+        WITH cells AS (
+            SELECT d.depth, buckets.b AS bucket, COUNT(*) AS c
+            FROM events, (VALUES (0), (1), (2), (3)) d(depth),
+                 LATERAL (SELECT CASE d.depth
+                     WHEN 0 THEN {_cms_bucket_sql(0)}
+                     WHEN 1 THEN {_cms_bucket_sql(1)}
+                     WHEN 2 THEN {_cms_bucket_sql(2)}
+                     ELSE {_cms_bucket_sql(3)} END AS b) buckets
+            GROUP BY d.depth, buckets.b
+        ),
+        probes AS (
+            SELECT user_id, COUNT(*) AS exact_n FROM events
+            WHERE user_id % 20 = 0 GROUP BY user_id
+        ),
+        probe_cells AS (
+            SELECT p.user_id, p.exact_n, d.depth,
+                   CASE d.depth
+                     WHEN 0 THEN {_cms_bucket_sql(0)}
+                     WHEN 1 THEN {_cms_bucket_sql(1)}
+                     WHEN 2 THEN {_cms_bucket_sql(2)}
+                     ELSE {_cms_bucket_sql(3)} END AS bucket
+            FROM probes p, (VALUES (0), (1), (2), (3)) d(depth)
+        )
+        SELECT pc.user_id,
+               CAST(ANY_VALUE(pc.exact_n) AS BIGINT) AS exact_n,
+               CAST(MIN(c.c) AS BIGINT) AS cms_est
+        FROM probe_cells pc
+        JOIN cells c ON c.depth = pc.depth AND c.bucket = pc.bucket
+        GROUP BY pc.user_id
+        ORDER BY pc.user_id
+    """,
+)
+def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.functions.hashing import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+
+    def bucket(depth: int) -> F.Column:
+        return F.pmod(
+            portable_hash64(F.col("user_id").cast("string"), salt=f"cms{depth}"),
+            F.lit(_CMS_W),
+        )
+
+    fanout = ev.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("depth"), bucket(d).alias("bucket")
+                    )
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("cell"),
+    ).select("user_id", "cell.depth", "cell.bucket")
+    cells = fanout.groupBy("depth", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    probes = (
+        ev.filter(F.col("user_id") % 20 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    probe_cells = probes.select(
+        "user_id",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("depth"), bucket(d).alias("bucket")
+                    )
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("cell"),
+    ).select("user_id", "exact_n", "cell.depth", "cell.bucket")
+    return (
+        probe_cells.join(F.broadcast(cells), ["depth", "bucket"])
+        .groupBy("user_id")
+        .agg(
+            F.any_value("exact_n").cast("bigint").alias("exact_n"),
+            F.min("c").cast("bigint").alias("cms_est"),
+        )
+        .orderBy("user_id")
     )

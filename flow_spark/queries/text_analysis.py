@@ -993,3 +993,62 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sample_split_by_group",
+    category="text-analysis",
+    doc="GROUP-leakage-free train/val/test split: the split key is the "
+    "USER hash, not the event hash, so every event of a user lands in "
+    "the same split — the assignment a row-level split gets wrong "
+    "(a user's history leaking across train and val inflates eval).  "
+    "Same portable-hash determinism as sample_train_val_test: retries, "
+    "repartitions and both engines agree row for row.  Outputs "
+    "per-split distinct-user and event counts plus an exact value sum; "
+    "the per-split user counts summing to the global distinct-user "
+    "count IS the no-leakage invariant (a user in two splits would "
+    "double-count).  One hash + one aggregation: scan-speed at 100 TB.",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT user_id, value,
+                   CASE WHEN h < 80 THEN 'train'
+                        WHEN h < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT *,
+                       {portable_hash_expr("CAST(user_id AS VARCHAR)", salt='grpsplit')}
+                       % 100 AS h
+                FROM events
+            )
+        )
+        SELECT split,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents_sum
+        FROM assigned
+        GROUP BY split
+        ORDER BY split
+    """,
+)
+def sample_split_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.functions.hashing import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    h = F.pmod(
+        portable_hash64(F.col("user_id").cast("string"), salt="grpsplit"),
+        F.lit(100),
+    )
+    split = F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    return (
+        ev.select("user_id", "value", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents_sum"),
+        )
+        .orderBy("split")
+    )
