@@ -36,13 +36,31 @@ FAMILIES = {
         "sim_ivf_ann",
         "sim_hybrid_rrf",
     ],
-    "dedup": ["dedup_ngram_containment", "dedup_components", "dedup_simhash_hamming"],
+    "dedup": [
+        "dedup_ngram_containment",
+        "dedup_components",
+        "dedup_simhash_hamming",
+        "dedup_url_canonical",
+    ],
     "sequence": ["seq_markov_transitions", "seq_pattern_regex", "udtf_partitioned_cusum"],
     "multimodal": ["mm_blockmean_embedding", "mm_extract_features"],
     "source": ["pysource_synthetic_events"],
     "python-exec": ["udf_cogrouped_reconcile", "udf_map_in_arrow", "udf_arrow_optimized"],
-    "curation": ["sample_source_rebalance", "feat_hashing_trick", "ts_seasonal_decompose"],
-    "ml": ["ml_kmeans_quantized", "ml_knn_classify"],
+    "curation": [
+        "sample_source_rebalance",
+        "feat_hashing_trick",
+        "ts_seasonal_decompose",
+        "sample_split_by_group",
+        "sketch_countmin",
+        "snap_upsert_merge",
+        "win_skyline_pareto",
+    ],
+    "ml": [
+        "ml_kmeans_quantized",
+        "ml_knn_classify",
+        "sample_negatives_contrastive",
+        "asof_pointintime_features",
+    ],
     # full streaming drains (readStream -> stateful op -> memory sink)
     "stateful-stream": [
         "stream_gcra_throttle",
