@@ -174,3 +174,70 @@ def snapshot_upsert(
     else:
         new_rows = batch.dropDuplicates([key_col])
     return snapshot_write(new_rows, table_dir, reuse_files=untouched)
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int,
+    key_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Changefeed between two committed versions (Delta's table_changes).
+
+    Returns one row per changed key with ``change_type`` in
+    {'insert', 'update', 'delete'}, the new values for insert/update and
+    the old values for delete.  Unchanged keys are never emitted.
+
+    Manifest-level pruning makes this proportional to the CHANGED data,
+    not the table: a file listed in both manifests holds byte-identical
+    rows in both versions (files are immutable; versions share them by
+    reference), so only each side's exclusive files are read and
+    full-outer-joined.  A point update that rewrote one file diffs one
+    old file against one new file — at 100 TB the diff of two adjacent
+    versions touches megabytes, not the table.
+    """
+    from pyspark.sql import functions as F
+
+    old_files = set(snapshot_files(table_dir, from_version))
+    new_files = set(snapshot_files(table_dir, to_version))
+    old_only = sorted(old_files - new_files)
+    new_only = sorted(new_files - old_files)
+    cols = [key_col, *value_cols]
+    empty = spark.createDataFrame(
+        [], snapshot_read(spark, table_dir, to_version).select(*cols).schema
+    )
+    old_df = (
+        spark.read.parquet(*old_only).select(*cols) if old_only else empty
+    )
+    new_df = (
+        spark.read.parquet(*new_only).select(*cols) if new_only else empty
+    )
+    o = old_df.select(
+        F.col(key_col).alias("__k"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("__old"),
+    )
+    n = new_df.select(
+        F.col(key_col).alias("__k"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("__new"),
+    )
+    joined = o.join(n, "__k", "full_outer")
+    # NOTE: a key can sit in an old-only file while its row is unchanged
+    # (its file was rewritten because a NEIGHBOR in the file changed) —
+    # such keys appear on both sides with equal values and are dropped.
+    changes = joined.select(
+        F.col("__k").alias(key_col),
+        F.when(F.col("__old").isNull(), F.lit("insert"))
+        .when(F.col("__new").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("change_type"),
+        F.coalesce("__new", "__old").alias("__vals"),
+        F.col("__old").alias("__oldvals"),
+    ).filter(
+        (F.col("change_type") != "update")
+        | (F.col("__vals") != F.col("__oldvals"))
+    )
+    return changes.select(
+        key_col, "change_type", *[F.col(f"__vals.{c}").alias(c) for c in value_cols]
+    )

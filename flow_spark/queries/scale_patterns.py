@@ -645,3 +645,79 @@ def snap_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "snap_changefeed",
+    category="scale-pattern",
+    doc="CDC EXTRACT between snapshot versions "
+    "(operators/snapshots.py:snapshot_changes — Delta's table_changes): "
+    "v1 loads customers, v2 MERGEs balance updates (custkey%5) and "
+    "inserts synthetic new keys (custkey%13, offset +10M), then the "
+    "changefeed v1->v2 emits exactly the inserted and updated keys with "
+    "change_type.  Manifest-level pruning means only files EXCLUSIVE to "
+    "one manifest are read and full-outer-joined — shared files are "
+    "byte-identical by construction, so diffing two adjacent versions "
+    "of a 100 TB table touches only the rewritten files.  Output is the "
+    "per-change_type census in exact integer cents; the oracle replays "
+    "the merge algebraically.",
+    oracle="""
+        WITH updates AS (
+            SELECT c_custkey,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) + 1000 AS bal_cents
+            FROM customer WHERE c_custkey % 5 = 0
+        ),
+        inserts AS (
+            SELECT c_custkey + 10000000 AS c_custkey,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+            FROM customer WHERE c_custkey % 13 = 0
+        ),
+        changes AS (
+            SELECT 'update' AS change_type, c_custkey, bal_cents FROM updates
+            UNION ALL
+            SELECT 'insert', c_custkey, bal_cents FROM inserts
+        )
+        SELECT change_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+               CAST(SUM(bal_cents) AS BIGINT) AS bal_cents_sum
+        FROM changes
+        GROUP BY change_type
+        ORDER BY change_type
+    """,
+)
+def snap_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flow_spark.operators.snapshots import snapshot_changes, snapshot_upsert
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    table_dir = tempfile.mkdtemp(prefix="snap_cdc_")
+    v1 = snapshot_upsert(
+        spark, cust.repartitionByRange(4, "c_custkey"), table_dir, "c_custkey"
+    )
+    batch = (
+        cust.filter(F.col("c_custkey") % 5 == 0)
+        .withColumn("bal_cents", F.col("bal_cents") + 1000)
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 10000000).alias("c_custkey"), "bal_cents"
+            )
+        )
+    )
+    v2 = snapshot_upsert(spark, batch, table_dir, "c_custkey")
+    cf = snapshot_changes(
+        spark, table_dir, v1, v2, "c_custkey", ["bal_cents"]
+    )
+    return (
+        cf.groupBy("change_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("c_custkey").cast("bigint").alias("key_sum"),
+            F.sum("bal_cents").cast("bigint").alias("bal_cents_sum"),
+        )
+        .orderBy("change_type")
+    )

@@ -159,3 +159,70 @@ def test_streaming_upsert_foreachbatch(spark, tmp_path):
     assert final == {(1, 11), (2, 21), (3, 30), (4, 40)}
     # the per-batch versions are the stream's audit trail
     assert current_version(t) >= 1
+
+
+def test_changefeed_insert_update_delete(spark, tmp_path):
+    from flow_spark.operators.snapshots import snapshot_changes, snapshot_upsert
+
+    t = str(tmp_path / "tbl")
+    v1 = snapshot_upsert(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string"),
+        t, "k",
+    )
+    # v2: update k=2, insert k=4
+    v2 = snapshot_upsert(
+        spark, spark.createDataFrame([(2, "B"), (4, "d")], "k int, v string"), t, "k"
+    )
+    # v3: delete k=3 (full-state rewrite without the key)
+    from flow_spark.operators.snapshots import snapshot_read, snapshot_write
+    import pyspark.sql.functions as F
+
+    v3 = snapshot_write(snapshot_read(spark, t, v2).filter(F.col("k") != 3), t)
+    got = {
+        (r.k, r.change_type, r.v)
+        for r in snapshot_changes(spark, t, v1, v3, "k", ["v"]).collect()
+    }
+    assert got == {(2, "update", "B"), (4, "insert", "d"), (3, "delete", "c")}
+
+
+def test_changefeed_skips_shared_files(spark, tmp_path):
+    """A point update diffs only the rewritten file pair: keys living in
+    files shared by both manifests never even enter the join."""
+    from flow_spark.operators.snapshots import snapshot_changes, snapshot_upsert
+
+    t = str(tmp_path / "tbl")
+    base = spark.range(100).selectExpr("CAST(id AS INT) AS k", "'old' AS v")
+    v1 = snapshot_upsert(spark, base.repartitionByRange(4, "k"), t, "k")
+    v2 = snapshot_upsert(
+        spark, spark.createDataFrame([(7, "new")], "k int, v string"), t, "k"
+    )
+    cf = snapshot_changes(spark, t, v1, v2, "k", ["v"])
+    assert {(r.k, r.change_type, r.v) for r in cf.collect()} == {(7, "update", "new")}
+    # pruning evidence: each side of the diff is exactly ONE exclusive
+    # file (the rewritten one and its replacement) — the 3 shared files
+    # never enter the join
+    old_files, new_files = set(snapshot_files(t, v1)), set(snapshot_files(t, v2))
+    assert len(old_files & new_files) == 3, "the 3 untouched files are shared"
+    assert len(old_files - new_files) == 1, "one old file rewritten"
+    assert len(new_files - old_files) <= 2, "survivors + batch replacement files"
+
+
+def test_changefeed_noop_between_identical_versions(spark, tmp_path):
+    from flow_spark.operators.snapshots import (
+        snapshot_changes,
+        snapshot_files,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    v1 = snapshot_upsert(
+        spark, spark.createDataFrame([(1, "a")], "k int, v string"), t, "k"
+    )
+    v2 = snapshot_write(
+        spark.createDataFrame([], "k int, v string"),
+        t,
+        reuse_files=snapshot_files(t, v1),
+    )
+    assert snapshot_changes(spark, t, v1, v2, "k", ["v"]).count() == 0
