@@ -60,6 +60,7 @@ def snapshot_write(
     df: DataFrame,
     table_dir: str,
     reuse_files: "list[str] | None" = None,
+    stats_col: "str | None" = None,
 ) -> int:
     """Commit `df` (+ optionally prior files) as the next version.
 
@@ -67,7 +68,16 @@ def snapshot_write(
     under a fresh uuid subdirectory (never overwritten by later writes);
     the manifest commit is an atomic rename, so a crash mid-write leaves
     the previous version intact and no partial version visible.
+
+    ``stats_col``: record per-file [min, max] of this column in the
+    manifest (one aggregate scan of just the new files), the data-
+    skipping index lakehouse manifests carry — ``snapshot_upsert`` uses
+    it to prune which files a MERGE batch can possibly touch without
+    scanning the table.  Stats for reused files are inherited from the
+    previous manifest.
     """
+    from pyspark.sql import functions as F
+
     os.makedirs(os.path.join(table_dir, MANIFEST_DIR), exist_ok=True)
     write_dir = os.path.join(table_dir, DATA_DIR, uuid.uuid4().hex[:12])
     df.write.mode("error").parquet(write_dir)
@@ -76,12 +86,34 @@ def snapshot_write(
         for f in os.listdir(write_dir)
         if f.endswith(".parquet")
     )
-    version = current_version(table_dir) + 1
+    prev_version = current_version(table_dir)
+    stats: dict[str, list] = {}
+    if prev_version >= 1:  # inherit stats of reused files
+        with open(_manifest_path(table_dir, prev_version)) as fh:
+            prev_stats = json.load(fh).get("stats", {})
+        for f in reuse_files or []:
+            if f in prev_stats:
+                stats[f] = prev_stats[f]
+    if stats_col is not None and files:
+        spark = df.sparkSession
+        new_stats = (
+            spark.read.parquet(*files)
+            .groupBy(F.col("_metadata.file_path").alias("__fp"))
+            .agg(F.min(stats_col).alias("mn"), F.max(stats_col).alias("mx"))
+            .collect()
+        )
+        for r in new_stats:
+            # only JSON-primitive stats are recorded (a timestamp key
+            # would not round-trip through the manifest)
+            if all(isinstance(v, (int, float, str)) for v in (r[1], r[2])):
+                stats[r[0].removeprefix("file:")] = [r[1], r[2]]
+    version = prev_version + 1
     manifest = {
         "version": version,
         "committed_at": time.time(),
         "files": list(reuse_files or []) + files,
         "schema": df.schema.json(),
+        "stats": stats,
     }
     tmp = _manifest_path(table_dir, version) + ".tmp"
     with open(tmp, "w") as fh:
@@ -93,6 +125,12 @@ def snapshot_write(
 def snapshot_files(table_dir: str, version: int) -> list[str]:
     with open(_manifest_path(table_dir, version)) as fh:
         return json.load(fh)["files"]
+
+
+def snapshot_stats(table_dir: str, version: int) -> "dict[str, list]":
+    """Per-file [min, max] of the stats column, as recorded at write."""
+    with open(_manifest_path(table_dir, version)) as fh:
+        return json.load(fh).get("stats", {})
 
 
 def snapshot_read(
@@ -121,6 +159,31 @@ def snapshot_read(
     return spark.read.schema(schema).parquet(*manifest["files"])
 
 
+def _prune_candidates(
+    files: "list[str]",
+    stats: "dict[str, list]",
+    sorted_keys: "list",
+) -> "list[str]":
+    """Files whose [min, max] key interval contains at least one batch key.
+
+    A file with no recorded stats is always a candidate (must scan).
+    Binary search per interval: O(files * log(batch)) driver arithmetic,
+    no data read — the MERGE analogue of partition pruning.
+    """
+    import bisect
+
+    out = []
+    for f in files:
+        st = stats.get(f)
+        if not st or st[0] is None or st[1] is None:
+            out.append(f)
+            continue
+        i = bisect.bisect_left(sorted_keys, st[0])
+        if i < len(sorted_keys) and sorted_keys[i] <= st[1]:
+            out.append(f)
+    return out
+
+
 def snapshot_upsert(
     spark: SparkSession,
     batch: DataFrame,
@@ -134,13 +197,19 @@ def snapshot_upsert(
     part that matters at 100 TB — only the FILES that actually contain
     an affected key are rewritten:
 
-    1. scan the current version with ``_metadata.file_path`` and
+    1. prune with the manifest's per-file [min, max] key stats: a file
+       whose key interval contains NO batch key (binary search of the
+       sorted batch keys per interval, pure driver-side arithmetic)
+       cannot be affected and is never even scanned — at 100 TB this is
+       what turns a point update from a table scan into a footer-sized
+       read, exactly how Delta/Iceberg MERGE prunes on file stats;
+    2. scan only the candidate files with ``_metadata.file_path`` and
        semi-join against the batch keys -> the affected-file list
-       (driver-side collect bounded by the file count, not row count);
-    2. anti-join ONLY those files' rows against the batch keys -> the
+       (the stats say "may contain", the scan says "does");
+    3. anti-join ONLY those files' rows against the batch keys -> the
        surviving rows that must be carried over;
-    3. commit survivors + batch as new files, manifest = (old files
-       minus affected) + new files.
+    4. commit survivors + batch as new files (with fresh stats),
+       manifest = (old files minus affected) + new files.
 
     Untouched files are reused by reference, so a point update to one
     key rewrites one file, not the table.  First write (version 0)
@@ -149,11 +218,31 @@ def snapshot_upsert(
     from pyspark.sql import functions as F
 
     if current_version(table_dir) < 1:
-        return snapshot_write(batch.dropDuplicates([key_col]), table_dir)
+        return snapshot_write(
+            batch.dropDuplicates([key_col]), table_dir, stats_col=key_col
+        )
 
-    cur_files = snapshot_files(table_dir, current_version(table_dir))
+    cur_v = current_version(table_dir)
+    cur_files = snapshot_files(table_dir, cur_v)
     keys = batch.select(key_col).distinct()
-    with_path = spark.read.parquet(*cur_files).select(
+
+    # --- stats pruning (driver-side, no data read) ---
+    stats = snapshot_stats(table_dir, cur_v)
+    candidates = cur_files
+    if stats:
+        n_keys = keys.count()
+        if n_keys <= 1_000_000:  # bounded driver collect; CDC batches are small
+            key_list = sorted(r[0] for r in keys.collect())
+            candidates = _prune_candidates(cur_files, stats, key_list)
+    if not candidates:
+        return snapshot_write(
+            batch.dropDuplicates([key_col]),
+            table_dir,
+            reuse_files=cur_files,
+            stats_col=key_col,
+        )
+
+    with_path = spark.read.parquet(*candidates).select(
         F.col(key_col), F.col("_metadata.file_path").alias("__fp")
     )
     affected = [
@@ -173,7 +262,9 @@ def snapshot_upsert(
         new_rows = survivors.unionByName(batch.dropDuplicates([key_col]))
     else:
         new_rows = batch.dropDuplicates([key_col])
-    return snapshot_write(new_rows, table_dir, reuse_files=untouched)
+    return snapshot_write(
+        new_rows, table_dir, reuse_files=untouched, stats_col=key_col
+    )
 
 
 def snapshot_changes(

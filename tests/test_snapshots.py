@@ -226,3 +226,44 @@ def test_changefeed_noop_between_identical_versions(spark, tmp_path):
         reuse_files=snapshot_files(t, v1),
     )
     assert snapshot_changes(spark, t, v1, v2, "k", ["v"]).count() == 0
+
+
+def test_prune_candidates_intervals():
+    from flow_spark.operators.snapshots import _prune_candidates
+
+    files = ["f1", "f2", "f3", "f4"]
+    stats = {"f1": [0, 9], "f2": [10, 19], "f3": [20, 29]}  # f4: no stats
+    # key 12 -> f2 only; f4 always scans (no stats)
+    assert _prune_candidates(files, stats, [12]) == ["f2", "f4"]
+    # boundary keys hit their interval inclusively
+    assert _prune_candidates(files, stats, [9, 20]) == ["f1", "f3", "f4"]
+    # key outside every interval -> only the stats-less file remains
+    assert _prune_candidates(files, stats, [99]) == ["f4"]
+    # multiple keys spread across intervals
+    assert _prune_candidates(files, stats, [3, 15, 25]) == files
+    # NULL stats (all-null key column in that file) -> must scan
+    assert _prune_candidates(["g"], {"g": [None, None]}, [1]) == ["g"]
+
+
+def test_upsert_stats_recorded_and_inherited(spark, tmp_path):
+    from flow_spark.operators.snapshots import snapshot_stats, snapshot_upsert
+
+    t = str(tmp_path / "tbl")
+    base = spark.range(100).selectExpr("CAST(id AS INT) AS k", "'old' AS v")
+    v1 = snapshot_upsert(spark, base.repartitionByRange(2, "k"), t, "k")
+    s1 = snapshot_stats(t, v1)
+    assert len(s1) == 2
+    ranges = sorted(tuple(v) for v in s1.values())
+    assert ranges[0][0] == 0 and ranges[1][1] == 99
+    # point update: the reused file's stats are inherited verbatim
+    v2 = snapshot_upsert(
+        spark, spark.createDataFrame([(7, "new")], "k int, v string"), t, "k"
+    )
+    s2 = snapshot_stats(t, v2)
+    shared = set(s1) & set(s2)
+    assert len(shared) == 1
+    for f in shared:
+        assert s1[f] == s2[f]
+    # every live file has stats -> the next merge can prune
+    from flow_spark.operators.snapshots import snapshot_files
+    assert set(snapshot_files(t, v2)) == set(s2)
