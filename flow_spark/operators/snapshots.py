@@ -332,3 +332,111 @@ def snapshot_changes(
     return changes.select(
         key_col, "change_type", *[F.col(f"__vals.{c}").alias(c) for c in value_cols]
     )
+
+
+def snapshot_compact(
+    spark: SparkSession,
+    table_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    stats_col: "str | None" = None,
+) -> int:
+    """Compact the latest version's small files into ~target-size files,
+    committed as a new version with IDENTICAL rows.
+
+    The lakehouse OPTIMIZE step: grouping uses the same greedy bin-pack
+    as operators/compaction.py (files already >= target stay untouched
+    and are reused by reference); each group is rewritten by one
+    coalesced write.  Readers of old versions are unaffected — their
+    manifests still name the original files (vacuum reclaims them only
+    once no live manifest references them).  Returns the new version.
+    """
+    from flow_spark.operators.compaction import plan_compaction
+
+    v = current_version(table_dir)
+    files = snapshot_files(table_dir, v)
+    sizes = [(f, os.path.getsize(f)) for f in files]
+    small = [(f, s) for f, s in sizes if s < target_bytes]
+    keep = [f for f, s in sizes if s >= target_bytes]
+    if len(small) <= 1:
+        return v  # nothing to compact
+    plan = plan_compaction(
+        spark.createDataFrame(small, "path string, size long"), target_bytes
+    )
+    groups: dict[int, list[str]] = {}
+    for r in plan.collect():  # bounded by file count
+        groups.setdefault(r.group, []).append(r.path)
+    write_dir = os.path.join(table_dir, DATA_DIR, uuid.uuid4().hex[:12])
+    for gi, gfiles in sorted(groups.items()):
+        spark.read.parquet(*sorted(gfiles)).coalesce(1).write.mode(
+            "append"
+        ).parquet(write_dir)
+    new_files = sorted(
+        os.path.join(write_dir, f)
+        for f in os.listdir(write_dir)
+        if f.endswith(".parquet")
+    )
+    # commit: manifest = kept big files + compacted files, schema unchanged
+    with open(_manifest_path(table_dir, v)) as fh:
+        prev = json.load(fh)
+    stats = {f: st for f, st in prev.get("stats", {}).items() if f in keep}
+    if stats_col is not None and new_files:
+        from pyspark.sql import functions as F
+
+        for r in (
+            spark.read.parquet(*new_files)
+            .groupBy(F.col("_metadata.file_path").alias("__fp"))
+            .agg(F.min(stats_col).alias("mn"), F.max(stats_col).alias("mx"))
+            .collect()
+        ):
+            if all(isinstance(x, (int, float, str)) for x in (r[1], r[2])):
+                stats[r[0].removeprefix("file:")] = [r[1], r[2]]
+    version = v + 1
+    manifest = {
+        "version": version,
+        "committed_at": time.time(),
+        "files": keep + new_files,
+        "schema": prev["schema"],
+        "stats": stats,
+    }
+    tmp = _manifest_path(table_dir, version) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, _manifest_path(table_dir, version))
+    return version
+
+
+def snapshot_vacuum(table_dir: str, keep_versions: int = 2) -> "dict[str, int]":
+    """Garbage-collect versions and data files past the retention window.
+
+    Drops manifests older than the newest ``keep_versions`` and deletes
+    every data file not referenced by any REMAINING manifest — the
+    Delta VACUUM contract: time travel works within retention, storage
+    is reclaimed beyond it.  File sharing is respected (a file is
+    deleted only when its last referencing manifest goes).  Driver-side
+    file ops only; returns {'versions_dropped': n, 'files_deleted': m}.
+    """
+    cur = current_version(table_dir)
+    if cur < 1:
+        return {"versions_dropped": 0, "files_deleted": 0}
+    keep = set(range(max(1, cur - keep_versions + 1), cur + 1))
+    mdir = os.path.join(table_dir, MANIFEST_DIR)
+    all_versions = sorted(
+        int(f[1:-5])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    live_files: set[str] = set()
+    for v in keep:
+        live_files.update(snapshot_files(table_dir, v))
+    dropped = 0
+    deleted = 0
+    for v in all_versions:
+        if v in keep:
+            continue
+        for f in snapshot_files(table_dir, v):
+            if f not in live_files and os.path.exists(f):
+                os.remove(f)
+                deleted += 1
+        os.remove(_manifest_path(table_dir, v))
+        dropped += 1
+    return {"versions_dropped": dropped, "files_deleted": deleted}

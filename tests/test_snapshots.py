@@ -267,3 +267,54 @@ def test_upsert_stats_recorded_and_inherited(spark, tmp_path):
     # every live file has stats -> the next merge can prune
     from flow_spark.operators.snapshots import snapshot_files
     assert set(snapshot_files(t, v2)) == set(s2)
+
+
+def test_compact_merges_small_files_rows_identical(spark, tmp_path):
+    from flow_spark.operators.snapshots import snapshot_compact, snapshot_upsert
+
+    t = str(tmp_path / "tbl")
+    # 8 tiny files
+    base = spark.range(1000).selectExpr("CAST(id AS INT) AS k", "id * 3 AS v")
+    v1 = snapshot_write(base.repartition(8), t, stats_col="k")
+    assert len(snapshot_files(t, v1)) == 8
+    v2 = snapshot_compact(spark, t, target_bytes=1 << 30, stats_col="k")
+    assert v2 == v1 + 1
+    assert len(snapshot_files(t, v2)) < 8
+    before = sorted(tuple(r) for r in snapshot_read(spark, t, v1).collect())
+    after = sorted(tuple(r) for r in snapshot_read(spark, t, v2).collect())
+    assert before == after
+    # stats refreshed for the compacted files -> future MERGEs still prune
+    from flow_spark.operators.snapshots import snapshot_stats
+    s2 = snapshot_stats(t, v2)
+    assert set(snapshot_files(t, v2)) == set(s2)
+    # old (fragmented) version still readable until vacuumed
+    assert len(snapshot_files(t, v1)) == 8
+
+
+def test_vacuum_reclaims_only_unreferenced(spark, tmp_path):
+    from flow_spark.operators.snapshots import (
+        snapshot_compact,
+        snapshot_upsert,
+        snapshot_vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    base = spark.range(100).selectExpr("CAST(id AS INT) AS k", "'x' AS v")
+    v1 = snapshot_upsert(spark, base.repartitionByRange(4, "k"), t, "k")
+    v2 = snapshot_upsert(
+        spark, spark.createDataFrame([(7, "y")], "k int, v string"), t, "k"
+    )
+    v3 = snapshot_compact(spark, t, target_bytes=1 << 30, stats_col="k")
+    # retention = 2 keeps v2 + v3; v1's exclusive file goes, shared files stay
+    out = snapshot_vacuum(t, keep_versions=2)
+    assert out["versions_dropped"] == 1
+    assert out["files_deleted"] >= 1
+    # live versions read fine after the GC
+    got = dict((r.k, r.v) for r in snapshot_read(spark, t, v3).collect())
+    assert got[7] == "y" and len(got) == 100
+    got2 = dict((r.k, r.v) for r in snapshot_read(spark, t, v2).collect())
+    assert got2 == got
+    # the dropped version is gone
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        snapshot_files(t, v1)
