@@ -274,12 +274,16 @@ def snapshot_changes(
     to_version: int,
     key_col: str,
     value_cols: list[str],
+    include_old: bool = False,
 ) -> DataFrame:
     """Changefeed between two committed versions (Delta's table_changes).
 
     Returns one row per changed key with ``change_type`` in
     {'insert', 'update', 'delete'}, the new values for insert/update and
     the old values for delete.  Unchanged keys are never emitted.
+    ``include_old=True`` adds ``old_<col>`` columns (NULL for inserts) —
+    what incremental view maintenance needs to retract an update's
+    previous contribution without re-reading the old version.
 
     Manifest-level pruning makes this proportional to the CHANGED data,
     not the table: a file listed in both manifests holds byte-identical
@@ -329,9 +333,16 @@ def snapshot_changes(
         (F.col("change_type") != "update")
         | (F.col("__vals") != F.col("__oldvals"))
     )
-    return changes.select(
-        key_col, "change_type", *[F.col(f"__vals.{c}").alias(c) for c in value_cols]
-    )
+    out_cols = [
+        F.col(key_col),
+        F.col("change_type"),
+        *[F.col(f"__vals.{c}").alias(c) for c in value_cols],
+    ]
+    if include_old:
+        out_cols += [
+            F.col(f"__oldvals.{c}").alias(f"old_{c}") for c in value_cols
+        ]
+    return changes.select(*out_cols)
 
 
 def snapshot_compact(

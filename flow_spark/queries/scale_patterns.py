@@ -721,3 +721,117 @@ def snap_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+@register(
+    "snap_incremental_mv",
+    category="scale-pattern",
+    doc="Incremental materialized-view maintenance from the changefeed: "
+    "a per-bucket (sum, count) MV over customers is built at v1, a CDC "
+    "batch MERGEs into v2, and the MV is refreshed by applying ONLY the "
+    "changefeed delta — update rows retract their old_ contribution and "
+    "add the new (include_old=True), inserts add, nothing is "
+    "re-aggregated.  The refresh cost tracks the CHANGED keys (which "
+    "the changefeed already bounds by exclusive manifest files), not "
+    "the table — the standard IVM argument, here end-to-end on the "
+    "snapshot layer.  The oracle aggregates the FINAL state directly, "
+    "so a pass proves incremental == full recompute in exact integer "
+    "cents.",
+    oracle="""
+        WITH final AS (
+            SELECT c_custkey,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) +
+                   CASE WHEN c_custkey % 5 = 0 THEN 1000 ELSE 0 END AS bal_cents
+            FROM customer
+            UNION ALL
+            SELECT c_custkey + 10000000,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT)
+            FROM customer WHERE c_custkey % 13 = 0
+        )
+        SELECT c_custkey % 10 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(bal_cents) AS BIGINT) AS sum_bal_cents
+        FROM final
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+)
+def snap_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flow_spark.operators.snapshots import (
+        snapshot_changes,
+        snapshot_read,
+        snapshot_upsert,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    table_dir = tempfile.mkdtemp(prefix="snap_mv_")
+    v1 = snapshot_upsert(
+        spark, cust.repartitionByRange(4, "c_custkey"), table_dir, "c_custkey"
+    )
+    bucket = (F.col("c_custkey") % 10).alias("bucket")
+    mv0 = (
+        snapshot_read(spark, table_dir, v1)
+        .groupBy(bucket)
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("bal_cents").cast("bigint").alias("sum_bal_cents"),
+        )
+    )
+    batch = (
+        cust.filter(F.col("c_custkey") % 5 == 0)
+        .withColumn("bal_cents", F.col("bal_cents") + 1000)
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 10000000).alias("c_custkey"), "bal_cents"
+            )
+        )
+    )
+    v2 = snapshot_upsert(spark, batch, table_dir, "c_custkey")
+    cf = snapshot_changes(
+        spark, table_dir, v1, v2, "c_custkey", ["bal_cents"], include_old=True
+    )
+    # per-bucket delta: inserts add (new, +1 row); updates add (new - old, +0);
+    # deletes would subtract (old, -1 row) — none are produced by MERGE
+    delta = (
+        cf.groupBy((F.col("c_custkey") % 10).alias("bucket"))
+        .agg(
+            F.sum(
+                F.when(F.col("change_type") == "insert", F.lit(1))
+                .when(F.col("change_type") == "delete", F.lit(-1))
+                .otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("dn"),
+            F.sum(
+                F.when(
+                    F.col("change_type") == "delete", -F.col("old_bal_cents")
+                ).otherwise(
+                    F.col("bal_cents") - F.coalesce("old_bal_cents", F.lit(0))
+                )
+            )
+            .cast("bigint")
+            .alias("dsum"),
+        )
+    )
+    refreshed = (
+        mv0.join(delta, "bucket", "full_outer")
+        .select(
+            "bucket",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("bigint")
+            .alias("n"),
+            (
+                F.coalesce("sum_bal_cents", F.lit(0))
+                + F.coalesce("dsum", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("sum_bal_cents"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    return refreshed.orderBy("bucket")

@@ -318,3 +318,62 @@ def test_vacuum_reclaims_only_unreferenced(spark, tmp_path):
     import pytest
     with pytest.raises(FileNotFoundError):
         snapshot_files(t, v1)
+
+
+def test_incremental_mv_with_deletes_equals_recompute(spark, tmp_path):
+    """IVM delta-apply (insert/update/delete incl. retraction of old
+    values) must equal a full recompute of the final state."""
+    import pyspark.sql.functions as F
+    from flow_spark.operators.snapshots import (
+        snapshot_changes,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    base = spark.range(50).selectExpr("CAST(id AS INT) AS k", "id * 10 AS v")
+    v1 = snapshot_upsert(spark, base.repartitionByRange(2, "k"), t, "k")
+    mv0 = snapshot_read(spark, t, v1).groupBy((F.col("k") % 5).alias("b")).agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    )
+    # v2: update k in {3, 8}, insert k=100; v3: delete k in {7, 14}
+    v2 = snapshot_upsert(
+        spark,
+        spark.createDataFrame([(3, 999), (8, 888), (100, 77)], "k int, v long"),
+        t, "k",
+    )
+    v3 = snapshot_write(
+        snapshot_read(spark, t, v2).filter(~F.col("k").isin(7, 14)), t
+    )
+    cf = snapshot_changes(spark, t, v1, v3, "k", ["v"], include_old=True)
+    delta = cf.groupBy((F.col("k") % 5).alias("b")).agg(
+        F.sum(
+            F.when(F.col("change_type") == "insert", F.lit(1))
+            .when(F.col("change_type") == "delete", F.lit(-1))
+            .otherwise(F.lit(0))
+        ).alias("dn"),
+        F.sum(
+            F.when(F.col("change_type") == "delete", -F.col("old_v")).otherwise(
+                F.col("v") - F.coalesce("old_v", F.lit(0))
+            )
+        ).alias("ds"),
+    )
+    refreshed = {
+        (r.b, r.n, r.s)
+        for r in mv0.join(delta, "b", "full_outer")
+        .select(
+            "b",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+            (F.coalesce("s", F.lit(0)) + F.coalesce("ds", F.lit(0))).alias("s"),
+        )
+        .filter(F.col("n") > 0)
+        .collect()
+    }
+    recomputed = {
+        (r.b, r.n, r.s)
+        for r in snapshot_read(spark, t, v3)
+        .groupBy((F.col("k") % 5).alias("b"))
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert refreshed == recomputed
