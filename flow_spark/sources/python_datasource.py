@@ -187,6 +187,7 @@ def register(spark) -> None:  # noqa: ANN001
     spark.dataSource.register(SyntheticEventsDataSource)
     spark.dataSource.register(SyntheticEventsSimpleDataSource)
     spark.dataSource.register(JsonlSinkDataSource)
+    spark.dataSource.register(SnapshotCDCDataSource)
 
 
 # --- filter pushdown (Spark 4.1 pushFilters) --------------------------------
@@ -416,3 +417,126 @@ class _JsonlStreamWriter(_JsonlWriterBase, DataSourceStreamWriter):
     def abort(self, messages, batchId):  # noqa: ANN001, N802
         self._cleanup(messages)
         self._sweep_orphan_tmps()
+
+
+# --------------------------------------------------------------------------
+# snapshot_cdc: stream the snapshot table's changefeed (Delta's
+# readChangeFeed as a Spark-4 Python Data Source).
+# --------------------------------------------------------------------------
+
+
+class SnapshotCDCDataSource(DataSource):
+    """format("snapshot_cdc"): subscribe to a manifest-snapshot table's
+    commits (operators/snapshots.py) as a structured stream.
+
+    Offsets ARE version numbers — the manifest log doubles as the
+    streaming WAL, exactly how Delta streams a table.  Each micro-batch
+    emits the insert/update/delete rows between the last seen version
+    and the current one, computed from each side's EXCLUSIVE manifest
+    files only (shared files are byte-identical, see snapshot_changes).
+
+    Options: ``table_dir`` (required), ``key`` (required), ``values``
+    (comma-separated value columns; default = every non-key column),
+    ``start_version`` (default 0 = emit the first version as inserts).
+
+    Driver-side SimpleDataSourceStreamReader (pyarrow diff): right for
+    CDC batches, which the copy-on-write layout already bounds to the
+    changed files; a partition-planned reader is the bulk-backfill
+    path.  Deterministic replay: readBetweenOffsets re-diffs the same
+    two manifests, which are immutable.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_cdc"
+
+    def _fields(self) -> "tuple[str, list[tuple[str, str]]]":
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        from flow_spark.operators.snapshots import (
+            _manifest_path,
+            current_version,
+        )
+
+        table_dir = self.options["table_dir"]
+        key = self.options["key"]
+        v = current_version(table_dir)
+        if v < 1:
+            raise ValueError(f"no committed versions in {table_dir}")
+        with open(_manifest_path(table_dir, v)) as fh:
+            schema = StructType.fromJson(_json.loads(_json.load(fh)["schema"]))
+        types = {f.name: f.dataType.simpleString() for f in schema.fields}
+        if key not in types:
+            raise ValueError(f"key column {key!r} not in table schema")
+        if "values" in self.options:
+            vals = [c.strip() for c in self.options["values"].split(",")]
+        else:
+            vals = [c for c in types if c != key]
+        return key, [(c, types[c]) for c in [key, *vals]]
+
+    def schema(self) -> str:
+        _, cols = self._fields()
+        body = ", ".join(f"{c} {t}" for c, t in cols)
+        return f"version int, change_type string, {body}"
+
+    def simpleStreamReader(self, schema):  # noqa: ANN001, N802
+        key, cols = self._fields()
+        return _SnapshotCDCReader(self.options, key, [c for c, _ in cols])
+
+
+class _SnapshotCDCReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict, key: str, cols: "list[str]") -> None:
+        self.table_dir = options["table_dir"]
+        self.key = key
+        self.cols = cols  # key first, then value columns
+        self.start_version = int(options.get("start_version", 0))
+
+    def initialOffset(self):  # noqa: N802
+        return {"version": self.start_version}
+
+    def _read_files(self, files: "list[str]") -> dict:
+        import pyarrow.parquet as pq
+
+        out: dict = {}
+        for f in sorted(files):
+            tbl = pq.read_table(f, columns=self.cols)
+            for row in tbl.to_pylist():
+                out[row[self.key]] = tuple(row[c] for c in self.cols)
+        return out
+
+    def _changes(self, v0: int, v1: int) -> "list[tuple]":
+        from flow_spark.operators.snapshots import snapshot_files
+
+        new_files = set(snapshot_files(self.table_dir, v1))
+        old_files = (
+            set(snapshot_files(self.table_dir, v0)) if v0 >= 1 else set()
+        )
+        old = self._read_files(sorted(old_files - new_files))
+        new = self._read_files(sorted(new_files - old_files))
+        rows: "list[tuple]" = []
+        for k, vals in new.items():
+            if k not in old:
+                rows.append((v1, "insert", *vals))
+            elif old[k] != vals:
+                rows.append((v1, "update", *vals))
+        for k, vals in old.items():
+            if k not in new:
+                rows.append((v1, "delete", *vals))
+        rows.sort(key=lambda r: (str(r[2]), r[1]))
+        return rows
+
+    def read(self, start: dict):
+        from flow_spark.operators.snapshots import current_version
+
+        v0 = start["version"]
+        cur = current_version(self.table_dir)
+        if cur <= v0:
+            return (iter([]), start)
+        return (iter(self._changes(v0, cur)), {"version": cur})
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        # manifests are immutable -> re-diffing the same versions replays
+        # the identical rows after a failure
+        return iter(self._changes(start["version"], end["version"]))

@@ -280,3 +280,72 @@ def test_pushdown_fully_pruned_range_returns_empty(spark):
             spark.conf.unset("spark.sql.python.filterPushdown.enabled")
         else:
             spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+
+
+def test_snapshot_cdc_stream_emits_commits(spark, tmp_path):
+    """format('snapshot_cdc'): snapshot versions stream out as
+    insert/update/delete rows, offsets = version numbers, and commits
+    made WHILE the stream runs are picked up by the next micro-batch."""
+    from flow_spark.operators.snapshots import snapshot_upsert, snapshot_write, snapshot_read
+    import pyspark.sql.functions as F
+
+    register(spark)
+    t = str(tmp_path / "tbl")
+    snapshot_upsert(
+        spark,
+        spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"),
+        t, "k",
+    )
+    out = str(tmp_path / "cdc_out")
+    q = (
+        spark.readStream.format("snapshot_cdc")
+        .option("table_dir", t)
+        .option("key", "k")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # two commits while the stream is live
+        snapshot_upsert(
+            spark, spark.createDataFrame([(2, 21), (3, 30)], "k int, v int"), t, "k"
+        )
+        q.processAllAvailable()
+        snapshot_write(
+            snapshot_read(spark, t).filter(F.col("k") != 1), t
+        )  # delete k=1
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.version, r.change_type, r.k, r.v)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (1, "insert", 1, 10) in got and (1, "insert", 2, 20) in got
+    assert (2, "update", 2, 21) in got and (2, "insert", 3, 30) in got
+    assert (3, "delete", 1, 10) in got
+    assert len(got) == 5
+
+
+def test_snapshot_cdc_schema_derived_from_manifest(spark, tmp_path):
+    from flow_spark.operators.snapshots import snapshot_upsert
+
+    register(spark)
+    t = str(tmp_path / "tbl")
+    snapshot_upsert(
+        spark,
+        spark.createDataFrame([(1, "a", 2.5)], "k int, name string, score double"),
+        t, "k",
+    )
+    df = (
+        spark.readStream.format("snapshot_cdc")
+        .option("table_dir", t)
+        .option("key", "k")
+        .load()
+    )
+    assert df.schema.simpleString() == (
+        "struct<version:int,change_type:string,k:int,name:string,score:double>"
+    )
