@@ -255,3 +255,132 @@ def _asof_nearest(
             for c in value_cols
         ],
     )
+
+
+def asof_join_segmented(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by: str,
+    value_cols: list[str],
+    right_id_col: str | None = None,
+    segment_minutes: int = 1440,
+) -> DataFrame:
+    """Backward as-of join with BOUNDED window partitions (skew-safe).
+
+    The plain union+window as-of (`asof_join`) partitions on the key
+    alone: one viral key with a billion events is one window partition,
+    and a window sort cannot be split by AQE — the one genuine scale
+    hazard of the design.  This variant adds the TIME SEGMENT to the
+    partition key, bounding every sort by (key, segment_minutes):
+
+    1. per (key, segment), the last right row is aggregated
+       (map-side combinable max_by);
+    2. a tiny window over the (key, segment) domain — thousands of rows
+       per key, not billions — turns those into CARRY-IN rows: the last
+       right row from any earlier segment;
+    3. the usual union+window runs per (key, segment) with the carry-in
+       sorted before all real rows, so a left row early in a segment
+       still sees the previous segment's state.
+
+    Semantics are identical to ``asof_join(direction='backward',
+    allow_exact_matches=True)`` — proven by the equivalence fuzz in
+    tests/test_asof_property.py.  Cost: one extra small aggregate +
+    one tiny window versus the unsegmented form; worth it only when a
+    key can exceed executor-sort size (the measured crossover is in
+    SCALE.md).
+    """
+    if not _is_timestamp(left, ts_col):
+        raise ValueError("segmented as-of requires a timestamp ts_col")
+    if right_id_col is not None:
+        w_dedup = W.partitionBy(by, ts_col).orderBy(F.desc(right_id_col))
+        right = (
+            right.withColumn("__rn", F.row_number().over(w_dedup))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    seg_us = segment_minutes * 60 * 1_000_000
+
+    def seg_of(c: str):
+        return F.floor(F.unix_micros(F.col(c)) / F.lit(seg_us)).cast("long")
+
+    vstruct = F.struct(*[F.col(c).alias(c) for c in value_cols])
+    order_key = F.struct(
+        F.col(ts_col),
+        *([F.col(right_id_col)] if right_id_col is not None else []),
+    )
+    rseg = (
+        right.withColumn("__seg", seg_of(ts_col))
+        .groupBy(by, "__seg")
+        .agg(F.max_by(vstruct, order_key).alias("__lastr"))
+    )
+    segs = (
+        left.select(F.col(by), seg_of(ts_col).alias("__seg"))
+        .unionByName(right.select(F.col(by), seg_of(ts_col).alias("__seg")))
+        .distinct()
+    )
+    w_carry = (
+        W.partitionBy(by).orderBy("__seg").rowsBetween(W.unboundedPreceding, -1)
+    )
+    carry = (
+        segs.join(rseg, [by, "__seg"], "left")
+        .withColumn("__carry", F.last("__lastr", ignorenulls=True).over(w_carry))
+        .filter(F.col("__carry").isNotNull())
+        .select(by, "__seg", "__carry")
+    )
+    lcols = left.columns
+    rtype = (
+        "struct<"
+        + ",".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+        )
+        + ">"
+    )
+    tagged_l = left.select(
+        *lcols,
+        seg_of(ts_col).alias("__seg"),
+        F.lit(1).alias("__pri"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(rtype).alias("__r"),
+    )
+    tagged_r = right.select(
+        *[
+            F.col(c)
+            if c in (by, ts_col)
+            else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        seg_of(ts_col).alias("__seg"),
+        F.lit(1).alias("__pri"),
+        F.lit(0).alias("__side"),
+        vstruct.alias("__r"),
+    )
+    tagged_c = carry.select(
+        *[
+            F.col(c)
+            if c == by
+            else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.col("__seg"),
+        F.lit(0).alias("__pri"),
+        F.lit(0).alias("__side"),
+        F.col("__carry").alias("__r"),
+    )
+    unioned = tagged_l.unionByName(tagged_r).unionByName(tagged_c)
+    w = (
+        W.partitionBy(by, "__seg")
+        .orderBy(
+            F.asc("__pri"), F.col(ts_col).asc_nulls_first(), F.asc("__side")
+        )
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = unioned.select(
+        *lcols,
+        "__side",
+        F.last("__r", ignorenulls=True).over(w).alias("__m"),
+    )
+    return filled.filter(F.col("__side") == 1).select(
+        *lcols,
+        *[F.col("__m").getField(c).alias(f"asof_{c}") for c in value_cols],
+    )

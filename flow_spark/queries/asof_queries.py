@@ -343,3 +343,63 @@ def asof_pointintime_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce("f_click", F.lit(-1.0)), 2).alias("f_last_click"),
         F.round(F.coalesce("f_view", F.lit(-1.0)), 2).alias("f_last_view"),
     ).orderBy("event_id")
+
+
+@register(
+    "asof_join_skewsafe",
+    category="join",
+    doc="Backward as-of join via the SEGMENTED window plan "
+    "(operators/asof.py:asof_join_segmented): the time segment joins "
+    "the partition key, so a viral key's window sort is bounded by "
+    "segment_minutes instead of the key's full history — the skew "
+    "hazard of the plain union+window as-of removed for one extra "
+    "map-side aggregate plus a (key, segment)-domain window.  Identical "
+    "semantics to asof_join_backward (same DuckDB ASOF JOIN oracle; "
+    "also hypothesis-fuzzed against the plain operator).",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'click'
+        ),
+        clicks_d AS (SELECT user_id, ts, value FROM clicks WHERE rn = 1),
+        purchases AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id,
+               p.user_id,
+               ROUND(p.value, 2)                 AS purchase_value,
+               ROUND(COALESCE(c.value, -1.0), 2) AS last_click_value
+        FROM purchases p
+        ASOF LEFT JOIN clicks_d c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id
+    """,
+)
+def asof_join_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.asof import asof_join_segmented
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value"), F.col("event_id").alias("click_id")
+    )
+    joined = asof_join_segmented(
+        purchases,
+        clicks,
+        ts_col="ts",
+        by="user_id",
+        value_cols=["value"],
+        right_id_col="click_id",
+        segment_minutes=1440,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("purchase_value"),
+        F.round(F.coalesce("asof_value", F.lit(-1.0)), 2).alias("last_click_value"),
+    ).orderBy("event_id")

@@ -202,3 +202,59 @@ def test_asof_tolerance_matches_merge_asof(spark, left, right, direction, tol):
     ).collect()
     got = {(r.k, r.ts, r.lid): r.asof_v for r in out}
     assert got == _reference_tolerance(left, right, direction, tol)
+
+
+seg_row = st.tuples(
+    st.integers(min_value=0, max_value=2),  # key
+    st.integers(min_value=0, max_value=600),  # minutes (spans many segments)
+    st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left_rows=st.lists(seg_row, max_size=14),
+    right_rows=st.lists(seg_row, max_size=14),
+)
+def test_segmented_asof_equals_plain(spark, left_rows, right_rows):
+    """asof_join_segmented must be row-for-row identical to asof_join
+    (backward, allow-exact) on arbitrary inputs: duplicate timestamps,
+    NULL values, empty sides, rows whose match lives many segments back,
+    keys with no right rows at all."""
+    import datetime as dt
+
+    from flow_spark.operators.asof import asof_join_segmented
+
+    def mk(rows):
+        base = dt.datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [
+                (k, base + dt.timedelta(minutes=m), v, i)
+                for i, (k, m, v) in enumerate(rows)
+            ],
+            "k int, ts timestamp, v int, rid long",
+        )
+
+    if not left_rows:
+        return
+    left = mk(left_rows).selectExpr("k", "ts", "rid AS lid")
+    right = mk(right_rows).selectExpr("k", "ts", "v", "rid AS cid")
+    plain = asof_join(
+        left, right, ts_col="ts", by="k", value_cols=["v"], right_id_col="cid"
+    )
+    seg = asof_join_segmented(
+        left,
+        right,
+        ts_col="ts",
+        by="k",
+        value_cols=["v"],
+        right_id_col="cid",
+        segment_minutes=60,
+    )
+    got_plain = sorted((r.k, r.ts, r.lid, r.asof_v) for r in plain.collect())
+    got_seg = sorted((r.k, r.ts, r.lid, r.asof_v) for r in seg.collect())
+    assert got_seg == got_plain
