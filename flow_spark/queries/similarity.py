@@ -1109,3 +1109,72 @@ def sample_negatives_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor_id", "neg_rank", "neg_id", "neg_label")
         .orderBy("anchor_id", "neg_rank")
     )
+
+
+@register(
+    "ml_linreg_trend",
+    category="ml",
+    doc="Closed-form per-group linear regression (value-cents vs hours "
+    "since 2024-01-01) carried ENTIRELY in exact integer sums: slope = "
+    "(n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) is emitted as its exact bigint "
+    "numerator/denominator pair plus the sign as trend — no FP division "
+    "crosses the oracle boundary, so the result is bit-deterministic "
+    "under any partitioning (the same one-pass sufficient-statistics "
+    "trick as agg_exact_covariance, which is also why it scales: five "
+    "map-side-combinable sums per group, one shuffle).  Domain bounds "
+    "keep every product under 2^63: hours < 2^13, cents < 2^17, "
+    "n < 2^21.",
+    oracle="""
+        WITH pts AS (
+            SELECT event_type,
+                   CAST(FLOOR(EXTRACT(EPOCH FROM CAST(ts AS TIMESTAMP)) / 3600)
+                        - 473352 AS BIGINT) AS x,
+                   CAST(ROUND(value * 100) AS BIGINT) AS y
+            FROM events
+        ),
+        sums AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM pts GROUP BY event_type
+        )
+        SELECT event_type, n,
+               CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+               CASE WHEN n * sxy - sx * sy > 0 THEN 'up'
+                    WHEN n * sxy - sx * sy < 0 THEN 'down'
+                    ELSE 'flat' END AS trend
+        FROM sums
+        ORDER BY event_type
+    """,
+)
+def ml_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # 473352 = hours from epoch to 2024-01-01: keeps x small enough that
+    # every product below stays well inside int64
+    pts = ev.select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 3600) - F.lit(473352))
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return sums.select(
+        "event_type",
+        "n",
+        num.cast("bigint").alias("slope_num"),
+        den.cast("bigint").alias("slope_den"),
+        F.when(num > 0, "up").when(num < 0, "down").otherwise("flat").alias("trend"),
+    ).orderBy("event_type")
