@@ -826,3 +826,63 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "dow")
     )
+
+
+_PAT = [0, 2000, 4000, 6000, 8000, 6000, 4000, 2000]  # rise-then-fall, cents
+
+
+@register(
+    "ts_pattern_match",
+    category="timeseries",
+    doc="Subsequence pattern search (the matrix-profile/UCR-suite query "
+    "shape): every per-user sliding window of 8 consecutive event "
+    "values is scored against a literal rise-then-fall template by "
+    "EXACT integer sum-of-squared-differences in cents — no "
+    "z-normalization division crosses the oracle boundary, so ranking "
+    "is bit-deterministic.  Windows materialize as 7 LEAD columns (one "
+    "window pass per user, no self-join, no array state); global top-10 "
+    "via TakeOrdered with a total tiebreak.  At 100 TB the window scan "
+    "is one shuffle on user_id and the top-k never leaves the "
+    "executors.",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS x0,
+                   {", ".join(
+                       f"LEAD(CAST(ROUND(value * 100) AS BIGINT), {i}) OVER "
+                       f"(PARTITION BY user_id ORDER BY ts, event_id) AS x{i}"
+                       for i in range(1, 8)
+                   )}
+            FROM events
+        ),
+        scored AS (
+            SELECT user_id, event_id,
+                   {" + ".join(f"(x{i} - {p}) * (x{i} - {p})" for i, p in enumerate(_PAT))}
+                   AS ssd
+            FROM seq WHERE x7 IS NOT NULL
+        )
+        SELECT user_id, event_id, CAST(ssd AS BIGINT) AS ssd
+        FROM scored
+        ORDER BY ssd, user_id, event_id
+        LIMIT 10
+    """,
+)
+def ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        cents.alias("x0"),
+        *[F.lead(cents, i).over(w).alias(f"x{i}") for i in range(1, 8)],
+    ).filter(F.col("x7").isNotNull())
+    ssd = None
+    for i, p in enumerate(_PAT):
+        term = (F.col(f"x{i}") - F.lit(p)) * (F.col(f"x{i}") - F.lit(p))
+        ssd = term if ssd is None else ssd + term
+    return (
+        seq.select("user_id", "event_id", ssd.cast("bigint").alias("ssd"))
+        .orderBy("ssd", "user_id", "event_id")
+        .limit(10)
+    )

@@ -52,14 +52,20 @@ FAMILIES = {
         "ts_seasonal_decompose",
         "sample_split_by_group",
         "sketch_countmin",
-        "snap_upsert_merge",
         "win_skyline_pareto",
+    ],
+    "lakehouse": [
+        "snap_time_travel",
+        "snap_upsert_merge",
+        "snap_changefeed",
+        "snap_incremental_mv",
     ],
     "ml": [
         "ml_kmeans_quantized",
         "ml_knn_classify",
         "sample_negatives_contrastive",
         "asof_pointintime_features",
+        "ml_linreg_trend",
     ],
     # full streaming drains (readStream -> stateful op -> memory sink)
     "stateful-stream": [
