@@ -469,3 +469,107 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "stream_funnel_cep",
+    category="stateful-streaming",
+    doc="CEP pattern detection as TRUE stateful streaming "
+    "(streaming/stateful.py:funnel_stream): the greedy view->click->"
+    "purchase state machine runs per user under applyInPandasWithState "
+    "with exactly two longs of state per key, partial progress carried "
+    "across micro-batches (multi-batch == single-batch proven in "
+    "test_streaming.py).  VALUE-checked: the availableNow drain's "
+    "admission sequence is the deterministic recurrence over (ts, "
+    "event_id) order, which the oracle replays with a RECURSIVE CTE — "
+    "one step per per-user event rank, all-integer microseconds.  The "
+    "MATCH_RECOGNIZE shape Spark lacks, built on the same state-store "
+    "surface as the GCRA throttler.",
+    oracle="""
+        WITH RECURSIVE e AS (
+            SELECT user_id AS k, event_id, event_type AS etype,
+                   epoch_us(ts) AS ts_us,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS rn
+            FROM events
+            WHERE event_type IN ('view', 'click', 'purchase')
+        ),
+        g AS (
+            SELECT k, 0 AS rn, CAST(-1 AS BIGINT) AS view_us,
+                   CAST(-1 AS BIGINT) AS click_us,
+                   CAST(NULL AS BIGINT) AS emit_view,
+                   CAST(NULL AS BIGINT) AS emit_click,
+                   CAST(NULL AS BIGINT) AS emit_purchase,
+                   CAST(NULL AS BIGINT) AS purchase_id
+            FROM (SELECT DISTINCT k FROM e)
+            UNION ALL
+            SELECT e.k, e.rn,
+                   CASE WHEN e.etype = 'purchase' AND g.click_us >= 0 THEN -1
+                        WHEN e.etype = 'view' AND g.view_us < 0 THEN e.ts_us
+                        ELSE g.view_us END,
+                   CASE WHEN e.etype = 'purchase' AND g.click_us >= 0 THEN -1
+                        WHEN e.etype = 'click' AND g.view_us >= 0
+                             AND g.click_us < 0 THEN e.ts_us
+                        ELSE g.click_us END,
+                   CASE WHEN e.etype = 'purchase' AND g.click_us >= 0
+                        THEN g.view_us END,
+                   CASE WHEN e.etype = 'purchase' AND g.click_us >= 0
+                        THEN g.click_us END,
+                   CASE WHEN e.etype = 'purchase' AND g.click_us >= 0
+                        THEN e.ts_us END,
+                   CASE WHEN e.etype = 'purchase' AND g.click_us >= 0
+                        THEN e.event_id END
+            FROM g JOIN e ON e.k = g.k AND e.rn = g.rn + 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_funnels,
+               CAST(COUNT(DISTINCT k) AS BIGINT) AS n_users,
+               CAST(SUM(purchase_id) AS BIGINT) AS purchase_id_sum,
+               CAST(SUM(emit_purchase - emit_view) AS BIGINT)
+                   AS total_span_us,
+               CAST(SUM(emit_click - emit_view) AS BIGINT)
+                   AS total_ttc_us
+        FROM g WHERE emit_purchase IS NOT NULL
+    """,
+)
+def stream_funnel_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from flow_spark.streaming.sources import stream_events
+    from flow_spark.streaming.stateful import funnel_stream
+
+    msgs = stream_events(spark, sf_dir).filter(
+        F.col("meta")["sendto"].isin("view", "click", "purchase")
+    )
+    prepared = msgs.select(
+        F.col("meta")["user"].alias("user"),
+        F.col("ingest_ts"),
+        F.col("meta")["sendto"].alias("etype"),
+        F.col("event_id"),
+    )
+    funnels = funnel_stream(
+        prepared, key_col="user", ts_col="ingest_ts", type_col="etype",
+        id_col="event_id",
+    )
+    name = f"funnel_{uuid.uuid4().hex[:8]}"
+    q = (
+        funnels.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="funnel_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).agg(
+        F.count("*").cast("bigint").alias("n_funnels"),
+        F.countDistinct("fkey").cast("bigint").alias("n_users"),
+        F.sum("purchase_id").cast("bigint").alias("purchase_id_sum"),
+        F.sum(F.col("purchase_us") - F.col("view_us"))
+        .cast("bigint")
+        .alias("total_span_us"),
+        F.sum(F.col("click_us") - F.col("view_us"))
+        .cast("bigint")
+        .alias("total_ttc_us"),
+    )

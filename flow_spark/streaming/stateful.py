@@ -189,3 +189,82 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf="EventTimeTimeout",
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("fkey", LongType()),
+        StructField("view_us", LongType()),
+        StructField("click_us", LongType()),
+        StructField("purchase_us", LongType()),
+        StructField("purchase_id", LongType()),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("view_us", LongType()),
+        StructField("click_us", LongType()),
+    ]
+)
+
+
+def funnel_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+) -> DataFrame:
+    """CEP-style ordered-pattern detection over a stream: the greedy
+    view -> click -> purchase state machine per key, with partial
+    progress carried ACROSS micro-batches in the state store — the
+    MATCH_RECOGNIZE shape Spark has no built-in for.
+
+    Semantics (deterministic given (ts, id) order): the FIRST view arms
+    the funnel, the first click after an armed view advances it, a
+    purchase after a click EMITS (key, view_us, click_us, purchase_us,
+    purchase_id) and resets; events that don't advance the pattern are
+    ignored.  State is exactly two longs per key — O(keys) total, no
+    timeout needed (contrast sessionize_stream, whose correctness
+    depends on event-time expiry).  One shuffle on the key; the same
+    recurrence replays as a recursive CTE, so the registry entry is
+    VALUE-checked, and multi-batch == single-batch equivalence is
+    runtime-tested.
+    """
+    prepared = df.select(
+        F.col(key_col).cast("long").alias("fkey"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(type_col).alias("etype"),
+        F.col(id_col).cast("long").alias("eid"),
+    )
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        out: list[tuple[int, int, int, int, int]] = []
+        pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "eid"])
+        view_us, click_us = state.get if state.exists else (-1, -1)
+        for ts_us, etype, eid in zip(pdf["ts_us"], pdf["etype"], pdf["eid"]):
+            ts_us, eid = int(ts_us), int(eid)
+            if etype == "view":
+                if view_us < 0:
+                    view_us = ts_us
+            elif etype == "click":
+                if view_us >= 0 and click_us < 0:
+                    click_us = ts_us
+            elif etype == "purchase":
+                if click_us >= 0:
+                    out.append((key[0], view_us, click_us, ts_us, eid))
+                    view_us, click_us = -1, -1
+        state.update((view_us, click_us))
+        yield pd.DataFrame(
+            out,
+            columns=["fkey", "view_us", "click_us", "purchase_us", "purchase_id"],
+        )
+
+    return prepared.groupBy("fkey").applyInPandasWithState(
+        fn,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -1539,3 +1539,72 @@ def test_gcra_correct_when_group_spans_arrow_chunks(spark, tmp_path):
         assert got == want
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_funnel_cep_multibatch_equals_singlebatch(spark, tmp_path):
+    """funnel_stream: partial pattern progress must survive micro-batch
+    boundaries — a view in batch 1, click in batch 2 and purchase in
+    batch 3 form ONE funnel, identical to the single-batch drain."""
+    import json as _json
+
+    from flow_spark.streaming.stateful import funnel_stream
+
+    rows = [
+        # user 1: view | click | purchase split across 3 files
+        (1, 1_000_000, "view", 1),
+        (2, 1_500_000, "view", 2),
+        (1, 2_000_000, "click", 3),
+        (2, 2_500_000, "purchase", 4),   # no click yet -> ignored
+        (1, 3_000_000, "purchase", 5),   # completes funnel
+        (2, 3_500_000, "click", 6),
+        (2, 4_000_000, "purchase", 7),   # completes funnel
+        (1, 5_000_000, "purchase", 8),   # state was reset -> ignored
+    ]
+
+    def run(n_files: int, tag: str):
+        src = tmp_path / f"src_{tag}"
+        src.mkdir()
+        per = (len(rows) + n_files - 1) // n_files
+        for i in range(n_files):
+            with open(src / f"b{i}.jsonl", "w") as fh:
+                for u, us, et, eid in rows[i * per : (i + 1) * per]:
+                    fh.write(
+                        _json.dumps(
+                            {"user": u, "ts_us": us, "etype": et, "eid": eid}
+                        )
+                        + "\n"
+                    )
+            # distinct mtimes pin the file-source batch order (the file
+            # source orders by modification time; equal stamps are
+            # nondeterministic and would deliver events out of order)
+            import time as _time
+
+            _time.sleep(0.02)
+        stream = (
+            spark.readStream.schema("user long, ts_us long, etype string, eid long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+        out = funnel_stream(
+            stream, key_col="user", ts_col="ts", type_col="etype", id_col="eid"
+        )
+        name = f"funnel_{tag}"
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(tuple(r) for r in spark.table(name).collect())
+
+    multi = run(4, "multi")
+    single = run(1, "single")
+    expected = [
+        (1, 1_000_000, 2_000_000, 3_000_000, 5),
+        (2, 1_500_000, 3_500_000, 4_000_000, 7),
+    ]
+    assert multi == single == expected
