@@ -1931,3 +1931,68 @@ def agg_pow2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_bin")
     )
+
+
+@register(
+    "dq_volume_drift",
+    category="data-quality",
+    doc="Volume-drift monitor (the freshness/completeness check every "
+    "production table needs): daily event counts compared against the "
+    "trailing-7-day mean, flagging days outside +/-50% — entirely in "
+    "integer arithmetic (2*n*7 < sum7 and 2*n > 3*sum7/7 rewritten "
+    "cross-multiplied as 14*n < 7*mean_sum and 14*n > 21*mean_sum "
+    "equivalents) so the flag is bit-deterministic.  One aggregation + "
+    "one 7-row window per day — scan-speed; at 100 TB the daily counts "
+    "are a tiny table and the monitor is free.",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY day
+        ),
+        trail AS (
+            SELECT day, n,
+                   CAST(COALESCE(SUM(n) OVER (ORDER BY day
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                       AS sum7,
+                   CAST(COALESCE(COUNT(*) OVER (ORDER BY day
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                       AS n7
+            FROM daily
+        )
+        SELECT CAST(day AS VARCHAR) AS day, n, sum7, n7,
+               CASE WHEN n7 = 0 THEN 'warmup'
+                    WHEN 2 * n * n7 < sum7 THEN 'low'
+                    WHEN n * n7 > 2 * sum7 THEN 'high'
+                    ELSE 'ok' END AS volume_flag
+        FROM trail
+        ORDER BY day
+    """,
+)
+def dq_volume_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = W.orderBy("day").rowsBetween(-7, -1)
+    trailing = daily.select(
+        "day",
+        "n",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("bigint").alias("sum7"),
+        F.count("*").over(w).cast("bigint").alias("n7"),
+    )
+    flag = (
+        F.when(F.col("n7") == 0, "warmup")
+        .when(2 * F.col("n") * F.col("n7") < F.col("sum7"), "low")
+        .when(F.col("n") * F.col("n7") > 2 * F.col("sum7"), "high")
+        .otherwise("ok")
+    )
+    return trailing.select(
+        F.col("day").cast("string").alias("day"),
+        "n",
+        "sum7",
+        "n7",
+        flag.alias("volume_flag"),
+    ).orderBy("day")

@@ -72,6 +72,7 @@ FAMILIES = {
         "stream_gcra_throttle",
         "stream_sessionize_stateful",
         "stream_asof_enrich",
+        "stream_funnel_cep",
     ],
 }
 
