@@ -90,10 +90,15 @@ def snapshot_write(
     stats: dict[str, list] = {}
     if prev_version >= 1:  # inherit stats of reused files
         with open(_manifest_path(table_dir, prev_version)) as fh:
-            prev_stats = json.load(fh).get("stats", {})
-        for f in reuse_files or []:
-            if f in prev_stats:
-                stats[f] = prev_stats[f]
+            prev_manifest = json.load(fh)
+        # inherit ONLY if the stats describe the same column — stats on a
+        # different column must not masquerade as stats on this one
+        # (pruning against the wrong column would drop affected files)
+        if prev_manifest.get("stats_col") == stats_col and stats_col is not None:
+            prev_stats = prev_manifest.get("stats", {})
+            for f in reuse_files or []:
+                if f in prev_stats:
+                    stats[f] = prev_stats[f]
     if stats_col is not None and files:
         spark = df.sparkSession
         new_stats = (
@@ -114,6 +119,7 @@ def snapshot_write(
         "files": list(reuse_files or []) + files,
         "schema": df.schema.json(),
         "stats": stats,
+        "stats_col": stats_col,
     }
     tmp = _manifest_path(table_dir, version) + ".tmp"
     with open(tmp, "w") as fh:
@@ -131,6 +137,21 @@ def snapshot_stats(table_dir: str, version: int) -> "dict[str, list]":
     """Per-file [min, max] of the stats column, as recorded at write."""
     with open(_manifest_path(table_dir, version)) as fh:
         return json.load(fh).get("stats", {})
+
+
+def snapshot_stats_col(table_dir: str, version: int) -> "str | None":
+    """Which column the manifest's per-file stats describe (or None)."""
+    with open(_manifest_path(table_dir, version)) as fh:
+        return json.load(fh).get("stats_col")
+
+
+def _manifest_schema(table_dir: str, version: int):
+    """The version's recorded schema (the read authority, see
+    snapshot_read) as a StructType."""
+    from pyspark.sql.types import StructType
+
+    with open(_manifest_path(table_dir, version)) as fh:
+        return StructType.fromJson(json.loads(json.load(fh)["schema"]))
 
 
 def snapshot_read(
@@ -217,22 +238,28 @@ def snapshot_upsert(
     """
     from pyspark.sql import functions as F
 
-    if current_version(table_dir) < 1:
+    cur_v = current_version(table_dir)
+    if cur_v < 1:
         return snapshot_write(
             batch.dropDuplicates([key_col]), table_dir, stats_col=key_col
         )
 
-    cur_v = current_version(table_dir)
     cur_files = snapshot_files(table_dir, cur_v)
+    cur_schema = _manifest_schema(table_dir, cur_v)
     keys = batch.select(key_col).distinct()
 
     # --- stats pruning (driver-side, no data read) ---
+    # only when the manifest's stats describe THIS key column; one
+    # bounded collect serves both the size check and the key list
     stats = snapshot_stats(table_dir, cur_v)
     candidates = cur_files
-    if stats:
-        n_keys = keys.count()
-        if n_keys <= 1_000_000:  # bounded driver collect; CDC batches are small
-            key_list = sorted(r[0] for r in keys.collect())
+    if stats and snapshot_stats_col(table_dir, cur_v) == key_col:
+        rows = keys.limit(1_000_001).collect()
+        if len(rows) <= 1_000_000:  # CDC batches are small; else full scan
+            raw_keys = [r[0] for r in rows]
+            if any(k is None for k in raw_keys):
+                raise ValueError("MERGE key must be non-null in the batch")
+            key_list = sorted(raw_keys)
             candidates = _prune_candidates(cur_files, stats, key_list)
     if not candidates:
         return snapshot_write(
@@ -242,7 +269,10 @@ def snapshot_upsert(
             stats_col=key_col,
         )
 
-    with_path = spark.read.parquet(*candidates).select(
+    # reads use the MANIFEST schema (the read authority, as in
+    # snapshot_read): reused files from an older, narrower version fill
+    # missing columns with NULLs instead of poisoning footer inference
+    with_path = spark.read.schema(cur_schema).parquet(*candidates).select(
         F.col(key_col), F.col("_metadata.file_path").alias("__fp")
     )
     affected = [
@@ -256,10 +286,12 @@ def snapshot_upsert(
     affected_raw = {p.removeprefix("file:") for p in affected}
     untouched = [f for f in cur_files if f not in affected_raw]
     if affected_raw:
-        survivors = spark.read.parquet(*sorted(affected_raw)).join(
-            F.broadcast(keys), key_col, "left_anti"
+        survivors = spark.read.schema(cur_schema).parquet(
+            *sorted(affected_raw)
+        ).join(F.broadcast(keys), key_col, "left_anti")
+        new_rows = survivors.unionByName(
+            batch.dropDuplicates([key_col]), allowMissingColumns=True
         )
-        new_rows = survivors.unionByName(batch.dropDuplicates([key_col]))
     else:
         new_rows = batch.dropDuplicates([key_col])
     return snapshot_write(
@@ -300,14 +332,23 @@ def snapshot_changes(
     old_only = sorted(old_files - new_files)
     new_only = sorted(new_files - old_files)
     cols = [key_col, *value_cols]
+    # both sides read under the TO version's manifest schema: files of an
+    # older, narrower version fill evolved columns with NULLs (the same
+    # read authority as snapshot_read) instead of failing footer
+    # inference when a requested column predates from_version
+    to_schema = _manifest_schema(table_dir, to_version)
     empty = spark.createDataFrame(
-        [], snapshot_read(spark, table_dir, to_version).select(*cols).schema
+        [], spark.createDataFrame([], to_schema).select(*cols).schema
     )
     old_df = (
-        spark.read.parquet(*old_only).select(*cols) if old_only else empty
+        spark.read.schema(to_schema).parquet(*old_only).select(*cols)
+        if old_only
+        else empty
     )
     new_df = (
-        spark.read.parquet(*new_only).select(*cols) if new_only else empty
+        spark.read.schema(to_schema).parquet(*new_only).select(*cols)
+        if new_only
+        else empty
     )
     o = old_df.select(
         F.col(key_col).alias("__k"),
@@ -377,10 +418,15 @@ def snapshot_compact(
     for r in plan.collect():  # bounded by file count
         groups.setdefault(r.group, []).append(r.path)
     write_dir = os.path.join(table_dir, DATA_DIR, uuid.uuid4().hex[:12])
+    # group reads use the manifest schema: a group mixing files from
+    # before and after a column was added rewrites under the FULL schema
+    # (older rows fill NULLs) — footer inference could silently commit
+    # the narrower schema and lose the evolved column's data
+    cur_schema = _manifest_schema(table_dir, v)
     for gi, gfiles in sorted(groups.items()):
-        spark.read.parquet(*sorted(gfiles)).coalesce(1).write.mode(
-            "append"
-        ).parquet(write_dir)
+        spark.read.schema(cur_schema).parquet(*sorted(gfiles)).coalesce(
+            1
+        ).write.mode("append").parquet(write_dir)
     new_files = sorted(
         os.path.join(write_dir, f)
         for f in os.listdir(write_dir)
@@ -389,7 +435,12 @@ def snapshot_compact(
     # commit: manifest = kept big files + compacted files, schema unchanged
     with open(_manifest_path(table_dir, v)) as fh:
         prev = json.load(fh)
-    stats = {f: st for f, st in prev.get("stats", {}).items() if f in keep}
+    # kept files inherit stats only if they describe the SAME column
+    stats = (
+        {f: st for f, st in prev.get("stats", {}).items() if f in keep}
+        if prev.get("stats_col") == stats_col and stats_col is not None
+        else {}
+    )
     if stats_col is not None and new_files:
         from pyspark.sql import functions as F
 
@@ -408,6 +459,7 @@ def snapshot_compact(
         "files": keep + new_files,
         "schema": prev["schema"],
         "stats": stats,
+        "stats_col": stats_col,
     }
     tmp = _manifest_path(table_dir, version) + ".tmp"
     with open(tmp, "w") as fh:
@@ -416,16 +468,28 @@ def snapshot_compact(
     return version
 
 
-def snapshot_vacuum(table_dir: str, keep_versions: int = 2) -> "dict[str, int]":
+def snapshot_vacuum(
+    table_dir: str,
+    keep_versions: int = 2,
+    orphan_grace_seconds: float = 3600,
+) -> "dict[str, int]":
     """Garbage-collect versions and data files past the retention window.
 
     Drops manifests older than the newest ``keep_versions`` and deletes
     every data file not referenced by any REMAINING manifest — the
     Delta VACUUM contract: time travel works within retention, storage
     is reclaimed beyond it.  File sharing is respected (a file is
-    deleted only when its last referencing manifest goes).  Driver-side
-    file ops only; returns {'versions_dropped': n, 'files_deleted': m}.
+    deleted only when its last referencing manifest goes).  Also sweeps
+    NEVER-committed orphans (a write that crashed between the parquet
+    write and the manifest rename leaves an unreferenced uuid dir) once
+    they are older than ``orphan_grace_seconds`` — the grace window
+    protects a commit that is in flight right now.  Driver-side file
+    ops only; returns {'versions_dropped': n, 'files_deleted': m}.
     """
+    if keep_versions < 1:
+        raise ValueError(
+            "keep_versions must be >= 1 (0 would delete the live table)"
+        )
     cur = current_version(table_dir)
     if cur < 1:
         return {"versions_dropped": 0, "files_deleted": 0}
@@ -450,4 +514,24 @@ def snapshot_vacuum(table_dir: str, keep_versions: int = 2) -> "dict[str, int]":
                 deleted += 1
         os.remove(_manifest_path(table_dir, v))
         dropped += 1
+    # orphan sweep: uuid write dirs referenced by NO remaining manifest
+    # (a commit that crashed before its manifest rename), past the grace
+    # window.  Whole-dir granularity: a write dir is either fully
+    # referenced by some manifest or was never committed at all.
+    ddir = os.path.join(table_dir, DATA_DIR)
+    now = time.time()
+    if os.path.isdir(ddir):
+        for sub in os.listdir(ddir):
+            subdir = os.path.join(ddir, sub)
+            if not os.path.isdir(subdir):
+                continue
+            entries = [os.path.join(subdir, f) for f in os.listdir(subdir)]
+            if any(p in live_files for p in entries):
+                continue
+            if all(now - os.path.getmtime(p) > orphan_grace_seconds for p in entries):
+                for p in entries:
+                    os.remove(p)
+                    if p.endswith(".parquet"):
+                        deleted += 1
+                os.rmdir(subdir)
     return {"versions_dropped": dropped, "files_deleted": deleted}

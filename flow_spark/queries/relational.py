@@ -1939,9 +1939,9 @@ def agg_pow2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Volume-drift monitor (the freshness/completeness check every "
     "production table needs): daily event counts compared against the "
     "trailing-7-day mean, flagging days outside +/-50% — entirely in "
-    "integer arithmetic (2*n*7 < sum7 and 2*n > 3*sum7/7 rewritten "
-    "cross-multiplied as 14*n < 7*mean_sum and 14*n > 21*mean_sum "
-    "equivalents) so the flag is bit-deterministic.  One aggregation + "
+    "integer arithmetic (low iff 2*n*n7 < sum7, high iff 2*n*n7 > "
+    "3*sum7, both cross-multiplied so no FP division) so the flag is "
+    "bit-deterministic.  One aggregation + "
     "one 7-row window per day — scan-speed; at 100 TB the daily counts "
     "are a tiny table and the monitor is free.",
     oracle="""
@@ -1963,7 +1963,7 @@ def agg_pow2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(day AS VARCHAR) AS day, n, sum7, n7,
                CASE WHEN n7 = 0 THEN 'warmup'
                     WHEN 2 * n * n7 < sum7 THEN 'low'
-                    WHEN n * n7 > 2 * sum7 THEN 'high'
+                    WHEN 2 * n * n7 > 3 * sum7 THEN 'high'
                     ELSE 'ok' END AS volume_flag
         FROM trail
         ORDER BY day
@@ -1986,7 +1986,7 @@ def dq_volume_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag = (
         F.when(F.col("n7") == 0, "warmup")
         .when(2 * F.col("n") * F.col("n7") < F.col("sum7"), "low")
-        .when(F.col("n") * F.col("n7") > 2 * F.col("sum7"), "high")
+        .when(2 * F.col("n") * F.col("n7") > 3 * F.col("sum7"), "high")
         .otherwise("ok")
     )
     return trailing.select(

@@ -881,9 +881,12 @@ def win_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").cast("int").alias("p_size"),
     )
     local = _skyline_prune(parts, "price_cents", "p_size")
-    # survivors are O(frontier) per partition; one partition is safe for
-    # the global pass (coalesce(1) not repartition: no extra shuffle map)
-    global_sky = _skyline_prune(local.coalesce(1), "price_cents", "p_size")
+    # survivors are O(frontier) per partition -> one partition is safe
+    # for the global pass.  repartition(1), NOT coalesce(1): coalesce
+    # would merge the phase-1 stage itself into a single task and run
+    # the O(n) local prune serially; the explicit shuffle moves only the
+    # tiny survivor set
+    global_sky = _skyline_prune(local.repartition(1), "price_cents", "p_size")
     return global_sky.select("p_partkey", "price_cents", "p_size").orderBy(
         "p_partkey"
     )

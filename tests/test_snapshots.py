@@ -377,3 +377,127 @@ def test_incremental_mv_with_deletes_equals_recompute(spark, tmp_path):
         .collect()
     }
     assert refreshed == recomputed
+
+
+def test_upsert_after_schema_evolution(spark, tmp_path):
+    """MERGE into a table whose current version ADDED a column over
+    reused narrow files: reads must follow the manifest schema (old
+    files fill NULLs), not footer inference from an arbitrary file."""
+    import pyspark.sql.functions as F
+    from flow_spark.operators.snapshots import snapshot_upsert
+
+    t = str(tmp_path / "tbl")
+    v1 = snapshot_write(spark.range(3).selectExpr("CAST(id AS INT) AS k"), t)
+    snapshot_write(
+        spark.createDataFrame([(3, 30), (4, 40)], "k int, v int"),
+        t,
+        reuse_files=snapshot_files(t, v1),
+    )
+    v3 = snapshot_upsert(
+        spark, spark.createDataFrame([(0, 99), (5, 50)], "k int, v int"), t, "k"
+    )
+    got = {(r.k, r.v) for r in snapshot_read(spark, t, v3).collect()}
+    assert got == {(0, 99), (1, None), (2, None), (3, 30), (4, 40), (5, 50)}
+
+
+def test_compact_after_schema_evolution_keeps_wide_schema(spark, tmp_path):
+    """Compacting a version that mixes narrow (reused) and wide files
+    must rewrite under the manifest's wide schema — footer inference
+    could silently drop the evolved column's data."""
+    from flow_spark.operators.snapshots import snapshot_compact
+
+    t = str(tmp_path / "tbl")
+    v1 = snapshot_write(spark.range(3).selectExpr("CAST(id AS INT) AS k"), t)
+    v2 = snapshot_write(
+        spark.createDataFrame([(3, 30)], "k int, v int"),
+        t,
+        reuse_files=snapshot_files(t, v1),
+    )
+    v3 = snapshot_compact(spark, t, target_bytes=1 << 30, stats_col="k")
+    before = sorted(
+        (r.k, r.v) for r in snapshot_read(spark, t, v2).collect()
+    )
+    after = sorted((r.k, r.v) for r in snapshot_read(spark, t, v3).collect())
+    assert after == before == [(0, None), (1, None), (2, None), (3, 30)]
+
+
+def test_changefeed_across_schema_evolution(spark, tmp_path):
+    """Diffing versions across a column addition reads old files under
+    the TO schema (NULL-filled) instead of failing on the missing
+    column."""
+    from flow_spark.operators.snapshots import snapshot_changes
+
+    t = str(tmp_path / "tbl")
+    v1 = snapshot_write(
+        spark.createDataFrame([(1,), (2,)], "k int"), t
+    )
+    v2 = snapshot_write(spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"), t)
+    got = {
+        (r.k, r.change_type, r.v)
+        for r in snapshot_changes(spark, t, v1, v2, "k", ["v"]).collect()
+    }
+    # old rows had v=NULL (schema fill), new rows carry values -> updates
+    assert got == {(1, "update", 10), (2, "update", 20)}
+
+
+def test_stats_on_other_column_never_prune_merges(spark, tmp_path):
+    """Stats recorded for a DIFFERENT column must not drive key pruning:
+    the merge still rewrites the file containing the key (correctness
+    over pruning)."""
+    from flow_spark.operators.snapshots import (
+        snapshot_stats_col,
+        snapshot_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    base = spark.range(100).selectExpr("CAST(id AS INT) AS k", "id * 2 AS v")
+    snapshot_write(base.repartitionByRange(2, "k"), t, stats_col="v")
+    assert snapshot_stats_col(t, 1) == "v"
+    v2 = snapshot_upsert(
+        spark, spark.createDataFrame([(7, 777)], "k int, v long"), t, "k"
+    )
+    got = dict((r.k, r.v) for r in snapshot_read(spark, t, v2).collect())
+    assert got[7] == 777 and len(got) == 100
+    # the new version's stats describe the merge key now
+    assert snapshot_stats_col(t, v2) == "k"
+
+
+def test_upsert_null_key_rejected_when_pruning(spark, tmp_path):
+    import pytest
+    from flow_spark.operators.snapshots import snapshot_upsert
+
+    t = str(tmp_path / "tbl")
+    snapshot_upsert(
+        spark, spark.createDataFrame([(1, "a")], "k int, v string"), t, "k"
+    )
+    with pytest.raises(Exception, match="non-null"):
+        snapshot_upsert(
+            spark,
+            spark.createDataFrame([(None, "x"), (2, "b")], "k int, v string"),
+            t,
+            "k",
+        )
+
+
+def test_vacuum_guards_and_orphan_sweep(spark, tmp_path):
+    import os
+    import pytest
+    from flow_spark.operators.snapshots import snapshot_vacuum
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(5).selectExpr("id AS k"), t)
+    with pytest.raises(ValueError, match="keep_versions"):
+        snapshot_vacuum(t, keep_versions=0)
+    # simulate a crashed commit: parquet written, manifest never renamed
+    orphan_dir = os.path.join(t, "data", "deadbeef0000")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-00000-crashed.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not really parquet")
+    old = 1_000_000  # age it far past any grace window
+    os.utime(orphan, (old, old))
+    out = snapshot_vacuum(t, keep_versions=2, orphan_grace_seconds=3600)
+    assert out["files_deleted"] == 1
+    assert not os.path.exists(orphan_dir)
+    # live table unaffected
+    assert sorted(r.k for r in snapshot_read(spark, t).collect()) == list(range(5))
