@@ -39,8 +39,32 @@ MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
 
 
+class ConcurrentSnapshotWrite(Exception):
+    """Another writer committed this version first — re-read the table's
+    current version and retry (optimistic concurrency, as in Delta)."""
+
+
 def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, MANIFEST_DIR, f"v{version}.json")
+
+
+def _commit_manifest(tmp: str, final: str) -> None:
+    """Atomically publish a manifest, FAILING if the version exists.
+
+    ``os.link`` is an atomic create-if-absent on POSIX — unlike
+    ``os.replace``, which would silently overwrite a concurrent writer's
+    committed manifest (lost update).  Losers get
+    :class:`ConcurrentSnapshotWrite` and should recompute against the
+    new current version and retry; the winner's version is untouched.
+    """
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise ConcurrentSnapshotWrite(
+            f"version already committed: {final}"
+        ) from None
+    os.unlink(tmp)
 
 
 def current_version(table_dir: str) -> int:
@@ -124,7 +148,7 @@ def snapshot_write(
     tmp = _manifest_path(table_dir, version) + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
-    os.replace(tmp, _manifest_path(table_dir, version))
+    _commit_manifest(tmp, _manifest_path(table_dir, version))
     return version
 
 
@@ -155,13 +179,23 @@ def _manifest_schema(table_dir: str, version: int):
 
 
 def snapshot_read(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    key_range: "tuple | None" = None,
 ) -> DataFrame:
     """Read exactly one committed version (default: latest).
 
     The manifest's file list becomes the scan's input set — a normal
     parallel parquet read with pushdown/pruning; files written by later
     versions are invisible because they are simply not in the list.
+
+    ``key_range=(lo, hi)`` (inclusive) additionally SKIPS files whose
+    manifest [min, max] stats can't intersect the range — file-level
+    data skipping decided from the manifest alone, before a single
+    footer is opened (the caller still applies the row-level filter;
+    this only shrinks the input split set).  Files without stats are
+    always read.  No-op when the manifest carries no stats.
 
     The scan uses the MANIFEST's recorded schema, not footer inference:
     a version whose write added a column reads older reused files with
@@ -177,7 +211,21 @@ def snapshot_read(
     with open(_manifest_path(table_dir, v)) as fh:
         manifest = json.load(fh)
     schema = StructType.fromJson(json.loads(manifest["schema"]))
-    return spark.read.schema(schema).parquet(*manifest["files"])
+    files = manifest["files"]
+    if key_range is not None:
+        lo, hi = key_range
+        stats = manifest.get("stats", {})
+        files = [
+            f
+            for f in files
+            if f not in stats
+            or stats[f][0] is None
+            or stats[f][1] is None
+            or (stats[f][0] <= hi and stats[f][1] >= lo)
+        ]
+        if not files:
+            return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
 
 
 def _prune_candidates(
@@ -464,7 +512,7 @@ def snapshot_compact(
     tmp = _manifest_path(table_dir, version) + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
-    os.replace(tmp, _manifest_path(table_dir, version))
+    _commit_manifest(tmp, _manifest_path(table_dir, version))
     return version
 
 

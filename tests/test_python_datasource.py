@@ -349,3 +349,60 @@ def test_snapshot_cdc_schema_derived_from_manifest(spark, tmp_path):
     assert df.schema.simpleString() == (
         "struct<version:int,change_type:string,k:int,name:string,score:double>"
     )
+
+
+def test_snapshot_cdc_drives_incremental_mv(spark, tmp_path):
+    """End-to-end lakehouse loop: MERGEs commit snapshot versions, the
+    snapshot_cdc stream carries the changefeed, and a foreachBatch
+    consumer maintains a (sum, count) MV incrementally — after the
+    drain, the MV equals a full recompute of the final table state."""
+    import pyspark.sql.functions as F
+    from flow_spark.operators.snapshots import snapshot_read, snapshot_upsert
+
+    register(spark)
+    t = str(tmp_path / "tbl")
+    snapshot_upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30), (12, 5)], "k int, v int"
+        ),
+        t, "k",
+    )
+    snapshot_upsert(
+        spark, spark.createDataFrame([(2, 25), (13, 7)], "k int, v int"), t, "k"
+    )
+    mv = {}  # bucket -> (n, s); driver-side dict = the MV "table"
+    last = {}  # per-key last value, so updates/deletes can retract
+
+    def apply_delta(df, _bid):
+        for r in sorted(df.collect(), key=lambda x: (x.version, x.k)):
+            b = r.k % 2
+            n, s = mv.get(b, (0, 0))
+            if r.change_type == "insert":
+                mv[b] = (n + 1, s + r.v)
+                last[r.k] = r.v
+            elif r.change_type == "update":
+                mv[b] = (n, s - last[r.k] + r.v)
+                last[r.k] = r.v
+            elif r.change_type == "delete":
+                mv[b] = (n - 1, s - last.pop(r.k))
+
+    q = (
+        spark.readStream.format("snapshot_cdc")
+        .option("table_dir", t)
+        .option("key", "k")
+        .load()
+        .writeStream.foreachBatch(apply_delta)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    recomputed = {
+        r.b: (r.n, r.s)
+        for r in snapshot_read(spark, t)
+        .groupBy((F.col("k") % 2).alias("b"))
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert {b: (n, s) for b, (n, s) in mv.items()} == recomputed

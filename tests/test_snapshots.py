@@ -501,3 +501,54 @@ def test_vacuum_guards_and_orphan_sweep(spark, tmp_path):
     assert not os.path.exists(orphan_dir)
     # live table unaffected
     assert sorted(r.k for r in snapshot_read(spark, t).collect()) == list(range(5))
+
+
+def test_concurrent_commit_loses_loudly(spark, tmp_path):
+    """Two writers racing to the same version: the second commit must
+    raise ConcurrentSnapshotWrite, never silently overwrite the winner
+    (os.replace semantics would lose the first commit)."""
+    import pytest
+    from flow_spark.operators.snapshots import ConcurrentSnapshotWrite
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(3).selectExpr("id AS k"), t)
+    # simulate the race: winner commits v2 while loser still computes
+    winner = spark.createDataFrame([(100,)], "k long")
+    snapshot_write(winner, t)  # v2 committed
+    # loser computed against v1 and tries to publish v2 directly
+    from flow_spark.operators.snapshots import _commit_manifest, _manifest_path
+    import json as _json
+
+    tmp = _manifest_path(t, 2) + ".loser.tmp"
+    with open(tmp, "w") as fh:
+        _json.dump({"version": 2, "files": [], "schema": "{}"}, fh)
+    with pytest.raises(ConcurrentSnapshotWrite):
+        _commit_manifest(tmp, _manifest_path(t, 2))
+    # the winner's manifest is intact
+    got = sorted(r.k for r in snapshot_read(spark, t, 2).collect())
+    assert got == [100]
+    import os as _os
+    assert not _os.path.exists(tmp)
+
+
+def test_read_key_range_skips_files_from_manifest_stats(spark, tmp_path):
+    """snapshot_read(key_range=...) drops files whose manifest stats
+    can't intersect the range — before any footer is opened."""
+    import pyspark.sql.functions as F
+
+    t = str(tmp_path / "tbl")
+    base = spark.range(100).selectExpr("CAST(id AS INT) AS k", "id * 2 AS v")
+    snapshot_write(base.repartitionByRange(4, "k"), t, stats_col="k")
+    full = snapshot_read(spark, t)
+    narrow = snapshot_read(spark, t, key_range=(10, 20))
+    assert len(narrow.inputFiles()) < len(full.inputFiles())
+    # pruning is sound: the filtered results agree with the full scan
+    want = sorted(
+        tuple(r) for r in full.filter(F.col("k").between(10, 20)).collect()
+    )
+    got = sorted(
+        tuple(r) for r in narrow.filter(F.col("k").between(10, 20)).collect()
+    )
+    assert got == want and len(got) == 11
+    # a range outside every file -> empty frame, zero files
+    assert snapshot_read(spark, t, key_range=(1000, 2000)).count() == 0
