@@ -1052,3 +1052,101 @@ def sample_split_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "sample_temperature_mix",
+    category="text-analysis",
+    doc="Temperature-scaled source mixing (the Gopher/PaLM data-mixture "
+    "recipe at T=2): target share of source s ∝ sqrt(n_s), which "
+    "upsamples rare sources and downsamples dominant ones, applied as "
+    "a deterministic hash-threshold filter.  The keep decision is the "
+    "ALL-INTEGER cross-multiplication h * sumw * n_s < w_s * N * 2^20 "
+    "with w_s = floor(sqrt(n_s)*1000) — the only FP op is the "
+    "IEEE-exact sqrt, so both engines keep the identical row set "
+    "(a normalized-double rate would flip boundary rows on the last "
+    "bit).  One aggregate for the mixture table (broadcast back) + one "
+    "scan: scan-speed at 100 TB, and retry/repartition stable like "
+    "every sampler here.  Source groups are derived skewed (57/29/14%) "
+    "from order keys; output = per-group original vs kept counts + "
+    "exact id sums proving the assignment.",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN 'rare'
+                        WHEN o_orderkey % 3 = 0 THEN 'mid'
+                        ELSE 'common' END AS grp
+            FROM orders
+        ),
+        sizes AS (
+            SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1000) AS BIGINT)
+                       AS w
+            FROM tagged GROUP BY grp
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS big_n,
+                   CAST(SUM(w) AS BIGINT) AS sumw
+            FROM sizes
+        ),
+        kept AS (
+            SELECT t.grp, t.o_orderkey, s.n, s.w
+            FROM tagged t JOIN sizes s USING (grp), tot
+            WHERE ({portable_hash_expr("CAST(o_orderkey AS VARCHAR)", salt='tmix')}
+                   % 1048576 + 1048576) % 1048576 * tot.sumw * s.n
+                  < s.w * tot.big_n * 1048576
+        )
+        SELECT s.grp, s.n AS n_orig,
+               CAST(COUNT(k.o_orderkey) AS BIGINT) AS n_kept,
+               CAST(COALESCE(SUM(k.o_orderkey), 0) AS BIGINT) AS kept_id_sum
+        FROM sizes s LEFT JOIN kept k ON k.grp = s.grp
+        GROUP BY s.grp, s.n
+        ORDER BY s.grp
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.functions.hashing import portable_hash64
+
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    grp = (
+        F.when(k % 7 == 0, "rare").when(k % 3 == 0, "mid").otherwise("common")
+    )
+    tagged = o.select(k.alias("o_orderkey"), grp.alias("grp"))
+    sizes = tagged.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.floor(F.sqrt(F.count("*").cast("double")) * 1000)
+        .cast("bigint")
+        .alias("w"),
+    )
+    tot = sizes.agg(
+        F.sum("n").cast("bigint").alias("big_n"),
+        F.sum("w").cast("bigint").alias("sumw"),
+    )
+    h = F.pmod(
+        portable_hash64(F.col("o_orderkey").cast("string"), salt="tmix"),
+        F.lit(1048576),
+    )
+    kept = (
+        tagged.join(F.broadcast(sizes), "grp")
+        .crossJoin(F.broadcast(tot))
+        .filter(h * F.col("sumw") * F.col("n") < F.col("w") * F.col("big_n") * F.lit(1048576))
+        .select("grp", "o_orderkey")
+    )
+    return (
+        sizes.join(
+            kept.groupBy("grp").agg(
+                F.count("*").cast("bigint").alias("n_kept"),
+                F.sum("o_orderkey").cast("bigint").alias("kept_id_sum"),
+            ),
+            "grp",
+            "left",
+        )
+        .select(
+            "grp",
+            F.col("n").alias("n_orig"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("kept_id_sum", F.lit(0)).cast("bigint").alias("kept_id_sum"),
+        )
+        .orderBy("grp")
+    )
