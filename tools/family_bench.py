@@ -53,6 +53,7 @@ FAMILIES = {
         "sample_split_by_group",
         "sketch_countmin",
         "win_skyline_pareto",
+        "sample_temperature_mix",
     ],
     "lakehouse": [
         "snap_time_travel",
