@@ -48,15 +48,20 @@ def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, MANIFEST_DIR, f"v{version}.json")
 
 
-def _commit_manifest(tmp: str, final: str) -> None:
+def _commit_manifest(manifest: dict, final: str) -> None:
     """Atomically publish a manifest, FAILING if the version exists.
 
-    ``os.link`` is an atomic create-if-absent on POSIX — unlike
-    ``os.replace``, which would silently overwrite a concurrent writer's
-    committed manifest (lost update).  Losers get
+    The staging file is WRITER-UNIQUE (uuid suffix) — a shared tmp path
+    would let two racers truncate each other's half-written JSON and
+    link the wrong bytes.  ``os.link`` is an atomic create-if-absent on
+    POSIX — unlike ``os.replace``, which would silently overwrite a
+    concurrent writer's committed manifest (lost update).  Losers get
     :class:`ConcurrentSnapshotWrite` and should recompute against the
     new current version and retry; the winner's version is untouched.
     """
+    tmp = f"{final}.{uuid.uuid4().hex[:12]}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
     try:
         os.link(tmp, final)
     except FileExistsError:
@@ -145,10 +150,7 @@ def snapshot_write(
         "stats": stats,
         "stats_col": stats_col,
     }
-    tmp = _manifest_path(table_dir, version) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    _commit_manifest(tmp, _manifest_path(table_dir, version))
+    _commit_manifest(manifest, _manifest_path(table_dir, version))
     return version
 
 
@@ -183,6 +185,7 @@ def snapshot_read(
     table_dir: str,
     version: int | None = None,
     key_range: "tuple | None" = None,
+    key_col: "str | None" = None,
 ) -> DataFrame:
     """Read exactly one committed version (default: latest).
 
@@ -190,12 +193,14 @@ def snapshot_read(
     parallel parquet read with pushdown/pruning; files written by later
     versions are invisible because they are simply not in the list.
 
-    ``key_range=(lo, hi)`` (inclusive) additionally SKIPS files whose
-    manifest [min, max] stats can't intersect the range — file-level
-    data skipping decided from the manifest alone, before a single
-    footer is opened (the caller still applies the row-level filter;
-    this only shrinks the input split set).  Files without stats are
-    always read.  No-op when the manifest carries no stats.
+    ``key_range=(lo, hi)`` with ``key_col`` (both required together)
+    additionally SKIPS files whose manifest [min, max] stats can't
+    intersect the range — file-level data skipping decided from the
+    manifest alone, before a single footer is opened (the caller still
+    applies the row-level filter; this only shrinks the input split
+    set).  Pruning applies ONLY when the manifest's recorded
+    ``stats_col`` matches ``key_col`` — stats on a different column
+    must never drop files — and files without stats are always read.
 
     The scan uses the MANIFEST's recorded schema, not footer inference:
     a version whose write added a column reads older reused files with
@@ -213,16 +218,24 @@ def snapshot_read(
     schema = StructType.fromJson(json.loads(manifest["schema"]))
     files = manifest["files"]
     if key_range is not None:
+        if key_col is None:
+            raise ValueError("key_range requires key_col")
         lo, hi = key_range
-        stats = manifest.get("stats", {})
-        files = [
-            f
-            for f in files
-            if f not in stats
-            or stats[f][0] is None
-            or stats[f][1] is None
-            or (stats[f][0] <= hi and stats[f][1] >= lo)
-        ]
+        stats = (
+            manifest.get("stats", {})
+            if manifest.get("stats_col") == key_col
+            else {}
+        )
+
+        def may_intersect(st: list) -> bool:
+            if st[0] is None or st[1] is None:
+                return True
+            try:
+                return st[0] <= hi and st[1] >= lo
+            except TypeError:  # stats/bounds type mismatch: never prune
+                return True
+
+        files = [f for f in files if f not in stats or may_intersect(stats[f])]
         if not files:
             return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*files)
@@ -509,10 +522,7 @@ def snapshot_compact(
         "stats": stats,
         "stats_col": stats_col,
     }
-    tmp = _manifest_path(table_dir, version) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    _commit_manifest(tmp, _manifest_path(table_dir, version))
+    _commit_manifest(manifest, _manifest_path(table_dir, version))
     return version
 
 

@@ -1092,9 +1092,9 @@ def sample_split_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept AS (
             SELECT t.grp, t.o_orderkey, s.n, s.w
             FROM tagged t JOIN sizes s USING (grp), tot
-            WHERE ({portable_hash_expr("CAST(o_orderkey AS VARCHAR)", salt='tmix')}
-                   % 1048576 + 1048576) % 1048576 * tot.sumw * s.n
-                  < s.w * tot.big_n * 1048576
+            WHERE CAST(({portable_hash_expr("CAST(o_orderkey AS VARCHAR)", salt='tmix')}
+                   % 1048576 + 1048576) % 1048576 AS HUGEINT) * tot.sumw * s.n
+                  < CAST(s.w AS HUGEINT) * tot.big_n * 1048576
         )
         SELECT s.grp, s.n AS n_orig,
                CAST(COUNT(k.o_orderkey) AS BIGINT) AS n_kept,
@@ -1113,24 +1113,40 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(k % 7 == 0, "rare").when(k % 3 == 0, "mid").otherwise("common")
     )
     tagged = o.select(k.alias("o_orderkey"), grp.alias("grp"))
-    sizes = tagged.groupBy("grp").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.floor(F.sqrt(F.count("*").cast("double")) * 1000)
-        .cast("bigint")
-        .alias("w"),
+    # the mixture table is tiny (one row per source): compute it ONCE,
+    # collect to the driver, and re-broadcast as literals — re-deriving
+    # `sizes` in each branch would rescan orders per reference
+    size_rows = (
+        tagged.groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.floor(F.sqrt(F.count("*").cast("double")) * 1000)
+            .cast("bigint")
+            .alias("w"),
+        )
+        .collect()
     )
-    tot = sizes.agg(
-        F.sum("n").cast("bigint").alias("big_n"),
-        F.sum("w").cast("bigint").alias("sumw"),
+    big_n = sum(r.n for r in size_rows)
+    sumw = sum(r.w for r in size_rows)
+    sizes = spark.createDataFrame(
+        [(r.grp, r.n, r.w) for r in size_rows], "grp string, n long, w long"
     )
     h = F.pmod(
         portable_hash64(F.col("o_orderkey").cast("string"), salt="tmix"),
         F.lit(1048576),
     )
+    # decimal(38,0) keeps the cross-multiplication exact far past int64
+    # (the oracle uses HUGEINT): at 100 TB row counts the int64 product
+    # h * sumw * n would wrap silently in non-ANSI mode
+    dec = "decimal(38,0)"
     kept = (
         tagged.join(F.broadcast(sizes), "grp")
-        .crossJoin(F.broadcast(tot))
-        .filter(h * F.col("sumw") * F.col("n") < F.col("w") * F.col("big_n") * F.lit(1048576))
+        .filter(
+            h.cast(dec) * F.lit(sumw).cast(dec) * F.col("n").cast(dec)
+            < F.col("w").cast(dec)
+            * F.lit(big_n).cast(dec)
+            * F.lit(1048576).cast(dec)
+        )
         .select("grp", "o_orderkey")
     )
     return (

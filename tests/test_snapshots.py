@@ -516,19 +516,20 @@ def test_concurrent_commit_loses_loudly(spark, tmp_path):
     winner = spark.createDataFrame([(100,)], "k long")
     snapshot_write(winner, t)  # v2 committed
     # loser computed against v1 and tries to publish v2 directly
-    from flow_spark.operators.snapshots import _commit_manifest, _manifest_path
-    import json as _json
+    import glob as _glob
+    import os as _os
 
-    tmp = _manifest_path(t, 2) + ".loser.tmp"
-    with open(tmp, "w") as fh:
-        _json.dump({"version": 2, "files": [], "schema": "{}"}, fh)
+    from flow_spark.operators.snapshots import _commit_manifest, _manifest_path
+
     with pytest.raises(ConcurrentSnapshotWrite):
-        _commit_manifest(tmp, _manifest_path(t, 2))
-    # the winner's manifest is intact
+        _commit_manifest(
+            {"version": 2, "files": [], "schema": "{}"}, _manifest_path(t, 2)
+        )
+    # the winner's manifest is intact and the loser's staging file is gone
     got = sorted(r.k for r in snapshot_read(spark, t, 2).collect())
     assert got == [100]
-    import os as _os
-    assert not _os.path.exists(tmp)
+    assert not _glob.glob(_manifest_path(t, 2) + ".*.tmp")
+    assert _os.path.exists(_manifest_path(t, 2))
 
 
 def test_read_key_range_skips_files_from_manifest_stats(spark, tmp_path):
@@ -540,7 +541,7 @@ def test_read_key_range_skips_files_from_manifest_stats(spark, tmp_path):
     base = spark.range(100).selectExpr("CAST(id AS INT) AS k", "id * 2 AS v")
     snapshot_write(base.repartitionByRange(4, "k"), t, stats_col="k")
     full = snapshot_read(spark, t)
-    narrow = snapshot_read(spark, t, key_range=(10, 20))
+    narrow = snapshot_read(spark, t, key_range=(10, 20), key_col="k")
     assert len(narrow.inputFiles()) < len(full.inputFiles())
     # pruning is sound: the filtered results agree with the full scan
     want = sorted(
@@ -551,4 +552,10 @@ def test_read_key_range_skips_files_from_manifest_stats(spark, tmp_path):
     )
     assert got == want and len(got) == 11
     # a range outside every file -> empty frame, zero files
-    assert snapshot_read(spark, t, key_range=(1000, 2000)).count() == 0
+    assert snapshot_read(spark, t, key_range=(1000, 2000), key_col="k").count() == 0
+    # stats on a DIFFERENT column never prune (correctness over skipping)
+    other = snapshot_read(spark, t, key_range=(10, 20), key_col="v")
+    assert len(other.inputFiles()) == len(full.inputFiles())
+    import pytest
+    with pytest.raises(ValueError, match="key_col"):
+        snapshot_read(spark, t, key_range=(1, 2))
