@@ -816,3 +816,136 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_url")
     )
+
+
+# ---- duplicated-substring span detection ----------------------------------
+
+_SPAN_K = 8  # tokens per gram; spans are exact to within K-1 tokens
+
+
+@register(
+    "dedup_dup_spans",
+    category="dedup",
+    doc=f"Duplicated-substring span detection — the sub-document dedup of "
+    "Lee et al. 2022 ('Deduplicating Training Data Makes Language Models "
+    "Better') re-expressed Spark-first: instead of a suffix array, every "
+    f"doc explodes into stride-1 {_SPAN_K}-token gram hashes with "
+    "positions; grams seen in >1 document mark duplicated positions; a "
+    "per-doc gaps-and-islands window merges overlapping grams (start "
+    f"distance <= {_SPAN_K}) into maximal removable spans "
+    "[start_tok, end_tok].  Two hash shuffles (gram groupBy + left-semi "
+    "join back) and one per-doc window — no suffix array, no all-pairs; "
+    "span boundaries are exact to within K-1 tokens of the true maximal "
+    "duplicated substring.  At 100 TB the gram table is the cost (one "
+    "row per token); both shuffles key on the 60-bit gram hash, so skew "
+    "is bounded by true gram popularity and the dup-gram set shrinks "
+    "to near-duplicate clusters only.",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, len(toks) AS n_toks, i AS pos,
+                   {portable_hash_expr(
+                       f"array_to_string(list_slice(toks, i + 1,"
+                       f" i + {_SPAN_K}), ' ')", salt='dsp')} AS gram_hash
+            FROM d CROSS JOIN range(0, 128) t(i)
+            WHERE i + {_SPAN_K} <= len(toks)
+        ),
+        dup AS (
+            SELECT gram_hash FROM g
+            GROUP BY gram_hash HAVING COUNT(DISTINCT doc_id) > 1
+        ),
+        p AS (
+            SELECT doc_id, n_toks, pos FROM g
+            WHERE gram_hash IN (SELECT gram_hash FROM dup)
+        ),
+        b AS (
+            SELECT doc_id, n_toks, pos,
+                   CASE WHEN pos - lag(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                        ) > {_SPAN_K} THEN 1 ELSE 0 END AS brk
+            FROM p
+        ),
+        s AS (
+            SELECT doc_id, n_toks, pos,
+                   SUM(brk) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                   ) AS span_id
+            FROM b
+        )
+        SELECT doc_id,
+               CAST(span_id AS BIGINT) AS span_id,
+               CAST(MIN(pos) AS BIGINT) AS start_tok,
+               CAST(MAX(pos) + {_SPAN_K} - 1 AS BIGINT) AS end_tok,
+               CAST(MAX(pos) + {_SPAN_K} - MIN(pos) AS BIGINT) AS span_toks,
+               CAST(MIN(n_toks) AS BIGINT) AS n_toks
+        FROM s
+        GROUP BY doc_id, span_id
+        ORDER BY doc_id, span_id
+    """,
+)
+def dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from flow_spark.functions.hashing import portable_hash64
+
+    K = _SPAN_K
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.split(normalize_text(F.col("text")), " ").alias("toks"),
+    )
+    g = (
+        d.filter(F.size("toks") >= K)
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_toks"),
+            F.explode(F.sequence(F.lit(0), F.size("toks") - K)).alias("pos"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "pos",
+            portable_hash64(
+                F.array_join(F.slice("toks", F.col("pos") + 1, K), " "),
+                salt="dsp",
+            ).alias("gram_hash"),
+        )
+    )
+    dup = (
+        g.groupBy("gram_hash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram_hash")
+    )
+    p = g.join(dup, "gram_hash", "left_semi")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    b = p.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) > K, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    s = b.withColumn(
+        "span_id", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        s.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("_s"),
+            F.max("pos").alias("_e"),
+            F.min("n_toks").alias("n_toks"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_id").cast("bigint").alias("span_id"),
+            F.col("_s").cast("bigint").alias("start_tok"),
+            (F.col("_e") + K - 1).cast("bigint").alias("end_tok"),
+            (F.col("_e") + K - F.col("_s")).cast("bigint").alias("span_toks"),
+            F.col("n_toks").cast("bigint"),
+        )
+        .orderBy("doc_id", "span_id")
+    )

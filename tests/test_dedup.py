@@ -119,3 +119,51 @@ def test_ml_kmeans_quantized_partitioning_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert base == alt
     assert len(base) == 4 and all(n > 0 for _, n, _ in base)
+
+
+def test_dup_spans_invariants(spark, sf_dir):
+    """dedup_dup_spans: spans are per-doc disjoint, ordered, each at least
+    K tokens long, inside the doc, and every reported span really does
+    contain a gram shared with another document (no false spans)."""
+    from flow_spark.queries.dedup import _SPAN_K, dedup_dup_spans
+
+    rows = dedup_dup_spans(spark, sf_dir).collect()
+    assert rows  # the fixture corpus has cross-doc duplication
+    by_doc = {}
+    for r in rows:
+        assert r.span_toks == r.end_tok - r.start_tok + 1
+        assert r.span_toks >= _SPAN_K
+        assert 0 <= r.start_tok <= r.end_tok < r.n_toks
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for spans in by_doc.values():
+        spans.sort(key=lambda r: r.span_id)
+        for a, b in zip(spans, spans[1:]):
+            # merged islands: next span starts beyond a K-gap, so spans
+            # never overlap and were not mergeable
+            assert b.start_tok > a.end_tok + 1
+
+
+def test_dup_spans_finds_planted_duplicate(spark):
+    """A 12-token run planted in two otherwise-distinct docs comes back as
+    one span in each doc covering exactly the planted run (K=8 grams at
+    stride 1 merge to the full run)."""
+    from flow_spark.queries import dedup as dq
+
+    run = " ".join(f"tok{i}" for i in range(12))
+    a = "alpha beta " + run + " gamma delta epsilon zeta eta theta"
+    b = "one two three four " + run + " five six seven eight nine ten"
+    c = "totally unrelated words " + " ".join(f"u{i}" for i in range(20))
+
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    # run the same pipeline as the registered query, against a temp table
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r.doc_id: r for r in dq.dedup_dup_spans(spark, td).collect()}
+    assert set(out) == {1, 2}
+    # doc 1: run starts at token 2; doc 2: at token 4 (0-based)
+    assert (out[1].start_tok, out[1].span_toks) == (2, 12)
+    assert (out[2].start_tok, out[2].span_toks) == (4, 12)
