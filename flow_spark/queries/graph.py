@@ -274,3 +274,95 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("side", "degree")
     )
+
+
+_JACC_HUB_CAP = 64  # parts with more suppliers than this are hub-cut
+_JACC_TOPK = 50
+
+
+@register(
+    "graph_link_prediction",
+    category="graph",
+    doc="Common-neighbor link prediction over the supplier projection of "
+    "the bipartite graph: candidate supplier pairs ranked by exact-"
+    "integer Jaccard overlap of their part neighborhoods (jacc_permille "
+    "= 1000*|A&B| div |A|+|B|-|A&B|), full deterministic tiebreak "
+    f"(score, common, s1, s2), top {_JACC_TOPK}.  Parts with more than "
+    f"{_JACC_HUB_CAP} suppliers are hub-cut BEFORE the self-join — on "
+    "this fixture that drops nothing, but at 100 TB it is what bounds "
+    "the per-part pair fan-out to C(cap,2) instead of C(10^5,2); "
+    "degrees are computed inside the same capped universe so the "
+    "score stays a true Jaccard of the graph actually joined.  One "
+    "self-join shuffle keyed on the part, one (s1,s2) groupBy, then a "
+    "global top-k (rank-pushdown, same shape as sort_topk_global).",
+    oracle=f"""
+        WITH ps AS (
+            SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        ),
+        keep AS (
+            SELECT p FROM ps GROUP BY p HAVING COUNT(*) <= {_JACC_HUB_CAP}
+        ),
+        psk AS (SELECT ps.p, ps.s FROM ps JOIN keep USING (p)),
+        deg AS (SELECT s, COUNT(*) AS d FROM psk GROUP BY s),
+        pairs AS (
+            SELECT a.s AS s1, b.s AS s2, COUNT(*) AS common
+            FROM psk a JOIN psk b ON a.p = b.p AND a.s < b.s
+            GROUP BY a.s, b.s
+        ),
+        scored AS (
+            SELECT s1, s2, common, d1.d AS deg1, d2.d AS deg2,
+                   1000 * common // (d1.d + d2.d - common) AS jacc_permille
+            FROM pairs
+            JOIN deg d1 ON d1.s = s1
+            JOIN deg d2 ON d2.s = s2
+        )
+        SELECT s1, s2,
+               CAST(common AS BIGINT) AS common,
+               CAST(deg1 AS BIGINT) AS deg1,
+               CAST(deg2 AS BIGINT) AS deg2,
+               CAST(jacc_permille AS BIGINT) AS jacc_permille
+        FROM scored
+        ORDER BY jacc_permille DESC, common DESC, s1, s2
+        LIMIT {_JACC_TOPK}
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    keep = (
+        ps.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("np"))
+        .filter(F.col("np") <= _JACC_HUB_CAP)
+        .select("p")
+    )
+    psk = ps.join(keep, "p")
+    deg = psk.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a = psk.alias("a")
+    b = psk.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("deg1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("deg2"))
+    scored = (
+        pairs.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            F.col("common").cast("bigint").alias("common"),
+            F.col("deg1").cast("bigint").alias("deg1"),
+            F.col("deg2").cast("bigint").alias("deg2"),
+            F.expr("1000 * common div (deg1 + deg2 - common)")
+            .cast("bigint")
+            .alias("jacc_permille"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jacc_permille"), F.desc("common"), "s1", "s2"
+    ).limit(_JACC_TOPK)

@@ -1996,3 +1996,104 @@ def dq_volume_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n7",
         flag.alias("volume_flag"),
     ).orderBy("day")
+
+
+@register(
+    "dq_ab_welch",
+    category="data-quality",
+    doc="A/B experiment readout with a Welch t-test decision computed "
+    "ENTIRELY in exact integer space: the metric (event value in cents) "
+    "aggregates to per-arm sufficient statistics (n, sum, sum-of-"
+    "squares — one map-side-combinable groupBy, the only shuffle), and "
+    "the significance decision t^2 >= 4 (|t| >= 2) is evaluated by "
+    "cross-multiplication of the exact rational t^2 = "
+    "D^2(na-1)(nb-1) / (ssn_a*nb^2*(nb-1) + ssn_b*na^2*(na-1)) with "
+    "D = sum_a*nb - sum_b*na and ssn = n*sumsq - sum^2 — no float "
+    "division or sqrt anywhere, so engines agree bit-for-bit.  "
+    "Intermediates ride decimal(38,0) (Spark) / HUGEINT (DuckDB): "
+    "the cross-products reach ~1e31 at sf0.1 and ~1e37 at sf1, inside "
+    "both engines' 128-bit range; outputs are small BIGINTs.  This is "
+    "the scale shape for experiment analysis over 100 TB of events: "
+    "sufficient statistics shrink the data to one row per arm before "
+    "any statistics happen.",
+    oracle="""
+        WITH e AS (
+            SELECT user_id % 2 AS arm,
+                   CAST(round(value * 100) AS BIGINT) AS v
+            FROM events
+        ),
+        s AS (
+            SELECT arm, COUNT(*) AS n, SUM(v) AS sv, SUM(v * v) AS svv
+            FROM e GROUP BY arm
+        ),
+        w AS (
+            SELECT a.n AS na, b.n AS nb, a.sv AS sa, b.sv AS sb,
+                   a.n * a.svv - a.sv * a.sv AS ssna,
+                   b.n * b.svv - b.sv * b.sv AS ssnb,
+                   a.sv * b.n - b.sv * a.n AS d
+            FROM (SELECT * FROM s WHERE arm = 0) a,
+                 (SELECT * FROM s WHERE arm = 1) b
+        )
+        SELECT CAST(na AS BIGINT) AS n_a,
+               CAST(nb AS BIGINT) AS n_b,
+               CAST(sa AS BIGINT) AS sum_a_cents,
+               CAST(sb AS BIGINT) AS sum_b_cents,
+               CAST(1000 * sa // na AS BIGINT) AS mean_a_millicents,
+               CAST(1000 * sb // nb AS BIGINT) AS mean_b_millicents,
+               CAST(ssna // (na * (na - 1)) AS BIGINT) AS var_a_cents2,
+               CAST(ssnb // (nb * (nb - 1)) AS BIGINT) AS var_b_cents2,
+               CAST(CASE WHEN d * d * (na - 1) * (nb - 1) >=
+                         4 * (ssna * nb * nb * (nb - 1)
+                              + ssnb * na * na * (na - 1))
+                    THEN 1 ELSE 0 END AS BIGINT) AS significant_t2
+        FROM w
+    """,
+)
+def dq_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        (F.col("user_id") % 2).alias("arm"), cents("value").alias("v")
+    )
+    s = e.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    a = s.filter(F.col("arm") == 0).select(
+        F.col("n").alias("na"), F.col("sv").alias("sa"), F.col("svv").alias("svva")
+    )
+    b = s.filter(F.col("arm") == 1).select(
+        F.col("n").alias("nb"), F.col("sv").alias("sb"), F.col("svv").alias("svvb")
+    )
+    w = a.crossJoin(b).select(  # 1-row x 1-row scalar product
+        "na",
+        "nb",
+        "sa",
+        "sb",
+        (dec("na") * dec("svva") - dec("sa") * dec("sa")).alias("ssna"),
+        (dec("nb") * dec("svvb") - dec("sb") * dec("sb")).alias("ssnb"),
+        (dec("sa") * dec("nb") - dec("sb") * dec("na")).alias("d"),
+    )
+    lhs = F.col("d") * F.col("d") * (dec("na") - 1) * (dec("nb") - 1)
+    rhs = 4 * (
+        F.col("ssna") * dec("nb") * dec("nb") * (dec("nb") - 1)
+        + F.col("ssnb") * dec("na") * dec("na") * (dec("na") - 1)
+    )
+    return w.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("sa").cast("bigint").alias("sum_a_cents"),
+        F.col("sb").cast("bigint").alias("sum_b_cents"),
+        F.expr("(1000 * sa) div na").cast("bigint").alias("mean_a_millicents"),
+        F.expr("(1000 * sb) div nb").cast("bigint").alias("mean_b_millicents"),
+        (F.col("ssna") / (dec("na") * (dec("na") - 1)))
+        .cast("bigint")
+        .alias("var_a_cents2"),
+        (F.col("ssnb") / (dec("nb") * (dec("nb") - 1)))
+        .cast("bigint")
+        .alias("var_b_cents2"),
+        F.when(lhs >= rhs, F.lit(1)).otherwise(F.lit(0)).cast("bigint").alias(
+            "significant_t2"
+        ),
+    )

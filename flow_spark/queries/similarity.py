@@ -1178,3 +1178,76 @@ def ml_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.cast("bigint").alias("slope_den"),
         F.when(num > 0, "up").when(num < 0, "down").otherwise("flat").alias("trend"),
     ).orderBy("event_type")
+
+
+from flow_spark.functions.hashing import portable_hash_expr  # noqa: E402
+
+_LIN_BUCKETS = 64  # hashed feature space of the linear scorer
+
+#: mirrors operators.text.tokens (normalize + whitespace split)
+_SQL_TOKS = r"string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
+
+
+@register(
+    "ml_hashed_linear_score",
+    category="ml",
+    doc="Linear quality-classifier inference (the fasttext / quality-"
+    "filter serving shape): tokens hash into a fixed feature space "
+    f"({_LIN_BUCKETS} buckets), each bucket carries an integer weight, "
+    "the doc score is the exact integer weight sum, accept = score >= 0."
+    "  The weights here are a deterministic hash-derived stand-in (mod "
+    "2001 - 1000) so both engines replay the same model without a "
+    "training artifact; in production the bucket->weight map arrives as "
+    "a broadcast join or literal map and nothing else changes.  The "
+    "100 TB property is the plan: scoring is a SINGLE scan projection — "
+    "tokenize, hash, weight-sum inside one higher-order aggregate — "
+    "zero shuffles, zero Python; the final per-doc row IS the scan "
+    "output.",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   list_sum(list_transform(
+                       {_SQL_TOKS},
+                       t -> {portable_hash_expr(
+                           f"concat('w:', CAST({portable_hash_expr('t', salt='mlf')}"
+                           f" % {_LIN_BUCKETS} AS VARCHAR))")}
+                            % 2001 - 1000
+                   )) AS score,
+                   len({_SQL_TOKS}) AS n_toks
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_toks AS BIGINT) AS n_toks,
+               CAST(score AS BIGINT) AS score,
+               CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS BIGINT)
+                   AS accept
+        FROM scored
+        ORDER BY doc_id
+    """,
+)
+def ml_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.functions.hashing import portable_hash64
+    from flow_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    bucket = lambda t: portable_hash64(t, salt="mlf") % _LIN_BUCKETS  # noqa: E731
+    weight = lambda t: (  # noqa: E731
+        portable_hash64(F.concat(F.lit("w:"), bucket(t).cast("string"))) % 2001
+        - 1000
+    )
+    score = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + weight(t)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("n_toks"),
+            score.cast("bigint").alias("score"),
+        )
+        .withColumn(
+            "accept",
+            F.when(F.col("score") >= 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
+        )
+        .orderBy("doc_id")
+    )

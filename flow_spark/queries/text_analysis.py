@@ -1166,3 +1166,84 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@register(
+    "text_unigram_surprisal",
+    category="text-analysis",
+    doc="Unigram-LM perplexity proxy in exact integer space: each token's "
+    "self-information is approximated by floor-log2 bit lengths — "
+    "info_bits = bits(N) - bits(count(token)) where bits(x) = "
+    "length(bin(x)) — so the whole scoring path is libm-free and "
+    "bit-identical across engines (log/exp never appear; see the "
+    "verify-skill gotcha list).  Docs whose mean surprisal is low are "
+    "boilerplate/repetitive (common tokens only); very high means "
+    "gibberish/rare-token soup — the standard cheap stand-in for a "
+    "trained-LM perplexity filter.  Plan shape at 100 TB: one map-side-"
+    "combinable groupBy builds the unigram table (vocab << corpus), one "
+    "frequency-annotate shuffle join keyed on the token, one per-doc "
+    "re-aggregation; the corpus-total N is a 1-row broadcast scalar.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST({_SQL_TOKS}) AS tok FROM documents
+        ),
+        vocab AS (
+            SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+        ),
+        total AS (SELECT SUM(c) AS n FROM vocab),
+        info AS (
+            SELECT t.doc_id,
+                   length(bin(CAST(tt.n AS BIGINT)))
+                       - length(bin(CAST(v.c AS BIGINT))) AS info_bits
+            FROM toks t
+            JOIN vocab v USING (tok)
+            CROSS JOIN total tt
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_toks,
+               CAST(SUM(info_bits) AS BIGINT) AS sum_info_bits,
+               CAST(1000 * SUM(info_bits) // COUNT(*) AS BIGINT)
+                   AS mean_info_milli,
+               CAST(CASE WHEN 1000 * SUM(info_bits) // COUNT(*) < 6000
+                         THEN 1 ELSE 0 END AS BIGINT) AS flag_boilerplate
+        FROM info
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    info = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (
+                F.length(F.bin(F.col("n").cast("bigint")))
+                - F.length(F.bin(F.col("c").cast("bigint")))
+            ).alias("info_bits"),
+        )
+    )
+    agg = info.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+        F.sum("info_bits").cast("bigint").alias("sum_info_bits"),
+    )
+    # integer floor division on both sides (Spark `div` == DuckDB `//`)
+    mean_milli = F.expr("(1000 * sum_info_bits) div n_toks")
+    return agg.select(
+        "doc_id",
+        "n_toks",
+        "sum_info_bits",
+        mean_milli.cast("bigint").alias("mean_info_milli"),
+        F.when(mean_milli < 6000, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("flag_boilerplate"),
+    ).orderBy("doc_id")
