@@ -949,3 +949,132 @@ def dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "span_id")
     )
+
+
+@register(
+    "dedup_dup_span_removal",
+    category="dedup",
+    doc="The removal half of substring dedup (companion to "
+    "dedup_dup_spans): Lee et al. keep ONE occurrence of each duplicated "
+    "substring — here the occurrence in the lowest doc_id survives, and "
+    "every later document drops the covered tokens.  A position is "
+    "removable iff its gram also occurs in a LOWER doc_id (gram groupBy "
+    "keeps min(doc_id) instead of a distinct-count), spans merge exactly "
+    "as in detection, and the cleaned text is reconstructed by dropping "
+    "covered token positions — the output carries the cleaned-text "
+    "fingerprint so the oracle proves byte-identical reconstruction, "
+    "not just matching counts.  Same two-shuffle plan as detection plus "
+    "one per-doc re-aggregation; the keep-lowest rule is what makes the "
+    "pass deterministic under any partitioning (no 'first seen' races).",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks
+            FROM documents
+        ),
+        tok AS (
+            SELECT doc_id, i AS pos, toks[i + 1] AS tok, len(toks) AS n_toks
+            FROM d CROSS JOIN range(0, 128) t(i)
+            WHERE i < len(toks)
+        ),
+        g AS (
+            SELECT doc_id, i AS pos,
+                   {portable_hash_expr(
+                       f"array_to_string(list_slice(toks, i + 1,"
+                       f" i + {_SPAN_K}), ' ')", salt='dsp')} AS gram_hash
+            FROM d CROSS JOIN range(0, 128) t(i)
+            WHERE i + {_SPAN_K} <= len(toks)
+        ),
+        keeper AS (
+            SELECT gram_hash, MIN(doc_id) AS keep_doc FROM g GROUP BY gram_hash
+        ),
+        p AS (
+            SELECT g.doc_id, g.pos FROM g
+            JOIN keeper k USING (gram_hash)
+            WHERE g.doc_id > k.keep_doc
+        ),
+        cover AS (
+            SELECT DISTINCT p.doc_id, p.pos + j.j AS pos
+            FROM p CROSS JOIN range(0, {_SPAN_K}) j(j)
+        ),
+        kept AS (
+            SELECT t.doc_id, t.pos, t.tok
+            FROM tok t
+            LEFT JOIN cover c ON c.doc_id = t.doc_id AND c.pos = t.pos
+            WHERE c.pos IS NULL
+        ),
+        -- a fully-duplicated doc has NO kept rows, but must still report
+        -- (n_removed = n_toks, clean_fp = hash of the empty string)
+        removed AS (SELECT doc_id, COUNT(*) AS nrem FROM cover GROUP BY doc_id),
+        keptagg AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean
+            FROM kept GROUP BY doc_id
+        )
+        SELECT r.doc_id,
+               CAST(len(d.toks) AS BIGINT) AS n_toks,
+               CAST(r.nrem AS BIGINT) AS n_removed,
+               {portable_hash_expr("COALESCE(k.clean, '')", salt='clean')}
+                   AS clean_fp
+        FROM removed r
+        JOIN d ON d.doc_id = r.doc_id
+        LEFT JOIN keptagg k ON k.doc_id = r.doc_id
+        ORDER BY r.doc_id
+    """,
+)
+def dedup_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.functions.hashing import portable_hash64
+
+    K = _SPAN_K
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.split(normalize_text(F.col("text")), " ").alias("toks"),
+    )
+    g = (
+        d.filter(F.size("toks") >= K)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.size("toks") - K)).alias("pos"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            portable_hash64(
+                F.array_join(F.slice("toks", F.col("pos") + 1, K), " "),
+                salt="dsp",
+            ).alias("gram_hash"),
+        )
+    )
+    keeper = g.groupBy("gram_hash").agg(F.min("doc_id").alias("keep_doc"))
+    # positions whose gram survives in a lower doc -> covered token set
+    p = g.join(keeper, "gram_hash").filter(F.col("doc_id") > F.col("keep_doc"))
+    cover = (
+        p.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(K - 1))
+            ).alias("cpos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("cpos").alias("covered"))
+    )
+    cleaned = d.join(cover, "doc_id").select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_toks"),
+        F.filter(
+            F.col("toks"),
+            lambda t, i: ~F.array_contains(F.col("covered"), i),
+        ).alias("kept"),
+    )
+    return (
+        cleaned.select(
+            "doc_id",
+            "n_toks",
+            (F.col("n_toks") - F.size("kept")).cast("bigint").alias("n_removed"),
+            portable_hash64(F.array_join("kept", " "), salt="clean").alias(
+                "clean_fp"
+            ),
+        )
+        .filter(F.col("n_removed") > 0)
+        .orderBy("doc_id")
+    )

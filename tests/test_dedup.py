@@ -167,3 +167,39 @@ def test_dup_spans_finds_planted_duplicate(spark):
     # doc 1: run starts at token 2; doc 2: at token 4 (0-based)
     assert (out[1].start_tok, out[1].span_toks) == (2, 12)
     assert (out[2].start_tok, out[2].span_toks) == (4, 12)
+
+
+def test_dup_span_removal_keeps_lowest_doc(spark):
+    """Removal keeps the occurrence in the LOWEST doc_id: the planted run
+    survives in doc 1 and is stripped from doc 2; a fully-duplicated doc
+    (3 = copy of 1) reports full removal with the empty fingerprint."""
+    from pyspark.sql import functions as F
+
+    from flow_spark.functions.hashing import portable_hash64
+    from flow_spark.queries import dedup as dq
+
+    run = " ".join(f"tok{i}" for i in range(12))
+    a = "alpha beta " + run + " gamma delta epsilon zeta eta theta"
+    b = "one two three four " + run + " five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, a)], "doc_id long, text string"
+    )
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r.doc_id: r for r in dq.dedup_dup_span_removal(spark, td).collect()}
+    # doc 1 is the keeper for every gram it contains -> no removals at all
+    assert set(out) == {2, 3}
+    assert out[2].n_removed == 12
+    assert out[3].n_removed == out[3].n_toks  # full duplicate wiped
+    empty_fp = spark.range(1).select(
+        portable_hash64(F.lit(""), salt="clean").alias("h")
+    ).collect()[0].h
+    assert out[3].clean_fp == empty_fp
+    # doc 2's cleaned text is its original minus the planted run
+    b_clean = "one two three four five six seven eight nine ten"
+    fp = spark.range(1).select(
+        portable_hash64(F.lit(b_clean), salt="clean").alias("h")
+    ).collect()[0].h
+    assert out[2].clean_fp == fp
