@@ -1247,3 +1247,156 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("flag_boilerplate"),
     ).orderBy("doc_id")
+
+
+_BPE_VOCAB = 200  # words entering tokenizer training (top by freq)
+_BPE_MERGES = 3  # unrolled merge iterations (oracle replays each)
+
+
+#: re-split the double-space symbol encoding back into a symbol list
+_SQL_RESPLIT = r"string_split_regex(trim(s), '\s+')"
+
+
+def _sql_bpe_final(i: int) -> str:
+    """The output row for merge i: the argmax pair + post-merge corpus size."""
+    return f"""SELECT {i} AS merge_rank,
+                   (SELECT a FROM b{i}) AS left_sym,
+                   (SELECT b FROM b{i}) AS right_sym,
+                   CAST((SELECT cnt FROM b{i}) AS BIGINT) AS pair_count,
+                   CAST((SELECT SUM(freq * len({_SQL_RESPLIT}))
+                         FROM w{i}) AS BIGINT) AS corpus_symbols_after
+            """
+
+
+def _sql_bpe_iter(i: int) -> str:
+    """One unrolled BPE iteration: pair counts over w{i-1}, argmax pair
+    b{i} (count DESC, pair ASC), greedy left-to-right merge into w{i}."""
+    return f"""
+        p{i} AS (
+            SELECT sy[j] AS a, sy[j + 1] AS b, SUM(freq) AS cnt
+            FROM (SELECT freq, {_SQL_RESPLIT} AS sy FROM w{i - 1})
+            CROSS JOIN range(1, 64) t(j)
+            WHERE j + 1 <= len(sy)
+            GROUP BY sy[j], sy[j + 1]
+        ),
+        b{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+        w{i} AS (
+            SELECT word, freq,
+                   replace(s,
+                           ' ' || (SELECT a FROM b{i}) || '  '
+                               || (SELECT b FROM b{i}) || ' ',
+                           ' ' || (SELECT a FROM b{i})
+                               || (SELECT b FROM b{i}) || ' ') AS s
+            FROM w{i - 1}
+        )"""
+
+
+@register(
+    "text_bpe_train",
+    category="text-analysis",
+    doc=f"BPE tokenizer training, the step that turns a curated corpus "
+    f"into a vocabulary: {_BPE_MERGES} merge iterations over the top-"
+    f"{_BPE_VOCAB} words by frequency.  Each iteration is (1) adjacent-"
+    "symbol pair counts weighted by word frequency — one map-side-"
+    "combinable groupBy whose key space is the current vocab's pair set, "
+    "(2) an exact argmax with full deterministic tiebreak (count DESC, "
+    "pair ASC) as a 1-row broadcast, (3) a greedy left-to-right merge "
+    "done by literal string replace over a double-space symbol encoding "
+    "(' a  b ' -> ' ab ') whose non-overlapping scan IS the BPE merge "
+    "rule — both engines replay it byte-identically, including odd runs "
+    "like 'a a a' -> 'aa a'.  All iterations stay lazy (crossJoin of "
+    "1-row argmax frames), so Catalyst sees one plan.  At 100 TB only "
+    "the word-frequency groupBy touches the corpus; every merge "
+    "iteration runs over the bounded vocabulary, which is exactly why "
+    "distributed BPE training scales.",
+    oracle=f"""
+        WITH wf AS (
+            SELECT tok AS word, COUNT(*) AS freq
+            FROM (SELECT UNNEST({_SQL_TOKS}) AS tok FROM documents)
+            WHERE tok <> ''
+            GROUP BY tok
+            ORDER BY freq DESC, word
+            LIMIT {_BPE_VOCAB}
+        ),
+        w0 AS (
+            SELECT word, freq,
+                   '  ' || array_to_string(string_split(word, ''), '  ')
+                        || '  ' AS s
+            FROM wf
+        ),
+        {",".join(_sql_bpe_iter(i) for i in range(1, _BPE_MERGES + 1))}
+        {" UNION ALL ".join(_sql_bpe_final(i) for i in range(1, _BPE_MERGES + 1))}
+        ORDER BY merge_rank
+    """,
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(_BPE_VOCAB)
+    )
+    w = wf.select(
+        "word",
+        "freq",
+        F.concat(
+            F.lit("  "), F.array_join(F.split("word", ""), "  "), F.lit("  ")
+        ).alias("s"),
+    )
+    out_rows = []
+    for i in range(1, _BPE_MERGES + 1):
+        sy = F.split(F.trim(F.col("s")), r"\s+")
+        pairs = (
+            # single-symbol words yield no pairs (and F.sequence(0, -1)
+            # would DESCEND, so the guard is load-bearing)
+            w.filter(F.size(sy) >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(sy) - 2),
+                        lambda j: F.struct(
+                            F.element_at(sy, j + 1).alias("a"),
+                            F.element_at(sy, j + 2).alias("b"),
+                        ),
+                    )
+                ).alias("pr"),
+            )
+            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1)
+        w = w.crossJoin(F.broadcast(best)).select(
+            "word",
+            "freq",
+            F.replace(
+                F.col("s"),
+                F.concat(
+                    F.lit(" "), F.col("a"), F.lit("  "), F.col("b"), F.lit(" ")
+                ),
+                F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
+            ).alias("s"),
+        )
+        n_after = w.agg(
+            F.sum(
+                F.col("freq") * F.size(F.split(F.trim(F.col("s")), r"\s+"))
+            ).alias("n")
+        )
+        out_rows.append(
+            best.crossJoin(n_after).select(
+                F.lit(i).cast("int").alias("merge_rank"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.col("cnt").cast("bigint").alias("pair_count"),
+                F.col("n").cast("bigint").alias("corpus_symbols_after"),
+            )
+        )
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("merge_rank")

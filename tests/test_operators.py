@@ -243,3 +243,53 @@ def test_zstd_snappy_active_with_standard_wire_formats(spark):
             assert comp[:4] == b"\x28\xb5\x2f\xfd"
         else:
             assert _snappy_raw_len(comp) == len(payload)
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """text_bpe_train's three merges equal a straightforward Python BPE
+    (same greedy left-to-right merge rule and (count DESC, pair ASC)
+    tiebreak) on the classic newest/widest corpus."""
+    import collections
+    import os
+    import tempfile
+
+    from flow_spark.queries.text_analysis import text_bpe_train
+
+    words = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+    def py_bpe(vocab, n_merges):
+        seqs = {w: list(w) for w in vocab}
+        out = []
+        for rank in range(1, n_merges + 1):
+            counts = collections.Counter()
+            for w, f in vocab.items():
+                s = seqs[w]
+                for a, b in zip(s, s[1:]):
+                    counts[(a, b)] += f
+            (a, b), cnt = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            for w, s in seqs.items():
+                merged, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(s[i])
+                        i += 1
+                seqs[w] = merged
+            total = sum(f * len(seqs[w]) for w, f in vocab.items())
+            out.append((rank, a, b, cnt, total))
+        return out
+
+    text = " ".join(w for w, f in sorted(words.items()) for _ in range(f))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        got = [
+            (r.merge_rank, r.left_sym, r.right_sym, r.pair_count,
+             r.corpus_symbols_after)
+            for r in text_bpe_train(spark, td).collect()
+        ]
+    assert got == py_bpe(words, 3)
