@@ -1257,6 +1257,62 @@ _BPE_MERGES = 3  # unrolled merge iterations (oracle replays each)
 _SQL_RESPLIT = r"string_split_regex(trim(s), '\s+')"
 
 
+def _bpe_encode(word_col):
+    """Double-space symbol encoding of a word: '  c1  c2  ...  cN  '."""
+    return F.concat(
+        F.lit("  "), F.array_join(F.split(word_col, ""), "  "), F.lit("  ")
+    )
+
+
+def _bpe_apply_one(df: DataFrame, best: DataFrame, keep: list[str]) -> DataFrame:
+    """Apply one learned merge (1-row frame with a, b) to every row's
+    encoding `s`; `keep` lists the passthrough columns."""
+    return df.crossJoin(F.broadcast(best)).select(
+        *keep,
+        F.replace(
+            F.col("s"),
+            F.concat(F.lit(" "), F.col("a"), F.lit("  "), F.col("b"), F.lit(" ")),
+            F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
+        ).alias("s"),
+    )
+
+
+def _bpe_merge_chain(w: DataFrame):
+    """Run _BPE_MERGES training iterations over the (word, freq, s) vocab.
+
+    Returns (bests, states): bests[i] is the 1-row argmax-pair frame of
+    iteration i+1; states[0] is the input and states[i] the vocab after
+    merge i.  Everything stays lazy — Catalyst sees one chained plan.
+    """
+    bests, states = [], [w]
+    for _ in range(_BPE_MERGES):
+        cur = states[-1]
+        sy = F.split(F.trim(F.col("s")), r"\s+")
+        pairs = (
+            # single-symbol words yield no pairs (and F.sequence(0, -1)
+            # would DESCEND, so the guard is load-bearing)
+            cur.filter(F.size(sy) >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(sy) - 2),
+                        lambda j: F.struct(
+                            F.element_at(sy, j + 1).alias("a"),
+                            F.element_at(sy, j + 2).alias("b"),
+                        ),
+                    )
+                ).alias("pr"),
+            )
+            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1)
+        bests.append(best)
+        states.append(_bpe_apply_one(cur, best, ["word", "freq"]))
+    return bests, states
+
+
 def _sql_bpe_final(i: int) -> str:
     """The output row for merge i: the argmax pair + post-merge corpus size."""
     return f"""SELECT {i} AS merge_rank,
@@ -1341,47 +1397,11 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "word")
         .limit(_BPE_VOCAB)
     )
-    w = wf.select(
-        "word",
-        "freq",
-        F.concat(
-            F.lit("  "), F.array_join(F.split("word", ""), "  "), F.lit("  ")
-        ).alias("s"),
-    )
+    w = wf.select("word", "freq", _bpe_encode(F.col("word")).alias("s"))
+    bests, states = _bpe_merge_chain(w)
     out_rows = []
     for i in range(1, _BPE_MERGES + 1):
-        sy = F.split(F.trim(F.col("s")), r"\s+")
-        pairs = (
-            # single-symbol words yield no pairs (and F.sequence(0, -1)
-            # would DESCEND, so the guard is load-bearing)
-            w.filter(F.size(sy) >= 2)
-            .select(
-                "freq",
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(sy) - 2),
-                        lambda j: F.struct(
-                            F.element_at(sy, j + 1).alias("a"),
-                            F.element_at(sy, j + 2).alias("b"),
-                        ),
-                    )
-                ).alias("pr"),
-            )
-            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
-            .agg(F.sum("freq").alias("cnt"))
-        )
-        best = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1)
-        w = w.crossJoin(F.broadcast(best)).select(
-            "word",
-            "freq",
-            F.replace(
-                F.col("s"),
-                F.concat(
-                    F.lit(" "), F.col("a"), F.lit("  "), F.col("b"), F.lit(" ")
-                ),
-                F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
-            ).alias("s"),
-        )
+        best, w = bests[i - 1], states[i]
         n_after = w.agg(
             F.sum(
                 F.col("freq") * F.size(F.split(F.trim(F.col("s")), r"\s+"))
@@ -1400,3 +1420,120 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in out_rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("merge_rank")
+
+
+def _sql_bpe_apply(i: int) -> str:
+    """Apply learned merge b{i} to the full-corpus word table a{i-1}."""
+    return f"""
+        a{i} AS (
+            SELECT word,
+                   replace(s,
+                           ' ' || (SELECT a FROM b{i}) || '  '
+                               || (SELECT b FROM b{i}) || ' ',
+                           ' ' || (SELECT a FROM b{i})
+                               || (SELECT b FROM b{i}) || ' ') AS s
+            FROM a{i - 1}
+        )"""
+
+
+@register(
+    "text_bpe_apply",
+    category="text-analysis",
+    doc="The serving half of the tokenizer loop: apply the merges learned "
+    "by text_bpe_train to EVERY word in the corpus (not just the "
+    "training vocab — BPE merges apply wherever the pair occurs) and "
+    "account the per-language compression (symbols per 1000 chars).  "
+    "The apply path is a replace chain over the DISTINCT-word table, "
+    "then one join from the exploded corpus tokens back to per-word "
+    "symbol counts — the shape that scales: tokenization cost is "
+    "O(vocabulary), corpus cost is one annotate join, and the learned "
+    "merges ride along as three 1-row broadcasts.",
+    oracle=f"""
+        WITH wf AS (
+            SELECT tok AS word, COUNT(*) AS freq
+            FROM (SELECT UNNEST({_SQL_TOKS}) AS tok FROM documents)
+            WHERE tok <> ''
+            GROUP BY tok
+            ORDER BY freq DESC, word
+            LIMIT {_BPE_VOCAB}
+        ),
+        w0 AS (
+            SELECT word, freq,
+                   '  ' || array_to_string(string_split(word, ''), '  ')
+                        || '  ' AS s
+            FROM wf
+        ),
+        {",".join(_sql_bpe_iter(i) for i in range(1, _BPE_MERGES + 1))},
+        allw AS (
+            SELECT DISTINCT tok AS word
+            FROM (SELECT UNNEST({_SQL_TOKS}) AS tok FROM documents)
+            WHERE tok <> ''
+        ),
+        a0 AS (
+            SELECT word,
+                   '  ' || array_to_string(string_split(word, ''), '  ')
+                        || '  ' AS s
+            FROM allw
+        ),
+        {",".join(_sql_bpe_apply(i) for i in range(1, _BPE_MERGES + 1))},
+        wl AS (
+            SELECT word, len({_SQL_RESPLIT}) AS n_sym
+            FROM a{_BPE_MERGES}
+        ),
+        dt AS (
+            SELECT lang, tok
+            FROM (SELECT lang, UNNEST({_SQL_TOKS}) AS tok FROM documents)
+            WHERE tok <> ''
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(length(tok)) AS BIGINT) AS n_chars,
+               CAST(SUM(n_sym) AS BIGINT) AS n_symbols,
+               CAST(1000 * SUM(n_sym) // SUM(length(tok)) AS BIGINT)
+                   AS symbols_per_1000_chars
+        FROM dt JOIN wl ON wl.word = dt.tok
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_toks = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    wf = (
+        corpus_toks.groupBy(F.col("tok").alias("word"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(_BPE_VOCAB)
+    )
+    w = wf.select("word", "freq", _bpe_encode(F.col("word")).alias("s"))
+    bests, _ = _bpe_merge_chain(w)
+    allw = corpus_toks.select(F.col("tok").alias("word")).distinct()
+    a = allw.select("word", _bpe_encode(F.col("word")).alias("s"))
+    for best in bests:
+        a = _bpe_apply_one(a, best, ["word"])
+    wl = a.select(
+        "word", F.size(F.split(F.trim(F.col("s")), r"\s+")).alias("n_sym")
+    )
+    return (
+        corpus_toks.join(wl, corpus_toks.tok == wl.word)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("tok")).cast("bigint").alias("n_chars"),
+            F.sum("n_sym").cast("bigint").alias("n_symbols"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_chars",
+            "n_symbols",
+            F.expr("(1000 * n_symbols) div n_chars")
+            .cast("bigint")
+            .alias("symbols_per_1000_chars"),
+        )
+        .orderBy("lang")
+    )

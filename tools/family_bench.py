@@ -28,7 +28,12 @@ from flow_spark.queries.registry import all_queries  # noqa: E402
 from flow_spark.session import get_spark  # noqa: E402
 
 FAMILIES = {
-    "graph": ["graph_pagerank", "graph_triangle_count", "graph_degree_histogram"],
+    "graph": [
+        "graph_pagerank",
+        "graph_triangle_count",
+        "graph_degree_histogram",
+        "graph_link_prediction",
+    ],
     "ann": [
         "sim_pq_adc",
         "sim_pq_adc_anchored",
@@ -41,6 +46,8 @@ FAMILIES = {
         "dedup_components",
         "dedup_simhash_hamming",
         "dedup_url_canonical",
+        "dedup_dup_spans",
+        "dedup_dup_span_removal",
     ],
     "sequence": ["seq_markov_transitions", "seq_pattern_regex", "udtf_partitioned_cusum"],
     "multimodal": ["mm_blockmean_embedding", "mm_extract_features"],
@@ -67,6 +74,13 @@ FAMILIES = {
         "sample_negatives_contrastive",
         "asof_pointintime_features",
         "ml_linreg_trend",
+        "ml_hashed_linear_score",
+        "dq_ab_welch",
+    ],
+    "text-train": [
+        "text_bpe_train",
+        "text_bpe_apply",
+        "text_unigram_surprisal",
     ],
     # full streaming drains (readStream -> stateful op -> memory sink)
     "stateful-stream": [
