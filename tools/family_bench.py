@@ -40,6 +40,7 @@ FAMILIES = {
         "sim_ivf_nprobe2",
         "sim_ivf_ann",
         "sim_hybrid_rrf",
+        "sim_matryoshka_rerank",
     ],
     "dedup": [
         "dedup_ngram_containment",
