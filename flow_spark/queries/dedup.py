@@ -1078,3 +1078,103 @@ def dedup_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_removed") > 0)
         .orderBy("doc_id")
     )
+
+
+#: Fellegi-Sunter-style integer agreement weights for record linkage
+_RL_W_NAME_CI = 40  # case-insensitive name agreement
+_RL_W_BAL = 30  # account balance within 1.00
+_RL_W_SEG = 20  # same market segment
+_RL_W_NAME_CS = 10  # exact-case name agreement
+_RL_THRESHOLD = 60
+
+
+@register(
+    "dedup_record_linkage",
+    category="dedup",
+    doc="Entity resolution (record linkage) in the Fellegi-Sunter shape, "
+    "the identity-dedup pass profile stitching needs: a deterministic "
+    "'dirty re-registration feed' B derives from half the customers "
+    "(ids offset, every 3rd name lowercased, every 3rd balance shifted "
+    "by +0.37), candidates come from BLOCKING on quasi-identifiers that "
+    "survive the noise (nationkey + the name's last two digits) — never "
+    "an all-pairs compare — and each candidate scores integer agreement "
+    f"weights (name ci +{_RL_W_NAME_CI}, balance-within-1.00 "
+    f"+{_RL_W_BAL}, segment +{_RL_W_SEG}, exact-case name "
+    f"+{_RL_W_NAME_CS}); score >= {_RL_THRESHOLD} links.  Balance "
+    "agreement compares exact integer cents, so the threshold never "
+    "flaps on FP noise.  At 100 TB the block key bounds the join "
+    "fan-out (#nations x 100 buckets) and both sides shuffle once on "
+    "it — the standard ER topology.",
+    oracle=f"""
+        WITH a AS (
+            SELECT c_custkey AS a_id, c_name, c_nationkey, c_mktsegment,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+                   right(c_name, 2) AS blk
+            FROM customer
+        ),
+        b AS (
+            SELECT c_custkey + 1000000 AS b_id,
+                   CASE WHEN c_custkey % 3 = 0 THEN lower(c_name)
+                        ELSE c_name END AS c_name,
+                   c_nationkey, c_mktsegment,
+                   CAST(round(c_acctbal * 100) AS BIGINT)
+                       + CASE WHEN c_custkey % 3 = 1 THEN 37 ELSE 0 END
+                       AS bal_cents,
+                   right(c_name, 2) AS blk
+            FROM customer WHERE c_custkey % 2 = 0
+        ),
+        scored AS (
+            SELECT a.a_id, b.b_id,
+                   CASE WHEN lower(a.c_name) = lower(b.c_name)
+                        THEN {_RL_W_NAME_CI} ELSE 0 END
+                 + CASE WHEN abs(a.bal_cents - b.bal_cents) <= 100
+                        THEN {_RL_W_BAL} ELSE 0 END
+                 + CASE WHEN a.c_mktsegment = b.c_mktsegment
+                        THEN {_RL_W_SEG} ELSE 0 END
+                 + CASE WHEN a.c_name = b.c_name
+                        THEN {_RL_W_NAME_CS} ELSE 0 END AS score
+            FROM a JOIN b
+              ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+        )
+        SELECT a_id, b_id, CAST(score AS BIGINT) AS score
+        FROM scored WHERE score >= {_RL_THRESHOLD}
+        ORDER BY a_id, b_id
+    """,
+)
+def dedup_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.queries.util import cents
+
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("a_id"),
+        F.col("c_name").alias("a_name"),
+        F.col("c_nationkey").alias("a_nat"),
+        F.col("c_mktsegment").alias("a_seg"),
+        cents("c_acctbal").alias("a_bal"),
+        F.substring("c_name", -2, 2).alias("a_blk"),
+    )
+    b = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("b_id"),
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.lower("c_name")
+        ).otherwise(F.col("c_name")).alias("b_name"),
+        F.col("c_nationkey").alias("b_nat"),
+        F.col("c_mktsegment").alias("b_seg"),
+        (
+            cents("c_acctbal")
+            + F.when(F.col("c_custkey") % 3 == 1, F.lit(37)).otherwise(F.lit(0))
+        ).alias("b_bal"),
+        F.substring("c_name", -2, 2).alias("b_blk"),
+    )
+    score = (
+        F.when(F.lower("a_name") == F.lower("b_name"), F.lit(_RL_W_NAME_CI)).otherwise(F.lit(0))
+        + F.when(F.abs(F.col("a_bal") - F.col("b_bal")) <= 100, F.lit(_RL_W_BAL)).otherwise(F.lit(0))
+        + F.when(F.col("a_seg") == F.col("b_seg"), F.lit(_RL_W_SEG)).otherwise(F.lit(0))
+        + F.when(F.col("a_name") == F.col("b_name"), F.lit(_RL_W_NAME_CS)).otherwise(F.lit(0))
+    )
+    return (
+        a.join(b, (F.col("a_nat") == F.col("b_nat")) & (F.col("a_blk") == F.col("b_blk")))
+        .select("a_id", "b_id", score.cast("bigint").alias("score"))
+        .filter(F.col("score") >= _RL_THRESHOLD)
+        .orderBy("a_id", "b_id")
+    )

@@ -1287,7 +1287,8 @@ _MRL_K = 5  # final neighbors after full-dim re-rank
                        AS BIGINT)) AS qv
             FROM v
         ),
-        q AS (SELECT vec_id AS query_id, qv AS qq FROM n WHERE vec_id % 50 = 0),
+        q AS (SELECT vec_id AS query_id, qv AS qq FROM n
+              WHERE vec_id % 50 = 0 AND vec_id < 2000),
         stage1 AS (
             SELECT q.query_id, c.vec_id AS neighbor_id,
                    CAST(list_dot_product(
@@ -1341,7 +1342,10 @@ def sim_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             e, lambda x: F.floor(F.lit(127.0) * x / norm + F.lit(0.5))
         ).alias("qv"),
     )
-    q = n.filter(F.col("vec_id") % 50 == 0).select(
+    # fixed query panel (vec_id < 2000): the corpus side scales with SF,
+    # the query side does NOT — otherwise stage 1 grows quadratically in
+    # SF, which is a benchmark artifact rather than the serving shape
+    q = n.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
     )
     zero = F.lit(0).cast("long")
