@@ -835,3 +835,56 @@ def snap_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > 0)
     )
     return refreshed.orderBy("bucket")
+
+
+_WINSOR_SQL = """
+    WITH b AS (
+        SELECT lang,
+               percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars) AS lo,
+               percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS hi
+        FROM documents
+        GROUP BY lang
+    ),
+    c AS (
+        SELECT d.lang,
+               d.n_chars,
+               CASE WHEN d.n_chars < b.lo THEN b.lo
+                    WHEN d.n_chars > b.hi THEN b.hi
+                    ELSE d.n_chars END AS w,
+               CASE WHEN d.n_chars < b.lo THEN 1 ELSE 0 END AS clip_lo,
+               CASE WHEN d.n_chars > b.hi THEN 1 ELSE 0 END AS clip_hi
+        FROM documents d JOIN b ON b.lang = d.lang
+    )
+    SELECT lang,
+           COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_raw,
+           CAST(SUM(w) AS BIGINT) AS sum_winsorized,
+           CAST(SUM(clip_lo) AS BIGINT) AS n_clipped_low,
+           CAST(SUM(clip_hi) AS BIGINT) AS n_clipped_high,
+           CAST(MIN(w) AS BIGINT) AS w_min,
+           CAST(MAX(w) AS BIGINT) AS w_max
+    FROM c
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
+@register(
+    "feat_winsorize",
+    category="scale-pattern",
+    doc="Percentile winsorization (robust feature clipping): per-group "
+    "p05/p95 via percentile_disc — DISCRETE percentiles pick actual "
+    "column values, so the clip bounds are integers that match "
+    "bit-for-bit across engines (percentile_cont would interpolate "
+    "doubles) — then every row clips to its group's bounds and the "
+    "clipped distribution re-aggregates exactly.  Plan shape: one "
+    "per-group sort for the bounds (at 100 TB: approx_percentile for "
+    "the bounds, this exact form as the audit), one broadcast join of "
+    "the tiny bounds table, one re-aggregation with map-side combine.",
+    oracle=_WINSOR_SQL,
+)
+def feat_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_WINSOR_SQL)
