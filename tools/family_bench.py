@@ -62,6 +62,8 @@ FAMILIES = {
         "sketch_countmin",
         "win_skyline_pareto",
         "sample_temperature_mix",
+        "feat_winsorize",
+        "dedup_record_linkage",
     ],
     "lakehouse": [
         "snap_time_travel",
