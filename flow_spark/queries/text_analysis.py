@@ -1537,3 +1537,229 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---- DSIR importance resampling --------------------------------------------
+
+_DSIR_BUCKETS = 64  # hashed n-gram feature space (production: 10k buckets)
+
+
+@register(
+    "sample_importance_dsir",
+    category="sampling",
+    doc="DSIR (Xie et al. 2023, arXiv:2302.03169) data selection via "
+    "importance resampling: documents score by how much their hashed "
+    "unigram features look like a TARGET domain (here lang='en', the "
+    "quality-corpus stand-in) versus the RAW corpus.  Per bucket b the "
+    "importance weight is the EXACT integer permille deviation of the "
+    "target/raw probability ratio — w_b = (1000 * (t_b+1) * R) // "
+    "((r_b+1) * T) - 1000 with add-1 smoothing (~1000*ln ratio for "
+    "small deviations) — floor division on BIGINTs, so the whole path "
+    "is libm-free and bit-identical across engines; a doc's score is "
+    "the sum of its tokens' bucket weights and keep = score >= 0.  Plan "
+    f"shape at 100 TB: ONE explode+groupBy builds the {_DSIR_BUCKETS}-"
+    "row weight table (map-side combinable, output tiny), which then "
+    "broadcast-joins back onto the token stream — no second shuffle; "
+    "the per-doc sum re-uses the doc_id partitioning.  At production "
+    "token counts the (count x total) products exceed int64 — swap the "
+    "ratio operands to decimal(38,0); nothing else changes.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   UNNEST({_SQL_TOKS}) AS tok
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id, lang,
+                   {portable_hash_expr('tok', salt='dsir')} % {_DSIR_BUCKETS}
+                       AS bucket
+            FROM toks
+        ),
+        counts AS (
+            SELECT bucket,
+                   COUNT(*) + 1 AS r_b,
+                   SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1 AS t_b
+            FROM b GROUP BY bucket
+        ),
+        tot AS (SELECT SUM(r_b) AS rr, SUM(t_b) AS tt FROM counts),
+        w AS (
+            SELECT bucket,
+                   (1000 * t_b * rr) // (r_b * tt) - 1000 AS w_pm
+            FROM counts CROSS JOIN tot
+        )
+        SELECT b.doc_id,
+               MIN(b.lang) AS lang,
+               CAST(COUNT(*) AS BIGINT) AS n_toks,
+               CAST(SUM(w.w_pm) AS BIGINT) AS score_pm,
+               CAST(CASE WHEN SUM(w.w_pm) >= 0 THEN 1 ELSE 0 END AS BIGINT)
+                   AS keep
+        FROM b JOIN w USING (bucket)
+        GROUP BY b.doc_id
+        ORDER BY b.doc_id
+    """,
+)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.functions.hashing import portable_hash64
+    from flow_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    b = toks.select(
+        "doc_id",
+        "lang",
+        (portable_hash64("tok", salt="dsir") % _DSIR_BUCKETS).alias("bucket"),
+    )
+    counts = b.groupBy("bucket").agg(
+        (F.count(F.lit(1)) + 1).alias("r_b"),
+        (F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)) + 1).alias("t_b"),
+    )
+    tot = counts.agg(F.sum("r_b").alias("rr"), F.sum("t_b").alias("tt"))
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.expr("(1000 * t_b * rr) div (r_b * tt)") - F.lit(1000)
+        ).alias("w_pm"),
+    )
+    scored = (
+        b.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            F.sum("w_pm").cast("bigint").alias("score_pm"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        "score_pm",
+        F.when(F.col("score_pm") >= 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("keep"),
+    ).orderBy("doc_id")
+
+
+# ---- BM25 lexical retrieval -------------------------------------------------
+
+#: (query_id, term) — the lexical query workload; terms are corpus vocabulary
+_BM25_QUERIES = [
+    (1, "spark"), (1, "hash"), (1, "join"),
+    (2, "window"), (2, "sort"), (2, "merge"),
+    (3, "table"), (3, "scan"), (3, "fast"),
+]
+_BM25_K = 10  # results per query
+
+
+@register(
+    "text_bm25_topk",
+    category="text-analysis",
+    doc="BM25 lexical top-k retrieval (k1=1.2, b=0.75) computed ENTIRELY "
+    "in integer space so both engines rank identically: idf is the "
+    "exact permille Robertson ratio (1000*(2N-2df+1)) // (2df+1) "
+    "(the ratio itself, not its log — a documented monotone variant), "
+    "the length-normalized tf term is milli-scaled with the same "
+    "floor-division chain in both engines, and the doc score is the "
+    "BIGINT sum of idf_pm * tf_milli over matched query terms.  Ranking "
+    "ties break on doc_id.  Plan shape at 100 TB: tokens are filtered "
+    "to the broadcast query-term set BEFORE any shuffle (the inverted-"
+    "index probe analogue: the wide corpus never aggregates), doc "
+    "lengths come from the same single token scan, df is a tiny "
+    "per-term aggregate, and the final top-k is a per-query "
+    "WindowGroupLimit rank pushdown, never a global sort.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST({_SQL_TOKS}) AS term FROM documents
+        ),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (
+            SELECT COUNT(*) AS n_docs, SUM(dl) AS total_toks FROM dl
+        ),
+        queries(query_id, term) AS (VALUES
+            {", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)}
+        ),
+        matched AS (
+            SELECT q.query_id, t.term, t.doc_id, COUNT(*) AS tf
+            FROM toks t JOIN queries q ON t.term = q.term
+            GROUP BY q.query_id, t.term, t.doc_id
+        ),
+        df AS (
+            SELECT query_id, term, COUNT(*) AS df
+            FROM matched GROUP BY query_id, term
+        ),
+        scored AS (
+            SELECT m.query_id, m.doc_id,
+                   SUM(
+                     ((1000 * (2*s.n_docs - 2*f.df + 1)) // (2*f.df + 1))
+                     * ((2200 * m.tf * 1000) //
+                        (1000 * m.tf +
+                         (1200 * (250 + (750 * ((1000 * d.dl * s.n_docs)
+                                                // s.total_toks)) // 1000))
+                         // 1000))
+                   ) AS score
+            FROM matched m
+            JOIN df f ON f.query_id = m.query_id AND f.term = m.term
+            JOIN dl d ON d.doc_id = m.doc_id
+            CROSS JOIN stats s
+            GROUP BY m.query_id, m.doc_id
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(score AS BIGINT) AS score,
+               CAST(rnk AS BIGINT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY score DESC, doc_id
+            ) AS rnk FROM scored
+        ) WHERE rnk <= {_BM25_K}
+        ORDER BY query_id, rank
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from flow_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_toks")
+    )
+    queries = spark.createDataFrame(_BM25_QUERIES, ["query_id", "term"])
+    matched = (
+        toks.join(F.broadcast(queries), "term")
+        .groupBy("query_id", "term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = matched.groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("df"))
+    term_score = F.expr(
+        "((1000 * (2*n_docs - 2*df + 1)) div (2*df + 1))"
+        " * ((2200 * tf * 1000) div"
+        "    (1000 * tf +"
+        "     (1200 * (250 + (750 * ((1000 * dl * n_docs)"
+        "                            div total_toks)) div 1000))"
+        "     div 1000))"
+    )
+    scored = (
+        matched.join(df_, ["query_id", "term"])
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(term_score).alias("score"))
+    )
+    win = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= _BM25_K)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("score").cast("bigint").alias("score"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
