@@ -888,3 +888,67 @@ def feat_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_WINSOR_SQL)
+
+
+@register(
+    "feat_target_encode_loo",
+    category="scale-pattern",
+    doc="Leave-one-out target encoding (the leakage-safe categorical "
+    "encoder for tree/GBM features): each order's nation encodes as the "
+    "mean order value of its nation EXCLUDING the row itself — "
+    "loo_cents = (sum_cents - y_cents) // (n - 1), all exact integer "
+    "cents so both engines agree bit-for-bit (a double mean would "
+    "diverge in accumulation order).  Rows in singleton groups yield "
+    "NULL (nothing to borrow).  Plan shape at 100 TB: ONE map-side-"
+    "combinable groupBy builds the per-nation (sum, count) table — "
+    "25 rows — which broadcast-joins back onto the fact scan; the "
+    "encode itself is a scan-speed projection, no second shuffle, and "
+    "unlike naive per-fold recomputation the LOO algebra needs no "
+    "fold split at all.",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderkey,
+                   c.c_nationkey AS nat,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS y_cents
+            FROM orders JOIN customer c ON c.c_custkey = o_custkey
+        ),
+        g AS (
+            SELECT nat, SUM(y_cents) AS s, COUNT(*) AS n
+            FROM o GROUP BY nat
+        )
+        SELECT o.o_orderkey,
+               CAST(o.nat AS BIGINT) AS nat,
+               o.y_cents,
+               CAST(CASE WHEN g.n > 1
+                         THEN (g.s - o.y_cents) // (g.n - 1)
+                         ELSE NULL END AS BIGINT) AS loo_enc_cents
+        FROM o JOIN g USING (nat)
+        ORDER BY o.o_orderkey
+    """,
+)
+def feat_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    o = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey",
+        F.col("c_nationkey").alias("nat"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("y_cents"),
+    )
+    g = o.groupBy("nat").agg(
+        F.sum("y_cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        o.join(F.broadcast(g), "nat")
+        .select(
+            "o_orderkey",
+            F.col("nat").cast("bigint").alias("nat"),
+            "y_cents",
+            F.when(
+                F.col("n") > 1,
+                F.expr("(s - y_cents) div (n - 1)"),
+            )
+            .cast("bigint")
+            .alias("loo_enc_cents"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -1395,3 +1395,140 @@ def sim_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "dot_prefix", "dot_full", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ---- decision-stump training -----------------------------------------------
+
+_STUMP_TOPN = 5  # best split candidates reported
+
+
+@register(
+    "ml_decision_stump",
+    category="ml",
+    doc="Decision-stump training (the depth-1 unit of every distributed "
+    "tree/GBM learner): find the feature threshold minimizing weighted "
+    "Gini impurity, computed EXACTLY — per-side impurity is the "
+    "integer-rational (n^2 - sum_c count_c^2) / n, micro-scaled with "
+    "floor division so both engines agree on every candidate's score "
+    "and the argmin.  The feature is dim 1 of the embedding, int8-"
+    "quantized against a corpus max (1-row broadcast), giving <= 255 "
+    "candidate thresholds — exactly how LightGBM-style histogram "
+    "learners bound split search at scale.  Plan shape at 100 TB: ONE "
+    "map-side-combinable groupBy builds the (bin, class) histogram "
+    "(tiny), every downstream step — zero-filled grid, per-class "
+    "running sums, per-threshold Gini, argmin — runs on <= 255 x "
+    "n_classes rows, broadcastable anywhere.  At production row counts "
+    "swap the micro-scale products to decimal(38,0).  Emits the top-"
+    f"{_STUMP_TOPN} splits (score asc) so the margin over runners-up "
+    "is visible.",
+    oracle=f"""
+        WITH v AS (
+            SELECT label, CAST(embedding[1] AS DOUBLE) AS x FROM embeddings
+        ),
+        g AS (SELECT MAX(abs(x)) AS gmax FROM v),
+        q AS (
+            SELECT label,
+                   CAST(floor(127.0 * x / g.gmax + 0.5) AS BIGINT) AS bin
+            FROM v, g
+        ),
+        hist AS (
+            SELECT bin, label, COUNT(*) AS c FROM q GROUP BY bin, label
+        ),
+        bins AS (SELECT DISTINCT bin FROM hist),
+        labels AS (
+            SELECT label, SUM(c) AS c_tot FROM hist GROUP BY label
+        ),
+        grid AS (
+            SELECT b.bin, l.label, l.c_tot, COALESCE(h.c, 0) AS c
+            FROM bins b CROSS JOIN labels l
+            LEFT JOIN hist h ON h.bin = b.bin AND h.label = l.label
+        ),
+        cum AS (
+            SELECT bin, label, c_tot,
+                   SUM(c) OVER (PARTITION BY label ORDER BY bin) AS cl
+            FROM grid
+        ),
+        per_t AS (
+            SELECT bin AS threshold,
+                   SUM(cl) AS n_l,
+                   SUM(cl * cl) AS ssq_l,
+                   SUM(c_tot) - SUM(cl) AS n_r,
+                   SUM((c_tot - cl) * (c_tot - cl)) AS ssq_r
+            FROM cum GROUP BY bin
+        ),
+        scored AS (
+            SELECT threshold, n_l, n_r,
+                   ((n_l * n_l - ssq_l) * 1000000) // n_l
+                   + ((n_r * n_r - ssq_r) * 1000000) // n_r AS gini_micro
+            FROM per_t WHERE n_l > 0 AND n_r > 0
+        )
+        SELECT CAST(threshold AS BIGINT) AS threshold,
+               CAST(n_l AS BIGINT) AS n_l,
+               CAST(n_r AS BIGINT) AS n_r,
+               CAST(gini_micro AS BIGINT) AS gini_micro,
+               CAST(rnk AS BIGINT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY gini_micro, threshold
+            ) AS rnk FROM scored
+        ) WHERE rnk <= {_STUMP_TOPN}
+        ORDER BY rank
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "label", F.element_at(F.col("embedding"), 1).cast("double").alias("x")
+    )
+    g = v.agg(F.max(F.abs(F.col("x"))).alias("gmax"))
+    q = v.crossJoin(F.broadcast(g)).select(
+        "label",
+        F.floor(F.lit(127.0) * F.col("x") / F.col("gmax") + F.lit(0.5))
+        .cast("bigint")
+        .alias("bin"),
+    )
+    hist = q.groupBy("bin", "label").agg(F.count(F.lit(1)).alias("c"))
+    bins = hist.select("bin").distinct()
+    labels = hist.groupBy("label").agg(F.sum("c").alias("c_tot"))
+    grid = (
+        bins.crossJoin(F.broadcast(labels))
+        .join(hist, ["bin", "label"], "left")
+        .select("bin", "label", "c_tot", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    cum = grid.withColumn(
+        "cl", F.sum("c").over(W.partitionBy("label").orderBy("bin"))
+    )
+    per_t = cum.groupBy(F.col("bin").alias("threshold")).agg(
+        F.sum("cl").alias("n_l"),
+        F.sum(F.col("cl") * F.col("cl")).alias("ssq_l"),
+        (F.sum("c_tot") - F.sum("cl")).alias("n_r"),
+        F.sum((F.col("c_tot") - F.col("cl")) * (F.col("c_tot") - F.col("cl"))).alias(
+            "ssq_r"
+        ),
+    )
+    scored = per_t.filter((F.col("n_l") > 0) & (F.col("n_r") > 0)).select(
+        "threshold",
+        "n_l",
+        "n_r",
+        (
+            F.expr("((n_l * n_l - ssq_l) * 1000000) div n_l")
+            + F.expr("((n_r * n_r - ssq_r) * 1000000) div n_r")
+        ).alias("gini_micro"),
+    )
+    win = W.orderBy(F.asc("gini_micro"), F.asc("threshold"))
+    top = scored.orderBy(F.asc("gini_micro"), F.asc("threshold")).limit(
+        _STUMP_TOPN
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(win))
+        .select(
+            F.col("threshold").cast("bigint").alias("threshold"),
+            F.col("n_l").cast("bigint").alias("n_l"),
+            F.col("n_r").cast("bigint").alias("n_r"),
+            F.col("gini_micro").cast("bigint").alias("gini_micro"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("rank")
+    )

@@ -886,3 +886,119 @@ def ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ssd", "user_id", "event_id")
         .limit(10)
     )
+
+
+# ---- association-rule mining ------------------------------------------------
+
+_AR_ITEM_MOD = 100  # part class universe (item = l_partkey % 100)
+_AR_TOPN = 50  # rules kept
+
+
+@register(
+    "seq_assoc_rules",
+    category="sequence",
+    doc="Association-rule mining (market-basket): baskets are orders, "
+    f"items are part classes (l_partkey % {_AR_ITEM_MOD}); co-occurrence "
+    "pairs form by a self-join on the basket key restricted to "
+    "item_a < item_b AFTER a distinct-items projection, so pair work is "
+    "O(sum basket_size^2), never a cross product.  Support, confidence "
+    "and lift are all EXACT integer permille — lift_pm = (cab * "
+    "n_baskets * 1000) // (ca * cb) — so ranking is bit-identical "
+    "across engines; the output is the top-"
+    f"{_AR_TOPN} rules by (lift, support) with full deterministic "
+    "tie-breaks, not a fixed threshold (on uniform fixtures a fixed "
+    "min-support goes degenerate as SF grows).  Plan shape at 100 TB: "
+    "distinct-items is one map-side-combinable shuffle on the basket "
+    "key, the pair self-join re-uses that partitioning (items of one "
+    "basket are co-located), pair counts shuffle on (ia, ib), and the "
+    "per-item counts broadcast back — the classic a-priori first pass; "
+    "deeper itemsets iterate the same join with the survivor set.",
+    oracle=f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS bask, l_partkey % {_AR_ITEM_MOD} AS item
+            FROM lineitem
+        ),
+        nb AS (SELECT COUNT(DISTINCT bask) AS n FROM items),
+        freq AS (SELECT item, COUNT(*) AS c FROM items GROUP BY item),
+        pairs AS (
+            SELECT a.item AS ia, b.item AS ib, COUNT(*) AS cab
+            FROM items a JOIN items b
+              ON a.bask = b.bask AND a.item < b.item
+            GROUP BY a.item, b.item
+        ),
+        rules AS (
+            SELECT p.ia, p.ib, p.cab,
+                   (p.cab * 1000) // fa.c AS conf_ab_pm,
+                   (p.cab * 1000) // fb.c AS conf_ba_pm,
+                   (p.cab * nb.n * 1000) // (fa.c * fb.c) AS lift_pm
+            FROM pairs p
+            JOIN freq fa ON fa.item = p.ia
+            JOIN freq fb ON fb.item = p.ib
+            CROSS JOIN nb
+        )
+        SELECT CAST(ia AS BIGINT) AS ia, CAST(ib AS BIGINT) AS ib,
+               CAST(cab AS BIGINT) AS cab,
+               CAST(conf_ab_pm AS BIGINT) AS conf_ab_pm,
+               CAST(conf_ba_pm AS BIGINT) AS conf_ba_pm,
+               CAST(lift_pm AS BIGINT) AS lift_pm,
+               CAST(rnk AS BIGINT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY lift_pm DESC, cab DESC, ia, ib
+            ) AS rnk FROM rules
+        ) WHERE rnk <= {_AR_TOPN}
+        ORDER BY rank
+    """,
+)
+def seq_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("bask"),
+        (F.col("l_partkey") % _AR_ITEM_MOD).alias("item"),
+    ).distinct()
+    nb = items.agg(F.countDistinct("bask").alias("n"))
+    freq = items.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    a = items.select(F.col("bask"), F.col("item").alias("ia"))
+    b = items.select(F.col("bask").alias("bask_b"), F.col("item").alias("ib"))
+    pairs = (
+        a.join(b, (a.bask == b.bask_b) & (F.col("ia") < F.col("ib")))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    fa = freq.select(F.col("item").alias("ia"), F.col("c").alias("ca"))
+    fb = freq.select(F.col("item").alias("ib"), F.col("c").alias("cb"))
+    rules = (
+        pairs.join(F.broadcast(fa), "ia")
+        .join(F.broadcast(fb), "ib")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "ia",
+            "ib",
+            "cab",
+            F.expr("(cab * 1000) div ca").alias("conf_ab_pm"),
+            F.expr("(cab * 1000) div cb").alias("conf_ba_pm"),
+            F.expr("(cab * n * 1000) div (ca * cb)").alias("lift_pm"),
+        )
+    )
+    # top-N first (TakeOrderedAndProject — distributed, no global window
+    # over the full rules table), then rank the N survivors; the total
+    # ordering key makes the rank deterministic either way
+    win = W.orderBy(
+        F.desc("lift_pm"), F.desc("cab"), F.asc("ia"), F.asc("ib")
+    )
+    top = rules.orderBy(
+        F.desc("lift_pm"), F.desc("cab"), F.asc("ia"), F.asc("ib")
+    ).limit(_AR_TOPN)
+    return (
+        top.withColumn("rank", F.row_number().over(win))
+        .select(
+            F.col("ia").cast("bigint").alias("ia"),
+            F.col("ib").cast("bigint").alias("ib"),
+            F.col("cab").cast("bigint").alias("cab"),
+            F.col("conf_ab_pm").cast("bigint").alias("conf_ab_pm"),
+            F.col("conf_ba_pm").cast("bigint").alias("conf_ba_pm"),
+            F.col("lift_pm").cast("bigint").alias("lift_pm"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("rank")
+    )

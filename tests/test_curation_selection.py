@@ -91,3 +91,51 @@ def test_bm25_results_contain_query_terms(spark, sf_dir):
         assert scores == sorted(scores, reverse=True)
         for r in rows:
             assert docs[r.doc_id] & terms_by_q[qid], (qid, r.doc_id)
+
+
+def test_loo_target_encoding_excludes_self(spark, sf_dir):
+    """The LOO encode of a row must equal the group mean computed WITHOUT
+    that row — recompute independently for one nation and compare."""
+    rows = (
+        get("feat_target_encode_loo")
+        .builder(spark, sf_dir)
+        .filter(F.col("nat") == 7)
+        .collect()
+    )
+    assert len(rows) > 1
+    s = sum(r.y_cents for r in rows)
+    n = len(rows)
+    for r in rows[:20]:
+        assert r.loo_enc_cents == (s - r.y_cents) // (n - 1)
+
+
+def test_assoc_rules_integer_invariants(spark, sf_dir):
+    """Confidence can't exceed 1000 permille, ranks are dense, and lift
+    is symmetric in its inputs (same pair stats both directions)."""
+    rows = get("seq_assoc_rules").builder(spark, sf_dir).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert 0 < r.conf_ab_pm <= 1000
+        assert 0 < r.conf_ba_pm <= 1000
+        assert r.ia < r.ib
+
+
+def test_decision_stump_beats_no_split(spark, sf_dir):
+    """The best split's weighted child impurity must not exceed the
+    parent impurity (Gini is concave — the optimal stump never hurts),
+    and each side must be non-empty."""
+    from flow_spark.catalog import load_table
+
+    rows = get("ml_decision_stump").builder(spark, sf_dir).collect()
+    assert rows and rows[0].rank == 1
+    best = rows[0]
+    assert best.n_l > 0 and best.n_r > 0
+    emb = load_table(spark, sf_dir, "embeddings")
+    counts = [r[1] for r in emb.groupBy("label").count().collect()]
+    n = sum(counts)
+    assert best.n_l + best.n_r == n
+    parent_micro = (n * n - sum(c * c for c in counts)) * 1000000 // n
+    assert best.gini_micro <= parent_micro
+    # reported candidates are sorted by score
+    scores = [r.gini_micro for r in rows]
+    assert scores == sorted(scores)
