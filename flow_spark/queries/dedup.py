@@ -1187,6 +1187,23 @@ _SEM_PREFIX = 16  # dims used for the (cheap) cluster assignment
 _SEM_TAU2_NUM = 9025  # tau = 0.95 -> tau^2 = 9025 / 10000
 _SEM_TAU2_DEN = 10000
 
+#: centroid anchor: hash the id (layout-independent density), exclude the
+#: planted copies (>= 1e8) so centroids come from the original corpus
+_SEM_CENT_PRED_SQL = (
+    f"{portable_hash_expr('CAST(vec_id AS VARCHAR)', salt='semc')}"
+    f" % {_SEM_CENT_STEP} = 3 AND vec_id < 100000000"
+)
+
+
+def _sem_cent_pred():
+    from flow_spark.functions.hashing import portable_hash64
+
+    return (
+        portable_hash64(F.col("vec_id").cast("string"), salt="semc")
+        % _SEM_CENT_STEP
+        == 3
+    ) & (F.col("vec_id") < 100000000)
+
 
 @register(
     "dedup_semantic",
@@ -1195,7 +1212,9 @@ _SEM_TAU2_DEN = 10000
     "embedding space, then deduplicate ONLY within clusters — the "
     "pairwise cosine work drops from O(N^2) to O(sum cluster^2), and "
     "because the centroid count grows with the corpus (k = N/"
-    f"{_SEM_CENT_STEP} anchored rows, the sim_pq_adc_anchored trick) "
+    f"{_SEM_CENT_STEP} hash-anchored rows — anchoring hashes the id so "
+    "centroid density is independent of the id LAYOUT; a modulo anchor "
+    "went 10x sparse on the sf1 fixtures' disjoint per-replica ranges) "
     "the per-cluster size — and so total pair work — stays LINEAR in N. "
     f"Assignment scores only the first {_SEM_PREFIX} of 64 dims (the "
     "Matryoshka-prefix trick) so the N x k assign matrix is 4x cheaper; "
@@ -1206,7 +1225,7 @@ _SEM_TAU2_DEN = 10000
     "BIGINT cross-multiplication (ip^2 * 10000 >= 9025 * |a|^2 * |b|^2), "
     "never a float threshold.  The corpus plants a perturbed copy of "
     "every 10th vector (deterministic +/-3% per-element ramp) under "
-    "vec_id+1e6; the query emits the removal list (higher id of each "
+    "vec_id+1e8; the query emits the removal list (higher id of each "
     "dup pair, SemDeDup's keep-one policy).  Recall is approximate by "
     "design — a pair whose members straddle a cluster boundary is "
     "missed (49/50 planted dups found at sf0.01).",
@@ -1217,7 +1236,7 @@ _SEM_TAU2_DEN = 10000
         corpus AS (
             SELECT vec_id, e FROM base
             UNION ALL
-            SELECT vec_id + 1000000,
+            SELECT vec_id + 100000000,
                    list_transform(range(1, 65),
                        j -> e[j] * (1.0 + CAST((vec_id + j) % 7 - 3 AS DOUBLE)
                                           / 100.0))
@@ -1233,7 +1252,7 @@ _SEM_TAU2_DEN = 10000
         ),
         cents AS (
             SELECT vec_id AS cent_id, q AS cq FROM qv
-            WHERE vec_id % {_SEM_CENT_STEP} = 3 AND vec_id < 1000000
+            WHERE {_SEM_CENT_PRED_SQL}
         ),
         assign AS (
             SELECT vec_id, q, cent_id,
@@ -1285,7 +1304,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("e"),
         )
-        .select((F.col("vec_id") + 1000000).alias("vec_id"), "e")
+        .select((F.col("vec_id") + 100000000).alias("vec_id"), "e")
     )
     corpus = base.unionByName(perturbed)
     gmax = corpus.agg(
@@ -1300,39 +1319,64 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("q"),
     )
-    cents = qv.filter(
-        (F.col("vec_id") % _SEM_CENT_STEP == 3) & (F.col("vec_id") < 1000000)
-    ).select(F.col("vec_id").alias("cent_id"), F.col("q").alias("cq"))
-    # prefix-dim assignment: argmin over the broadcast centroid panel
-    dist = F.aggregate(
-        F.zip_with(
-            F.slice("q", 1, _SEM_PREFIX),
-            F.slice("cq", 1, _SEM_PREFIX),
-            lambda a, b: (a - b) * (a - b),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, d: acc + d,
+    # centroid PREFIXES to the driver (k = N/64 model rows — bounded at
+    # fixture SFs; a production corpus assigns against an IVF index
+    # instead of a flat panel, see the doc) and ship them back as ONE
+    # bound array literal: assignment becomes a zero-shuffle scan map.
+    # The earlier crossJoin-against-broadcast form materialized N x k
+    # rows carrying full 64-dim arrays through an aggregation — measured
+    # 24x at 10x data; this form is the ml_kmeans_quantized /
+    # pq_encode bound-literal pattern (linear, plan size ~ k x 16 ints).
+    cent_rows = (
+        qv.filter(_sem_cent_pred())
+        .select("vec_id", F.slice("q", 1, _SEM_PREFIX).alias("cq"))
+        .orderBy("vec_id")
+        .collect()
     )
-    assign = (
-        qv.crossJoin(F.broadcast(cents))
-        .select("vec_id", "q", "cent_id", dist.alias("d"))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by(F.struct("cent_id", "q"), F.struct("d", "cent_id")).alias("best")
+    cb = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{int(v)}L" for v in r.cq) + ")" for r in cent_rows
         )
-        .select("vec_id", F.col("best.cent_id").alias("cent_id"), F.col("best.q").alias("q"))
+        + ")"
+    )
+    ids = "array(" + ",".join(f"{int(r.vec_id)}L" for r in cent_rows) + ")"
+    # argmin over the literal panel: struct (d, idx) min == ORDER BY
+    # d, cent_id of the oracle (ids are sorted ascending, so idx order
+    # == cent_id order)
+    pick = (
+        "array_min(transform(__cb, (cent, i) -> named_struct("
+        f"'d', aggregate(zip_with(slice(q, 1, {_SEM_PREFIX}), cent, "
+        "(x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v), "
+        "'i', i)))"
+    )
+    zero = F.lit(0).cast("bigint")
+    assign = (
+        qv.select("vec_id", "q", F.expr(cb).alias("__cb"))
+        .select("vec_id", "q", F.expr(pick).alias("m"))
+        .select(
+            "vec_id",
+            "q",
+            # per-row squared norm ONCE here (not per pair: the pair
+            # stage would fold it |cluster| times per row otherwise)
+            F.aggregate(
+                F.transform("q", lambda t: t * t), zero, lambda acc, v: acc + v
+            ).alias("n2"),
+            F.element_at(F.expr(ids), F.col("m.i") + 1).alias("cent_id"),
+        )
     )
     x = assign.select(
         F.col("cent_id"),
         F.col("vec_id").alias("id_a"),
         F.col("q").alias("qa"),
+        F.col("n2").alias("na2"),
     )
     y = assign.select(
         F.col("cent_id").alias("cent_b"),
         F.col("vec_id").alias("id_b"),
         F.col("q").alias("qb"),
+        F.col("n2").alias("nb2"),
     )
-    zero = F.lit(0).cast("bigint")
     pairs = x.join(
         y, (F.col("cent_id") == F.col("cent_b")) & (F.col("id_a") < F.col("id_b"))
     ).select(
@@ -1342,12 +1386,8 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             F.zip_with("qa", "qb", lambda a, b: a * b), zero, lambda acc, v: acc + v
         ).alias("ip"),
-        F.aggregate(
-            F.transform("qa", lambda t: t * t), zero, lambda acc, v: acc + v
-        ).alias("na2"),
-        F.aggregate(
-            F.transform("qb", lambda t: t * t), zero, lambda acc, v: acc + v
-        ).alias("nb2"),
+        "na2",
+        "nb2",
     )
     dups = pairs.filter(
         (F.col("ip") > 0)

@@ -21,10 +21,10 @@ def test_semantic_dedup_recovers_planted_near_dups(spark, sf_dir):
     df = get("dedup_semantic").builder(spark, sf_dir).collect()
     removed = {r.removed_id for r in df}
     n_planted = len(
-        {r.removed_id for r in df if r.removed_id >= 1000000}
+        {r.removed_id for r in df if r.removed_id >= 100000000}
     )
     # all removals are planted copies (no false positives at tau=0.95)
-    assert removed and removed == {r for r in removed if r >= 1000000}
+    assert removed and removed == {r for r in removed if r >= 100000000}
     # sf0.001 plants 50 copies; require >= 90% recall
     assert n_planted >= 45, n_planted
     # keep-one policy: the kept partner is always a lower id
