@@ -366,3 +366,81 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("jacc_permille"), F.desc("common"), "s1", "s2"
     ).limit(_JACC_TOPK)
+
+
+_BFS_MAX_LEVEL = 4
+
+
+@register(
+    "graph_bfs_levels",
+    category="graph",
+    doc="Breadth-first search from the minimum node of the bipartite "
+    f"supplier<->part graph, {_BFS_MAX_LEVEL} levels: per level, the "
+    "frontier expands by one join on src, new nodes are discovered via "
+    "an anti-join against the visited set, and levels are minimal by "
+    "construction (a node joins the frontier the first time it is "
+    "reachable).  The Pregel/BSP shape: each level is one shuffle join "
+    "+ one distinct, frontier and visited sets stay columnar, nothing "
+    "iterates on the driver except the bounded level counter.  Level "
+    "counts and node-id checksums make the whole reachability frontier "
+    "value-checked.  Oracle: recursive CTE with UNION-distinct over "
+    "(node, lvl) pairs (terminates at the level bound), min level per "
+    "node.  At 100 TB the visited set is the scaling concern: it is "
+    "hash-partitioned on node, the anti-join co-partitions with the "
+    "frontier, and lineage stays shallow because the level count is a "
+    "constant, not data-driven.  Source = MIN(src) computed as a 1-row "
+    "aggregate DataFrame (no driver collect).",
+    oracle=f"""
+        WITH RECURSIVE ps AS (
+            SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        ),
+        edges AS (
+            SELECT s * 2 + 1 AS src, p * 2 AS dst FROM ps
+            UNION ALL
+            SELECT p * 2 AS src, s * 2 + 1 AS dst FROM ps
+        ),
+        walk(node, lvl) AS (
+            SELECT (SELECT MIN(src) FROM edges), 0
+            UNION
+            SELECT e.dst, w.lvl + 1
+            FROM walk w JOIN edges e ON e.src = w.node
+            WHERE w.lvl < {_BFS_MAX_LEVEL}
+        ),
+        levels AS (
+            SELECT node, MIN(lvl) AS lvl FROM walk GROUP BY node
+        )
+        SELECT lvl,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(node) AS BIGINT) AS id_checksum
+        FROM levels
+        GROUP BY lvl
+        ORDER BY lvl
+    """,
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _bipartite_edges(spark, sf_dir).cache()
+    # seed: 1-row aggregate DataFrame — stays a DataFrame end to end
+    frontier = edges.agg(F.min("src").alias("node"))
+    visited = frontier.select("node", F.lit(0).alias("lvl"))
+    for lvl in range(1, _BFS_MAX_LEVEL + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            # materialize each level once: the union of L levels otherwise
+            # re-derives every prefix chain per branch (measured 21.9 s ->
+            # 4.1 s at sf0.01; contrast graph_pagerank, where per-iteration
+            # state is 1 small rank table and recompute won)
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(nxt.select("node", F.lit(lvl).alias("lvl")))
+        frontier = nxt
+    return (
+        visited.groupBy("lvl")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("node").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("lvl")
+    )

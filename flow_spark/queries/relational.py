@@ -2097,3 +2097,108 @@ def dq_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "significant_t2"
         ),
     )
+
+
+#: chi-square critical value for df=(5-1)*(5-1)=16 at alpha=0.05, in ppm
+_CHI2_CRIT_PPM_DF16 = 26_296_000
+
+
+@register(
+    "dq_chi2_independence",
+    category="data-quality",
+    doc="Pearson chi-squared independence test (market segment x order "
+    "priority) decided entirely in exact integer space: each cell's "
+    "contribution (O-E)^2/E is algebraically rewritten as "
+    "(N*O - r*c)^2 / (N*r*c) and kept as a floor-divided ppm integer "
+    "in decimal(38,0)/HUGEINT — expectations, squares, and the "
+    "cross-multiplications never touch a float, so the verdict is "
+    "bit-stable under any partitioning (a re-plan must not flip a "
+    "drift alarm).  The contingency table is one groupBy over the "
+    "orders-customer join (map-side combinable), margins are two tiny "
+    "re-aggregations of the 25-cell table, and the total N is a 1-row "
+    "broadcast — at 100 TB only the first groupBy sees data-sized "
+    "input.  Verdict compares chi2 ppm against the df=16 critical "
+    "value 26.296 (alpha=0.05).  Output: the 25 annotated cells with "
+    "the shared total and flag.",
+    oracle=f"""
+        WITH obs AS (
+            SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+                   COUNT(*) AS o_cnt
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY seg, pri
+        ),
+        rt AS (SELECT seg, SUM(o_cnt) AS r FROM obs GROUP BY seg),
+        ct AS (SELECT pri, SUM(o_cnt) AS c FROM obs GROUP BY pri),
+        n AS (SELECT SUM(o_cnt) AS n FROM obs),
+        cells AS (
+            SELECT obs.seg, obs.pri, obs.o_cnt, rt.r, ct.c, n.n,
+                   (1000000::HUGEINT
+                    * (n.n::HUGEINT * obs.o_cnt - rt.r::HUGEINT * ct.c)
+                    * (n.n::HUGEINT * obs.o_cnt - rt.r::HUGEINT * ct.c))
+                       // (n.n::HUGEINT * rt.r * ct.c) AS contrib_ppm
+            FROM obs JOIN rt USING (seg) JOIN ct USING (pri) CROSS JOIN n
+        ),
+        tot AS (SELECT SUM(contrib_ppm) AS chi2_ppm FROM cells)
+        SELECT cells.seg, cells.pri,
+               CAST(cells.o_cnt AS BIGINT) AS o_cnt,
+               CAST(cells.r AS BIGINT) AS row_total,
+               CAST(cells.c AS BIGINT) AS col_total,
+               CAST(cells.contrib_ppm AS BIGINT) AS contrib_ppm,
+               CAST(tot.chi2_ppm AS BIGINT) AS chi2_ppm,
+               CAST(CASE WHEN tot.chi2_ppm > {_CHI2_CRIT_PPM_DF16}
+                         THEN 1 ELSE 0 END AS BIGINT) AS flag_dependent
+        FROM cells CROSS JOIN tot
+        ORDER BY cells.seg, cells.pri
+    """,
+)
+def dq_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    obs = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri")
+        )
+        .agg(F.count(F.lit(1)).alias("o_cnt"))
+    )
+    rt = obs.groupBy("seg").agg(F.sum("o_cnt").alias("r"))
+    ct = obs.groupBy("pri").agg(F.sum("o_cnt").alias("c"))
+    n = obs.agg(F.sum("o_cnt").alias("n"))
+    dec = "decimal(38,0)"
+    dev = F.col("n").cast(dec) * F.col("o_cnt") - F.col("r").cast(dec) * F.col("c")
+    cells = (
+        obs.join(F.broadcast(rt), "seg")
+        .join(F.broadcast(ct), "pri")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "seg",
+            "pri",
+            "o_cnt",
+            "r",
+            "c",
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                " * (CAST(n AS DECIMAL(38,0)) * o_cnt - CAST(r AS DECIMAL(38,0)) * c)"
+                " * (CAST(n AS DECIMAL(38,0)) * o_cnt - CAST(r AS DECIMAL(38,0)) * c))"
+                " div (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)"
+            ).alias("contrib_ppm"),
+        )
+    )
+    tot = cells.agg(F.sum("contrib_ppm").alias("chi2_ppm"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            "pri",
+            F.col("o_cnt").cast("bigint").alias("o_cnt"),
+            F.col("r").cast("bigint").alias("row_total"),
+            F.col("c").cast("bigint").alias("col_total"),
+            F.col("contrib_ppm").cast("bigint").alias("contrib_ppm"),
+            F.col("chi2_ppm").cast("bigint").alias("chi2_ppm"),
+            F.when(F.col("chi2_ppm") > _CHI2_CRIT_PPM_DF16, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("flag_dependent"),
+        )
+        .orderBy("seg", "pri")
+    )

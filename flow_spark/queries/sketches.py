@@ -387,6 +387,248 @@ def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_M = 64  # registers (p=6); alpha_64 = 0.709
+#: alpha_m * m^2 scaled by 1000 to stay integral: 0.709 * 64 * 64 * 1000
+_HLL_ALPHA_M2_MILLI = 2904064
+_HLL_SCALE = 1 << 62  # per-register terms are 2^(62 - M_j), max 2^62 < 2^63
+
+
+@register(
+    "sketch_hll_replay",
+    category="sketch",
+    doc="HyperLogLog (Flajolet et al. 2007) built FROM SCRATCH in exact "
+    "integer space so the whole sketch — every register and the final "
+    "estimate — is oracle-replayed bit-for-bit (unlike "
+    "sketch_hll_native, whose DataSketches binary is implementation-"
+    "defined and rows-only).  Per key: 60-bit portable hash, register "
+    "j = h % 64, rho = leading-zero rank of the remaining 54 bits "
+    "(55 - bitlength, the floor-log2 trick — libm-free).  Registers "
+    "max-combine map-side (MAX is the HLL merge operator, which is why "
+    "the sketch works at 100 TB: the shuffle carries <=64 rows per "
+    "group, never the keys).  The harmonic mean is computed exactly: "
+    "each register contributes the INTEGER 2^(62 - M_j), the sum fits "
+    "decimal(38,0) (<= 64 * 2^62), and the estimate is one exact "
+    "integer floor-division — no float summation anywhere.  Exact NDV "
+    "and empty-register count ride along for error visibility.",
+    oracle=f"""
+        WITH h AS (
+            SELECT l_returnflag AS flag,
+                   CAST(('0x' || substr(md5(concat('hll',
+                        CAST(l_partkey AS VARCHAR))), 1, 15)) AS BIGINT) AS hv
+            FROM lineitem
+        ),
+        rho AS (
+            SELECT flag, hv % {_HLL_M} AS reg,
+                   CASE WHEN hv // {_HLL_M} = 0 THEN 55
+                        ELSE 55 - length(bin(hv // {_HLL_M})) END AS rho
+            FROM h
+        ),
+        mj AS (SELECT flag, reg, MAX(rho) AS mj FROM rho GROUP BY flag, reg),
+        grid AS (
+            SELECT f.flag, g.range AS reg
+            FROM (SELECT DISTINCT flag FROM h) f, range({_HLL_M}) g
+        ),
+        regs AS (
+            SELECT grid.flag, grid.reg, COALESCE(mj.mj, 0) AS mj
+            FROM grid LEFT JOIN mj ON mj.flag = grid.flag AND mj.reg = grid.reg
+        ),
+        agg AS (
+            SELECT flag,
+                   SUM(CAST(1::BIGINT << (62 - mj) AS HUGEINT)) AS s,
+                   SUM(mj) AS sum_rho,
+                   SUM(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS n_zero_regs
+            FROM regs GROUP BY flag
+        ),
+        exact AS (
+            SELECT flag, COUNT(DISTINCT hv) AS n_exact FROM h GROUP BY flag
+        )
+        SELECT a.flag,
+               CAST(a.sum_rho AS BIGINT) AS sum_rho,
+               CAST(a.n_zero_regs AS BIGINT) AS n_zero_regs,
+               CAST(({_HLL_ALPHA_M2_MILLI}::HUGEINT * {_HLL_SCALE}::HUGEINT)
+                    // (1000::HUGEINT * a.s) AS BIGINT) AS hll_ndv,
+               x.n_exact
+        FROM agg a JOIN exact x ON x.flag = a.flag
+        ORDER BY a.flag
+    """,
+)
+def sketch_hll_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.functions.hashing import portable_hash64
+
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.select(
+        F.col("l_returnflag").alias("flag"),
+        portable_hash64(F.col("l_partkey").cast("string"), salt="hll").alias("hv"),
+    )
+    w = F.expr(f"hv div {_HLL_M}")  # hv >= 0, so div == floor division
+    rho = F.when(w == 0, F.lit(55)).otherwise(F.lit(55) - F.length(F.bin(w)))
+    per_reg = (
+        h.select("flag", F.pmod(F.col("hv"), F.lit(_HLL_M)).alias("reg"), rho.alias("rho"))
+        .groupBy("flag", "reg")
+        .agg(F.max("rho").alias("mj"))
+    )
+    # dense 64-register grid per group: empty registers count as M_j = 0
+    grid = (
+        h.select("flag")
+        .distinct()
+        .crossJoin(F.broadcast(spark.range(_HLL_M).select(F.col("id").alias("reg"))))
+    )
+    regs = grid.join(per_reg, ["flag", "reg"], "left").select(
+        "flag", "reg", F.coalesce("mj", F.lit(0)).alias("mj")
+    )
+    agg = regs.groupBy("flag").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(62 - mj AS INT))").cast("decimal(38,0)")).alias("s"),
+        F.sum("mj").cast("bigint").alias("sum_rho"),
+        F.sum(F.when(F.col("mj") == 0, 1).otherwise(0)).cast("bigint").alias("n_zero_regs"),
+    )
+    exact = h.distinct().groupBy("flag").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.expr(
+        f"CAST((CAST({_HLL_ALPHA_M2_MILLI} AS DECIMAL(38,0)) * CAST({_HLL_SCALE} AS DECIMAL(38,0)))"
+        f" div (CAST(1000 AS DECIMAL(38,0)) * s) AS BIGINT)"
+    )
+    return (
+        agg.join(exact, "flag")
+        .select("flag", "sum_rho", "n_zero_regs", est.alias("hll_ndv"), "n_exact")
+        .orderBy("flag")
+    )
+
+
+_BLOOM_BITS = 8192  # filter width in bits
+_BLOOM_K = 3  # hash functions
+
+
+def _bloom_bit_sql(expr: str, d: int) -> str:
+    h = portable_hash_expr(expr, salt=f"bloom{d}")
+    return f"(({h}) % {_BLOOM_BITS} + {_BLOOM_BITS}) % {_BLOOM_BITS}"
+
+
+@register(
+    "sketch_bloom_membership",
+    category="sketch",
+    doc="Explicit Bloom filter (k=3, m=8192 bits) with every bit "
+    "position oracle-replayed: BUILD inserts each BUILDING-segment "
+    "customer key at 3 portable-hash bit positions (the set-bit table "
+    "is the filter — at most 8192 rows regardless of build size, i.e. "
+    "a broadcastable summary, exactly why bloom filters work as join "
+    "pre-filters at 100 TB); PROBE fans each distinct order customer "
+    "out to its 3 positions and declares 'maybe present' iff all 3 "
+    "bits are set (one-sided error: no false negatives, checked "
+    "exactly).  Output: per-segment probe accounting — true members, "
+    "bloom positives, false positives, FP ppm — all exact integers.  "
+    "Spark's native bloom_filter_agg/might_contain is the same shape "
+    "with an opaque binary; this form trades 3 narrow joins for full "
+    "cross-engine checkability.",
+    oracle=f"""
+        WITH build AS (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        ),
+        bits AS (
+            SELECT DISTINCT
+                   CASE d.d WHEN 0 THEN {_bloom_bit_sql('CAST(c_custkey AS VARCHAR)', 0)}
+                            WHEN 1 THEN {_bloom_bit_sql('CAST(c_custkey AS VARCHAR)', 1)}
+                            ELSE {_bloom_bit_sql('CAST(c_custkey AS VARCHAR)', 2)} END AS bit
+            FROM build, (VALUES (0), (1), (2)) d(d)
+        ),
+        probe AS (
+            SELECT c.c_custkey AS k, c.c_mktsegment AS seg,
+                   CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS is_member
+            FROM (SELECT DISTINCT o_custkey FROM orders) o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+        ),
+        probe_bits AS (
+            SELECT p.k, p.seg, p.is_member,
+                   CASE d.d WHEN 0 THEN {_bloom_bit_sql('CAST(p.k AS VARCHAR)', 0)}
+                            WHEN 1 THEN {_bloom_bit_sql('CAST(p.k AS VARCHAR)', 1)}
+                            ELSE {_bloom_bit_sql('CAST(p.k AS VARCHAR)', 2)} END AS bit
+            FROM probe p, (VALUES (0), (1), (2)) d(d)
+        ),
+        verdicts AS (
+            SELECT pb.k, pb.seg, pb.is_member,
+                   CASE WHEN COUNT(b.bit) = {_BLOOM_K} THEN 1 ELSE 0 END AS bloom_pos
+            FROM probe_bits pb LEFT JOIN bits b ON b.bit = pb.bit
+            GROUP BY pb.k, pb.seg, pb.is_member
+        )
+        SELECT seg,
+               CAST(COUNT(*) AS BIGINT) AS n_probes,
+               CAST(SUM(is_member) AS BIGINT) AS n_members,
+               CAST(SUM(bloom_pos) AS BIGINT) AS n_bloom_pos,
+               CAST(SUM(CASE WHEN bloom_pos = 1 AND is_member = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+               CAST(SUM(CASE WHEN bloom_pos = 0 AND is_member = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
+               CAST((1000000 * SUM(CASE WHEN bloom_pos = 1 AND is_member = 0
+                                        THEN 1 ELSE 0 END)) // COUNT(*)
+                    AS BIGINT) AS fp_ppm
+        FROM verdicts
+        GROUP BY seg
+        ORDER BY seg
+    """,
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.functions.hashing import portable_hash64
+
+    def bit(col: F.Column, d: int) -> F.Column:
+        return F.pmod(
+            portable_hash64(col.cast("string"), salt=f"bloom{d}"), F.lit(_BLOOM_BITS)
+        )
+
+    cust = load_table(spark, sf_dir, "customer")
+    build = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bits = (
+        build.select(
+            F.explode(
+                F.array(*[bit(F.col("c_custkey"), d) for d in range(_BLOOM_K)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    probe = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_mktsegment").alias("seg"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("is_member"),
+        )
+    )
+    probe_bits = probe.select(
+        "k",
+        "seg",
+        "is_member",
+        F.explode(F.array(*[bit(F.col("k"), d) for d in range(_BLOOM_K)])).alias("bit"),
+    )
+    # the filter is <= 8192 rows no matter how large the build side: broadcast
+    verdicts = (
+        probe_bits.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "bit", "left")
+        .groupBy("k", "seg", "is_member")
+        .agg(
+            F.when(F.count("hit") == _BLOOM_K, 1).otherwise(0).alias("bloom_pos")
+        )
+    )
+    fp = F.sum(F.when((F.col("bloom_pos") == 1) & (F.col("is_member") == 0), 1).otherwise(0))
+    return (
+        verdicts.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.sum("is_member").cast("bigint").alias("n_members"),
+            F.sum("bloom_pos").cast("bigint").alias("n_bloom_pos"),
+            fp.cast("bigint").alias("n_false_pos"),
+            F.sum(
+                F.when((F.col("bloom_pos") == 0) & (F.col("is_member") == 1), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_false_neg"),
+            F.expr(
+                "CAST((1000000 * SUM(CASE WHEN bloom_pos = 1 AND is_member = 0 "
+                "THEN 1 ELSE 0 END)) div COUNT(*) AS BIGINT)"
+            ).alias("fp_ppm"),
+        )
+        .orderBy("seg")
+    )
+
+
 _CMS_D = 4  # depth: independent hash rows
 _CMS_W = 64  # width: buckets per row
 

@@ -1763,3 +1763,307 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+_PMI_MIN_PAIR = 5  # bigram support floor
+_PMI_TOPK = 40
+
+
+@register(
+    "text_pmi_collocations",
+    category="text-analysis",
+    doc="Pointwise-mutual-information collocation mining: adjacent-token "
+    "bigrams scored by the EXACT PMI odds ratio p(a,b)/(p(a)p(b)) = "
+    "c_ab*N^2/(B*c_a*c_b), kept as a scaled integer (ppm) computed in "
+    "decimal(38,0)/HUGEINT cross-multiplication — no log, no float, so "
+    "the ranking is bit-identical across engines and partitionings.  "
+    f"Support floor c_ab >= {_PMI_MIN_PAIR} (PMI's classic low-count "
+    "pathology), deterministic (score, bigram) tiebreak, top "
+    f"{_PMI_TOPK}.  Plan: one narrow zip_with pass builds bigrams, two "
+    "map-side-combinable counts (unigram vocab, bigram vocab), then the "
+    "bigram table joins the unigram table twice ON THE TOKEN KEY — at "
+    "100 TB both sides are Zipfian-hot and the joins shuffle "
+    "vocab-sized data, not corpus-sized; the two corpus totals ride as "
+    "1-row broadcast scalars.",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, {_SQL_TOKS} AS ws FROM documents
+        ),
+        uni AS (
+            SELECT t.tok, COUNT(*) AS c FROM (
+                SELECT unnest(ws) AS tok FROM w
+            ) t WHERE t.tok <> '' GROUP BY t.tok
+        ),
+        tot AS (SELECT SUM(c) AS n_tok FROM uni),
+        big AS (
+            SELECT ws[i] AS a, ws[i + 1] AS b, COUNT(*) AS c_ab
+            FROM w CROSS JOIN range(1, 512) t(i)
+            WHERE i < len(ws) AND ws[i] <> '' AND ws[i + 1] <> ''
+            GROUP BY ws[i], ws[i + 1]
+        ),
+        btot AS (SELECT SUM(c_ab) AS n_big FROM big),
+        scored AS (
+            SELECT big.a, big.b, big.c_ab, ua.c AS c_a, ub.c AS c_b,
+                   tot.n_tok, btot.n_big,
+                   (1000000::HUGEINT * big.c_ab * tot.n_tok * tot.n_tok)
+                       // (btot.n_big::HUGEINT * ua.c * ub.c) AS pmi_ratio_ppm
+            FROM big
+            JOIN uni ua ON ua.tok = big.a
+            JOIN uni ub ON ub.tok = big.b
+            CROSS JOIN tot CROSS JOIN btot
+            WHERE big.c_ab >= {_PMI_MIN_PAIR}
+        )
+        SELECT a, b,
+               CAST(c_ab AS BIGINT) AS c_ab,
+               CAST(c_a AS BIGINT) AS c_a,
+               CAST(c_b AS BIGINT) AS c_b,
+               CAST(n_tok AS BIGINT) AS n_tok,
+               CAST(n_big AS BIGINT) AS n_big,
+               CAST(pmi_ratio_ppm AS BIGINT) AS pmi_ratio_ppm
+        FROM scored
+        ORDER BY pmi_ratio_ppm DESC, a, b
+        LIMIT {_PMI_TOPK}
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", tokens(F.col("text")).alias("ws"))
+    uni = (
+        words.select(F.explode("ws").alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("n_tok"))
+    pairs = words.select(
+        F.explode(
+            F.zip_with(
+                "ws",
+                F.slice(F.col("ws"), 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+                lambda a, b: F.when(
+                    (a != "") & (b != ""), F.struct(a.alias("a"), b.alias("b"))
+                ),
+            )
+        ).alias("p")
+    ).filter(F.col("p").isNotNull())
+    big = pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.count(F.lit(1)).alias("c_ab")
+    )
+    btot = big.agg(F.sum("c_ab").alias("n_big"))
+    ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c").alias("c_b"))
+    scored = (
+        big.filter(F.col("c_ab") >= _PMI_MIN_PAIR)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "a",
+            "b",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            F.col("c_a").cast("bigint").alias("c_a"),
+            F.col("c_b").cast("bigint").alias("c_b"),
+            F.col("n_tok").cast("bigint").alias("n_tok"),
+            F.col("n_big").cast("bigint").alias("n_big"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * c_ab * n_tok * n_tok)"
+                " div (CAST(n_big AS DECIMAL(38,0)) * c_a * c_b) AS BIGINT)"
+            ).alias("pmi_ratio_ppm"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_ratio_ppm"), "a", "b").limit(_PMI_TOPK)
+
+
+_IDX_TOPK = 100
+
+
+@register(
+    "text_inverted_index",
+    category="text-analysis",
+    doc="Positional inverted-index construction (the search-engine / "
+    "contamination-lookup build step): postings are (token, doc_id, tf, "
+    "first_pos) rows from one posexplode pass + one (tok, doc) groupBy; "
+    "the per-token dictionary row (df, cf, first_doc, and an exact "
+    "posting checksum sum(doc_id*tf + first_pos) standing in for the "
+    "non-primitive posting list) comes from a second map-side-"
+    "combinable groupBy on the token.  At 100 TB the real sink writes "
+    "postings partitioned by hash(token) bucket and sorted by (tok, "
+    "doc_id) — both groupBys already shuffle on exactly those keys, so "
+    "the index build is two co-keyed aggregations and nothing else.  "
+    f"Output: top {_IDX_TOPK} dictionary rows by (df, tok).",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, {_SQL_TOKS} AS ws FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, ws[i] AS tok, i AS pos
+            FROM w CROSS JOIN range(1, 512) t(i)
+            WHERE i <= len(ws) AND ws[i] <> ''
+        ),
+        post AS (
+            SELECT tok, doc_id, COUNT(*) AS tf, MIN(pos) AS first_pos
+            FROM pos GROUP BY tok, doc_id
+        )
+        SELECT tok,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(tf) AS BIGINT) AS cf,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+               CAST(SUM(doc_id * tf + first_pos) AS BIGINT) AS posting_checksum
+        FROM post
+        GROUP BY tok
+        ORDER BY df DESC, tok
+        LIMIT {_IDX_TOPK}
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = (
+        docs.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "tok"))
+        .filter(F.col("tok") != "")
+        .select("doc_id", "tok", (F.col("pos0") + 1).alias("pos"))
+    )
+    post = pos.groupBy("tok", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("pos").alias("first_pos")
+    )
+    return (
+        post.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("cf"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.sum(F.col("doc_id") * F.col("tf") + F.col("first_pos"))
+            .cast("bigint")
+            .alias("posting_checksum"),
+        )
+        .orderBy(F.desc("df"), "tok")
+        .limit(_IDX_TOPK)
+    )
+
+
+@register(
+    "ml_naive_bayes_langid",
+    category="ml",
+    doc="Multinomial naive Bayes language classifier, trained and "
+    "evaluated in one plan with EXACT integer arithmetic end to end: "
+    "train on even doc_ids (per-(lang,token) add-1-smoothed counts, "
+    "per-lang token totals, train vocab size V), score odd doc_ids "
+    "with the floor-log2 bit-length trick — info = bits(c_lt + 1) - "
+    "bits(T_l + V) summed per (doc, lang) plus the class-prior bits — "
+    "so no log/exp ever runs and the argmax (row_number tiebroken by "
+    "lang) is bit-stable across engines and partitionings.  Unseen "
+    "test tokens get the smoothed count 1 via the left join.  Plan at "
+    "100 TB: the model IS a DataFrame keyed on (lang, tok) — the "
+    "data-sized work is one token-keyed join of test tokens against "
+    "it (Zipf-hot, partial-agg friendly), the doc x lang fan-out is "
+    "|langs| wide, and the totals are a broadcast of |langs| rows.  "
+    "Output: the label confusion matrix with per-cell counts.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang, t.tok
+            FROM documents, unnest({_SQL_TOKS}) t(tok)
+            WHERE t.tok <> ''
+        ),
+        train AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+        test AS (SELECT * FROM toks WHERE doc_id % 2 = 1),
+        langs AS (SELECT DISTINCT lang FROM train),
+        model AS (
+            SELECT lang, tok, COUNT(*) AS c FROM train GROUP BY lang, tok
+        ),
+        totals AS (SELECT lang, SUM(c) AS t_l FROM model GROUP BY lang),
+        vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM train),
+        priors AS (
+            SELECT lang, COUNT(DISTINCT doc_id) AS d_l FROM train GROUP BY lang
+        ),
+        scored AS (
+            SELECT te.doc_id, te.lang AS true_lang, l.lang AS cand,
+                   SUM(length(bin(COALESCE(m.c, 0) + 1))
+                       - length(bin(tt.t_l + vocab.v))) AS tok_bits
+            FROM test te
+            CROSS JOIN langs l
+            LEFT JOIN model m ON m.lang = l.lang AND m.tok = te.tok
+            JOIN totals tt ON tt.lang = l.lang
+            CROSS JOIN vocab
+            GROUP BY te.doc_id, te.lang, l.lang
+        ),
+        with_prior AS (
+            SELECT s.doc_id, s.true_lang, s.cand,
+                   s.tok_bits + length(bin(p.d_l)) AS score_bits
+            FROM scored s JOIN priors p ON p.lang = s.cand
+        ),
+        pred AS (
+            SELECT doc_id, true_lang, cand AS pred_lang
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score_bits DESC, cand) AS rn
+                FROM with_prior
+            ) WHERE rn = 1
+        )
+        SELECT true_lang, pred_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM pred
+        GROUP BY true_lang, pred_lang
+        ORDER BY true_lang, pred_lang
+    """,
+)
+def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from flow_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    train = toks.filter(F.col("doc_id") % 2 == 0)
+    test = toks.filter(F.col("doc_id") % 2 == 1)
+    langs = train.select("lang").distinct().select(F.col("lang").alias("cand"))
+    model = train.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = model.groupBy("lang").agg(F.sum("c").alias("t_l"))
+    vocab = model.select("tok").distinct().agg(F.count(F.lit(1)).alias("v"))
+    priors = train.groupBy("lang").agg(F.countDistinct("doc_id").alias("d_l"))
+    scored = (
+        test.select("doc_id", F.col("lang").alias("true_lang"), "tok")
+        .crossJoin(F.broadcast(langs))
+        .join(
+            model.select(
+                F.col("lang").alias("cand"), "tok", F.col("c").alias("c")
+            ),
+            ["cand", "tok"],
+            "left",
+        )
+        .join(F.broadcast(totals.select(F.col("lang").alias("cand"), "t_l")), "cand")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "true_lang", "cand")
+        .agg(
+            F.sum(
+                F.length(F.bin(F.coalesce(F.col("c"), F.lit(0)) + 1))
+                - F.length(F.bin(F.col("t_l") + F.col("v")))
+            ).alias("tok_bits")
+        )
+    )
+    with_prior = scored.join(
+        F.broadcast(priors.select(F.col("lang").alias("cand"), "d_l")), "cand"
+    ).select(
+        "doc_id",
+        "true_lang",
+        "cand",
+        (F.col("tok_bits") + F.length(F.bin(F.col("d_l")))).alias("score_bits"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score_bits"), "cand")
+    pred = (
+        with_prior.select("doc_id", "true_lang", "cand", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "true_lang", F.col("cand").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
