@@ -2202,3 +2202,102 @@ def dq_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg", "pri")
     )
+
+
+#: Allen's interval-algebra classification as ONE SQL CASE expression,
+#: evaluated verbatim by BOTH engines (Spark F.expr and the DuckDB oracle)
+#: so the taxonomy cannot drift.  Inputs are exact integer microseconds.
+#: Point intervals (s == e) fall out of the same case order
+#: deterministically.
+_ALLEN_CASE = """
+    CASE
+        WHEN s_a = s_b AND e_a = e_b THEN 'equals'
+        WHEN e_a < s_b THEN 'before'
+        WHEN e_b < s_a THEN 'after'
+        WHEN e_a = s_b THEN 'meets'
+        WHEN e_b = s_a THEN 'met_by'
+        WHEN s_a = s_b AND e_a < e_b THEN 'starts'
+        WHEN s_a = s_b AND e_a > e_b THEN 'started_by'
+        WHEN e_a = e_b AND s_a > s_b THEN 'finishes'
+        WHEN e_a = e_b AND s_a < s_b THEN 'finished_by'
+        WHEN s_a > s_b AND e_a < e_b THEN 'during'
+        WHEN s_a < s_b AND e_a > e_b THEN 'contains'
+        WHEN s_a < s_b THEN 'overlaps'
+        ELSE 'overlapped_by'
+    END
+"""
+
+
+@register(
+    "join_interval_allen",
+    category="joins",
+    doc="Allen interval-algebra classification (Allen 1983): per user, "
+    "the activity interval of each event type ([min ts, max ts] in "
+    "EXACT integer microseconds — Spark unix_micros == DuckDB "
+    "epoch_ns//1000, the one truncation contract for the ns-precision "
+    "fixture), every ordered type pair (type_a < type_b) self-joined "
+    "on user_id and classified into the 13 Allen relations by one "
+    "CASE expression shared VERBATIM between Spark and the oracle, so "
+    "the taxonomy is definitionally identical in both engines.  The "
+    "temporal-reasoning primitive behind overlap dedup, conflict "
+    "detection, and timeline validation.  Plan: one groupBy on "
+    "(user, type) builds intervals, one user-keyed self-join emits "
+    "<= C(|types|,2) = 10 rows per user, then a tiny (pair, relation) "
+    "count — at 100 TB everything shuffles once on user_id and the "
+    "fan-out is bounded by the type-pair count, not data size.",
+    oracle=f"""
+        WITH iv AS (
+            SELECT user_id, event_type,
+                   MIN(epoch_ns(ts) // 1000) AS s,
+                   MAX(epoch_ns(ts) // 1000) AS e
+            FROM events
+            GROUP BY user_id, event_type
+        ),
+        pairs AS (
+            SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b,
+                   a.s AS s_a, a.e AS e_a, b.s AS s_b, b.e AS e_b
+            FROM iv a JOIN iv b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+        ),
+        rels AS (
+            SELECT type_a, type_b, {_ALLEN_CASE} AS rel, user_id
+            FROM pairs
+        )
+        SELECT type_a, type_b, rel,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(user_id) AS BIGINT) AS user_checksum
+        FROM rels
+        GROUP BY type_a, type_b, rel
+        ORDER BY type_a, type_b, rel
+    """,
+)
+def join_interval_allen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.unix_micros("ts")).alias("s"),
+        F.max(F.unix_micros("ts")).alias("e"),
+    )
+    a = iv.alias("a")
+    b = iv.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.s").alias("s_a"),
+        F.col("a.e").alias("e_a"),
+        F.col("b.s").alias("s_b"),
+        F.col("b.e").alias("e_b"),
+    )
+    return (
+        pairs.select("type_a", "type_b", F.expr(_ALLEN_CASE).alias("rel"), "user_id")
+        .groupBy("type_a", "type_b", "rel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("user_id").cast("bigint").alias("user_checksum"),
+        )
+        .orderBy("type_a", "type_b", "rel")
+    )

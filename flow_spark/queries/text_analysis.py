@@ -2067,3 +2067,345 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+#: RAKE stopword list: the union of every language's marker words (plus
+#: a few frequent English function words), inlined as literals into BOTH
+#: engines so segmentation cannot drift.
+_RAKE_STOPS = tuple(
+    sorted(
+        {m for ms in LANG_MARKERS.values() for m in ms}
+        | {"in", "is", "it", "on", "for", "with", "as", "at", "by", "an"}
+    )
+)
+_RAKE_MAX_PHRASE = 4
+_RAKE_TOPK = 25
+
+
+@register(
+    "text_rake_keywords",
+    category="text-analysis",
+    doc="RAKE keyword extraction (Rose et al. 2010) done relationally: "
+    "phrases are maximal runs of non-stopword tokens, segmented with "
+    "the gaps-and-islands trick (phrase_id = running count of stop "
+    "tokens per doc — NO regex splitting, so the two engines cannot "
+    "disagree on dialect), capped at length "
+    f"{_RAKE_MAX_PHRASE}; word scores are the classic degree/frequency "
+    "ratio kept as an exact permille integer (deg = sum of lengths of "
+    "phrases containing the word, freq = word occurrences — both plain "
+    "counts), and a phrase scores the sum of its words' permille "
+    "scores.  Identical phrases aggregate; top "
+    f"{_RAKE_TOPK} by (score, phrase).  Phrase text is re-assembled "
+    "position-sorted (array_sort+array_join / string_agg ORDER BY).  "
+    "Plan at 100 TB: one doc-keyed window pass for segmentation, one "
+    "token-keyed groupBy for the word table (Zipf-hot, partial-agg), "
+    "one token-keyed join back, one (doc, phrase) groupBy — every "
+    "shuffle is on a natural key, nothing quadratic anywhere.",
+    oracle=f"""
+        WITH pos AS (
+            SELECT doc_id, ws[i] AS tok, i AS pos,
+                   CASE WHEN ws[i] IN ({", ".join("'" + s + "'" for s in _RAKE_STOPS)})
+                        THEN 1 ELSE 0 END AS is_stop
+            FROM (SELECT doc_id, {_SQL_TOKS} AS ws FROM documents)
+            CROSS JOIN range(1, 512) t(i)
+            WHERE i <= len(ws) AND ws[i] <> ''
+        ),
+        seg AS (
+            SELECT doc_id, tok, pos,
+                   SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+            FROM pos
+            QUALIFY is_stop = 0
+        ),
+        plen AS (
+            SELECT doc_id, phrase_id, COUNT(*) AS phrase_len
+            FROM seg GROUP BY doc_id, phrase_id
+        ),
+        kept AS (
+            SELECT s.doc_id, s.phrase_id, s.tok, s.pos, p.phrase_len
+            FROM seg s JOIN plen p
+              ON p.doc_id = s.doc_id AND p.phrase_id = s.phrase_id
+            WHERE p.phrase_len <= {_RAKE_MAX_PHRASE}
+        ),
+        words AS (
+            SELECT tok, COUNT(*) AS freq, SUM(phrase_len) AS deg
+            FROM kept GROUP BY tok
+        ),
+        scored_toks AS (
+            SELECT k.doc_id, k.phrase_id, k.tok, k.pos,
+                   1000 * w.deg // w.freq AS word_permille
+            FROM kept k JOIN words w ON w.tok = k.tok
+        ),
+        phrases AS (
+            SELECT doc_id, phrase_id,
+                   string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                   SUM(word_permille) AS score_permille
+            FROM scored_toks GROUP BY doc_id, phrase_id
+        )
+        SELECT phrase,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(ANY_VALUE(score_permille) AS BIGINT) AS score_permille
+        FROM phrases
+        GROUP BY phrase
+        ORDER BY score_permille DESC, phrase
+        LIMIT {_RAKE_TOPK}
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from flow_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    stops = F.array(*[F.lit(s) for s in _RAKE_STOPS])
+    pos = (
+        docs.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "tok"))
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("pos0") + 1).alias("pos"),
+            F.when(F.array_contains(stops, F.col("tok")), 1).otherwise(0).alias("is_stop"),
+        )
+    )
+    wseg = W.partitionBy("doc_id").orderBy("pos")
+    seg = (
+        pos.select(
+            "doc_id", "tok", "pos", "is_stop",
+            F.sum("is_stop").over(wseg).alias("phrase_id"),
+        )
+        .filter(F.col("is_stop") == 0)
+        .drop("is_stop")
+    )
+    plen = seg.groupBy("doc_id", "phrase_id").agg(F.count(F.lit(1)).alias("phrase_len"))
+    kept = seg.join(plen, ["doc_id", "phrase_id"]).filter(
+        F.col("phrase_len") <= _RAKE_MAX_PHRASE
+    )
+    words = kept.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("phrase_len").alias("deg")
+    )
+    scored_toks = kept.join(words, "tok").select(
+        "doc_id",
+        "phrase_id",
+        "tok",
+        "pos",
+        F.expr("1000 * deg div freq").alias("word_permille"),
+    )
+    phrases = scored_toks.groupBy("doc_id", "phrase_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda x: x.tok
+            ),
+            " ",
+        ).alias("phrase"),
+        F.sum("word_permille").alias("score_permille"),
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.any_value("score_permille").cast("bigint").alias("score_permille"),
+        )
+        .orderBy(F.desc("score_permille"), "phrase")
+        .limit(_RAKE_TOPK)
+    )
+
+
+_SG_WINDOW = 2
+_SG_TOPK = 30
+
+
+@register(
+    "text_skipgram_pairs",
+    category="text-analysis",
+    doc="Skip-gram (center, context) pair generation, the word2vec/"
+    "GloVe co-occurrence build step: every token pairs with its "
+    f"neighbors at distance 1..{_SG_WINDOW} on both sides, produced by "
+    "a position self-join on (doc_id, pos + offset) — the offsets are "
+    "a constant 4-row fan-out, so the pair stream is a single "
+    "doc+pos-keyed shuffle join, map-side-combinable into (center, "
+    "context) counts with a per-distance breakdown (n_d1/n_d2 via "
+    "conditional sums, no pivot shuffle).  At 100 TB this is the "
+    "co-occurrence-matrix shard build: counts partial-aggregate, the "
+    "Zipf-hot pair keys behave exactly like the unigram agg, and no "
+    "window function appears anywhere (position joins beat per-doc "
+    f"windows when docs are long).  Top {_SG_TOPK} pairs by (count, "
+    "center, context).",
+    oracle=f"""
+        WITH pos AS (
+            SELECT doc_id, ws[i] AS tok, i AS pos
+            FROM (SELECT doc_id, {_SQL_TOKS} AS ws FROM documents)
+            CROSS JOIN range(1, 512) t(i)
+            WHERE i <= len(ws) AND ws[i] <> ''
+        ),
+        pairs AS (
+            SELECT c.tok AS center, x.tok AS context, ABS(o.off) AS dist
+            FROM pos c
+            JOIN (VALUES (-{_SG_WINDOW}), (-1), (1), ({_SG_WINDOW})) o(off)
+              ON TRUE
+            JOIN pos x ON x.doc_id = c.doc_id AND x.pos = c.pos + o.off
+        )
+        SELECT center, context,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d1,
+               CAST(SUM(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_d2
+        FROM pairs
+        GROUP BY center, context
+        ORDER BY n_pairs DESC, center, context
+        LIMIT {_SG_TOPK}
+    """,
+)
+def text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = (
+        docs.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "tok"))
+        .filter(F.col("tok") != "")
+        .select("doc_id", "tok", (F.col("pos0") + 1).alias("pos"))
+    )
+    offs = F.array(*[F.lit(o) for o in (-_SG_WINDOW, -1, 1, _SG_WINDOW)])
+    centers = pos.select(
+        "doc_id",
+        F.col("tok").alias("center"),
+        "pos",
+        F.explode(offs).alias("off"),
+    ).select("doc_id", "center", (F.col("pos") + F.col("off")).alias("cpos"), F.abs("off").alias("dist"))
+    ctx = pos.select("doc_id", F.col("tok").alias("context"), F.col("pos").alias("cpos"))
+    pairs = centers.join(ctx, ["doc_id", "cpos"])
+    return (
+        pairs.groupBy("center", "context")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("dist") == 1, 1).otherwise(0)).cast("bigint").alias("n_d1"),
+            F.sum(F.when(F.col("dist") == 2, 1).otherwise(0)).cast("bigint").alias("n_d2"),
+        )
+        .orderBy(F.desc("n_pairs"), "center", "context")
+        .limit(_SG_TOPK)
+    )
+
+
+#: stupid-backoff penalty: p(b|a) backs off to 0.4 * p(b).  In bit space
+#: 0.4 ~= 2^-1.32; we charge a flat +2 bits (conservative, integral).
+_SB_BACKOFF_BITS = 2
+
+
+@register(
+    "text_bigram_surprisal",
+    category="text-analysis",
+    doc="Bigram-LM perplexity proxy with stupid backoff (Brants et al. "
+    "2007, the LM smoothing DESIGNED for distributed count tables — no "
+    "normalization pass, just counts): each transition (a -> b) costs "
+    "bits(c(a)) - bits(c(a,b)) when the bigram was seen, else backs "
+    "off to the unigram cost bits(N) - bits(c(b)) plus a flat "
+    f"{_SB_BACKOFF_BITS}-bit penalty — all floor-log2 bit lengths, "
+    "libm-free, bit-identical across engines.  A sharper boilerplate/"
+    "gibberish filter than text_unigram_surprisal: repeated phrases "
+    "score near zero bits because their transitions are predictable, "
+    "not merely their words common.  Plan at 100 TB: the bigram count "
+    "table is the model (Zipf-hot groupBy, partial agg), scoring is "
+    "one join of the transition stream against it plus one unigram "
+    "join — the standard count-table LM serving shape.  Per-doc mean "
+    "bits in exact milli units, with the backoff rate alongside.",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, {_SQL_TOKS} AS ws FROM documents
+        ),
+        trans AS (
+            SELECT doc_id, ws[i] AS a, ws[i + 1] AS b
+            FROM w CROSS JOIN range(1, 512) t(i)
+            WHERE i < len(ws) AND ws[i] <> '' AND ws[i + 1] <> ''
+        ),
+        uni AS (
+            SELECT t.tok, COUNT(*) AS c FROM (
+                SELECT unnest(ws) AS tok FROM w
+            ) t WHERE t.tok <> '' GROUP BY t.tok
+        ),
+        tot AS (SELECT SUM(c) AS n FROM uni),
+        big AS (
+            SELECT a, b, COUNT(*) AS c_ab FROM trans GROUP BY a, b
+        ),
+        scored AS (
+            SELECT tr.doc_id,
+                   CASE WHEN bg.c_ab IS NOT NULL
+                        THEN length(bin(ua.c)) - length(bin(bg.c_ab))
+                        ELSE length(bin(tot.n)) - length(bin(ub.c))
+                             + {_SB_BACKOFF_BITS} END AS info_bits,
+                   CASE WHEN bg.c_ab IS NULL THEN 1 ELSE 0 END AS backed_off
+            FROM trans tr
+            JOIN uni ua ON ua.tok = tr.a
+            JOIN uni ub ON ub.tok = tr.b
+            LEFT JOIN big bg ON bg.a = tr.a AND bg.b = tr.b
+            CROSS JOIN tot
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_trans,
+               CAST(SUM(info_bits) AS BIGINT) AS sum_info_bits,
+               CAST(1000 * SUM(info_bits) // COUNT(*) AS BIGINT)
+                   AS mean_info_milli,
+               CAST(SUM(backed_off) AS BIGINT) AS n_backoff
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", tokens(F.col("text")).alias("ws"))
+    trans = words.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                "ws",
+                F.slice(F.col("ws"), 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+                lambda a, b: F.when(
+                    (a != "") & (b != ""), F.struct(a.alias("a"), b.alias("b"))
+                ),
+            )
+        ).alias("p"),
+    ).filter(F.col("p").isNotNull()).select("doc_id", "p.a", "p.b")
+    uni = (
+        words.select(F.explode("ws").alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("n"))
+    big = trans.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c").alias("c_b"))
+    scored = (
+        trans.join(ua, "a")
+        .join(ub, "b")
+        .join(big, ["a", "b"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("c_ab").isNotNull(),
+                F.length(F.bin(F.col("c_a"))) - F.length(F.bin(F.col("c_ab"))),
+            )
+            .otherwise(
+                F.length(F.bin(F.col("n")))
+                - F.length(F.bin(F.col("c_b")))
+                + _SB_BACKOFF_BITS
+            )
+            .alias("info_bits"),
+            F.when(F.col("c_ab").isNull(), 1).otherwise(0).alias("backed_off"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trans"),
+        F.sum("info_bits").cast("bigint").alias("sum_info_bits"),
+        F.sum("backed_off").cast("bigint").alias("n_backoff"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_trans",
+        "sum_info_bits",
+        F.expr("CAST((1000 * sum_info_bits) div n_trans AS BIGINT)").alias(
+            "mean_info_milli"
+        ),
+        "n_backoff",
+    ).orderBy("doc_id")
