@@ -33,6 +33,12 @@ FAMILIES = {
         "graph_triangle_count",
         "graph_degree_histogram",
         "graph_link_prediction",
+        "graph_bfs_levels",
+    ],
+    "index-sketch": [
+        "sketch_hll_replay",
+        "sketch_bloom_membership",
+        "text_inverted_index",
     ],
     "ann": [
         "sim_pq_adc",
@@ -64,6 +70,8 @@ FAMILIES = {
         "sample_temperature_mix",
         "feat_winsorize",
         "dedup_record_linkage",
+        "dq_chi2_independence",
+        "join_interval_allen",
     ],
     "lakehouse": [
         "snap_time_travel",
@@ -84,6 +92,11 @@ FAMILIES = {
         "text_bpe_train",
         "text_bpe_apply",
         "text_unigram_surprisal",
+        "text_bigram_surprisal",
+        "text_pmi_collocations",
+        "text_rake_keywords",
+        "text_skipgram_pairs",
+        "ml_naive_bayes_langid",
     ],
     # full streaming drains (readStream -> stateful op -> memory sink)
     "stateful-stream": [
@@ -137,6 +150,12 @@ def main() -> int:
                 q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
             fam[name] = round(sorted(runs)[1], 3)
+            # drop cached/checkpointed blocks some builders pin (graph
+            # edges, BFS levels): 60+ queries in one session otherwise
+            # accumulate executor memory pressure that bleeds multi-second
+            # noise into later families (observed: an 8.6 s text_pmi
+            # outlier in a session whose solo steady state is 1.0 s)
+            spark.catalog.clearCache()
             was = prior.get(name)
             if (
                 was is not None
