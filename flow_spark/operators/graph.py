@@ -1,0 +1,135 @@
+"""Distributed graph primitives beyond the query-module one-offs.
+
+Currently: connected components via alternating large-star / small-star
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+— the published shuffle-native CC algorithm.  The min-label propagation in
+``operators/dedup.connected_components`` needs O(diameter) rounds, which is
+fine for dedup clusters (cliques, diameter ~2) but collapses on long-path
+graphs: a 120-node chain needs 120 shuffles.  Large-star/small-star halves
+path lengths every round and converges in O(log^2 n) rounds regardless of
+diameter — at 100 TB the round count IS the cost model, because every round
+is a full shuffle of the edge set.
+
+Both operators keep all data distributed; the driver loop is control flow
+plus a 1-row convergence probe per round.
+
+Reference parity: none (the reference has no graph surface); this is the
+scale path behind near-dup clustering and entity resolution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(a: F.Column, b: F.Column) -> list[F.Column]:
+    return [F.least(a, b).alias("a"), F.greatest(a, b).alias("b")]
+
+
+def _directed(edges: DataFrame) -> DataFrame:
+    """Both directions of a canonical (a < b) undirected edge list."""
+    return edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """large-star(u): connect every neighbor v > u to min(N(u) + {u}).
+
+    One groupBy(u) for the per-node min, one co-partitioned join back on u
+    — two stages sharing the same hash partitioning on u.
+    """
+    d = _directed(edges)
+    m = d.groupBy("u").agg(F.min("v").alias("mn"))
+    m = m.select("u", F.least("mn", "u").alias("m"))
+    out = (
+        d.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(*_canonical(F.col("v"), F.col("m")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return out
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """small-star(u): connect u and every neighbor v <= u to the min of
+    the smaller-or-equal neighborhood (plus u itself)."""
+    d = _directed(edges)
+    small = d.where(F.col("v") < F.col("u"))
+    m = small.groupBy("u").agg(F.min("v").alias("mn"))
+    m = m.select("u", F.least("mn", "u").alias("m"))
+    linked = (
+        small.join(m, "u")
+        .select(*_canonical(F.col("v"), F.col("m")))
+    )
+    self_link = m.select(*_canonical(F.col("u"), F.col("m")))
+    return (
+        linked.unionByName(self_link)
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def cc_star(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 24,
+) -> DataFrame:
+    """Connected components of an undirected edge list: (id, component)
+    with component = min node id of the component.
+
+    Alternates large-star and small-star until the edge set reaches a
+    fixpoint (star graphs rooted at each component min).  Convergence is
+    detected with a 1-row probe per round — (count, xxhash64-sum) of the
+    canonical edge set; lineage is truncated per round with
+    ``localCheckpoint`` so round k doesn't re-execute rounds 1..k-1.
+
+    Returns every node that appears in ``edges`` (components of size 1
+    don't exist in an edge list and are the caller's concern).
+    """
+    cur = (
+        edges.select(
+            *_canonical(F.col(a_col).cast("bigint"), F.col(b_col).cast("bigint"))
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    all_nodes = (
+        cur.select(F.col("a").alias("id"))
+        .unionByName(cur.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        # bit_xor: order-independent and overflow-free (sum of 64-bit
+        # hashes trips ANSI long-overflow)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    prev = _sig(cur)
+    rounds = 0
+    for _ in range(max_iter):
+        cur = _small_star(_large_star(cur)).localCheckpoint()
+        rounds += 1
+        sig = _sig(cur)
+        if sig == prev:
+            break
+        prev = sig
+    # converged: every edge is (component_min, member).  A node's component
+    # is its min neighbor; roots (component minima) map to themselves.
+    member = _directed(cur).groupBy("u").agg(F.min("v").alias("mn"))
+    labels = all_nodes.join(member, all_nodes.id == member.u, "left").select(
+        "id",
+        F.least(F.coalesce("mn", "id"), F.col("id")).alias("component"),
+    )
+    # expose the round count for tests (convergence-speed assertions)
+    cc_star.last_rounds = rounds  # type: ignore[attr-defined]
+    return labels

@@ -444,3 +444,53 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lvl")
     )
+
+
+# ---- connected components at scale (large-star / small-star) ---------------
+
+
+@register(
+    "graph_connected_components",
+    category="graph",
+    doc="Connected components via alternating large-star/small-star "
+    "(Kiveris et al. SoCC'14) — the O(log^2 n)-round shuffle-native CC "
+    "algorithm, vs O(diameter) for naive label propagation.  The input "
+    "graph is a deliberately HIGH-DIAMETER stress case derived from real "
+    "rows: customers chained by consecutive (acctbal, custkey) order "
+    "within each (nation, mktsegment) group, so each component is a "
+    "path of ~n/125 nodes (120 hops at sf0.1 — label propagation would "
+    "need 120 shuffles; this converges in <10 star rounds, asserted in "
+    "tests/test_graph_cc.py).  Ground truth is known by construction "
+    "(component = min custkey of the group), which is what makes the "
+    "oracle exact without a recursive CTE.  Every round is one "
+    "groupBy + one co-partitioned join on the node id; the driver loop "
+    "carries only a (count, hash) convergence probe.",
+    oracle="""
+        WITH g AS (
+            SELECT c_custkey,
+                   COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS n,
+                   MIN(c_custkey) OVER (PARTITION BY c_nationkey, c_mktsegment) AS comp
+            FROM customer
+        )
+        SELECT CAST(c_custkey AS BIGINT) AS id,
+               CAST(comp AS BIGINT) AS component
+        FROM g
+        WHERE n >= 2
+        ORDER BY id
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.graph import cc_star
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+        "c_acctbal", "c_custkey"
+    )
+    chain = (
+        cust.select(
+            F.col("c_custkey").cast("bigint").alias("a"),
+            F.lag(F.col("c_custkey").cast("bigint")).over(w).alias("b"),
+        )
+        .where(F.col("b").isNotNull())
+    )
+    return cc_star(chain).orderBy("id")
