@@ -77,6 +77,7 @@ def all_queries() -> dict[str, Query]:
         chunking,
         graph,
         pysource,
+        spatial,
     )
 
     return dict(_REGISTRY)

@@ -2301,3 +2301,107 @@ def join_interval_allen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b", "rel")
     )
+
+
+@register(
+    "dq_profile_drift",
+    category="data-quality",
+    doc="Column-profile drift monitor: orders split into two deterministic "
+    "segments (orderkey parity — in production, yesterday vs today's "
+    "partition), each profiled column reduced to a categorical "
+    "distribution (price bucketed per $50k, status and priority as-is), "
+    "and the drift reported as the exact L1 distance between the two "
+    "segment distributions in ppm (per-value shares use integer "
+    "1e6-scaled floor division — bit-identical in any engine).  Scale "
+    "shape: ONE scan stacks the profiled columns (cheap row-explode by "
+    "#columns), one groupBy per (col, val, seg) with map-side combine, "
+    "and the per-segment totals travel as a 6-row broadcast.  This is "
+    "the publish-gate check that catches schema-stable-but-shifted "
+    "upstream data (the silent killer of training-data refreshes).",
+    oracle="""
+        WITH vals AS (
+            SELECT 'totalprice_bucket' AS col_name,
+                   CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                        // 5000000 AS VARCHAR) AS val,
+                   o_orderkey % 2 AS seg
+            FROM orders
+            UNION ALL
+            SELECT 'orderstatus', o_orderstatus, o_orderkey % 2 FROM orders
+            UNION ALL
+            SELECT 'orderpriority', o_orderpriority, o_orderkey % 2 FROM orders
+        ),
+        tot AS (
+            SELECT col_name, seg, COUNT(*) AS n_seg
+            FROM vals GROUP BY col_name, seg
+        ),
+        cnt AS (
+            SELECT col_name, val, seg, COUNT(*) AS c
+            FROM vals GROUP BY col_name, val, seg
+        ),
+        ppm AS (
+            SELECT c.col_name, c.val, c.seg,
+                   (c.c * 1000000) // t.n_seg AS share_ppm
+            FROM cnt c JOIN tot t USING (col_name, seg)
+        ),
+        pivoted AS (
+            SELECT col_name, val,
+                   COALESCE(SUM(CASE WHEN seg = 0 THEN share_ppm END), 0) AS pa,
+                   COALESCE(SUM(CASE WHEN seg = 1 THEN share_ppm END), 0) AS pb
+            FROM ppm GROUP BY col_name, val
+        )
+        SELECT col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(ABS(pa - pb)) AS BIGINT) AS l1_drift_ppm
+        FROM pivoted
+        GROUP BY col_name
+        ORDER BY col_name
+    """,
+)
+def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    seg = F.pmod(F.col("o_orderkey"), F.lit(2)).alias("seg")
+    bucket = F.expr(
+        "CAST(CAST(round(CAST(o_totalprice AS DECIMAL(12,2)) * 100, 0) AS BIGINT)"
+        " div 5000000 AS STRING)"
+    )
+    vals = (
+        orders.select(F.lit("totalprice_bucket").alias("col_name"), bucket.alias("val"), seg)
+        .unionByName(
+            orders.select(
+                F.lit("orderstatus").alias("col_name"),
+                F.col("o_orderstatus").alias("val"),
+                seg,
+            )
+        )
+        .unionByName(
+            orders.select(
+                F.lit("orderpriority").alias("col_name"),
+                F.col("o_orderpriority").alias("val"),
+                seg,
+            )
+        )
+    )
+    tot = vals.groupBy("col_name", "seg").agg(F.count(F.lit(1)).alias("n_seg"))
+    cnt = vals.groupBy("col_name", "val", "seg").agg(F.count(F.lit(1)).alias("c"))
+    ppm = cnt.join(F.broadcast(tot), ["col_name", "seg"]).select(
+        "col_name",
+        "val",
+        "seg",
+        F.expr("(c * 1000000) div n_seg").alias("share_ppm"),
+    )
+    pivoted = ppm.groupBy("col_name", "val").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("seg") == 0, F.col("share_ppm"))), F.lit(0)
+        ).alias("pa"),
+        F.coalesce(
+            F.sum(F.when(F.col("seg") == 1, F.col("share_ppm"))), F.lit(0)
+        ).alias("pb"),
+    )
+    return (
+        pivoted.groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum(F.abs(F.col("pa") - F.col("pb"))).cast("bigint").alias("l1_drift_ppm"),
+        )
+        .orderBy("col_name")
+    )

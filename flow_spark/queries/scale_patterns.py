@@ -952,3 +952,97 @@ def feat_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "scale_two_pass_quantile",
+    category="scale",
+    doc="Exact p99 at scale WITHOUT a global sort: pass 1 histograms "
+    "order-total cents into 1024 fixed-width bins (one map-side-combined "
+    "aggregate) and locates the bin containing rank k = ceil(0.99 n); "
+    "pass 2 ranks ONLY inside that bin (~1/1024 of the data) via a "
+    "per-distinct-value cumulative count.  Everything stays a DataFrame "
+    "— the global min/max/count and the target-bin row travel as 1-row "
+    "broadcast joins, never driver collects.  A full-sort p99 shuffles "
+    "the entire table; this shuffles 1024 bin counts plus one bin.  "
+    "Rank arithmetic is exact-integer: k = (99n + 99) div 100, bin "
+    "width = span div 1024 + 1 so bins cover [min, max] with index "
+    "< 1024.  The oracle is the direct ROW_NUMBER form.",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+            FROM orders
+        ),
+        kk AS (
+            SELECT COUNT(*) AS n, (99 * COUNT(*) + 99) // 100 AS k FROM c
+        ),
+        ranked AS (
+            SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM c
+        )
+        SELECT CAST(kk.n AS BIGINT) AS n,
+               CAST(kk.k AS BIGINT) AS k,
+               CAST(r.cents AS BIGINT) AS p99_cents
+        FROM kk JOIN ranked r ON r.rn = kk.k
+    """,
+)
+def scale_two_pass_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.queries.util import cents
+    from pyspark.sql.window import Window as W
+
+    nbins = 1024
+    vals = load_table(spark, sf_dir, "orders").select(
+        cents("o_totalprice").alias("c")
+    )
+    stats = vals.agg(
+        F.min("c").alias("mn"),
+        F.max("c").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "mn",
+        "n",
+        F.expr(f"(mx - mn) div {nbins}").alias("w0"),
+        F.expr("(99 * n + 99) div 100").alias("k"),
+    ).select("mn", "n", "k", (F.col("w0") + 1).alias("width"))
+    binned = (
+        vals.crossJoin(F.broadcast(stats))
+        .select(
+            "c", "mn", "n", "k", "width",
+            F.expr("(c - mn) div width").alias("bin"),
+        )
+    )
+    hist = binned.groupBy("bin", "n", "k", "mn", "width").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0))
+    )
+    # the single bin whose cumulative count first reaches rank k
+    target = (
+        cum.where(F.col("cum") >= F.col("k"))
+        .orderBy("bin")
+        .limit(1)
+        .select("bin", "mn", "width", "n", "k", (F.col("cum") - F.col("cnt")).alias("below"))
+    )
+    # pass 2: rank only inside the target bin, per distinct value
+    in_bin = (
+        vals.crossJoin(F.broadcast(target))
+        .where(F.expr("(c - mn) div width") == F.col("bin"))
+    )
+    per_val = in_bin.groupBy("c", "n", "k", "below").agg(
+        F.count(F.lit(1)).alias("vcnt")
+    )
+    vcum = per_val.withColumn(
+        "vcum",
+        F.sum("vcnt").over(W.orderBy("c").rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        vcum.where(F.col("below") + F.col("vcum") >= F.col("k"))
+        .orderBy("c")
+        .limit(1)
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.col("k").cast("bigint").alias("k"),
+            F.col("c").cast("bigint").alias("p99_cents"),
+        )
+    )
