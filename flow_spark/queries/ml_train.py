@@ -1,0 +1,196 @@
+"""Distributed model TRAINING loops expressed as aggregates.
+
+The curation stack already serves models (``ml_hashed_linear_score``,
+``ml_naive_bayes_langid``, ``ml_kmeans_quantized``); this module covers the
+remaining shape — an iterative *error-driven* training loop — with a batch
+perceptron.  The point for 100 TB: one training epoch is exactly
+
+    score  = features ⋈ broadcast(weights)  → groupBy(doc) sum
+    update = misclassified ⋈ features       → groupBy(bucket) sum
+
+i.e. two shuffles over the feature table keyed by doc/bucket, with the
+model itself (33 rows) traveling as a broadcast — the PS-free pattern that
+scales to any corpus size because model state is tiny and data never moves
+to the driver.  All arithmetic is integer (counts × ±1 labels), so Spark
+and DuckDB agree bit-for-bit and the oracle replays both epochs as chained
+CTEs (epoch 1 collapses: with w0 = 0 every doc is misclassified, so
+w1 = Σ y·f — the oracle exploits that; the engine runs the generic loop).
+
+Reference parity: none (novel surface; the reference has no ML loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flow_spark.catalog import load_table
+from flow_spark.functions.hashing import portable_hash64, portable_hash_expr
+from flow_spark.queries.registry import register
+
+_B = 32  # hashed feature buckets; bucket _B is the bias feature
+_SQL_TOKS = r"string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
+
+
+def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, y, bucket, cnt): hashed bag-of-words + bias feature."""
+    from flow_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    y = F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1)).alias("y")
+    toks = docs.select(
+        "doc_id",
+        y,
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    ).where(F.length("tok") > 0)
+    bow = (
+        toks.select(
+            "doc_id",
+            "y",
+            F.pmod(portable_hash64(F.col("tok"), salt="pcp"), F.lit(_B)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("doc_id", "y", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bias = docs.select(
+        "doc_id",
+        y,
+        F.lit(_B).cast("bigint").alias("bucket"),
+        F.lit(1).cast("bigint").alias("cnt"),
+    )
+    return bow.unionByName(bias)
+
+
+@register(
+    "ml_perceptron_train",
+    category="ml",
+    doc="Batch-perceptron training of an is-English classifier over "
+    f"hashed bag-of-words features ({_B} buckets + bias), TWO epochs "
+    "unrolled, everything exact-integer.  Each epoch = score (features "
+    "join broadcast 33-row weights, groupBy doc) + update (misclassified "
+    "docs join features, groupBy bucket, w += sum y*cnt); y*score <= 0 "
+    "counts as misclassified.  Output: per-bucket weights after each "
+    "epoch, the per-epoch error counts (the training curve as a query "
+    "result), and the POCKET weights — batch updates oscillate on "
+    "non-separable data, so the served model is the epoch with the "
+    "fewest training errors.  The oracle replays both epochs "
+    "as chained CTEs (epoch 1 simplifies to w1 = sum y*f because w0=0 "
+    "misclassifies everything).",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+                   unnest({_SQL_TOKS}) AS tok
+            FROM documents
+        ),
+        feats AS (
+            SELECT doc_id, y,
+                   {portable_hash_expr("tok", salt="pcp")} % {_B} AS bucket,
+                   COUNT(*) AS cnt
+            FROM toks WHERE len(tok) > 0
+            GROUP BY doc_id, y, bucket
+            UNION ALL
+            SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN 1 ELSE -1 END,
+                   {_B}, 1
+            FROM documents
+        ),
+        spine AS (SELECT CAST(s AS BIGINT) AS bucket FROM generate_series(0, {_B}) t(s)),
+        w1 AS (
+            SELECT s.bucket, COALESCE(SUM(f.y * f.cnt), 0) AS w
+            FROM spine s LEFT JOIN feats f USING (bucket)
+            GROUP BY s.bucket
+        ),
+        score2 AS (
+            SELECT f.doc_id, f.y, SUM(f.cnt * w1.w) AS s
+            FROM feats f JOIN w1 USING (bucket)
+            GROUP BY f.doc_id, f.y
+        ),
+        mis2 AS (SELECT doc_id, y FROM score2 WHERE y * s <= 0),
+        upd2 AS (
+            SELECT f.bucket, SUM(f.y * f.cnt) AS d
+            FROM feats f JOIN mis2 USING (doc_id)
+            GROUP BY f.bucket
+        ),
+        w2 AS (
+            SELECT w1.bucket, w1.w + COALESCE(upd2.d, 0) AS w
+            FROM w1 LEFT JOIN upd2 USING (bucket)
+        ),
+        score3 AS (
+            SELECT f.doc_id, f.y, SUM(f.cnt * w2.w) AS s
+            FROM feats f JOIN w2 USING (bucket)
+            GROUP BY f.doc_id, f.y
+        ),
+        nm2 AS (SELECT COUNT(*) AS n FROM mis2),
+        nm3 AS (SELECT COUNT(*) AS n FROM score3 WHERE y * s <= 0)
+        SELECT w1.bucket,
+               CAST(w1.w AS BIGINT) AS w_epoch1,
+               CAST(w2.w AS BIGINT) AS w_epoch2,
+               CAST(nm2.n AS BIGINT) AS n_mis_epoch2,
+               CAST(nm3.n AS BIGINT) AS n_mis_final,
+               CAST(CASE WHEN nm2.n <= nm3.n THEN w1.w ELSE w2.w END
+                    AS BIGINT) AS w_pocket
+        FROM w1 JOIN w2 USING (bucket), nm2, nm3
+        ORDER BY bucket
+    """,
+)
+def ml_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = _features(spark, sf_dir).localCheckpoint()
+    weights = spark.range(_B + 1).select(
+        F.col("id").alias("bucket"), F.lit(0).cast("bigint").alias("w")
+    )
+    epoch_weights: list[DataFrame] = []
+    n_mis: DataFrame | None = None
+    for _ in range(2):
+        scores = (
+            feats.join(F.broadcast(weights), "bucket")
+            .groupBy("doc_id", "y")
+            .agg(F.sum(F.col("cnt") * F.col("w")).alias("s"))
+        )
+        mis = scores.where(F.col("y") * F.col("s") <= 0)
+        upd = (
+            feats.join(mis.select("doc_id"), "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("y") * F.col("cnt")).alias("d"))
+        )
+        n_mis = mis.agg(F.count(F.lit(1)).alias("n"))
+        weights = (
+            weights.join(upd, "bucket", "left")
+            .select(
+                "bucket",
+                (F.col("w") + F.coalesce(F.col("d"), F.lit(0))).alias("w"),
+            )
+            .localCheckpoint()
+        )
+        epoch_weights.append(weights)
+    final_scores = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "y")
+        .agg(F.sum(F.col("cnt") * F.col("w")).alias("s"))
+    )
+    n_final = final_scores.where(F.col("y") * F.col("s") <= 0).agg(
+        F.count(F.lit(1)).alias("nf")
+    )
+    w1, w2 = epoch_weights
+    return (
+        w1.withColumnRenamed("w", "w_epoch1")
+        .join(w2.withColumnRenamed("w", "w_epoch2"), "bucket")
+        .crossJoin(F.broadcast(n_mis))
+        .crossJoin(F.broadcast(n_final))
+        .select(
+            "bucket",
+            F.col("w_epoch1").cast("bigint"),
+            F.col("w_epoch2").cast("bigint"),
+            F.col("n").cast("bigint").alias("n_mis_epoch2"),
+            F.col("nf").cast("bigint").alias("n_mis_final"),
+            # pocket variant: batch updates oscillate on non-separable
+            # data, so serve the epoch with the fewest training errors
+            F.when(F.col("n") <= F.col("nf"), F.col("w_epoch1"))
+            .otherwise(F.col("w_epoch2"))
+            .cast("bigint")
+            .alias("w_pocket"),
+        )
+        .orderBy("bucket")
+    )

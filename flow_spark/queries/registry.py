@@ -78,6 +78,7 @@ def all_queries() -> dict[str, Query]:
         graph,
         pysource,
         spatial,
+        ml_train,
     )
 
     return dict(_REGISTRY)
