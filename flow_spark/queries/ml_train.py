@@ -194,3 +194,104 @@ def ml_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+#: lambda=1 Poisson CDF thresholds in ppm: smallest k with u < CDF(k)*1e6
+_POIS_PPM = [367879, 735758, 919698, 981011, 996340, 999405, 999916]
+_NREPS = 8
+
+
+def _pois_case(u_expr: str) -> str:
+    """CASE expression mapping a ppm-uniform to a Poisson(1) draw."""
+    branches = "".join(
+        f" WHEN {u_expr} < {t} THEN {k}" for k, t in enumerate(_POIS_PPM)
+    )
+    return f"CASE{branches} ELSE {len(_POIS_PPM)} END"
+
+
+def _boot_u(key_sql: str, rep: int) -> str:
+    return (
+        portable_hash_expr(f"concat(CAST({key_sql} AS VARCHAR), ':', '{rep}')",
+                           salt="boot")
+        + " % 1000000"
+    )
+
+
+@register(
+    "sample_poisson_bootstrap",
+    category="sampling",
+    doc=f"Online Poisson bootstrap ({_NREPS} replicates) of the mean order "
+    "value: instead of resampling-with-replacement (which would shuffle "
+    "the whole table per replicate), each row draws a deterministic "
+    "Poisson(1) replication count per replicate from a hash-uniform — "
+    "the published streaming-bootstrap trick (Poisson(1) ~ binomial"
+    "(n, 1/n) resampling as n grows).  ALL replicates compute in ONE "
+    "scan as 2x8 conditional integer aggregates (no row inflation; at "
+    "100 TB the naive cross-join-by-replicate form 8x's the shuffle), "
+    "then unpivot to one row per replicate.  Poisson draws use exact "
+    "ppm CDF thresholds; means are floor-divided cents so every value "
+    "is engine-exact.  The replicate spread is the CI machinery for "
+    "any metric the engine reports.",
+    oracle=f"""
+        WITH c AS (
+            SELECT o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+            FROM orders
+        ),
+        agg AS (
+            SELECT
+    {",".join(
+        f"SUM({_pois_case(_boot_u('o_orderkey', r))}) AS w{r},"
+        f" SUM(({_pois_case(_boot_u('o_orderkey', r))}) * cents) AS s{r}"
+        for r in range(_NREPS)
+    )}
+            FROM c
+        )
+        SELECT rep,
+               CAST(sum_w AS BIGINT) AS sum_w,
+               CAST(sum_wc AS BIGINT) AS sum_wc,
+               CAST(sum_wc // sum_w AS BIGINT) AS mean_cents
+        FROM (
+    {" UNION ALL ".join(
+        f"SELECT {r} AS rep, w{r} AS sum_w, s{r} AS sum_wc FROM agg"
+        for r in range(_NREPS)
+    )}
+        )
+        ORDER BY rep
+    """,
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.queries.util import cents
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), cents("o_totalprice").alias("cents")
+    )
+    aggs = []
+    for r in range(_NREPS):
+        u = F.pmod(
+            portable_hash64(
+                F.concat(F.col("o_orderkey").cast("string"), F.lit(f":{r}")),
+                salt="boot",
+            ),
+            F.lit(1_000_000),
+        )
+        k = F.lit(len(_POIS_PPM))
+        for kk in range(len(_POIS_PPM) - 1, -1, -1):
+            k = F.when(u < _POIS_PPM[kk], F.lit(kk)).otherwise(k)
+        aggs.append(F.sum(k).alias(f"w{r}"))
+        aggs.append(F.sum(k * F.col("cents")).alias(f"s{r}"))
+    one = rows.agg(*aggs)
+    stack_args = ", ".join(f"{r}, w{r}, s{r}" for r in range(_NREPS))
+    return (
+        one.select(
+            F.expr(f"stack({_NREPS}, {stack_args}) AS (rep, sum_w, sum_wc)")
+        )
+        .select(
+            "rep",
+            F.col("sum_w").cast("bigint").alias("sum_w"),
+            F.col("sum_wc").cast("bigint").alias("sum_wc"),
+            F.expr("sum_wc div sum_w").cast("bigint").alias("mean_cents"),
+        )
+        .orderBy("rep")
+    )

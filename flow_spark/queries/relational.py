@@ -2405,3 +2405,57 @@ def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    category="aggregation",
+    doc="EXACT distinct counting via word-aligned bitmaps (the "
+    "ClickHouse/Druid groupBitmap pattern): user ids pack into 64-bit "
+    "words (word = id div 64, bit = id mod 64), per (event_type, word) "
+    "one BIT_OR aggregate builds the bitmap word, bit_count + SUM "
+    "finishes the count.  Two map-side-combinable integer aggregations "
+    "— no COUNT DISTINCT hash-set state, and the intermediate bitmap "
+    "is MERGEABLE: the same words roll up again for the all-types "
+    "total WITHOUT touching the fact table (emitted here as "
+    "event_type = '_all', computed from the per-type words, proving "
+    "the rollup property the oracle checks against plain COUNT "
+    "DISTINCT).  At 100 TB this replaces the biggest count-distinct "
+    "shuffle with dense integer state bounded by the id space / 64.  "
+    "Sibling: sketch_bitmap_distinct uses Spark's built-in 32768-bit "
+    "bitmap_construct_agg; this entry builds the words from bit_or "
+    "primitives to expose the re-aggregation step.",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY event_type
+        UNION ALL
+        SELECT '_all', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+        ORDER BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    packed = ev.select(
+        "event_type",
+        F.expr("user_id div 64").alias("word"),
+        # SQL shiftleft takes a column shift (the Python wrapper doesn't);
+        # bit 63 sets the sign bit, which bit_or/bit_count treat as raw bits
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").alias("bit"),
+    )
+    words = packed.groupBy("event_type", "word").agg(
+        F.bit_or("bit").alias("bm")
+    )
+    per_type = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("bm")).cast("bigint").alias("n_users")
+    )
+    # rollup from the INTERMEDIATE bitmaps (not the fact table): OR the
+    # per-type words together, then count bits — the mergeability proof
+    all_types = (
+        words.groupBy("word")
+        .agg(F.bit_or("bm").alias("bm"))
+        .agg(F.sum(F.bit_count("bm")).cast("bigint").alias("n_users"))
+        .select(F.lit("_all").alias("event_type"), "n_users")
+    )
+    return per_type.unionByName(all_types).orderBy("event_type")

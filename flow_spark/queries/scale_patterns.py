@@ -1046,3 +1046,57 @@ def scale_two_pass_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").cast("bigint").alias("p99_cents"),
         )
     )
+
+
+@register(
+    "feat_equidepth_bins",
+    category="feature",
+    doc="Equi-depth (quantile) feature binning via ntile(10) under a "
+    "TOTAL deterministic order (value cents, then orderkey — ties "
+    "broken exactly the same in any engine; ntile without a total "
+    "order is nondeterministic and a known cross-run poison for "
+    "training reproducibility).  Output: per-bin row count and exact "
+    "[lo, hi] cent boundaries — the bin edges a feature store "
+    "publishes.  Scale note: a global ntile is a full sort; at 100 TB "
+    "use scale_two_pass_quantile's histogram pass to get edges from "
+    "1024 bin counts instead, then assign bins scan-side — this entry "
+    "is the exact-reference form those edges are validated against.",
+    oracle="""
+        WITH c AS (
+            SELECT o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+            FROM orders
+        ),
+        t AS (
+            SELECT cents,
+                   NTILE(10) OVER (ORDER BY cents, o_orderkey) AS bin
+            FROM c
+        )
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(cents) AS BIGINT) AS lo_cents,
+               CAST(MAX(cents) AS BIGINT) AS hi_cents
+        FROM t GROUP BY bin ORDER BY bin
+    """,
+)
+def feat_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.queries.util import cents
+    from pyspark.sql.window import Window as W
+
+    c = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents("o_totalprice").alias("cents")
+    )
+    binned = c.select(
+        "cents",
+        F.ntile(10).over(W.orderBy("cents", "o_orderkey")).alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("cents").cast("bigint").alias("lo_cents"),
+            F.max("cents").cast("bigint").alias("hi_cents"),
+        )
+        .orderBy("bin")
+    )

@@ -737,3 +737,150 @@ def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "sketch_hdr_quantiles",
+    category="sketch",
+    doc="HDR-histogram quantiles: every order-total (cents) maps to a "
+    "(log2-exponent, 4 mantissa bits) bucket — pure integer bit "
+    "arithmetic (exponent = LENGTH(bin(c)) - 1, mantissa via div by "
+    "2^(e-4)), guaranteeing <= 2^-5 relative error with at most "
+    "16*64 buckets REGARDLESS of data volume.  The sketch is one "
+    "map-side-combinable groupBy; quantile lookup walks the <=1024-row "
+    "cumulative histogram.  Mergeable (bucket counts add), bounded "
+    "memory, no libm — the scale answer when t-digest-style sketches "
+    "can't be made bit-deterministic.  Output per quantile: the HDR "
+    "estimate (bucket upper bound), the EXACT quantile (oracle-grade "
+    "two-sided check), and the realized error in ppm — asserting the "
+    "<= 31250 ppm (2^-5) bound the bucket width promises.",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+            FROM orders
+        ),
+        b AS (
+            SELECT cents,
+                   LENGTH(bin(cents)) - 1 AS e
+            FROM c
+        ),
+        keyed AS (
+            SELECT cents, e,
+                   CASE WHEN e >= 4
+                        THEN cents // CAST(POW(2, e - 4) AS BIGINT) - 16
+                        ELSE cents - CAST(POW(2, e) AS BIGINT) END AS m,
+                   CASE WHEN e >= 4 THEN CAST(POW(2, e - 4) AS BIGINT)
+                        ELSE 1 END AS scale,
+                   CASE WHEN e >= 4 THEN 16
+                        ELSE CAST(POW(2, e) AS BIGINT) END AS base
+            FROM b
+        ),
+        buckets AS (
+            SELECT e * 16 + m AS key,
+                   MAX((base + m + 1) * scale - 1) AS hi,
+                   COUNT(*) AS cnt
+            FROM keyed GROUP BY 1
+        ),
+        cum AS (
+            SELECT key, hi, cnt,
+                   SUM(cnt) OVER (ORDER BY key) AS c_cum
+            FROM buckets
+        ),
+        n AS (SELECT COUNT(*) AS n FROM c),
+        qs AS (
+            SELECT q, (q * n.n + 99) // 100 AS k
+            FROM (VALUES (50), (95), (99)) v(q), n
+        ),
+        est AS (
+            SELECT q, k, MIN(key) AS key
+            FROM qs JOIN cum ON c_cum >= k
+            GROUP BY q, k
+        ),
+        ranked AS (
+            SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM c
+        )
+        SELECT est.q,
+               CAST(est.k AS BIGINT) AS k,
+               CAST(cum.hi AS BIGINT) AS est_cents,
+               CAST(r.cents AS BIGINT) AS true_cents,
+               CAST(ABS(cum.hi - r.cents) * 1000000 // r.cents AS BIGINT)
+                   AS err_ppm
+        FROM est
+        JOIN cum ON cum.key = est.key
+        JOIN ranked r ON r.rn = est.k
+        ORDER BY est.q
+    """,
+)
+def sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.queries.util import cents
+
+    vals = load_table(spark, sf_dir, "orders").select(
+        cents("o_totalprice").alias("c")
+    )
+    keyed = vals.select(
+        "c", (F.length(F.bin("c")) - 1).cast("bigint").alias("e")
+    ).select(
+        "c",
+        "e",
+        F.expr(
+            "CASE WHEN e >= 4 THEN c div CAST(pow(2, e - 4) AS BIGINT) - 16 "
+            "ELSE c - CAST(pow(2, e) AS BIGINT) END"
+        ).alias("m"),
+        F.expr(
+            "CASE WHEN e >= 4 THEN CAST(pow(2, e - 4) AS BIGINT) "
+            "ELSE CAST(1 AS BIGINT) END"
+        ).alias("scale"),
+        F.expr(
+            "CASE WHEN e >= 4 THEN CAST(16 AS BIGINT) "
+            "ELSE CAST(pow(2, e) AS BIGINT) END"
+        ).alias("base"),
+    )
+    buckets = (
+        keyed.groupBy((F.col("e") * 16 + F.col("m")).alias("key"))
+        .agg(
+            F.max((F.col("base") + F.col("m") + 1) * F.col("scale") - 1).alias("hi"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    cum = buckets.withColumn(
+        "c_cum", F.sum("cnt").over(W.orderBy("key").rowsBetween(W.unboundedPreceding, 0))
+    )
+    n = vals.agg(F.count(F.lit(1)).alias("n"))
+    qs = (
+        spark.createDataFrame([(50,), (95,), (99,)], "q int")
+        .crossJoin(F.broadcast(n))
+        .select("q", F.expr("(q * n + 99) div 100").alias("k"))
+    )
+    est = (
+        F.broadcast(qs)
+        .join(cum, F.col("c_cum") >= F.col("k"))
+        .groupBy("q", "k")
+        .agg(F.min("key").alias("key"))
+    )
+    # exact quantile: per-distinct-value cumulative count (bounded by the
+    # distinct-value count, same shape as scale_two_pass_quantile pass 2)
+    per_val = vals.groupBy("c").agg(F.count(F.lit(1)).alias("vc"))
+    vcum = per_val.withColumn(
+        "vcum", F.sum("vc").over(W.orderBy("c").rowsBetween(W.unboundedPreceding, 0))
+    )
+    truth = (
+        F.broadcast(qs)
+        .join(vcum, F.col("vcum") >= F.col("k"))
+        .groupBy(F.col("q").alias("tq"), F.col("k").alias("tk"))
+        .agg(F.min("c").alias("true_cents"))
+    )
+    return (
+        est.join(cum.select("key", "hi"), "key")
+        .join(truth, (F.col("q") == F.col("tq")) & (F.col("k") == F.col("tk")))
+        .select(
+            "q",
+            F.col("k").cast("bigint").alias("k"),
+            F.col("hi").cast("bigint").alias("est_cents"),
+            F.col("true_cents").cast("bigint").alias("true_cents"),
+            F.expr("abs(hi - true_cents) * 1000000 div true_cents")
+            .cast("bigint")
+            .alias("err_ppm"),
+        )
+        .orderBy("q")
+    )
