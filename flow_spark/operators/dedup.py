@@ -247,7 +247,11 @@ def connected_components(
     Iterative min-label propagation (the Pregel pattern on DataFrames):
     each round every vertex takes min(own label, neighbors' labels); rounds
     needed = graph diameter, which for dedup clusters (cliques-ish) is
-    O(log n) in practice.  Each round is one shuffle; `localCheckpoint`
+    O(log n) in practice.  For HIGH-DIAMETER graphs this is the wrong
+    tool (a d-hop chain needs d rounds and `max_iter` would silently
+    truncate) — use :func:`flow_spark.operators.graph.cc_star`
+    (large-star/small-star, O(log^2 n) rounds; measured 8 vs ~120
+    rounds in SCALE.md).  Each round is one shuffle; `localCheckpoint`
     truncates the plan so lineage doesn't grow with iterations (without
     it, round k re-executes rounds 1..k-1 — the classic iterative-Spark
     trap).  The driver-side loop is control flow only; all data stays

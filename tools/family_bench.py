@@ -34,11 +34,14 @@ FAMILIES = {
         "graph_degree_histogram",
         "graph_link_prediction",
         "graph_bfs_levels",
+        "graph_connected_components",
     ],
     "index-sketch": [
         "sketch_hll_replay",
         "sketch_bloom_membership",
         "text_inverted_index",
+        "sketch_hdr_quantiles",
+        "agg_bitmap_distinct",
     ],
     "ann": [
         "sim_pq_adc",
@@ -72,6 +75,12 @@ FAMILIES = {
         "dedup_record_linkage",
         "dq_chi2_independence",
         "join_interval_allen",
+        "join_spatial_grid",
+        "join_cidr_lookup",
+        "dq_profile_drift",
+        "sample_poisson_bootstrap",
+        "feat_equidepth_bins",
+        "scale_two_pass_quantile",
     ],
     "lakehouse": [
         "snap_time_travel",
@@ -87,6 +96,7 @@ FAMILIES = {
         "ml_linreg_trend",
         "ml_hashed_linear_score",
         "dq_ab_welch",
+        "ml_perceptron_train",
     ],
     "text-train": [
         "text_bpe_train",
