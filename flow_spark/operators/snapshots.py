@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
+STAGED_DIR = "_staged"  # write-audit-publish branch markers
 
 
 class ConcurrentSnapshotWrite(Exception):
@@ -561,6 +562,14 @@ def snapshot_vacuum(
     live_files: set[str] = set()
     for v in keep:
         live_files.update(snapshot_files(table_dir, v))
+    # staged-but-unpublished WAP branches are live: an audit in progress
+    # must not have its candidate files collected out from under it
+    sdir = os.path.join(table_dir, STAGED_DIR)
+    if os.path.isdir(sdir):
+        for f in os.listdir(sdir):
+            if f.endswith(".json"):
+                with open(os.path.join(sdir, f)) as fh:
+                    live_files.update(json.load(fh).get("files", []))
     dropped = 0
     deleted = 0
     for v in all_versions:
@@ -593,3 +602,106 @@ def snapshot_vacuum(
                         deleted += 1
                 os.rmdir(subdir)
     return {"versions_dropped": dropped, "files_deleted": deleted}
+
+
+# ---- write-audit-publish (WAP) ---------------------------------------------
+
+
+def _staged_marker(table_dir: str, branch: str) -> str:
+    if "/" in branch or branch.startswith("."):
+        raise ValueError(f"invalid branch name: {branch!r}")
+    return os.path.join(table_dir, STAGED_DIR, f"{branch}.json")
+
+
+def snapshot_stage(df: DataFrame, table_dir: str, branch: str = "audit") -> list[str]:
+    """WAP step 1 (WRITE): land candidate files WITHOUT committing a version.
+
+    Files go into the normal content-addressed data area; a branch marker
+    under ``_staged/`` records them.  Readers of any committed version
+    never see staged files (manifests don't list them), and
+    ``snapshot_vacuum`` treats marker-referenced files as live so an
+    audit in progress can't be garbage-collected.  Re-staging the same
+    branch replaces the marker (single-writer per branch; the abandoned
+    attempt's files become ordinary orphans for vacuum).
+    """
+    os.makedirs(os.path.join(table_dir, STAGED_DIR), exist_ok=True)
+    write_dir = os.path.join(table_dir, DATA_DIR, uuid.uuid4().hex[:12])
+    df.write.mode("error").parquet(write_dir)
+    files = sorted(
+        os.path.join(write_dir, f)
+        for f in os.listdir(write_dir)
+        if f.endswith(".parquet")
+    )
+    marker = {
+        "branch": branch,
+        "staged_at": time.time(),
+        "files": files,
+        "schema": df.schema.json(),
+    }
+    final = _staged_marker(table_dir, branch)
+    tmp = f"{final}.{uuid.uuid4().hex[:12]}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(marker, fh)
+    os.replace(tmp, final)
+    return files
+
+
+def snapshot_staged_read(
+    spark: SparkSession, table_dir: str, branch: str = "audit"
+) -> DataFrame:
+    """WAP step 2 (AUDIT): read ONLY the staged candidate files."""
+    with open(_staged_marker(table_dir, branch)) as fh:
+        files = json.load(fh)["files"]
+    return spark.read.parquet(*files)
+
+
+def snapshot_publish(table_dir: str, branch: str = "audit") -> int:
+    """WAP step 3 (PUBLISH): append the audited staged files to the table
+    as the next version — one atomic manifest commit, no data rewrite.
+
+    Raises :class:`ConcurrentSnapshotWrite` if another writer commits the
+    version first (retry against the new current version).  The staged
+    marker is removed after the commit; the files themselves are now
+    owned by the manifest.
+    """
+    marker_path = _staged_marker(table_dir, branch)
+    with open(marker_path) as fh:
+        marker = json.load(fh)
+    prev = current_version(table_dir)
+    prev_files = snapshot_files(table_dir, prev) if prev >= 1 else []
+    version = prev + 1
+    manifest = {
+        "version": version,
+        "committed_at": time.time(),
+        "files": prev_files + marker["files"],
+        "schema": marker["schema"],
+        "stats": {},
+        "stats_col": None,
+    }
+    _commit_manifest(manifest, _manifest_path(table_dir, version))
+    os.unlink(marker_path)
+    return version
+
+
+def snapshot_abort_staged(table_dir: str, branch: str = "audit") -> int:
+    """WAP abort: drop the staged files and marker; the table is untouched.
+
+    Returns the number of data files removed.
+    """
+    marker_path = _staged_marker(table_dir, branch)
+    with open(marker_path) as fh:
+        files = json.load(fh)["files"]
+    removed = 0
+    dirs = set()
+    for p in files:
+        if os.path.exists(p):
+            os.remove(p)
+            removed += 1
+        dirs.add(os.path.dirname(p))
+    for d in dirs:
+        try:
+            os.rmdir(d)
+        except OSError:
+            pass  # shared or non-empty write dir stays
+    os.unlink(marker_path)
+    return removed

@@ -1410,3 +1410,106 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("removed_id")
     )
+
+
+# ---- entity-resolution clusters: linkage pairs -> components ---------------
+
+#: the dedup_record_linkage scored-pairs pipeline as a reusable SQL CTE body
+_RL_PAIRS_SQL = f"""
+        a AS (
+            SELECT c_custkey AS a_id, c_name, c_nationkey, c_mktsegment,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+                   right(c_name, 2) AS blk
+            FROM customer
+        ),
+        b AS (
+            SELECT c_custkey + 1000000 AS b_id,
+                   CASE WHEN c_custkey % 3 = 0 THEN lower(c_name)
+                        ELSE c_name END AS c_name,
+                   c_nationkey, c_mktsegment,
+                   CAST(round(c_acctbal * 100) AS BIGINT)
+                       + CASE WHEN c_custkey % 3 = 1 THEN 37 ELSE 0 END
+                       AS bal_cents,
+                   right(c_name, 2) AS blk
+            FROM customer WHERE c_custkey % 2 = 0
+        ),
+        scored AS (
+            SELECT a.a_id, b.b_id,
+                   CASE WHEN lower(a.c_name) = lower(b.c_name)
+                        THEN {_RL_W_NAME_CI} ELSE 0 END
+                 + CASE WHEN abs(a.bal_cents - b.bal_cents) <= 100
+                        THEN {_RL_W_BAL} ELSE 0 END
+                 + CASE WHEN a.c_mktsegment = b.c_mktsegment
+                        THEN {_RL_W_SEG} ELSE 0 END
+                 + CASE WHEN a.c_name = b.c_name
+                        THEN {_RL_W_NAME_CS} ELSE 0 END AS score
+            FROM a JOIN b
+              ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+        ),
+        pairs AS (
+            SELECT a_id, b_id FROM scored WHERE score >= {_RL_THRESHOLD}
+        )
+"""
+
+
+@register(
+    "dedup_er_clusters",
+    category="dedup",
+    doc="Entity-resolution CLUSTERS: the dedup_record_linkage match pairs "
+    "promoted to identity clusters via large-star/small-star connected "
+    "components (operators/graph.cc_star — a record that matches two "
+    "different feed rows, or two source rows bridged by one feed row, "
+    "must land in ONE cluster; pairwise links alone under-merge).  "
+    "Output is the golden-record skeleton per cluster: canonical id "
+    "(min member), member counts per side, and an id checksum.  At "
+    "100 TB the pair graph is orders smaller than the corpus and "
+    "cc_star converges in O(log^2) shuffle rounds regardless of how "
+    "long the match chains get (SCALE.md, round 3).  The oracle "
+    "computes the same components via a recursive reachability CTE "
+    "(viable there because ER components are small; the distributed "
+    "engine can't assume that).",
+    oracle=f"""
+        WITH RECURSIVE {_RL_PAIRS_SQL},
+        edges AS (
+            SELECT a_id AS src, b_id AS dst FROM pairs
+            UNION ALL
+            SELECT b_id, a_id FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        walk(node, lbl) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+        ),
+        comp AS (SELECT node, MIN(lbl) AS component FROM walk GROUP BY node)
+        SELECT CAST(component AS BIGINT) AS component,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(CASE WHEN node < 1000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_source,
+               CAST(SUM(CASE WHEN node >= 1000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_feed,
+               CAST(SUM(node) AS BIGINT) AS id_checksum
+        FROM comp
+        GROUP BY component
+        ORDER BY component
+    """,
+)
+def dedup_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.graph import cc_star
+
+    pairs = dedup_record_linkage(spark, sf_dir).select("a_id", "b_id")
+    comps = cc_star(pairs, a_col="a_id", b_col="b_id")
+    return (
+        comps.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum(F.when(F.col("id") < 1000000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_source"),
+            F.sum(F.when(F.col("id") >= 1000000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_feed"),
+            F.sum("id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("component")
+    )

@@ -1100,3 +1100,101 @@ def feat_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "snap_wap_publish",
+    category="scale-pattern",
+    doc="Write-audit-publish (the Iceberg WAP workflow) on the manifest "
+    "snapshot layer: a candidate batch lands as STAGED files (visible "
+    "to no committed version), an audit query runs against only the "
+    "staged files, and the batch either publishes — one atomic "
+    "manifest commit appending the already-written files, zero data "
+    "rewrite — or aborts without ever touching readers.  Here v1 = "
+    "pre-1997 orders; a POISONED batch (every 97th total negated) is "
+    "staged, fails the audit (negative totals), and is aborted; the "
+    "clean remainder is staged, passes, and publishes as v2.  Output "
+    "proves the reject never leaked: v1/v2 contents + the rejected "
+    "row count, all recomputed by the oracle from the raw table.  "
+    "Vacuum treats staged-marker files as live so an in-flight audit "
+    "can't be garbage-collected (tests/test_snapshots_wap.py).",
+    oracle="""
+        SELECT 'v1' AS step, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        UNION ALL
+        SELECT 'v2', CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'audit_reject', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(o_orderkey) AS BIGINT)
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderkey % 97 = 0
+        ORDER BY step
+    """,
+)
+def snap_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flow_spark.operators.snapshots import (
+        snapshot_abort_staged,
+        snapshot_publish,
+        snapshot_read,
+        snapshot_stage,
+        snapshot_staged_read,
+        snapshot_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    table_dir = tempfile.mkdtemp(prefix="snap_wap_")
+    snapshot_write(orders.filter(F.col("o_orderdate") < cutoff), table_dir)
+
+    rest = orders.filter(F.col("o_orderdate") >= cutoff)
+    poisoned = rest.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 97 == 0, -F.col("o_totalprice")).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+
+    def audit(branch: str) -> DataFrame:
+        staged = snapshot_staged_read(spark, table_dir, branch)
+        return staged.filter(F.col("o_totalprice") <= 0)
+
+    # WAP round 1: poisoned batch -> audit rejects -> abort
+    snapshot_stage(poisoned, table_dir, branch="etl")
+    bad = audit("etl")
+    reject_stats = bad.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("key_sum")
+    ).collect()[0]
+    assert reject_stats["n"] > 0
+    snapshot_abort_staged(table_dir, branch="etl")
+
+    # WAP round 2: clean batch -> audit passes -> publish
+    snapshot_stage(rest, table_dir, branch="etl")
+    assert audit("etl").limit(1).count() == 0
+    v2 = snapshot_publish(table_dir, branch="etl")
+
+    parts = [
+        snapshot_read(spark, table_dir, 1).select(
+            F.lit("v1").alias("step"), "o_orderkey"
+        ),
+        snapshot_read(spark, table_dir, v2).select(
+            F.lit("v2").alias("step"), "o_orderkey"
+        ),
+    ]
+    summary = (
+        parts[0]
+        .unionByName(parts[1])
+        .groupBy("step")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+    )
+    reject_row = spark.createDataFrame(
+        [("audit_reject", int(reject_stats["n"]), int(reject_stats["key_sum"]))],
+        "step string, n bigint, key_sum bigint",
+    )
+    return summary.unionByName(reject_row).orderBy("step")
