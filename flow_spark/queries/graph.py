@@ -494,3 +494,94 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("b").isNotNull())
     )
     return cc_star(chain).orderBy("id")
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _sql_kcore_rounds() -> str:
+    """Chained CTEs g1..gN, each one peel round from the previous."""
+    steps = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        steps.append(
+            f"""
+        keep{i - 1} AS (
+            SELECT src AS node FROM g{i - 1}
+            GROUP BY src HAVING COUNT(*) >= {_KCORE_K}
+        ),
+        g{i} AS (
+            SELECT e.src, e.dst FROM g{i - 1} e
+            JOIN keep{i - 1} a ON a.node = e.src
+            JOIN keep{i - 1} b ON b.node = e.dst
+        )"""
+        )
+    return ",".join(steps)
+
+
+@register(
+    "graph_kcore_peel",
+    category="graph",
+    doc=f"k-core peeling (k={_KCORE_K}, {_KCORE_ROUNDS} unrolled rounds) "
+    "over the supplier<->part bipartite graph: each round drops nodes "
+    "with degree < k and the edges touching them — the standard "
+    "spam-ring / dense-community extraction.  Full k-core iterates to "
+    "a fixpoint; a FIXED round count is the production form at scale "
+    "(each round is one groupBy + two co-partitioned semi-joins, and "
+    "the node set shrinks monotonically so later rounds are cheaper; "
+    "the round budget bounds worst-case cost on adversarial 'peeling "
+    "chain' graphs the same way BFS bounds its level count).  Output "
+    "is the per-round (nodes, directed edges) census — the convergence "
+    "curve — all exact integers.",
+    oracle=f"""
+        WITH ps AS (
+            SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        ),
+        g0 AS (
+            SELECT s * 2 + 1 AS src, p * 2 AS dst FROM ps
+            UNION ALL
+            SELECT p * 2 AS src, s * 2 + 1 AS dst FROM ps
+        ),
+        {_sql_kcore_rounds()}
+        SELECT r.round,
+               CAST(r.n_nodes AS BIGINT) AS n_nodes,
+               CAST(r.n_dir_edges AS BIGINT) AS n_dir_edges
+        FROM (
+            {" UNION ALL ".join(
+                f"SELECT {i} AS round, COUNT(DISTINCT src) AS n_nodes,"
+                f" COUNT(*) AS n_dir_edges FROM g{i}"
+                for i in range(_KCORE_ROUNDS + 1)
+            )}
+        ) r
+        ORDER BY r.round
+    """,
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _bipartite_edges(spark, sf_dir).localCheckpoint()
+    censuses = []
+    cur = edges
+    for rnd in range(_KCORE_ROUNDS + 1):
+        censuses.append(
+            cur.agg(
+                F.lit(rnd).alias("round"),
+                F.countDistinct("src").cast("bigint").alias("n_nodes"),
+                F.count(F.lit(1)).cast("bigint").alias("n_dir_edges"),
+            )
+        )
+        if rnd == _KCORE_ROUNDS:
+            break
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select(F.col("src").alias("node"))
+        )
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    out = censuses[0]
+    for c in censuses[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("round")

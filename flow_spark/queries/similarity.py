@@ -1532,3 +1532,149 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+_CB_TOKENS = 4  # token vectors per doc: 4 x 16-dim slices of the 64-dim emb
+_CB_TDIM = 16
+_CB_CAND = 16  # stage-1 candidates per query
+_CB_K = 5
+
+_CB_QUANT_SQL = """
+        n AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(127.0 * x / sqrt(list_aggregate(
+                           list_transform(CAST(embedding AS DOUBLE[]),
+                                          y -> y * y), 'sum')) + 0.5)
+                            AS BIGINT)) AS qv
+            FROM embeddings
+        )
+"""
+
+
+def _cb_maxsim_sql(a: str, b: str) -> str:
+    """Sum over query tokens of max over doc tokens of the slice dot."""
+    terms = []
+    for t in range(_CB_TOKENS):
+        dots = ", ".join(
+            f"list_sum(list_transform(range(1, {_CB_TDIM + 1}), "
+            f"i -> {a}[i + {_CB_TDIM * t}] * {b}[i + {_CB_TDIM * u}]))"
+            for u in range(_CB_TOKENS)
+        )
+        terms.append(f"GREATEST({dots})")
+    return " + ".join(terms)
+
+
+@register(
+    "sim_colbert_maxsim",
+    category="similarity",
+    doc="Late-interaction (ColBERT-style MaxSim) retrieval: each "
+    f"embedding is treated as {_CB_TOKENS} token vectors ({_CB_TDIM}-dim "
+    "slices); relevance = sum over query tokens of the MAX dot product "
+    "against any doc token — the multi-vector scoring that beats "
+    "single-vector retrieval on phrase matching.  Serving shape: stage "
+    f"1 generates {_CB_CAND} candidates per query with the cheap "
+    "whole-vector integer dot (the ANN stand-in), stage 2 computes the "
+    f"{_CB_TOKENS}x{_CB_TOKENS} token-dot MaxSim ONLY on candidates — "
+    "at 100 TB the expensive late interaction never touches the "
+    "corpus, exactly how production ColBERT tiers.  Vectors are int8 "
+    "quantized (floor(127x+0.5) after L2 norm) so every dot, max, and "
+    "rank is integer-exact in both engines.  Query panel is FIXED "
+    "(vec_id % 50 = 0 and < 2000) so stage-1 cost scales linearly, not "
+    "quadratically, with SF.",
+    oracle=f"""
+        WITH {_CB_QUANT_SQL},
+        q AS (
+            SELECT vec_id AS query_id, qv AS qq FROM n
+            WHERE vec_id % 50 = 0 AND vec_id < 2000
+        ),
+        stage1 AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id, q.qq, c.qv AS cv,
+                   list_sum(list_transform(range(1, 65),
+                                           i -> q.qq[i] * c.qv[i])) AS dot_full,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_sum(list_transform(range(1, 65),
+                                    i -> q.qq[i] * c.qv[i])) DESC,
+                                c.vec_id) AS rn
+            FROM q JOIN n c ON c.vec_id != q.query_id
+        ),
+        cand AS (SELECT * FROM stage1 WHERE rn <= {_CB_CAND}),
+        scored AS (
+            SELECT query_id, neighbor_id, dot_full,
+                   {_cb_maxsim_sql("qq", "cv")} AS maxsim
+            FROM cand
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, dot_full, maxsim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY maxsim DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id,
+               CAST(rank AS BIGINT) AS rank,
+               CAST(maxsim AS BIGINT) AS maxsim,
+               CAST(dot_full AS BIGINT) AS dot_full
+        FROM ranked WHERE rank <= {_CB_K}
+        ORDER BY query_id, rank
+    """,
+)
+def sim_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x))
+    n = emb.select(
+        "vec_id",
+        F.transform(
+            e, lambda x: F.floor(F.lit(127.0) * x / norm + F.lit(0.5))
+        ).alias("qv"),
+    )
+    q = n.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+    )
+    zero = F.lit(0).cast("long")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, x: acc + x
+        )
+
+    stage1 = n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "qq",
+        F.col("qv").alias("cv"),
+        dot(F.col("qq"), F.col("qv")).alias("dot_full"),
+    )
+    w1 = W.partitionBy("query_id").orderBy(F.desc("dot_full"), "neighbor_id")
+    cand = stage1.withColumn("rn", F.row_number().over(w1)).filter(
+        F.col("rn") <= _CB_CAND
+    )
+    maxsim = None
+    for t in range(_CB_TOKENS):
+        qs = F.slice("qq", 1 + _CB_TDIM * t, _CB_TDIM)
+        best = F.greatest(
+            *[
+                dot(qs, F.slice("cv", 1 + _CB_TDIM * u, _CB_TDIM))
+                for u in range(_CB_TOKENS)
+            ]
+        )
+        maxsim = best if maxsim is None else maxsim + best
+    scored = cand.select(
+        "query_id", "neighbor_id", "dot_full", maxsim.alias("maxsim")
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("maxsim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank") <= _CB_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.col("maxsim").cast("bigint").alias("maxsim"),
+            F.col("dot_full").cast("bigint").alias("dot_full"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -745,7 +745,9 @@ def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="HDR-histogram quantiles: every order-total (cents) maps to a "
     "(log2-exponent, 4 mantissa bits) bucket — pure integer bit "
     "arithmetic (exponent = LENGTH(bin(c)) - 1, mantissa via div by "
-    "2^(e-4)), guaranteeing <= 2^-5 relative error with at most "
+    "2^(e-4)), guaranteeing <= 2^-4 relative error (each octave has "
+    "16 sub-buckets, so a bucket spans 1/16 of its lower bound) with "
+    "at most "
     "16*64 buckets REGARDLESS of data volume.  The sketch is one "
     "map-side-combinable groupBy; quantile lookup walks the <=1024-row "
     "cumulative histogram.  Mergeable (bucket counts add), bounded "
@@ -753,7 +755,7 @@ def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     "can't be made bit-deterministic.  Output per quantile: the HDR "
     "estimate (bucket upper bound), the EXACT quantile (oracle-grade "
     "two-sided check), and the realized error in ppm — asserting the "
-    "<= 31250 ppm (2^-5) bound the bucket width promises.",
+    "<= 62500 ppm (2^-4) bound the bucket width promises.",
     oracle="""
         WITH c AS (
             SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
@@ -883,4 +885,135 @@ def sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("err_ppm"),
         )
         .orderBy("q")
+    )
+
+
+@register(
+    "sketch_hll_intersection",
+    category="sketch",
+    doc="HLL set algebra by inclusion-exclusion: the partkey sets of "
+    "return flags A and R each build a 64-register exact-integer HLL "
+    "(same machinery as sketch_hll_replay), the UNION sketch is the "
+    "register-wise MAX — the property that makes HLL mergeable and "
+    "therefore distributable — and |A inter R| is estimated as "
+    "est(A) + est(R) - est(A u R).  This is how overlap/audience "
+    "intersection is answered at 100 TB without ever shuffling keys: "
+    "three 64-row summaries and integer arithmetic.  The exact "
+    "intersection rides along (one distinct semi-join, viable at test "
+    "SF) with the signed estimation error in ppm — inclusion-exclusion "
+    "error visibility, since HLL intersection inherits THREE sketch "
+    "errors and can even go negative on small overlaps.",
+    oracle=f"""
+        WITH h AS (
+            SELECT l_returnflag AS flag,
+                   CAST(('0x' || substr(md5(concat('hll',
+                        CAST(l_partkey AS VARCHAR))), 1, 15)) AS BIGINT) AS hv
+            FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        ),
+        rho AS (
+            SELECT flag, hv % {_HLL_M} AS reg,
+                   CASE WHEN hv // {_HLL_M} = 0 THEN 55
+                        ELSE 55 - length(bin(hv // {_HLL_M})) END AS rho
+            FROM h
+        ),
+        mj AS (SELECT flag, reg, MAX(rho) AS mj FROM rho GROUP BY flag, reg),
+        grid AS (
+            SELECT f.flag, g.range AS reg
+            FROM (SELECT 'A' AS flag UNION ALL SELECT 'R'
+                  UNION ALL SELECT '_union') f, range({_HLL_M}) g
+        ),
+        -- union sketch: register-wise MAX across the two flags
+        mju AS (
+            SELECT '_union' AS flag, reg, MAX(mj) AS mj FROM mj GROUP BY reg
+        ),
+        allm AS (SELECT * FROM mj UNION ALL SELECT * FROM mju),
+        regs AS (
+            SELECT grid.flag, grid.reg, COALESCE(a.mj, 0) AS mj
+            FROM grid LEFT JOIN allm a
+              ON a.flag = grid.flag AND a.reg = grid.reg
+        ),
+        est AS (
+            SELECT flag,
+                   CAST(({_HLL_ALPHA_M2_MILLI}::HUGEINT * {_HLL_SCALE}::HUGEINT)
+                        // (1000::HUGEINT *
+                            SUM(CAST(1::BIGINT << (62 - mj) AS HUGEINT)))
+                        AS BIGINT) AS ndv
+            FROM regs GROUP BY flag
+        ),
+        ex AS (
+            SELECT COUNT(*) AS n_exact FROM (
+                SELECT hv FROM h WHERE flag = 'A'
+                INTERSECT
+                SELECT hv FROM h WHERE flag = 'R'
+            )
+        )
+        SELECT a.ndv AS ndv_a, r.ndv AS ndv_r, u.ndv AS ndv_union,
+               CAST(a.ndv + r.ndv - u.ndv AS BIGINT) AS ndv_intersect_est,
+               CAST(ex.n_exact AS BIGINT) AS n_exact_intersect,
+               CAST((a.ndv + r.ndv - u.ndv - ex.n_exact) * 1000000
+                    // GREATEST(ex.n_exact, 1) AS BIGINT) AS err_ppm
+        FROM est a, est r, est u, ex
+        WHERE a.flag = 'A' AND r.flag = 'R' AND u.flag = '_union'
+    """,
+)
+def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.functions.hashing import portable_hash64
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    h = li.select(
+        F.col("l_returnflag").alias("flag"),
+        portable_hash64(F.col("l_partkey").cast("string"), salt="hll").alias("hv"),
+    )
+    w = F.expr(f"hv div {_HLL_M}")
+    rho = F.when(w == 0, F.lit(55)).otherwise(F.lit(55) - F.length(F.bin(w)))
+    mj = (
+        h.select("flag", F.pmod("hv", F.lit(_HLL_M)).alias("reg"), rho.alias("rho"))
+        .groupBy("flag", "reg")
+        .agg(F.max("rho").alias("mj"))
+    )
+    mju = mj.groupBy("reg").agg(F.max("mj").alias("mj")).select(
+        F.lit("_union").alias("flag"), "reg", "mj"
+    )
+    allm = mj.unionByName(mju)
+    grid = (
+        spark.createDataFrame([("A",), ("R",), ("_union",)], "flag string")
+        .crossJoin(F.broadcast(spark.range(_HLL_M).select(F.col("id").alias("reg"))))
+    )
+    regs = grid.join(allm, ["flag", "reg"], "left").select(
+        "flag", "reg", F.coalesce("mj", F.lit(0)).alias("mj")
+    )
+    est = regs.groupBy("flag").agg(
+        F.expr(
+            f"CAST((CAST({_HLL_ALPHA_M2_MILLI} AS DECIMAL(38,0))"
+            f" * CAST({_HLL_SCALE} AS DECIMAL(38,0)))"
+            f" div (CAST(1000 AS DECIMAL(38,0)) * SUM(CAST("
+            "shiftleft(CAST(1 AS BIGINT), CAST(62 - mj AS INT))"
+            " AS DECIMAL(38,0)))) AS BIGINT)"
+        ).alias("ndv")
+    )
+    a_set = h.filter(F.col("flag") == "A").select("hv").distinct()
+    r_set = h.filter(F.col("flag") == "R").select("hv").distinct()
+    ex = a_set.join(r_set, "hv", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    wide = (
+        est.groupBy()
+        .pivot("flag", ["A", "R", "_union"])
+        .agg(F.first("ndv"))
+        .withColumnsRenamed({"A": "ndv_a", "R": "ndv_r", "_union": "ndv_union"})
+    )
+    return wide.crossJoin(F.broadcast(ex)).select(
+        F.col("ndv_a").cast("bigint"),
+        F.col("ndv_r").cast("bigint"),
+        F.col("ndv_union").cast("bigint"),
+        (F.col("ndv_a") + F.col("ndv_r") - F.col("ndv_union"))
+        .cast("bigint")
+        .alias("ndv_intersect_est"),
+        F.col("n_exact").cast("bigint").alias("n_exact_intersect"),
+        F.expr(
+            "CAST((ndv_a + ndv_r - ndv_union - n_exact) * 1000000"
+            " div GREATEST(n_exact, 1) AS BIGINT)"
+        ).alias("err_ppm"),
     )
