@@ -79,6 +79,7 @@ def all_queries() -> dict[str, Query]:
         pysource,
         spatial,
         ml_train,
+        stats_tests,
     )
 
     return dict(_REGISTRY)
