@@ -602,3 +602,175 @@ def lsh_topk_multiprobe(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
     )
+
+
+def _cents_sql(centroids: "list[list[float]]") -> str:
+    """Coarse-quantizer centroids as ONE array<array<double>> literal."""
+    return (
+        "array(" + ",".join(sql_double_array(c) for c in centroids) + ")"
+    )
+
+
+def _coarse_d2_entries(vec_sql: str, cents_col: str, n_cent: int) -> str:
+    """array of (squared-L2-to-centroid-c, c) structs — the coarse
+    quantizer's scoring table.  Same zip_with/aggregate left-fold the
+    oracle replays; struct ordering breaks distance ties to the lower
+    centroid id."""
+    return (
+        f"transform(sequence(0, {n_cent - 1}), c -> named_struct("
+        f"'d', aggregate(zip_with(CAST({vec_sql} AS ARRAY<DOUBLE>), "
+        f"{cents_col}[c], (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t), "
+        "'c', c))"
+    )
+
+
+def coarse_residuals(
+    sample: "list[list[float]]", centroids: "list[list[float]]"
+) -> "list[list[float]]":
+    """Driver-side residual transform for PQ training: each sample row
+    minus its nearest (squared-L2, tie -> lower id) coarse centroid.
+    float64 end-to-end — bit-identical to both engines' in-plan math."""
+    x = np.asarray(sample, dtype=np.float64)
+    c = np.asarray(centroids, dtype=np.float64)
+    d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)  # argmin takes the FIRST min = lower id
+    return [[float(v) for v in row] for row in x - c[assign]]
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: "list[list[float]]",
+    codebooks: "list[list[list[float]]]",
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with residual encoding — the production ANN disk layout
+    (FAISS IndexIVFPQ): a coarse quantizer routes each vector to its
+    nearest of |centroids| inverted lists, PQ codes are trained on and
+    encode the RESIDUAL (vector minus its coarse centroid — residuals
+    cluster far tighter than raw vectors, so the same code budget buys
+    more precision), and a query ADC-scans only its nprobe nearest
+    lists with per-list distance tables over (query - list_centroid).
+
+    At 100 TB the candidate side is written partitioned by `cluster`
+    storing only (id, 16 nibble codes): a probe reads
+    nprobe/|centroids| of the table and never touches raw floats;
+    the coarse centroids and codebook ride the plan as two bound
+    literals (plan bytes independent of list count and M x K).
+
+    Returns (query_id, neighbor_id, rank, approx_d2) — raw doubles, so
+    anchored (data-row) centroids+codebooks make it oracle-exact.
+    """
+    n_cent = len(centroids)
+    m_count = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cents_sql = _cents_sql(centroids)
+    resid_sql = (
+        f"zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), __cents[cluster], "
+        "(x, y) -> x - y)"
+    )
+    # candidates: coarse-assign (pure map over one bound literal — zero
+    # shuffle), then PQ-encode the residual
+    c = (
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col),
+            F.expr(cents_sql).alias("__cents"),
+        )
+        .withColumn(
+            "cluster",
+            F.expr(
+                "array_min("
+                + _coarse_d2_entries(vec_col, "__cents", n_cent)
+                + ").c"
+            ),
+        )
+        .withColumn("resid", F.expr(resid_sql))
+        .withColumn("__cb", F.expr(_codebook_sql(codebooks)))
+        .select(
+            "neighbor_id",
+            "cluster",
+            F.expr(_encode_expr("resid", "__cb", m_count, dsub)).alias("codes"),
+        )
+    )
+    # queries: nprobe nearest lists (ascending (d, c) struct sort), one
+    # row per probed list, each with its OWN residual distance tables
+    dtab_expr = (
+        f"transform(sequence(0, {m_count - 1}), m -> "
+        "transform(__cb[m], cent -> "
+        f"aggregate(zip_with(slice(resid, m * {dsub} + 1, {dsub}), "
+        "cent, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)))"
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col),
+            F.expr(cents_sql).alias("__cents"),
+        )
+        .select(
+            "query_id",
+            vec_col,
+            "__cents",
+            F.explode(
+                F.expr(
+                    "slice(array_sort("
+                    + _coarse_d2_entries(vec_col, "__cents", n_cent)
+                    + f"), 1, {nprobe})"
+                )
+            ).alias("pc"),
+        )
+        .withColumn("cluster", F.col("pc.c"))
+        .withColumn("resid", F.expr(resid_sql))
+        .withColumn("__cb", F.expr(_codebook_sql(codebooks)))
+        .select("query_id", "cluster", F.expr(dtab_expr).alias("dtabs"))
+    )
+    adc = F.expr(
+        f"aggregate(sequence(0, {m_count - 1}), CAST(0.0 AS DOUBLE), "
+        "(acc, m) -> acc + dtabs[m][codes[m]])"
+    )
+    scored = (
+        c.join(F.broadcast(q), ["cluster"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("approx_d2", adc)
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("approx_d2"), F.asc("neighbor_id"))
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "approx_d2")
+        )
+    # refine stage (FAISS refine / ADC-then-exact): the ADC shortlist of
+    # `rerank` ids per query joins back to full vectors — only R point
+    # lookups per query ever read raw floats — and re-ranks by true L2,
+    # recovering the recall that quantizing near-isotropic data loses
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+    cv = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    exact = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("approx_d2", _sq_l2(F.col("qvec"), F.col("cvec")))
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.asc("approx_d2"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "approx_d2")
+    )

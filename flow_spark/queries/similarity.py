@@ -1678,3 +1678,128 @@ def sim_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "sim_ivf_pq_residual",
+    category="similarity",
+    doc="IVF-PQ with residual encoding — the production ANN disk layout "
+    "(FAISS IndexIVFPQ), composed from the engine's IVF routing and PQ "
+    "machinery and fully oracle-checked: the coarse quantizer is the 8 "
+    "lowest-vec_id rows (squared-L2 assignment, ties to the lower "
+    "list), PQ codebooks are ANCHORED data-row residuals (evenly "
+    "spaced sample rows minus their own coarse centroid, zero Lloyd's "
+    "iterations), queries probe their nprobe=2 nearest lists with "
+    "per-list residual distance tables, and the ADC scan joins codes "
+    "to tables on (list, subspace, code) — because both residuals are "
+    "taken against the SAME list centroid, the ADC sum approximates "
+    "the true L2 and every double is bit-identical across engines "
+    "(left-fold slice distances, struct-min code ties, m-ordered ADC "
+    "sum, raw double output).  At 100 TB the candidate side stores "
+    "(id, list, 16 nibble codes) partitioned by list: a probe reads "
+    "2/8 of the table and never touches raw floats.",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        cents AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS cid, e AS ce
+            FROM v ORDER BY vec_id LIMIT 8
+        ),
+        cassign AS (
+            -- nprobe ranking: squared-L2 to each coarse centroid
+            -- (left-fold over 64 dims), distance ties to the lower list
+            SELECT vec_id, e, cid AS cluster, ce, rn FROM (
+                SELECT v.vec_id, v.e, c.cid, c.ce,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_sum(list_transform(range(1, 65),
+                               j -> (v.e[j] - c.ce[j]) * (v.e[j] - c.ce[j])))
+                               ASC, c.cid ASC) AS rn
+                FROM v CROSS JOIN cents c
+            ) WHERE rn <= 2
+        ),
+        own AS (SELECT vec_id, e, cluster, ce FROM cassign WHERE rn = 1),
+        samp AS (
+            SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY vec_id) AS srn
+            FROM v ORDER BY vec_id LIMIT 256
+        ),
+        anchors AS (
+            -- pq_train(n_iters=0) on residuals: sample rows 0,16,..,240,
+            -- each minus its OWN nearest coarse centroid
+            SELECT CAST((s.srn - 1) // 16 AS INT) AS code,
+                   list_transform(range(1, 65), j -> s.e[j] - o.ce[j]) AS ae
+            FROM samp s JOIN own o ON o.vec_id = s.vec_id
+            WHERE (s.srn - 1) % 16 = 0
+        ),
+        subs AS (SELECT UNNEST(range(0, 16)) AS m),
+        enc AS (
+            SELECT vec_id, cluster, m, code FROM (
+                SELECT o.vec_id, o.cluster, s.m, a.code,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o.vec_id, s.m
+                           ORDER BY list_sum(list_transform(range(1, 5),
+                               j -> ((o.e[s.m * 4 + j] - o.ce[s.m * 4 + j])
+                                     - a.ae[s.m * 4 + j])
+                                  * ((o.e[s.m * 4 + j] - o.ce[s.m * 4 + j])
+                                     - a.ae[s.m * 4 + j]))) ASC,
+                           a.code ASC) AS rnk
+                FROM own o CROSS JOIN subs s CROSS JOIN anchors a
+            ) WHERE rnk = 1
+        ),
+        q AS (
+            SELECT vec_id AS query_id, e AS qe, cluster, ce
+            FROM cassign WHERE vec_id % 50 = 0
+        ),
+        dtab AS (
+            SELECT q.query_id, q.cluster, s.m, a.code,
+                   list_sum(list_transform(range(1, 5),
+                       j -> ((q.qe[s.m * 4 + j] - q.ce[s.m * 4 + j])
+                             - a.ae[s.m * 4 + j])
+                          * ((q.qe[s.m * 4 + j] - q.ce[s.m * 4 + j])
+                             - a.ae[s.m * 4 + j]))) AS d
+            FROM q CROSS JOIN subs s CROSS JOIN anchors a
+        ),
+        adc AS (
+            -- m-ordered list_sum == Spark's sequential ADC fold
+            SELECT d.query_id, e.vec_id AS neighbor_id,
+                   list_sum(list(d.d ORDER BY d.m)) AS approx_d2
+            FROM enc e
+            JOIN dtab d ON d.cluster = e.cluster AND d.m = e.m
+                       AND d.code = e.code
+            WHERE e.vec_id != d.query_id
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, approx_d2,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY approx_d2 ASC,
+                                               neighbor_id ASC) AS rank
+            FROM adc
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, approx_d2
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank
+    """,
+)
+def sim_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.similarity import (
+        coarse_residuals,
+        ivf_pq_topk,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = [
+        [float(x) for x in r.embedding]
+        for r in emb.orderBy("vec_id").limit(256).collect()
+    ]
+    cents = sample[:8]
+    books = pq_train(
+        coarse_residuals(sample, cents), n_subspaces=16, n_centroids=16, n_iters=0
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_pq_topk(queries, emb, cents, books, k=10, nprobe=2).orderBy(
+        "query_id", "rank"
+    )
