@@ -573,3 +573,93 @@ def stream_funnel_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_ttc_us"),
     )
+
+
+@register(
+    "stream_heavy_hitters",
+    category="stateful-streaming",
+    doc="Streaming heavy hitters as TRUE stateful streaming "
+    "(streaming/stateful.py:heavy_hitters_stream): a capacity-64 "
+    "Misra-Gries summary per hash shard lives in the state store and "
+    "absorbs each micro-batch's token counts (batched decrement), so "
+    "state is O(shards * capacity) forever while the stream is "
+    "unbounded.  Every token with global count > N/65 provably "
+    "survives in its shard (all occurrences of a token route to the "
+    "same shard), so the drained summaries are a candidate SUPERSET "
+    "of the >N/32 heavy hitters; a batch verification pass "
+    "exact-counts only the candidates (broadcast semi-join) and "
+    "applies the threshold in integer space.  The result is EXACT and "
+    "batch-split-independent — the oracle is a plain GROUP BY ... "
+    "HAVING — the streaming twin of sketch_heavy_hitters' two-pass "
+    "design, on the same state-store surface as the GCRA throttler.",
+    oracle=r"""
+        WITH t AS (
+            SELECT unnest(string_split(trim(regexp_replace(lower(text),
+                       '\s+', ' ', 'g')), ' ')) AS tok
+            FROM documents
+        ),
+        n AS (SELECT COUNT(*) AS n_total FROM t)
+        SELECT tok, COUNT(*) AS cnt,
+               (SELECT n_total FROM n) AS n_total
+        FROM t
+        GROUP BY tok
+        HAVING 32 * COUNT(*) > (SELECT n_total FROM n)
+        ORDER BY cnt DESC, tok
+    """,
+)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from flow_spark.catalog import table_path
+    from flow_spark.operators.text import tokens
+    from flow_spark.streaming.sources import _as_stream_dir
+    from flow_spark.streaming.stateful import heavy_hitters_stream
+
+    static = spark.read.parquet(table_path(sf_dir, "documents"))
+    stream = spark.readStream.schema(static.schema).parquet(
+        _as_stream_dir(table_path(sf_dir, "documents"))
+    )
+    toks_stream = stream.select(F.explode(tokens(F.col("text"))).alias("item"))
+    summaries = heavy_hitters_stream(toks_stream, "item", n_shards=4, capacity=64)
+    name = f"mg_{uuid.uuid4().hex[:8]}"
+    q = (
+        summaries.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="mg_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    from pyspark.sql.window import Window as W
+
+    res = spark.table(name)
+    # final summary = the max-seq emission per shard (windowed, no
+    # self-join: the memory view's attributes would conflict)
+    wmax = W.partitionBy("shard")
+    cands = (
+        res.withColumn("max_seq", F.max("seq").over(wmax))
+        .filter(F.col("seq") == F.col("max_seq"))
+        .select("item")
+        .distinct()
+    )
+    # exact verification pass over the batch table, candidates only
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    n = t.agg(F.count(F.lit(1)).alias("n_total"))
+    cnt = (
+        t.join(F.broadcast(cands), t.tok == F.col("item"), "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        cnt.crossJoin(F.broadcast(n))
+        .filter(32 * F.col("cnt") > F.col("n_total"))
+        .select(
+            "tok",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.col("n_total").cast("bigint").alias("n_total"),
+        )
+        .orderBy(F.desc("cnt"), "tok")
+    )

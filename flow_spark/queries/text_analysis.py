@@ -2409,3 +2409,79 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_backoff",
     ).orderBy("doc_id")
+
+
+@register(
+    "text_watermark_detect",
+    category="text",
+    doc="Green-list watermark detection (Kirchenbauer-style) over the "
+    "corpus: each token is 'green' iff the portable 60-bit hash of "
+    "(previous token, token) is even — a deterministic 50% green list "
+    "seeded by the preceding context, exactly how decoding-time "
+    "watermarks partition the vocabulary — and a document flags as "
+    "watermarked when its green fraction exceeds the one-sided z>2 "
+    "bound, decided in exact integer space: 2g-n > 0 AND (2g-n)^2 > "
+    "4n (no sqrt, no float).  The entire detector is ONE zero-shuffle "
+    "scan projection: the bigram green count is a JVM higher-order "
+    "fold over the token array (no explode, no groupBy), so at 100 TB "
+    "it runs at parquet-scan speed with perfect column pruning.  On "
+    "un-watermarked natural text the green rate sits at ~500 "
+    "permille and flags fire at the ~2.3% false-positive rate the "
+    "z-bound implies.",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+        ),
+        t AS (
+            SELECT doc_id,
+                   len(toks) - 1 AS n_scored,
+                   list_sum(list_transform(range(2, len(toks) + 1), i ->
+                       CASE WHEN ({portable_hash_expr("concat(toks[i-1], '|', toks[i])", salt="wm")}) % 2 = 0
+                            THEN 1 ELSE 0 END)) AS n_green
+            FROM d WHERE len(toks) >= 2
+        )
+        SELECT doc_id,
+               CAST(n_scored AS BIGINT) AS n_scored,
+               CAST(n_green AS BIGINT) AS n_green,
+               CAST((1000 * n_green) // n_scored AS BIGINT) AS green_permille,
+               CAST(CASE WHEN 2 * n_green - n_scored > 0
+                          AND (2 * n_green - n_scored) * (2 * n_green - n_scored)
+                              > 4 * n_scored
+                    THEN 1 ELSE 0 END AS BIGINT) AS flag_watermarked
+        FROM t
+        ORDER BY doc_id
+    """,
+)
+def text_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    hash60 = (
+        "CAST(conv(substring(md5(concat('wm', element_at(toks, i - 1), '|', "
+        "element_at(toks, i))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    d = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    t = d.select(
+        "doc_id",
+        (F.size("toks") - 1).cast("bigint").alias("n_scored"),
+        F.expr(
+            "aggregate(sequence(2, size(toks)), CAST(0 AS BIGINT), "
+            f"(acc, i) -> acc + (CASE WHEN {hash60} % 2 = 0 "
+            "THEN 1 ELSE 0 END))"
+        ).alias("n_green"),
+    )
+    g2 = 2 * F.col("n_green") - F.col("n_scored")
+    return t.select(
+        "doc_id",
+        "n_scored",
+        F.col("n_green").cast("bigint").alias("n_green"),
+        F.expr("(1000 * n_green) div n_scored").cast("bigint").alias(
+            "green_permille"
+        ),
+        F.when((g2 > 0) & (g2 * g2 > 4 * F.col("n_scored")), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("flag_watermarked"),
+    ).orderBy("doc_id")

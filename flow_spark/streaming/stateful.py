@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StringType,
     StructField,
@@ -265,6 +266,93 @@ def funnel_stream(
         fn,
         outputStructType=FUNNEL_OUTPUT_SCHEMA,
         stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+MG_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("seq", LongType()),
+        StructField("item", StringType()),
+        StructField("mg_count", LongType()),
+    ]
+)
+
+MG_STATE_SCHEMA = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("items", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+
+def heavy_hitters_stream(
+    df: DataFrame,
+    item_col: str = "item",
+    n_shards: int = 4,
+    capacity: int = 64,
+) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters: a capacity-bounded summary
+    per hash shard, maintained ACROSS micro-batches in the state store.
+
+    Items route to ``portable_hash % n_shards`` shards, so every
+    occurrence of an item meets the SAME summary and the classic
+    guarantee holds per shard under ANY micro-batch split: the batched
+    decrement (add a batch's counts, subtract the (capacity+1)-th
+    largest, drop non-positives) under-counts any item by at most
+    N_shard/(capacity+1).  Hence every item with GLOBAL count >
+    N/(capacity+1) survives in its shard's summary — the candidate
+    superset an exact verification pass then narrows (the streaming
+    twin of sketch_heavy_hitters' mapInPandas two-pass).
+
+    State per shard is <= capacity (item, count) pairs — O(shards *
+    capacity) total regardless of stream length or vocabulary.  Each
+    batch emits the shard's full current summary stamped with a
+    monotonically increasing ``seq``; the final summary is the max-seq
+    row set per shard.
+    """
+    from flow_spark.functions.hashing import portable_hash64
+
+    prepared = df.select(
+        F.pmod(portable_hash64(F.col(item_col), salt="mgshard"), F.lit(n_shards))
+        .cast("long")
+        .alias("shard"),
+        F.col(item_col).cast("string").alias("item"),
+    )
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            seq, items, counts = state.get
+            summary = dict(zip(items, counts))
+        else:
+            seq, summary = 0, {}
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            for item, c in pdf["item"].value_counts().items():
+                summary[item] = summary.get(item, 0) + int(c)
+            if len(summary) > capacity:
+                dec = sorted(summary.values(), reverse=True)[capacity]
+                summary = {i: c - dec for i, c in summary.items() if c > dec}
+        seq += 1
+        items = sorted(summary)
+        state.update((seq, items, [int(summary[i]) for i in items]))
+        yield pd.DataFrame(
+            {
+                "shard": key[0],
+                "seq": seq,
+                "item": items,
+                "mg_count": [int(summary[i]) for i in items],
+            }
+        )
+
+    return prepared.groupBy("shard").applyInPandasWithState(
+        fn,
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
         outputMode="append",
         timeoutConf="NoTimeout",
     )

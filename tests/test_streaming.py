@@ -1608,3 +1608,93 @@ def test_funnel_cep_multibatch_equals_singlebatch(spark, tmp_path):
         (2, 1_500_000, 3_500_000, 4_000_000, 7),
     ]
     assert multi == single == expected
+
+
+def test_heavy_hitters_stream_multibatch_guarantee(spark, tmp_path):
+    """heavy_hitters_stream: the Misra-Gries guarantee must hold under a
+    multi-batch split with a DELIBERATELY tiny capacity (4): every item
+    with shard count > N_shard/(cap+1) survives to the final summary,
+    every final estimate under-counts by at most N_shard/(cap+1), and
+    state stays bounded (<= cap items per shard emission)."""
+    import json as _json
+    import time as _time
+
+    from flow_spark.functions.hashing import portable_hash64
+    from flow_spark.streaming.stateful import heavy_hitters_stream
+
+    # skewed vocabulary: 'hot' dominates, mids are borderline, tail is noise
+    items = (
+        ["hot"] * 60
+        + ["warm"] * 20
+        + ["mild"] * 10
+        + [f"tail{i}" for i in range(40)]
+    )
+    # deterministic interleave so each batch sees a mix
+    items = [items[(j * 17) % len(items)] for j in range(len(items))]
+    src = tmp_path / "mg_src"
+    src.mkdir()
+    per = (len(items) + 2) // 3
+    for i in range(3):
+        with open(src / f"b{i}.jsonl", "w") as fh:
+            for it in items[i * per : (i + 1) * per]:
+                fh.write(_json.dumps({"item": it}) + "\n")
+        _time.sleep(0.02)
+
+    stream = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = heavy_hitters_stream(stream, "item", n_shards=2, capacity=4)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mg_multibatch")
+        .option("checkpointLocation", str(tmp_path / "mg_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("mg_multibatch").collect()
+    assert rows, "no summary emissions"
+
+    # shard routing replay (the operator's own hash, evaluated via Spark)
+    shard_df = spark.createDataFrame(
+        [(it,) for it in sorted(set(items))], "item string"
+    ).select(
+        "item",
+        F.pmod(portable_hash64(F.col("item"), salt="mgshard"), F.lit(2))
+        .cast("long")
+        .alias("shard"),
+    )
+    shard_of = {r["item"]: r["shard"] for r in shard_df.collect()}
+
+    from collections import Counter, defaultdict
+
+    true_shard_counts: dict[int, Counter] = defaultdict(Counter)
+    for it in items:
+        true_shard_counts[shard_of[it]][it] += 1
+
+    final: dict[int, dict[str, int]] = defaultdict(dict)
+    max_seq: dict[int, int] = defaultdict(int)
+    per_emission: dict[tuple[int, int], int] = defaultdict(int)
+    for r in rows:
+        per_emission[(r["shard"], r["seq"])] += 1
+        if r["seq"] > max_seq[r["shard"]]:
+            max_seq[r["shard"]] = r["seq"]
+    for r in rows:
+        if r["seq"] == max_seq[r["shard"]]:
+            final[r["shard"]][r["item"]] = r["mg_count"]
+
+    # state boundedness: every emitted summary has <= capacity items
+    assert all(n <= 4 for n in per_emission.values()), per_emission
+    for shard, counts in true_shard_counts.items():
+        n_shard = sum(counts.values())
+        bound = n_shard // 5  # N_shard/(cap+1)
+        for item, true_c in counts.items():
+            est = final[shard].get(item, 0)
+            assert est <= true_c, (item, est, true_c)
+            if true_c > bound:
+                assert item in final[shard], (item, true_c, bound, final[shard])
+            if item in final[shard]:
+                assert true_c - est <= bound, (item, est, true_c, bound)
