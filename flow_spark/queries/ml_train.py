@@ -295,3 +295,190 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rep")
     )
+
+
+_BT_SCALE = 10**12  # fixed-point scale for the MM inner fractions
+_BT_UNIT = 10**6  # ratings live in micro-units; w0 = 1.0 == 1_000_000
+
+
+def _bt_mm_step(pairs: DataFrame, wins: DataFrame, r: DataFrame) -> DataFrame:
+    """One Bradley-Terry MM update (Hunter 2004) in exact integer space.
+
+    w_i' = W_i / sum_j n_ij / (w_i + w_j), evaluated as
+    (W_i * SCALE) div sum_j ((n_ij * SCALE) div (w_i + w_j)), then
+    normalized so ratings sum to n_players * UNIT.  Every division is
+    floor division on positive bigints (Spark `div` == DuckDB `//`).
+    """
+    ri = r.select(F.col("player").alias("pi"), F.col("w").alias("wi"))
+    rj = r.select(F.col("player").alias("pj"), F.col("w").alias("wj"))
+    den = (
+        pairs.join(F.broadcast(ri), "pi")
+        .join(F.broadcast(rj), "pj")
+        .select(
+            "pi",
+            F.expr(
+                f"(n_ij * CAST({_BT_SCALE} AS BIGINT))"
+                " div greatest(wi + wj, 1L)"
+            ).alias("c"),
+        )
+        .groupBy("pi")
+        .agg(F.sum("c").alias("den"))
+    )
+    raw = (
+        wins.join(den, wins.player == den.pi)
+        .select(
+            "player",
+            F.expr(f"(w_cnt * CAST({_BT_SCALE} AS BIGINT)) div greatest(den, 1L)").alias(
+                "raw"
+            ),
+        )
+    )
+    tot = raw.agg(
+        F.sum("raw").alias("tot"), F.count(F.lit(1)).alias("np")
+    )
+    return raw.crossJoin(F.broadcast(tot)).select(
+        "player",
+        F.expr(
+            f"(raw * np * CAST({_BT_UNIT} AS BIGINT)) div greatest(tot, 1L)"
+        ).alias("w"),
+    )
+
+
+def _bt_sql_step(prev: str, out: str) -> str:
+    """The same MM step as chained DuckDB CTEs reading ratings `prev`."""
+    return f"""
+        den_{out} AS (
+            SELECT p.pi,
+                   SUM((p.n_ij * CAST({_BT_SCALE} AS BIGINT))
+                       // greatest(ri.w + rj.w, 1)) AS den
+            FROM pairs p
+            JOIN {prev} ri ON ri.player = p.pi
+            JOIN {prev} rj ON rj.player = p.pj
+            GROUP BY p.pi
+        ),
+        raw_{out} AS (
+            SELECT w.player,
+                   (w.w_cnt * CAST({_BT_SCALE} AS BIGINT))
+                       // greatest(d.den, 1) AS raw
+            FROM wins w JOIN den_{out} d ON d.pi = w.player
+        ),
+        tot_{out} AS (SELECT SUM(raw) AS tot, COUNT(*) AS np FROM raw_{out}),
+        {out} AS (
+            SELECT r.player,
+                   CAST((r.raw * t.np * CAST({_BT_UNIT} AS BIGINT))
+                        // greatest(t.tot, 1) AS BIGINT) AS w
+            FROM raw_{out} r CROSS JOIN tot_{out} t
+        )"""
+
+
+@register(
+    "ml_bradley_terry",
+    category="ml",
+    doc="Bradley-Terry preference aggregation — the model behind RLHF "
+    "reward-data curation and chat-arena leaderboards.  Duels derive "
+    "deterministically from consecutive events with different types "
+    "(higher value wins, ties to the earlier event), then TWO "
+    "minorization-maximization iterations (Hunter 2004: w_i' = W_i / "
+    "sum_j n_ij/(w_i+w_j)) run entirely in fixed-point bigint "
+    "arithmetic — every division is floor division on positives, so "
+    "Spark and DuckDB agree bit-for-bit with no float anywhere.  Plan "
+    "shape at 100 TB: the duel extraction is one sort-merge self-join "
+    "on a monotone key + one map-side-combinable groupBy; the model "
+    "state (one row per arm) travels as a broadcast through the MM "
+    "joins — the same tiny-model/big-data split as the perceptron.",
+    oracle=f"""
+        WITH a AS (
+            SELECT event_id AS id, event_type AS pa, value AS va FROM events
+        ),
+        b AS (
+            SELECT event_id - 1 AS id, event_type AS pb, value AS vb
+            FROM events
+        ),
+        m AS (
+            SELECT CASE WHEN va >= vb THEN pa ELSE pb END AS winner,
+                   pa, pb
+            FROM a JOIN b USING (id)
+            WHERE pa <> pb
+        ),
+        wins AS (
+            SELECT p.player, COUNT(m2.winner) AS w_cnt
+            FROM (SELECT DISTINCT event_type AS player FROM events) p
+            LEFT JOIN m m2 ON m2.winner = p.player
+            GROUP BY p.player
+        ),
+        pairs AS (
+            SELECT pi, pj, COUNT(*) AS n_ij FROM (
+                SELECT pa AS pi, pb AS pj FROM m
+                UNION ALL
+                SELECT pb AS pi, pa AS pj FROM m
+            ) GROUP BY pi, pj
+        ),
+        r0 AS (
+            SELECT player, CAST({_BT_UNIT} AS BIGINT) AS w FROM wins
+        ),{_bt_sql_step("r0", "r1")},{_bt_sql_step("r1", "r2")}
+        SELECT w.player,
+               CAST(w.w_cnt AS BIGINT) AS wins,
+               CAST(COALESCE(nm.n, 0) AS BIGINT) AS n_matches,
+               r1.w AS rating_iter1,
+               r2.w AS rating_iter2
+        FROM wins w
+        JOIN r1 ON r1.player = w.player
+        JOIN r2 ON r2.player = w.player
+        LEFT JOIN (SELECT pi, SUM(n_ij) AS n FROM pairs GROUP BY pi) nm
+               ON nm.pi = w.player
+        ORDER BY w.player
+    """,
+)
+def ml_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    a = e.select(
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("pa"),
+        F.col("value").alias("va"),
+    )
+    b = e.select(
+        (F.col("event_id") - 1).alias("id"),
+        F.col("event_type").alias("pb"),
+        F.col("value").alias("vb"),
+    )
+    m = (
+        a.join(b, "id")
+        .filter(F.col("pa") != F.col("pb"))
+        .select(
+            F.when(F.col("va") >= F.col("vb"), F.col("pa"))
+            .otherwise(F.col("pb"))
+            .alias("winner"),
+            "pa",
+            "pb",
+        )
+        .localCheckpoint()  # duels feed wins + pairs; don't rescan events
+    )
+    players = e.select(F.col("event_type").alias("player")).distinct()
+    wins = (
+        players.join(m, players.player == m.winner, "left")
+        .groupBy("player")
+        .agg(F.count("winner").cast("bigint").alias("w_cnt"))
+    )
+    pairs = (
+        m.select(F.col("pa").alias("pi"), F.col("pb").alias("pj"))
+        .unionAll(m.select(F.col("pb").alias("pi"), F.col("pa").alias("pj")))
+        .groupBy("pi", "pj")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ij"))
+    )
+    r0 = wins.select("player", F.lit(_BT_UNIT).cast("bigint").alias("w"))
+    r1 = _bt_mm_step(pairs, wins, r0).localCheckpoint()
+    r2 = _bt_mm_step(pairs, wins, r1)
+    n_matches = pairs.groupBy("pi").agg(F.sum("n_ij").alias("n"))
+    return (
+        wins.join(r1.withColumnRenamed("w", "rating_iter1"), "player")
+        .join(r2.withColumnRenamed("w", "rating_iter2"), "player")
+        .join(n_matches, wins.player == n_matches.pi, "left")
+        .select(
+            "player",
+            F.col("w_cnt").alias("wins"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_matches"),
+            F.col("rating_iter1").cast("bigint"),
+            F.col("rating_iter2").cast("bigint"),
+        )
+        .orderBy("player")
+    )

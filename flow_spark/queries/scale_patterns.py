@@ -1198,3 +1198,118 @@ def snap_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step string, n bigint, key_sum bigint",
     )
     return summary.unionByName(reject_row).orderBy("step")
+
+
+@register(
+    "funnel_attribution",
+    category="window",
+    doc="Multi-touch conversion attribution: every non-purchase event is "
+    "a touchpoint; each touch binds to the user's NEXT purchase (a "
+    "forward-looking min over a ROWS frame — one window pass, no "
+    "touch-x-purchase join) within a 7-day window.  Two models emit "
+    "side by side: last-touch (all credit to the final touch) and "
+    "linear (credit split exactly — each touch gets floor(1e6/n) ppm "
+    "and the LAST touch absorbs the remainder, so per-conversion "
+    "credit sums to exactly 1,000,000 ppm and the channel totals are "
+    "reconcilable to the conversion count, a property float splits "
+    "lose).  Plan shape at 100 TB: one shuffle by user_id serves both "
+    "window passes (binding + rank), then one map-side-combinable "
+    "groupBy by channel; no self-join of the event log.",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+            FROM events
+        ),
+        bound AS (
+            SELECT event_id, user_id, event_type, us,
+                   MIN(CASE WHEN event_type = 'purchase' THEN us END)
+                       OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS BETWEEN CURRENT ROW
+                                      AND UNBOUNDED FOLLOWING) AS conv_us
+            FROM e
+        ),
+        touches AS (
+            SELECT user_id, event_type AS channel, us, event_id, conv_us
+            FROM bound
+            WHERE event_type <> 'purchase'
+              AND conv_us IS NOT NULL
+              AND conv_us - us <= CAST(7 AS BIGINT) * 86400 * 1000000
+        ),
+        ranked AS (
+            SELECT user_id, channel, conv_us,
+                   COUNT(*) OVER (PARTITION BY user_id, conv_us) AS n,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, conv_us
+                                      ORDER BY us DESC, event_id DESC)
+                       AS rn
+            FROM touches
+        ),
+        credited AS (
+            SELECT channel,
+                   CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_last,
+                   (1000000 // n)
+                       + CASE WHEN rn = 1
+                              THEN 1000000 - n * (1000000 // n)
+                              ELSE 0 END AS ppm
+            FROM ranked
+        )
+        SELECT channel,
+               CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(SUM(is_last) AS BIGINT) AS last_touch_conversions,
+               CAST(SUM(ppm) AS BIGINT) AS linear_credit_ppm
+        FROM credited
+        GROUP BY channel
+        ORDER BY channel
+    """,
+)
+def funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    bound = ev.withColumn(
+        "conv_us",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("us"))
+        ).over(w_fwd),
+    )
+    touches = bound.filter(
+        (F.col("event_type") != "purchase")
+        & F.col("conv_us").isNotNull()
+        & (F.col("conv_us") - F.col("us") <= 7 * 86400 * 1_000_000)
+    ).select("user_id", F.col("event_type").alias("channel"), "us", "event_id", "conv_us")
+    w_cnt = Window.partitionBy("user_id", "conv_us")
+    w_rank = w_cnt.orderBy(F.col("us").desc(), F.col("event_id").desc())
+    ranked = touches.select(
+        "channel",
+        F.count(F.lit(1)).over(w_cnt).alias("n"),
+        F.row_number().over(w_rank).alias("rn"),
+    )
+    credited = ranked.select(
+        "channel",
+        F.when(F.col("rn") == 1, 1).otherwise(0).alias("is_last"),
+        (
+            F.expr("1000000L div n")
+            + F.when(
+                F.col("rn") == 1,
+                F.lit(1_000_000) - F.col("n") * F.expr("1000000L div n"),
+            ).otherwise(F.lit(0))
+        ).alias("ppm"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum("is_last").cast("bigint").alias("last_touch_conversions"),
+            F.sum("ppm").cast("bigint").alias("linear_credit_ppm"),
+        )
+        .orderBy("channel")
+    )

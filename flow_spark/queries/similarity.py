@@ -1803,3 +1803,110 @@ def sim_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(queries, emb, cents, books, k=10, nprobe=2).orderBy(
         "query_id", "rank"
     )
+
+
+def _pack_sign_bits(col: str, start: int):
+    """BIGINT with bit i set iff embedding[start+i] > 0 (32 dims).
+
+    SQL-expr form because F.shiftleft only takes a literal int for
+    numBits, while the SQL function accepts the lambda's index column.
+    """
+    return F.expr(
+        f"aggregate(transform(slice({col}, {start + 1}, 32), "
+        "(x, i) -> CASE WHEN x > 0 THEN shiftleft(1L, i) ELSE 0L END), "
+        "0L, (acc, v) -> acc + v)"
+    )
+
+
+def _sql_pack(vec: str, start: int) -> str:
+    lo, hi = start + 1, start + 32
+    return (
+        f"CAST(list_sum(list_transform({vec}[{lo}:{hi}], "
+        "(x, i) -> CASE WHEN x > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) "
+        "ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+    )
+
+
+@register(
+    "emb_binary_hamming_topk",
+    category="similarity",
+    doc="Binary-quantized retrieval: each 64-dim float vector collapses to "
+    "a 2-word sign bitmap (bit i = embedding[i] > 0 — 16 bytes, a 16x "
+    "compression), and top-5 neighbors rank by Hamming distance "
+    "bit_count(lo^lo') + bit_count(hi^hi').  Sign extraction is exact "
+    "(no float arithmetic at all), so both engines agree bit-for-bit.  "
+    "Plan shape at 100 TB: packing is a scan-time projection (packed "
+    "corpus persists at 16 B/vector vs 256 B raw), the 10-row query "
+    "panel broadcasts, and the distance is two XOR+POPCNT ops inside "
+    "whole-stage codegen — the standard first-stage filter before "
+    "exact re-rank in binary-embedding retrieval stacks.",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        packed AS (
+            SELECT vec_id,
+                   {_sql_pack('e', 0)} AS lo,
+                   {_sql_pack('e', 32)} AS hi
+            FROM v
+        ),
+        q AS (
+            SELECT vec_id AS query_id, lo AS qlo, hi AS qhi
+            FROM packed WHERE vec_id % 50 = 0
+        ),
+        d AS (
+            SELECT q.query_id, p.vec_id AS neighbor_id,
+                   bit_count(xor(q.qlo, p.lo))
+                       + bit_count(xor(q.qhi, p.hi)) AS hamming
+            FROM q JOIN packed p ON p.vec_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, hamming,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY hamming ASC, neighbor_id ASC)
+                       AS rank
+            FROM d
+        )
+        SELECT query_id, neighbor_id,
+               CAST(hamming AS BIGINT) AS hamming,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+    """,
+)
+def emb_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    packed = emb.select(
+        "vec_id",
+        _pack_sign_bits("embedding", 0).alias("lo"),
+        _pack_sign_bits("embedding", 32).alias("hi"),
+    )
+    q = packed.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    d = (
+        packed.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("qlo").bitwiseXOR(F.col("lo")))
+                + F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi")))
+            )
+            .cast("bigint")
+            .alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -2485,3 +2485,89 @@ def text_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("flag_watermarked"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_ccnet_buckets",
+    category="text-analysis",
+    doc="CCNet-style quality bucketing (Wenzek et al. 2020): score every "
+    "document with the libm-free unigram surprisal proxy (floor-log2 "
+    "bit lengths, identical to text_unigram_surprisal), then split EACH "
+    "LANGUAGE into head/middle/tail terciles by that score — ntile(3) "
+    "ordered by (score, doc_id) so the split is total-order "
+    "deterministic — and keep head+middle, the standard pretraining "
+    "filter.  Per-language bucketing matters: an absolute threshold "
+    "would empty low-resource languages.  Plan shape at 100 TB: vocab "
+    "groupBy + frequency join as in the surprisal query, then ntile is "
+    "one shuffle partitioned BY LANGUAGE (parallel across languages; "
+    "if one language dominates, swap ntile for the two-pass "
+    "percentile-threshold pattern of scale_two_pass_quantile).",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST({_SQL_TOKS}) AS tok FROM documents
+        ),
+        vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        total AS (SELECT SUM(c) AS n FROM vocab),
+        scored AS (
+            SELECT t.doc_id,
+                   CAST(1000 * SUM(length(bin(CAST(tt.n AS BIGINT)))
+                                   - length(bin(CAST(v.c AS BIGINT))))
+                        // COUNT(*) AS BIGINT) AS score_milli
+            FROM toks t JOIN vocab v USING (tok) CROSS JOIN total tt
+            GROUP BY t.doc_id
+        ),
+        bucketed AS (
+            SELECT d.doc_id, d.lang, s.score_milli,
+                   NTILE(3) OVER (PARTITION BY d.lang
+                                  ORDER BY s.score_milli, d.doc_id) AS t3
+            FROM documents d JOIN scored s USING (doc_id)
+        )
+        SELECT doc_id, lang, score_milli,
+               CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                       ELSE 'tail' END AS bucket,
+               CAST(CASE WHEN t3 <= 2 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM bucketed
+        ORDER BY doc_id
+    """,
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from flow_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "(1000 * sum(length(bin(CAST(n AS BIGINT)))"
+                " - length(bin(CAST(c AS BIGINT))))) div count(*)"
+            )
+            .cast("bigint")
+            .alias("score_milli")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("score_milli", "doc_id")
+    bucketed = (
+        docs.select("doc_id", "lang")
+        .join(scored, "doc_id")
+        .withColumn("t3", F.ntile(3).over(w))
+    )
+    return bucketed.select(
+        "doc_id",
+        "lang",
+        "score_milli",
+        F.when(F.col("t3") == 1, "head")
+        .when(F.col("t3") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        F.when(F.col("t3") <= 2, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("kept"),
+    ).orderBy("doc_id")

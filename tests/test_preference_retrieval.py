@@ -1,0 +1,73 @@
+"""Property tests for the round-3 preference/retrieval/curation additions
+beyond oracle parity: Bradley-Terry conservation + normalization, binary
+Hamming vs a naive python re-computation, CCNet tercile balance, and
+attribution credit reconciliation."""
+
+from __future__ import annotations
+
+from flow_spark.queries.registry import get
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bradley_terry_conservation_and_normalization(spark):
+    rows = get("ml_bradley_terry").builder(spark, SF).collect()
+    assert len(rows) == 5
+    # every match produces exactly one win; n_matches double-counts
+    # (directed pair table), so sum(wins) == sum(n_matches) / 2
+    assert sum(r["wins"] for r in rows) * 2 == sum(r["n_matches"] for r in rows)
+    for it in ("rating_iter1", "rating_iter2"):
+        total = sum(r[it] for r in rows)
+        # normalization targets n_players * 1e6; each floor division
+        # can lose at most 1 micro-unit per player
+        assert 5_000_000 - 5 <= total <= 5_000_000, (it, total)
+        assert all(r[it] > 0 for r in rows)
+    # ratings actually separate the arms (not a degenerate all-equal fix)
+    assert len({r["rating_iter2"] for r in rows}) > 1
+
+
+def test_binary_hamming_matches_naive(spark):
+    from flow_spark.catalog import load_table
+
+    emb = {
+        r["vec_id"]: list(r["embedding"])
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+    signs = {k: [1 if x > 0 else 0 for x in v] for k, v in emb.items()}
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(signs[a], signs[b]))
+
+    got = {}
+    for r in get("emb_binary_hamming_topk").builder(spark, SF).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["hamming"])
+        )
+    assert got, "no query panel rows"
+    for q, lst in got.items():
+        naive = sorted(
+            (ham(q, c), c) for c in signs if c != q
+        )[:5]
+        lst.sort()
+        assert [(d, c) for _, c, d in lst] == naive, q
+
+
+def test_ccnet_terciles_balanced_and_kept(spark):
+    rows = get("text_ccnet_buckets").builder(spark, SF).collect()
+    by_lang: dict[str, dict[str, int]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {}).setdefault(r["bucket"], 0)
+        by_lang[r["lang"]][r["bucket"]] += 1
+        assert r["kept"] == (1 if r["bucket"] in ("head", "middle") else 0)
+    for lang, buckets in by_lang.items():
+        counts = [buckets.get(b, 0) for b in ("head", "middle", "tail")]
+        assert max(counts) - min(counts) <= 1, (lang, counts)
+
+
+def test_attribution_credit_reconciles(spark):
+    rows = get("funnel_attribution").builder(spark, SF).collect()
+    total_ppm = sum(r["linear_credit_ppm"] for r in rows)
+    conversions = sum(r["last_touch_conversions"] for r in rows)
+    # exact-integer property: per-conversion credit sums to exactly 1e6
+    assert total_ppm == conversions * 1_000_000
+    assert all(r["n_touches"] >= r["last_touch_conversions"] for r in rows)

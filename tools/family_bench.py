@@ -50,6 +50,8 @@ FAMILIES = {
         "sim_ivf_ann",
         "sim_hybrid_rrf",
         "sim_matryoshka_rerank",
+        "sim_ivf_pq_residual",
+        "emb_binary_hamming_topk",
     ],
     "dedup": [
         "dedup_ngram_containment",
@@ -75,12 +77,19 @@ FAMILIES = {
         "dedup_record_linkage",
         "dq_chi2_independence",
         "join_interval_allen",
+        "funnel_attribution",
         "join_spatial_grid",
         "join_cidr_lookup",
         "dq_profile_drift",
         "sample_poisson_bootstrap",
         "feat_equidepth_bins",
         "scale_two_pass_quantile",
+        "dq_ks_test",
+        "dq_mann_whitney",
+        "dq_benford",
+        "ts_autocorrelation",
+        "ts_changepoint_cusum",
+        "text_watermark_detect",
     ],
     "lakehouse": [
         "snap_time_travel",
@@ -95,12 +104,14 @@ FAMILIES = {
         "asof_pointintime_features",
         "ml_linreg_trend",
         "ml_hashed_linear_score",
+        "ml_bradley_terry",
         "dq_ab_welch",
         "ml_perceptron_train",
     ],
     "text-train": [
         "text_bpe_train",
         "text_bpe_apply",
+        "text_ccnet_buckets",
         "text_unigram_surprisal",
         "text_bigram_surprisal",
         "text_pmi_collocations",
@@ -114,6 +125,7 @@ FAMILIES = {
         "stream_sessionize_stateful",
         "stream_asof_enrich",
         "stream_funnel_cep",
+        "stream_heavy_hitters",
     ],
 }
 
