@@ -1910,3 +1910,99 @@ def emb_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "hamming", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "sim_ann_recall_eval",
+    category="similarity",
+    doc="ANN quality evaluation as a query: per query vector, exact "
+    "brute-force cosine top-10 (ground truth) and LSH same-bucket top-10 "
+    "(the index under test) compute in ONE plan, and recall@10 = "
+    "|approx ∩ exact| * 1e6 / |exact| ppm — the metric every vector-"
+    "index deployment tracks before swapping exact search out.  Both "
+    "legs reuse the engine-exact cosine (identical fold order in both "
+    "engines), so set membership at the rank-10 boundary is "
+    "deterministic and the whole evaluation is value-checked, not just "
+    "row-counted.  Plan shape at 100 TB: ground truth restricts to the "
+    "(small, sampled) query panel — broadcast queries x one candidate "
+    "scan — while the LSH leg is the bucket join; the final intersection "
+    "is a join on (query_id, neighbor_id) of two k-bounded lists.",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 50 = 0),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                          ORDER BY {_sql_cos('q.qe', 'c.e')} DESC,
+                                                   c.vec_id ASC) AS rank
+                FROM q JOIN v c ON c.vec_id != q.query_id
+            ) WHERE rank <= 10
+        ),
+        sig AS (SELECT vec_id, e, {_sql_bucket('e')} AS bucket FROM v),
+        qb AS (
+            SELECT vec_id AS query_id, e AS qe, bucket FROM sig
+            WHERE vec_id % 50 = 0
+        ),
+        approx AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT qb.query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY qb.query_id
+                                          ORDER BY {_sql_cos('qb.qe', 'c.e')} DESC,
+                                                   c.vec_id ASC) AS rank
+                FROM qb JOIN sig c
+                  ON c.bucket = qb.bucket AND c.vec_id != qb.query_id
+            ) WHERE rank <= 10
+        ),
+        hits AS (
+            SELECT e.query_id, COUNT(*) AS n_hit
+            FROM exact e JOIN approx a
+              ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+            GROUP BY e.query_id
+        ),
+        ne AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY query_id),
+        na AS (SELECT query_id, COUNT(*) AS n_approx FROM approx GROUP BY query_id)
+        SELECT ne.query_id,
+               CAST(ne.n_exact AS BIGINT) AS n_exact,
+               CAST(COALESCE(na.n_approx, 0) AS BIGINT) AS n_approx,
+               CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+               CAST(1000000 * COALESCE(h.n_hit, 0) // ne.n_exact AS BIGINT)
+                   AS recall_ppm
+        FROM ne
+        LEFT JOIN na ON na.query_id = ne.query_id
+        LEFT JOIN hits h ON h.query_id = ne.query_id
+        ORDER BY ne.query_id
+    """,
+)
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = brute_force_topk(queries, emb, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    approx = lsh_topk(queries, emb, dim=_DIM, k=10, n_planes=_N_PLANES).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    ne = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    na = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_approx"))
+    return (
+        ne.join(na, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.coalesce("n_approx", F.lit(0)).cast("bigint").alias("n_approx"),
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.expr("1000000 * coalesce(n_hit, 0L) div n_exact")
+            .cast("bigint")
+            .alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )

@@ -2571,3 +2571,114 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_kneser_ney",
+    category="text-analysis",
+    doc="Interpolated Kneser-Ney bigram probabilities — the standard "
+    "n-gram smoothing (the one KenLM ships) — in EXACT rational "
+    "arithmetic: with discount D = 3/4, P_KN(w2|w1) = max(c12-D,0)/c1 "
+    "+ D*N1+(w1,.)/c1 * N1+(.,w2)/|bigram types|; multiplying through "
+    "by 4 clears the fraction, so p_ppm = 1e6*(max(4*c12-3,0)*T + "
+    "3*N1f*N1b) // (4*c1*T) is pure integer (decimal38/HUGEINT guards "
+    "the cross-product) and both engines agree exactly.  MLE ppm ships "
+    "alongside so the output EXHIBITS the discount (KN < MLE on seen "
+    "bigrams, mass reserved for continuations).  Plan shape at 100 TB: "
+    "bigram assembly is the narrow zip_with pass; c1/N1+ forward stats "
+    "fold out of ONE groupBy over the bigram table (vocab-sized), "
+    "backward stats out of another; the type count is a 1-row "
+    "broadcast.  Nothing touches the driver.",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        pairs AS (
+            SELECT ws[i] AS w1, ws[i + 1] AS w2
+            FROM w CROSS JOIN range(1, 512) t(i)
+            WHERE i < len(ws) AND ws[i] <> '' AND ws[i + 1] <> ''
+        ),
+        big AS (
+            SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2
+        ),
+        fwd AS (
+            SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1f
+            FROM big GROUP BY w1
+        ),
+        bwd AS (SELECT w2, COUNT(*) AS n1b FROM big GROUP BY w2),
+        t AS (SELECT COUNT(*) AS ntypes FROM big),
+        scored AS (
+            SELECT b.w1, b.w2, b.c12, f.c1, f.n1f, d.n1b, t.ntypes,
+                   (1000000 * b.c12) // f.c1 AS p_mle_ppm,
+                   CAST((CAST(1000000 AS HUGEINT)
+                         * (greatest(4 * b.c12 - 3, 0) * CAST(t.ntypes AS HUGEINT)
+                            + 3 * CAST(f.n1f AS HUGEINT) * d.n1b))
+                        // (4 * CAST(f.c1 AS HUGEINT) * t.ntypes)
+                        AS BIGINT) AS p_kn_ppm
+            FROM big b
+            JOIN fwd f USING (w1)
+            JOIN bwd d USING (w2)
+            CROSS JOIN t
+        )
+        SELECT w1, w2,
+               CAST(c12 AS BIGINT) AS c12,
+               CAST(c1 AS BIGINT) AS c1,
+               CAST(n1f AS BIGINT) AS n1f,
+               CAST(n1b AS BIGINT) AS n1b,
+               CAST(p_mle_ppm AS BIGINT) AS p_mle_ppm,
+               p_kn_ppm
+        FROM scored
+        ORDER BY c12 DESC, w1, w2
+        LIMIT 50
+    """,
+)
+def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.split("text", " ").alias("ws"))
+    pairs = words.select(
+        F.explode(
+            F.zip_with(
+                "ws",
+                F.slice(F.col("ws"), 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+                lambda a, b: F.when(
+                    (a != "") & (b != ""),
+                    F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            )
+        ).alias("p")
+    ).filter(F.col("p").isNotNull()).select("p.w1", "p.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    fwd = big.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    bwd = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    t = big.agg(F.count(F.lit(1)).alias("ntypes"))
+    dec = "decimal(38,0)"
+    scored = (
+        big.join(fwd, "w1")
+        .join(bwd, "w2")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.col("c1").cast("bigint").alias("c1"),
+            F.col("n1f").cast("bigint").alias("n1f"),
+            F.col("n1b").cast("bigint").alias("n1b"),
+            F.expr("(1000000 * c12) div c1").cast("bigint").alias("p_mle_ppm"),
+            # decimal `div` is true integral division (decimal `/` would
+            # ROUND at the result scale before a cast could truncate)
+            F.expr(
+                f"(CAST(1000000 AS {dec})"
+                f" * (CAST(greatest(4 * c12 - 3, 0) AS {dec})"
+                f"    * CAST(ntypes AS {dec})"
+                f"    + CAST(3 AS {dec}) * CAST(n1f AS {dec})"
+                f"    * CAST(n1b AS {dec})))"
+                f" div (CAST(4 AS {dec}) * CAST(c1 AS {dec})"
+                f"      * CAST(ntypes AS {dec}))"
+            )
+            .cast("bigint")
+            .alias("p_kn_ppm"),
+        )
+    )
+    return scored.orderBy(F.desc("c12"), "w1", "w2").limit(50)

@@ -71,3 +71,26 @@ def test_attribution_credit_reconciles(spark):
     # exact-integer property: per-conversion credit sums to exactly 1e6
     assert total_ppm == conversions * 1_000_000
     assert all(r["n_touches"] >= r["last_touch_conversions"] for r in rows)
+
+
+def test_kneser_ney_discounts_below_mle(spark):
+    rows = get("text_kneser_ney").builder(spark, SF).collect()
+    assert len(rows) == 50
+    for r in rows:
+        # exact sandwich from the KN formula: the discounted first term
+        # alone is a lower bound; the backoff term is at most
+        # D*n1f/c1 * 1 (since Pcont = n1b/T <= 1), giving the upper bound
+        lo = (1_000_000 * max(4 * r["c12"] - 3, 0)) // (4 * r["c1"])
+        hi = r["p_mle_ppm"] + (1_000_000 * 3 * r["n1f"]) // (4 * r["c1"]) + 1
+        assert lo <= r["p_kn_ppm"] <= hi, r
+        assert 0 < r["p_kn_ppm"]
+        assert r["c12"] <= r["c1"]
+
+
+def test_ann_recall_bounds(spark):
+    rows = get("sim_ann_recall_eval").builder(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_exact"] == 10
+        assert 0 <= r["n_hit"] <= min(r["n_approx"], r["n_exact"])
+        assert r["recall_ppm"] == 1_000_000 * r["n_hit"] // r["n_exact"]

@@ -52,6 +52,7 @@ FAMILIES = {
         "sim_matryoshka_rerank",
         "sim_ivf_pq_residual",
         "emb_binary_hamming_topk",
+        "sim_ann_recall_eval",
     ],
     "dedup": [
         "dedup_ngram_containment",
@@ -112,6 +113,7 @@ FAMILIES = {
         "text_bpe_train",
         "text_bpe_apply",
         "text_ccnet_buckets",
+        "text_kneser_ney",
         "text_unigram_surprisal",
         "text_bigram_surprisal",
         "text_pmi_collocations",
