@@ -705,3 +705,114 @@ def snapshot_abort_staged(table_dir: str, branch: str = "audit") -> int:
             pass  # shared or non-empty write dir stays
     os.unlink(marker_path)
     return removed
+
+
+def snapshot_write_partitioned(
+    df: DataFrame,
+    table_dir: str,
+    spec: "list[str]",
+    reuse_files: "list[str] | None" = None,
+) -> int:
+    """Commit `df` hive-partitioned by `spec` as the next version.
+
+    Partition-spec EVOLUTION (Iceberg's headline planning feature): the
+    spec is a property of the FILES WRITTEN IN THIS COMMIT, not of the
+    table — the manifest records each file's partition values, so one
+    version can mix files written under different specs and the reader
+    prunes every file by exactly the columns its own spec had.  Old data
+    is never rewritten when the partitioning strategy changes.
+
+    Rows are repartitioned BY the spec columns before the write, so each
+    partition value lands in exactly one task -> exactly one file per
+    hive directory (deterministic file counts, and the 100 TB layout:
+    one writer per partition, no small-file spray).
+    """
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(os.path.join(table_dir, MANIFEST_DIR), exist_ok=True)
+    write_dir = os.path.join(table_dir, DATA_DIR, uuid.uuid4().hex[:12])
+    df.repartition(*[F.col(c) for c in spec]).write.partitionBy(*spec).mode(
+        "error"
+    ).parquet(write_dir)
+    files: list[str] = []
+    for root, _dirs, names in os.walk(write_dir):
+        files.extend(
+            os.path.join(root, n) for n in names if n.endswith(".parquet")
+        )
+    files.sort()
+    partitions: dict[str, dict] = {}
+    bases: dict[str, str] = {}
+    for f in files:
+        vals: dict[str, str] = {}
+        for seg in os.path.relpath(f, write_dir).split(os.sep)[:-1]:
+            k, _, v = seg.partition("=")
+            vals[k] = unquote(v)
+        partitions[f] = vals
+        bases[f] = write_dir
+    prev_version = current_version(table_dir)
+    if prev_version >= 1 and reuse_files:
+        with open(_manifest_path(table_dir, prev_version)) as fh:
+            prev_manifest = json.load(fh)
+        prev_parts = prev_manifest.get("partitions", {})
+        prev_bases = prev_manifest.get("bases", {})
+        for f in reuse_files:
+            partitions.setdefault(f, prev_parts.get(f, {}))
+            if f in prev_bases:
+                bases[f] = prev_bases[f]
+    version = prev_version + 1
+    manifest = {
+        "version": version,
+        "committed_at": time.time(),
+        "files": list(reuse_files or []) + files,
+        "schema": df.schema.json(),
+        "stats": {},
+        "stats_col": None,
+        "partitions": partitions,
+        "bases": bases,
+    }
+    _commit_manifest(manifest, _manifest_path(table_dir, version))
+    return version
+
+
+def snapshot_read_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    version: int,
+    equals: "dict[str, str]",
+) -> "tuple[DataFrame, int, int]":
+    """Read a version, pruning files by per-file partition values.
+
+    A file is kept when, for every (col, value) in `equals`, either its
+    own spec recorded that column with a matching value, or its spec
+    never had the column (written before the spec evolved -> cannot be
+    pruned on it; the caller's residual filter handles those rows).
+    Returns (df, n_files_selected, n_files_total).
+
+    Files read together are grouped by their write dir and loaded with
+    that dir as basePath, so Spark reconstructs each group's OWN
+    partition columns from the paths; groups union by name (specs agree
+    on the logical schema, they differ only in what is path vs payload).
+    """
+    with open(_manifest_path(table_dir, version)) as fh:
+        manifest = json.load(fh)
+    parts = manifest.get("partitions", {})
+    bases = manifest.get("bases", {})
+    selected = [
+        f
+        for f in manifest["files"]
+        if all(parts.get(f, {}).get(k, v) == v for k, v in equals.items())
+    ]
+    by_base: dict[str, list] = {}
+    for f in selected:
+        by_base.setdefault(bases.get(f, os.path.dirname(f)), []).append(f)
+    df = None
+    for base, group in sorted(by_base.items()):
+        part = spark.read.option("basePath", base).parquet(*sorted(group))
+        df = part if df is None else df.unionByName(part)
+    if df is None:
+        df = spark.read.schema(
+            spark.read.parquet(manifest["files"][0]).schema
+        ).parquet()  # pragma: no cover - empty selection
+    return df, len(selected), len(manifest["files"])

@@ -1313,3 +1313,120 @@ def funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "snap_partition_evolution",
+    category="scale-pattern",
+    doc="Partition-spec EVOLUTION at the manifest layer (operators/"
+    "snapshots.py:snapshot_write_partitioned): v1 commits pre-1997 "
+    "orders hive-partitioned by month; the table's strategy then "
+    "changes and v2 appends 1997+ orders partitioned by (month, "
+    "status) while REUSING v1's files untouched — Iceberg's headline "
+    "trick, old data is never rewritten when partitioning evolves.  "
+    "The reader prunes EACH FILE by the columns its own spec recorded "
+    "(old files can't prune on status -> kept + residual filter), and "
+    "because the writer routes one partition value per task (one file "
+    "per hive dir), the pruned FILE COUNTS are deterministic and the "
+    "oracle value-checks them as distinct-value counts — the pruning "
+    "effectiveness itself is correctness-gated, not just the rows.  "
+    "At 100 TB this is the difference between rewriting a petabyte "
+    "table to re-partition it and committing a manifest.",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderdate, o_orderstatus,
+                   strftime(o_orderdate, '%Y-%m') AS om,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       AS cents
+            FROM orders
+        ),
+        f1 AS (SELECT DISTINCT om FROM o
+               WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+        f2 AS (SELECT DISTINCT om, o_orderstatus FROM o
+               WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+        tot AS (SELECT (SELECT COUNT(*) FROM f1)
+                     + (SELECT COUNT(*) FROM f2) AS n_files_total)
+        SELECT 'month_new' AS scenario,
+               CAST((SELECT COUNT(*) FROM f1 WHERE om = '1997-03')
+                  + (SELECT COUNT(*) FROM f2 WHERE om = '1997-03')
+                    AS BIGINT) AS n_files_read,
+               CAST(tot.n_files_total AS BIGINT) AS n_files_total,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM o
+                WHERE om = '1997-03') AS n_rows,
+               (SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) FROM o
+                WHERE om = '1997-03') AS cents_sum
+        FROM tot
+        UNION ALL
+        SELECT 'month_old',
+               CAST((SELECT COUNT(*) FROM f1 WHERE om = '1996-06')
+                  + (SELECT COUNT(*) FROM f2 WHERE om = '1996-06')
+                    AS BIGINT),
+               CAST(tot.n_files_total AS BIGINT),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM o
+                WHERE om = '1996-06'),
+               (SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) FROM o
+                WHERE om = '1996-06')
+        FROM tot
+        UNION ALL
+        SELECT 'status_all',
+               CAST((SELECT COUNT(*) FROM f1)
+                  + (SELECT COUNT(*) FROM f2 WHERE o_orderstatus = 'F')
+                    AS BIGINT),
+               CAST(tot.n_files_total AS BIGINT),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM o
+                WHERE o_orderstatus = 'F'),
+               (SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) FROM o
+                WHERE o_orderstatus = 'F')
+        FROM tot
+        ORDER BY scenario
+    """,
+)
+def snap_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flow_spark.operators.snapshots import (
+        snapshot_files,
+        snapshot_read_pruned,
+        snapshot_write_partitioned,
+    )
+    from flow_spark.queries.util import cents
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "om", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    table_dir = tempfile.mkdtemp(prefix="snap_evo_")
+    v1 = snapshot_write_partitioned(
+        orders.filter(F.col("o_orderdate") < cutoff), table_dir, spec=["om"]
+    )
+    v2 = snapshot_write_partitioned(
+        orders.filter(F.col("o_orderdate") >= cutoff),
+        table_dir,
+        spec=["om", "o_orderstatus"],
+        reuse_files=snapshot_files(table_dir, v1),
+    )
+    scenarios = [
+        ("month_new", {"om": "1997-03"}),
+        ("month_old", {"om": "1996-06"}),
+        ("status_all", {"o_orderstatus": "F"}),
+    ]
+    parts = []
+    for name, equals in scenarios:
+        df, n_read, n_total = snapshot_read_pruned(spark, table_dir, v2, equals)
+        for col, val in equals.items():  # residual filter (unprunable files)
+            df = df.filter(F.col(col) == val)
+        parts.append(
+            df.agg(
+                F.lit(name).alias("scenario"),
+                F.lit(n_read).cast("bigint").alias("n_files_read"),
+                F.lit(n_total).cast("bigint").alias("n_files_total"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.coalesce(F.sum(cents("o_totalprice")), F.lit(0))
+                .cast("bigint")
+                .alias("cents_sum"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("scenario")

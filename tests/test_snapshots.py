@@ -559,3 +559,47 @@ def test_read_key_range_skips_files_from_manifest_stats(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="key_col"):
         snapshot_read(spark, t, key_range=(1, 2))
+
+
+def test_partition_evolution_prune_never_changes_results(spark, tmp_path):
+    """Pruned read + residual filter must equal full read + filter, for
+    predicates on old-spec, new-spec, and mixed columns — and old files
+    must remain readable (never rewritten) after the spec evolves."""
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        snapshot_files,
+        snapshot_read_pruned,
+        snapshot_write_partitioned,
+    )
+
+    td = str(tmp_path / "tbl")
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 7).cast("string").alias("g"),
+        (F.col("id") % 3).cast("string").alias("h"),
+    )
+    v1 = snapshot_write_partitioned(df.filter("id < 600"), td, spec=["g"])
+    v1_files = set(snapshot_files(td, v1))
+    v2 = snapshot_write_partitioned(
+        df.filter("id >= 600"), td, spec=["g", "h"],
+        reuse_files=sorted(v1_files),
+    )
+    # old files reused by reference, not rewritten
+    assert v1_files < set(snapshot_files(td, v2))
+    full, n_all, n_total = snapshot_read_pruned(spark, td, v2, {})
+    assert n_all == n_total
+    for equals in ({"g": "3"}, {"h": "1"}, {"g": "3", "h": "1"}):
+        pruned, n_read, _ = snapshot_read_pruned(spark, td, v2, equals)
+        for c, v in equals.items():
+            pruned = pruned.filter(F.col(c) == v)
+        expect = full
+        for c, v in equals.items():
+            expect = expect.filter(F.col(c) == v)
+        assert n_read < n_total
+        assert sorted(r.id for r in pruned.collect()) == sorted(
+            r.id for r in expect.collect()
+        )
+    # new-spec column can't prune v1 files: all v1 files survive h-pruning
+    _, n_h, _ = snapshot_read_pruned(spark, td, v2, {"h": "1"})
+    assert n_h >= len(v1_files)

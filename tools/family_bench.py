@@ -97,6 +97,7 @@ FAMILIES = {
         "snap_upsert_merge",
         "snap_changefeed",
         "snap_incremental_mv",
+        "snap_partition_evolution",
     ],
     "ml": [
         "ml_kmeans_quantized",
