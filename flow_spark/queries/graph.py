@@ -606,3 +606,96 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in censuses[1:]:
         out = out.unionByName(c)
     return out.orderBy("round")
+
+
+_LPA_ITERS = 3
+#: composite argmax key: cnt * 2^40 - label picks (max count, then MIN
+#: label) with one scalar — both engines' arg/max_by need a scalar key
+_LPA_KEY = 1 << 40
+
+
+def _sql_lpa_step(prev: str, out: str) -> str:
+    return f"""
+        c_{out} AS (
+            SELECT e.node, l.lbl, COUNT(*) AS cnt
+            FROM sym e JOIN {prev} l ON l.node = e.nbr
+            GROUP BY e.node, l.lbl
+        ),
+        {out} AS (
+            SELECT node, arg_max(lbl, cnt * {_LPA_KEY} - lbl) AS lbl
+            FROM c_{out} GROUP BY node
+        )"""
+
+
+@register(
+    "graph_label_propagation",
+    category="graph",
+    doc="Community detection by synchronous label propagation (Raghavan "
+    f"2007) over the strong-tie co-supply graph, {_LPA_ITERS} unrolled "
+    "iterations: every node adopts its neighbors' most frequent label, "
+    "ties broken to the SMALLEST label via one scalar argmax key "
+    "(cnt * 2^40 - lbl) — fully deterministic, no random visit order.  "
+    "Per iteration: one join of the edge list against the (node,label) "
+    "frontier + two groupBys, the same BSP shape as PageRank — labels "
+    "are a node-sized table, edges stream through one shuffle, nothing "
+    "iterates on the driver.  Output: per-community size and member-id "
+    "checksum.  The oracle replays all iterations as chained CTEs.",
+    oracle=f"""
+        WITH ps AS (
+            SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.s AS s1, b.s AS s2, COUNT(*) AS co
+            FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+            GROUP BY a.s, b.s
+        ),
+        nn AS (SELECT 3 * COUNT(DISTINCT s) AS e FROM ps),
+        edges AS (
+            SELECT s1, s2 FROM (
+                SELECT s1, s2,
+                       ROW_NUMBER() OVER (ORDER BY co DESC, s1, s2) AS rn
+                FROM pairs
+            ), nn WHERE rn <= e
+        ),
+        sym AS (
+            SELECT s1 AS node, s2 AS nbr FROM edges
+            UNION ALL SELECT s2, s1 FROM edges
+        ),
+        l0 AS (SELECT DISTINCT node, node AS lbl FROM sym),
+        {",".join(_sql_lpa_step(f"l{i}", f"l{i + 1}") for i in range(_LPA_ITERS))}
+        SELECT CAST(lbl AS BIGINT) AS community,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(node) AS BIGINT) AS member_sum
+        FROM l{_LPA_ITERS}
+        GROUP BY lbl
+        ORDER BY community
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _strong_tie_edges(spark, sf_dir)
+    sym = st.select(
+        F.col("s1").alias("node"), F.col("s2").alias("nbr")
+    ).unionByName(
+        st.select(F.col("s2").alias("node"), F.col("s1").alias("nbr"))
+    ).localCheckpoint()  # edge list feeds every iteration: materialize once
+    labels = sym.select("node").distinct().withColumn("lbl", F.col("node"))
+    for _ in range(_LPA_ITERS):
+        counts = (
+            sym.join(
+                labels.select(F.col("node").alias("nbr"), "lbl"), "nbr"
+            )
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = counts.groupBy("node").agg(
+            F.expr(f"max_by(lbl, cnt * {_LPA_KEY} - lbl)").alias("lbl")
+        ).localCheckpoint()
+    return (
+        labels.groupBy("lbl")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("node").cast("bigint").alias("member_sum"),
+        )
+        .select(F.col("lbl").cast("bigint").alias("community"), "n_members", "member_sum")
+        .orderBy("community")
+    )

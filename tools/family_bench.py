@@ -34,6 +34,7 @@ FAMILIES = {
         "graph_degree_histogram",
         "graph_link_prediction",
         "graph_bfs_levels",
+        "graph_label_propagation",
         "graph_connected_components",
     ],
     "index-sketch": [
