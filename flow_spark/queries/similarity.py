@@ -1836,8 +1836,10 @@ def _sql_pack(vec: str, start: int) -> str:
     "bit_count(lo^lo') + bit_count(hi^hi').  Sign extraction is exact "
     "(no float arithmetic at all), so both engines agree bit-for-bit.  "
     "Plan shape at 100 TB: packing is a scan-time projection (packed "
-    "corpus persists at 16 B/vector vs 256 B raw), the 10-row query "
-    "panel broadcasts, and the distance is two XOR+POPCNT ops inside "
+    "corpus persists at 16 B/vector vs 256 B raw), the query panel is "
+    "SF-PINNED (vec_id < 2000 — a panel growing with the corpus would "
+    "make the bench quadratic in SF, the MRL lesson), and the distance "
+    "is two XOR+POPCNT ops inside "
     "whole-stage codegen — the standard first-stage filter before "
     "exact re-rank in binary-embedding retrieval stacks.",
     oracle=f"""
@@ -1852,7 +1854,7 @@ def _sql_pack(vec: str, start: int) -> str:
         ),
         q AS (
             SELECT vec_id AS query_id, lo AS qlo, hi AS qhi
-            FROM packed WHERE vec_id % 50 = 0
+            FROM packed WHERE vec_id % 50 = 0 AND vec_id < 2000
         ),
         d AS (
             SELECT q.query_id, p.vec_id AS neighbor_id,
@@ -1883,7 +1885,7 @@ def emb_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pack_sign_bits("embedding", 0).alias("lo"),
         _pack_sign_bits("embedding", 32).alias("hi"),
     )
-    q = packed.filter(F.col("vec_id") % 50 == 0).select(
+    q = packed.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)).select(
         F.col("vec_id").alias("query_id"),
         F.col("lo").alias("qlo"),
         F.col("hi").alias("qhi"),
@@ -1931,7 +1933,8 @@ def emb_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
         ),
-        q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 50 = 0),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM v
+             WHERE vec_id % 50 = 0 AND vec_id < 2000),
         exact AS (
             SELECT query_id, neighbor_id FROM (
                 SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -1944,7 +1947,7 @@ def emb_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig AS (SELECT vec_id, e, {_sql_bucket('e')} AS bucket FROM v),
         qb AS (
             SELECT vec_id AS query_id, e AS qe, bucket FROM sig
-            WHERE vec_id % 50 = 0
+            WHERE vec_id % 50 = 0 AND vec_id < 2000
         ),
         approx AS (
             SELECT query_id, neighbor_id FROM (
@@ -1978,7 +1981,7 @@ def emb_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
     exact = brute_force_topk(queries, emb, k=10).select(
         "query_id", "neighbor_id"
     )
