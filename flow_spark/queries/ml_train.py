@@ -495,3 +495,242 @@ def ml_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("player")
     )
+
+
+_MW_ROUNDS = 3
+#: argmin key: err * 256 + bucket * 2 + polarity-bit — one scalar so both
+#: engines break ties identically (smallest bucket, then pol=+1 first)
+_MW_KEY = 256
+
+
+def _mw_round(
+    presence: DataFrame, wt: DataFrame
+) -> "tuple[tuple[int, int, int], DataFrame]":
+    """One boosting round: pick the min-weighted-error presence stump,
+    double the weights of the docs it misclassifies.
+
+    Returns ((b, pol, err) as plain ints, updated weights DataFrame).
+    The winner is a 1-ROW aggregate, so it follows the repo's
+    tiny-model-to-driver pattern (sample_temperature_mix, PQ codebooks):
+    collect it and re-broadcast as LITERALS — per-round localCheckpoints
+    of a 1-row frame cost more than the whole round (measured 19 s ->
+    6 s on this query at sf0.001), and literal predicates keep the
+    weight-update lineage shallow enough to skip checkpointing entirely.
+    """
+    tot = wt.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("w")).otherwise(F.lit(0))).alias("tp"),
+        F.sum(F.when(F.col("y") == -1, F.col("w")).otherwise(F.lit(0))).alias("tn"),
+    )
+    per_b = (
+        presence.join(wt, ["doc_id", "y"])
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("y") == 1, F.col("w")).otherwise(F.lit(0))).alias("sp"),
+            F.sum(F.when(F.col("y") == -1, F.col("w")).otherwise(F.lit(0))).alias("sn"),
+        )
+    )
+    errs = per_b.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("pol"),
+                    (F.col("sn") + F.col("tp") - F.col("sp")).alias("err"),
+                ),
+                F.struct(
+                    F.lit(-1).alias("pol"),
+                    (F.col("sp") + F.col("tn") - F.col("sn")).alias("err"),
+                ),
+            )
+        ).alias("e"),
+    ).select("bucket", "e.pol", "e.err")
+    row = (
+        errs.agg(
+            F.expr(
+                f"min_by(struct(bucket AS b, pol, err), "
+                f"err * {_MW_KEY} + bucket * 2 + if(pol = 1, 0, 1))"
+            ).alias("c")
+        )
+        .select("c.b", "c.pol", "c.err")
+        .collect()[0]
+    )
+    b, pol, err = int(row.b), int(row.pol), int(row.err)
+    pres_b = presence.filter(F.col("bucket") == b).select(
+        "doc_id", F.lit(1).alias("present")
+    )
+    upd = wt.join(pres_b, "doc_id", "left").select(
+        "doc_id",
+        "y",
+        # stump prediction = pol * (present ? 1 : -1); double on mistake
+        F.when(
+            F.lit(pol) * F.when(F.col("present").isNotNull(), 1).otherwise(-1)
+            != F.col("y"),
+            F.col("w") * 2,
+        )
+        .otherwise(F.col("w"))
+        .alias("w"),
+    )
+    return (b, pol, err), upd
+
+
+def _mw_sql_round(prev_w: str, r: int) -> str:
+    """DuckDB CTEs for round r reading weights `prev_w`."""
+    return f"""
+        tot_{r} AS MATERIALIZED (
+            SELECT SUM(CASE WHEN y = 1 THEN w ELSE 0 END) AS tp,
+                   SUM(CASE WHEN y = -1 THEN w ELSE 0 END) AS tn
+            FROM {prev_w}
+        ),
+        perb_{r} AS MATERIALIZED (
+            SELECT p.bucket,
+                   SUM(CASE WHEN v.y = 1 THEN v.w ELSE 0 END) AS sp,
+                   SUM(CASE WHEN v.y = -1 THEN v.w ELSE 0 END) AS sn
+            FROM presence p JOIN {prev_w} v USING (doc_id, y)
+            GROUP BY p.bucket
+        ),
+        errs_{r} AS MATERIALIZED (
+            SELECT bucket, 1 AS pol, sn + tp - sp AS err
+            FROM perb_{r} CROSS JOIN tot_{r}
+            UNION ALL
+            SELECT bucket, -1, sp + tn - sn
+            FROM perb_{r} CROSS JOIN tot_{r}
+        ),
+        ch_{r} AS MATERIALIZED (
+            SELECT arg_min(bucket, err * {_MW_KEY} + bucket * 2
+                           + CASE WHEN pol = 1 THEN 0 ELSE 1 END) AS b,
+                   arg_min(pol, err * {_MW_KEY} + bucket * 2
+                           + CASE WHEN pol = 1 THEN 0 ELSE 1 END) AS pol,
+                   MIN(err * {_MW_KEY} + bucket * 2
+                       + CASE WHEN pol = 1 THEN 0 ELSE 1 END)
+                       // {_MW_KEY} AS err
+            FROM errs_{r}
+        ),
+        w{r} AS MATERIALIZED (
+            SELECT v.doc_id, v.y,
+                   CASE WHEN c.pol * (CASE WHEN p.doc_id IS NOT NULL
+                                           THEN 1 ELSE -1 END) <> v.y
+                        THEN v.w * 2 ELSE v.w END AS w
+            FROM {prev_w} v
+            CROSS JOIN ch_{r} c
+            LEFT JOIN (SELECT DISTINCT pr.doc_id, ch_{r}.b
+                       FROM presence pr, ch_{r}
+                       WHERE pr.bucket = ch_{r}.b) p
+                   ON p.doc_id = v.doc_id
+        )"""
+
+
+@register(
+    "ml_boosting_mw",
+    category="ml",
+    doc=f"Boosting with multiplicative weights ({_MW_ROUNDS} rounds): each "
+    "round scores ALL 66 presence stumps ('is-English iff bucket b "
+    "(not) in doc') by weighted error in ONE groupBy — err(b,+1) = "
+    "s_neg(b) + (tot_pos - s_pos(b)), so per-bucket sums + two global "
+    "totals price the whole learner family, no per-learner pass — "
+    "picks the argmin by one scalar key, and DOUBLES the weights the "
+    "winner misclassifies (beta=1/2 multiplicative-weights boosting: "
+    "all-integer, unlike AdaBoost's exp(alpha) reweighting, so both "
+    "engines replay it bit-for-bit).  Output: per-round chosen stump + "
+    "weighted error, plus the 3-vote majority ensemble's training "
+    "errors (odd vote count -> no ties).  Plan shape at 100 TB: the "
+    "presence matrix is the only big table; each round is one shuffle "
+    "over it keyed by bucket + a broadcast of the 1-row winner — the "
+    "same tiny-model/big-data split as the perceptron.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+                   unnest({_SQL_TOKS}) AS tok
+            FROM documents
+        ),
+        presence AS MATERIALIZED (
+            SELECT DISTINCT doc_id, y,
+                   {portable_hash_expr("tok", salt="pcp")} % {_B} AS bucket
+            FROM toks WHERE len(tok) > 0
+            UNION
+            SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END, {_B}
+            FROM documents
+        ),
+        w0 AS MATERIALIZED (
+            SELECT DISTINCT doc_id, y, CAST(1 AS BIGINT) AS w FROM presence
+        ),
+        {",".join(_mw_sql_round(f"w{r - 1}", r) for r in range(1, _MW_ROUNDS + 1))},
+        votes AS (
+            SELECT v.doc_id, v.y,
+                   {" + ".join(
+                       f"(SELECT pol FROM ch_{r})"
+                       f" * (CASE WHEN p{r}.doc_id IS NOT NULL"
+                       f"     THEN 1 ELSE -1 END)"
+                       for r in range(1, _MW_ROUNDS + 1)
+                   )} AS vote
+            FROM w0 v
+            {" ".join(
+                f"LEFT JOIN (SELECT DISTINCT pr.doc_id FROM presence pr, ch_{r} c"
+                f" WHERE pr.bucket = c.b) p{r} ON p{r}.doc_id = v.doc_id"
+                for r in range(1, _MW_ROUNDS + 1)
+            )}
+        ),
+        ens AS (
+            SELECT COUNT(*) FILTER (WHERE (CASE WHEN vote > 0 THEN 1 ELSE -1 END)
+                                          <> y) AS n_mis
+            FROM votes
+        )
+        SELECT r AS round,
+               CAST(b AS BIGINT) AS bucket,
+               CAST(pol AS BIGINT) AS pol,
+               CAST(err AS BIGINT) AS err_weighted,
+               (SELECT CAST(n_mis AS BIGINT) FROM ens) AS ensemble_mis
+        FROM (
+            {" UNION ALL ".join(
+                f"SELECT {r} AS r, b, pol, err FROM ch_{r}"
+                for r in range(1, _MW_ROUNDS + 1)
+            )}
+        )
+        ORDER BY round
+    """,
+)
+def ml_boosting_mw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    presence = (
+        _features(spark, sf_dir)
+        .select("doc_id", "y", "bucket")
+        .distinct()
+        .localCheckpoint()  # every round and the final vote rescan it
+    )
+    wt = presence.select("doc_id", "y").distinct().withColumn(
+        "w", F.lit(1).cast("bigint")
+    )
+    rounds: list[tuple[int, int, int]] = []
+    for _ in range(_MW_ROUNDS):
+        chosen, wt = _mw_round(presence, wt)
+        rounds.append(chosen)
+    # 3-vote majority ensemble training error (chosen stumps as literals)
+    votes = presence.select("doc_id", "y").distinct()
+    for i, (b, pol, _err) in enumerate(rounds):
+        pres_b = presence.filter(F.col("bucket") == b).select(
+            "doc_id", F.lit(1).alias(f"p{i}")
+        )
+        votes = votes.join(pres_b, "doc_id", "left").withColumn(
+            f"v{i}",
+            F.lit(pol) * F.when(F.col(f"p{i}").isNotNull(), 1).otherwise(-1),
+        )
+    ens = votes.select(
+        F.when(
+            F.when(
+                sum(F.col(f"v{i}") for i in range(_MW_ROUNDS)) > 0, 1
+            ).otherwise(-1)
+            != F.col("y"),
+            1,
+        )
+        .otherwise(0)
+        .alias("mis")
+    ).agg(F.sum("mis").cast("bigint").alias("n_mis"))
+    out = spark.createDataFrame(
+        [(r, b, pol, err) for r, (b, pol, err) in enumerate(rounds, start=1)],
+        "round int, bucket long, pol long, err_weighted long",
+    )
+    return (
+        out.crossJoin(F.broadcast(ens))
+        .select("round", "bucket", "pol", "err_weighted",
+                F.col("n_mis").alias("ensemble_mis"))
+        .orderBy("round")
+    )

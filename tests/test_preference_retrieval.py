@@ -94,3 +94,20 @@ def test_ann_recall_bounds(spark):
         assert r["n_exact"] == 10
         assert 0 <= r["n_hit"] <= min(r["n_approx"], r["n_exact"])
         assert r["recall_ppm"] == 1_000_000 * r["n_hit"] // r["n_exact"]
+
+
+def test_boosting_mw_shape_and_determinism(spark):
+    rows1 = get("ml_boosting_mw").builder(spark, SF).collect()
+    assert [r["round"] for r in rows1] == [1, 2, 3]
+    for r in rows1:
+        assert r["pol"] in (-1, 1)
+        assert 0 <= r["bucket"] <= 32
+        assert r["err_weighted"] > 0
+    # weights only ever double: total mass after round r is bounded by
+    # 2^r * n_docs, so the weighted error can never exceed that
+    n_docs = 500
+    for r in rows1:
+        assert r["err_weighted"] <= (2 ** (r["round"] - 1)) * n_docs
+    # the whole loop (stump picks included) must be retry-deterministic
+    rows2 = get("ml_boosting_mw").builder(spark, SF).collect()
+    assert [tuple(r) for r in rows1] == [tuple(r) for r in rows2]

@@ -108,6 +108,7 @@ FAMILIES = {
         "ml_linreg_trend",
         "ml_hashed_linear_score",
         "ml_bradley_terry",
+        "ml_boosting_mw",
         "dq_ab_welch",
         "ml_perceptron_train",
     ],
