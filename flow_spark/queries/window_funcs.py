@@ -890,3 +890,108 @@ def win_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_sky.select("p_partkey", "price_cents", "p_size").orderBy(
         "p_partkey"
     )
+
+
+@register(
+    "win_session_paths",
+    category="window",
+    doc="Top-10 navigation paths: sessionize per user (>24h gap = new "
+    "session, the win_sessionize convention), build each session's "
+    "ordered event-type path ('view>click>purchase'), and rank paths "
+    "by frequency — the product-analytics query behind every 'user "
+    "journey' dashboard.  Path assembly is order-sensitive, so the "
+    "Spark side sorts each session's collected (us, event_id, type) "
+    "structs with array_sort (lexicographic = the oracle's ORDER BY "
+    "us, event_id) before joining the types — collect_list alone has "
+    "NO deterministic order under retries.  One shuffle on user_id "
+    "serves the lag + running-sum sessionization; the path groupBy is "
+    "map-side combinable; top-10 is a rank-pushdown sort.  Paths are "
+    "capped to sessions of <= 8 events (longer carts dedup to "
+    "'...>more') so the path-key cardinality stays bounded at 100 TB.",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, ts, event_id, event_type,
+                   epoch_us(ts) AS us,
+                   CASE WHEN epoch_us(ts)
+                             - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                       ORDER BY ts, event_id)
+                             > 86400000000
+                          OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id)
+                             IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ),
+        tagged AS (
+            SELECT user_id, us, event_id, event_type,
+                   SUM(new_sess) OVER (PARTITION BY user_id
+                                       ORDER BY us, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sess
+            FROM seq
+        ),
+        paths AS (
+            SELECT user_id, sess,
+                   COUNT(*) AS n_events,
+                   CASE WHEN COUNT(*) <= 8
+                        THEN string_agg(event_type, '>' ORDER BY us, event_id)
+                        ELSE '...>more' END AS path
+            FROM tagged
+            GROUP BY user_id, sess
+        )
+        SELECT path,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(n_events) AS BIGINT) AS n_events
+        FROM paths
+        GROUP BY path
+        ORDER BY n_sessions DESC, path
+        LIMIT 10
+    """,
+)
+def win_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w_order = W.partitionBy("user_id").orderBy("us", "event_id")
+    seq = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.col("us") - F.lag("us").over(w_order) > 86_400_000_000)
+            | F.lag("us").over(w_order).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    tagged = seq.withColumn(
+        "sess",
+        F.sum("new_sess").over(
+            w_order.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    paths = (
+        tagged.groupBy("user_id", "sess")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_sort(
+                F.collect_list(F.struct("us", "event_id", "event_type"))
+            ).alias("evs"),
+        )
+        .select(
+            "n_events",
+            F.when(
+                F.col("n_events") <= 8,
+                F.array_join(
+                    F.transform("evs", lambda s: s.event_type), ">"
+                ),
+            )
+            .otherwise("...>more")
+            .alias("path"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(10)
+    )
