@@ -663,3 +663,69 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cnt"), "tok")
     )
+
+
+@register(
+    "stream_session_window_dynamic",
+    category="streaming",
+    doc="DYNAMIC-gap session windows (F.session_window with a per-row gap "
+    "expression, Spark 3.2+): purchases close a session after 2 min, "
+    "everything else after 10 — the 'checkout ends the visit' "
+    "semantics static gaps can't express.  The oracle restates Spark's "
+    "merge rule exactly: a session continues while the next event "
+    "starts BEFORE the running max of previous [ts, ts+gap) ends "
+    "(windows are end-exclusive, so ts == end starts a new session); "
+    "all comparisons in integer microseconds.  Same one-shuffle-per-"
+    "user plan shape as the static variant.",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us,
+                   CAST(ts AS TIMESTAMP) AS t,
+                   CASE WHEN event_type = 'purchase'
+                        THEN 120000000 ELSE 600000000 END AS gap
+            FROM events
+        ),
+        m AS (
+            SELECT user_id, us, t,
+                   MAX(us + gap) OVER (PARTITION BY user_id
+                                       ORDER BY us, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND 1 PRECEDING) AS pe
+            FROM e
+        ),
+        s AS (
+            SELECT user_id, us, t,
+                   CASE WHEN pe IS NULL OR us >= pe THEN 1 ELSE 0 END AS ns
+            FROM m
+        ),
+        i AS (
+            SELECT user_id, t,
+                   SUM(ns) OVER (PARTITION BY user_id ORDER BY us
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+            FROM s
+        )
+        SELECT user_id,
+               strftime(MIN(t), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               COUNT(*) AS n_events
+        FROM i
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
+)
+def stream_session_window_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("2 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("first_ts"))
+        .select(
+            "user_id",
+            F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
