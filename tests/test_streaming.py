@@ -1698,3 +1698,51 @@ def test_heavy_hitters_stream_multibatch_guarantee(spark, tmp_path):
                 assert item in final[shard], (item, true_c, bound, final[shard])
             if item in final[shard]:
                 assert true_c - est <= bound, (item, est, true_c, bound)
+
+
+def test_session_window_dynamic_gap_streaming(spark, tmp_path):
+    """Dynamic-gap session_window under readStream: a 'purchase' closes
+    its session after 2 minutes while other events hold it open for 10,
+    so the same timeline splits differently depending on event types —
+    and the availableNow drain must agree with the batch evaluation."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = (
+        # purchase at t0 (2-min gap), next event at +5 min -> NEW session
+        [(1, t0, "purchase"), (1, t0 + timedelta(minutes=5), "view")]
+        # view at t0 (10-min gap), next at +5 min -> SAME session
+        + [(2, t0, "view"), (2, t0 + timedelta(minutes=5), "view")]
+    )
+    (tmp_path / "s").mkdir()
+    schema = "user long, ts timestamp, et string"
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(
+        str(tmp_path / "s")
+    )
+    gap = F.when(F.col("et") == "purchase", F.lit("2 minutes")).otherwise(
+        F.lit("10 minutes")
+    )
+
+    def sessions(df):
+        return df.groupBy(
+            "user", F.session_window("ts", gap).alias("w")
+        ).agg(F.count("*").alias("n"))
+
+    stream = spark.readStream.schema(schema).parquet(str(tmp_path / "s"))
+    q = (
+        sessions(stream.withWatermark("ts", "1 hour"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("dyn_sess_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r.user, r.n) for r in spark.table("dyn_sess_out").collect())
+    assert got == [(1, 1), (1, 1), (2, 2)]
+    batch = sorted(
+        (r.user, r.n)
+        for r in sessions(spark.read.parquet(str(tmp_path / "s"))).collect()
+    )
+    assert batch == got
