@@ -811,8 +811,8 @@ def snapshot_read_pruned(
     for base, group in sorted(by_base.items()):
         part = spark.read.option("basePath", base).parquet(*sorted(group))
         df = part if df is None else df.unionByName(part)
-    if df is None:
-        df = spark.read.schema(
-            spark.read.parquet(manifest["files"][0]).schema
-        ).parquet()  # pragma: no cover - empty selection
+    if df is None:  # nothing survived pruning: empty frame, table schema
+        df = spark.createDataFrame(
+            [], spark.read.parquet(manifest["files"][0]).schema
+        )
     return df, len(selected), len(manifest["files"])

@@ -603,3 +603,22 @@ def test_partition_evolution_prune_never_changes_results(spark, tmp_path):
     # new-spec column can't prune v1 files: all v1 files survive h-pruning
     _, n_h, _ = snapshot_read_pruned(spark, td, v2, {"h": "1"})
     assert n_h >= len(v1_files)
+
+
+def test_partition_evolution_empty_prune(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        snapshot_read_pruned,
+        snapshot_write_partitioned,
+    )
+
+    td = str(tmp_path / "tbl")
+    df = spark.range(10).select(
+        "id", (F.col("id") % 2).cast("string").alias("g")
+    )
+    v = snapshot_write_partitioned(df, td, spec=["g"])
+    out, n_read, n_total = snapshot_read_pruned(spark, td, v, {"g": "nope"})
+    assert n_read == 0 and n_total > 0
+    assert out.count() == 0
+    assert "id" in out.columns

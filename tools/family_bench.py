@@ -183,6 +183,19 @@ def main() -> int:
             # noise into later families (observed: an 8.6 s text_pmi
             # outlier in a session whose solo steady state is 1.0 s)
             spark.catalog.clearCache()
+            # clearCache only drops SQL-cached relations; localCheckpoint
+            # blocks (BT ratings, LPA edge lists, boosting presence...)
+            # live as persistent RDDs until their Python handles are
+            # GC'd — with 139 entries in one JVM the stragglers inflated
+            # the LAST families 2-4x (stateful-stream 9 s -> 25 s run
+            # total, solo steady state unchanged).  Unpersist explicitly
+            # and nudge the py4j reference cleaner.
+            import gc
+
+            gc.collect()
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in jmap.values():
+                jrdd.unpersist()
             was = prior.get(name)
             if (
                 was is not None
