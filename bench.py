@@ -16,6 +16,7 @@ noise.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -65,6 +66,14 @@ def _time_set(spark, queries, sf_dir: str, n_timed: int) -> dict[str, float]:
             q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[n_timed // 2], 3)
+        # release cached relations AND checkpoint blocks between queries:
+        # leftover localCheckpoint RDDs from earlier entries build GC
+        # pressure that bleeds into later timings (same fix as
+        # tools/family_bench.py, where it removed a 2-4x late-run skew)
+        spark.catalog.clearCache()
+        gc.collect()
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist()
     return timings
 
 
