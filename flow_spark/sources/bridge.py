@@ -102,10 +102,18 @@ class SocketBridge:
                     if not self.silent:
                         writer.write(OK)
                         await writer.drain()
+                except (ConnectionResetError, BrokenPipeError):
+                    raise  # client vanished: handled by the outer catch
                 except Exception:  # noqa: BLE001 — keep serving other conns
                     if not self.silent:
                         writer.write(FAILED)
                         await writer.drain()
+        except (ConnectionResetError, BrokenPipeError):
+            # client closed without reading its final acks (the reference's
+            # TCP receiver tolerates this the same way: receiver_tcp.go
+            # treats a write-side error as end-of-conn, not server failure);
+            # every record acked OK was already spooled, nothing is lost
+            pass
         finally:
             # the loop may already be closed when the server stops with a
             # live connection (GC'd coroutine) — closing is best-effort
