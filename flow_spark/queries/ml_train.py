@@ -734,3 +734,109 @@ def ml_boosting_mw(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_mis").alias("ensemble_mis"))
         .orderBy("round")
     )
+
+
+_TS_LCM = 27720  # lcm(1..12): clears every pair-gap denominator exactly
+_TS_MAXGAP = 12
+
+
+@register(
+    "ml_theil_sen",
+    category="ml",
+    doc="Theil-Sen robust trend per quarter of 1996: daily revenue "
+    f"series, pairwise slopes over day gaps 1..{_TS_MAXGAP}, estimator "
+    "= MEDIAN slope.  The novelty is ordering slopes EXACTLY: slope "
+    f"dy/g maps to the integer key dy * ({_TS_LCM} / g) (lcm of all "
+    "gaps clears the denominator), so the median pick is an integer "
+    "sort + row_number — no float division ever enters the ordering, "
+    "where near-tied rational slopes would flip ranks across engines.  "
+    "Output: per-quarter pair count, the median slope in micro-cents/"
+    "day (key * 1e6 // lcm), and the median pair's (day, gap, dy) "
+    "witness.  Plan shape at 100 TB: the banded self-join is gap-"
+    "bounded (each day joins <= 12 partners — the interval-bucket "
+    "trick of scale_bucketed_range_join applies verbatim if days "
+    "become billions of device-series keys); the median is one "
+    "window pass per group.",
+    oracle=f"""
+        WITH daily AS (
+            SELECT datediff('day', DATE '1996-01-01',
+                            CAST(o_orderdate AS DATE)) AS d,
+                   CAST(quarter(o_orderdate) AS BIGINT) AS q,
+                   SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                            AS BIGINT)) AS y
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.q, a.d, b.d - a.d AS g, b.y - a.y AS dy,
+                   (b.y - a.y) * ({_TS_LCM} // (b.d - a.d)) AS key
+            FROM daily a JOIN daily b
+              ON a.q = b.q AND b.d - a.d BETWEEN 1 AND {_TS_MAXGAP}
+        ),
+        ranked AS (
+            SELECT q, d, g, dy, key,
+                   ROW_NUMBER() OVER (PARTITION BY q
+                                      ORDER BY key, d, g) AS rn,
+                   COUNT(*) OVER (PARTITION BY q) AS n
+            FROM pairs
+        )
+        SELECT q AS quarter,
+               CAST(n AS BIGINT) AS n_pairs,
+               CAST(key * 1000000 // {_TS_LCM} AS BIGINT)
+                   AS median_slope_micro,
+               CAST(d AS BIGINT) AS witness_day,
+               CAST(g AS BIGINT) AS witness_gap,
+               CAST(dy AS BIGINT) AS witness_dy
+        FROM ranked WHERE rn = (n + 1) // 2
+        ORDER BY quarter
+    """,
+)
+def ml_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from flow_spark.queries.util import cents
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1996-01-01").cast("date")).alias("d"),
+        F.quarter("o_orderdate").cast("bigint").alias("q"),
+    ).agg(F.sum(cents("o_totalprice")).alias("y"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.q") == F.col("b.q"))
+        & (F.col("b.d") - F.col("a.d")).between(1, _TS_MAXGAP),
+    ).select(
+        F.col("a.q").alias("q"),
+        F.col("a.d").alias("d"),
+        (F.col("b.d") - F.col("a.d")).alias("g"),
+        (F.col("b.y") - F.col("a.y")).alias("dy"),
+        (
+            (F.col("b.y") - F.col("a.y"))
+            * F.expr(f"{_TS_LCM} div (b.d - a.d)")
+        ).alias("key"),
+    )
+    wq = W.partitionBy("q")
+    ranked = pairs.withColumn(
+        "rn", F.row_number().over(wq.orderBy("key", "d", "g"))
+    ).withColumn("n", F.count(F.lit(1)).over(wq))
+    return (
+        ranked.filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(
+            F.col("q").alias("quarter"),
+            F.col("n").cast("bigint").alias("n_pairs"),
+            F.expr(f"(key * 1000000) div {_TS_LCM}")
+            .cast("bigint")
+            .alias("median_slope_micro"),
+            F.col("d").cast("bigint").alias("witness_day"),
+            F.col("g").cast("bigint").alias("witness_gap"),
+            F.col("dy").cast("bigint").alias("witness_dy"),
+        )
+        .orderBy("quarter")
+    )

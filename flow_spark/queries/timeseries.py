@@ -1002,3 +1002,121 @@ def seq_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+@register(
+    "seq_followedby_patterns",
+    category="timeseries",
+    doc="Sequential-pattern mining lite ('A eventually-followed-by B' "
+    "within a session, the PrefixSpan length-2 core): sessionize per "
+    "user (24h gap), reduce each session to the FIRST occurrence of "
+    "each event type (so a pattern counts once per session — support "
+    "semantics, not co-occurrence counts), order those firsts by "
+    "(us, event_id), and generate the i<j pairs with the sorted-array "
+    "HOF idiom — per-session fan-out is bounded by C(|event types|, 2)"
+    " = 10, never by session length.  Support ships exact (n and ppm "
+    "of all sessions).  Unlike seq_markov_transitions (ADJACENT "
+    "steps), this captures long-range ordering.  One user shuffle + "
+    "one pattern groupBy; the oracle generates pairs via a per-session "
+    "self-join on the same lexicographic order.",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+                   CASE WHEN epoch_us(ts)
+                             - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                       ORDER BY ts, event_id)
+                             > 86400000000
+                          OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id)
+                             IS NULL
+                        THEN 1 ELSE 0 END AS ns
+            FROM events
+        ),
+        tagged AS (
+            SELECT user_id, event_id, event_type, us,
+                   SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+            FROM e
+        ),
+        firsts AS (
+            SELECT user_id, sess, event_type,
+                   MIN(us) AS us,
+                   arg_min(event_id,
+                           CAST(us AS HUGEINT) * 1048576 + event_id) AS eid
+            FROM tagged GROUP BY user_id, sess, event_type
+        ),
+        tot AS (SELECT COUNT(*) AS ns FROM
+                (SELECT DISTINCT user_id, sess FROM firsts)),
+        pairs AS (
+            SELECT a.event_type AS a_type, b.event_type AS b_type
+            FROM firsts a JOIN firsts b
+              ON a.user_id = b.user_id AND a.sess = b.sess
+             AND (a.us < b.us OR (a.us = b.us AND a.eid < b.eid))
+        )
+        SELECT a_type, b_type,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(1000000 * COUNT(*) // tot.ns AS BIGINT) AS support_ppm
+        FROM pairs, tot
+        GROUP BY a_type, b_type, tot.ns
+        ORDER BY n_sessions DESC, a_type, b_type
+        LIMIT 15
+    """,
+)
+def seq_followedby_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w_order = W.partitionBy("user_id").orderBy("us", "event_id")
+    tagged = ev.withColumn(
+        "ns",
+        F.when(
+            (F.col("us") - F.lag("us").over(w_order) > 86_400_000_000)
+            | F.lag("us").over(w_order).isNull(),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "sess",
+        F.sum("ns").over(
+            w_order.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    firsts = tagged.groupBy("user_id", "sess", "event_type").agg(
+        F.min(F.struct("us", "event_id")).alias("k")
+    )
+    grouped = firsts.groupBy("user_id", "sess").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("k.us").alias("us"),
+                    F.col("k.event_id").alias("eid"),
+                    F.col("event_type").alias("t"),
+                )
+            )
+        ).alias("ss")
+    )
+    within = F.flatten(
+        F.transform(
+            "ss",
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size("ss")),
+                lambda y: F.struct(x.t.alias("a_type"), y.t.alias("b_type")),
+            ),
+        )
+    )
+    tot = grouped.agg(F.count(F.lit(1)).alias("ns"))
+    return (
+        grouped.select(F.explode(within).alias("p"))
+        .groupBy(F.col("p.a_type").alias("a_type"), F.col("p.b_type").alias("b_type"))
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a_type",
+            "b_type",
+            F.col("n_sessions").cast("bigint").alias("n_sessions"),
+            F.expr("(1000000 * n_sessions) div ns")
+            .cast("bigint")
+            .alias("support_ppm"),
+        )
+        .orderBy(F.desc("n_sessions"), "a_type", "b_type")
+        .limit(15)
+    )

@@ -109,6 +109,7 @@ FAMILIES = {
         "ml_hashed_linear_score",
         "ml_bradley_terry",
         "ml_boosting_mw",
+        "ml_theil_sen",
         "dq_ab_welch",
         "ml_perceptron_train",
     ],
