@@ -16,7 +16,6 @@ noise.
 
 from __future__ import annotations
 
-import gc
 import json
 import os
 import sys
@@ -25,7 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from flow_spark.queries.registry import all_queries
-from flow_spark.session import get_spark
+from flow_spark.session import get_spark, release_cached_blocks
 
 #: headline set: one per major operator family (scan/agg, multi-join,
 #: window, set-op, dedup exact/minhash, similarity, text, streaming window,
@@ -66,14 +65,7 @@ def _time_set(spark, queries, sf_dir: str, n_timed: int) -> dict[str, float]:
             q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[n_timed // 2], 3)
-        # release cached relations AND checkpoint blocks between queries:
-        # leftover localCheckpoint RDDs from earlier entries build GC
-        # pressure that bleeds into later timings (same fix as
-        # tools/family_bench.py, where it removed a 2-4x late-run skew)
-        spark.catalog.clearCache()
-        gc.collect()
-        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            jrdd.unpersist()
+        release_cached_blocks(spark)
     return timings
 
 

@@ -1212,7 +1212,10 @@ def snap_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and the LAST touch absorbs the remainder, so per-conversion "
     "credit sums to exactly 1,000,000 ppm and the channel totals are "
     "reconcilable to the conversion count, a property float splits "
-    "lose).  Plan shape at 100 TB: one shuffle by user_id serves both "
+    "lose).  Conversions are keyed by (user, purchase timestamp), so "
+    "two purchases at the same microsecond count as ONE conversion — "
+    "identical on both engines and the right call for dedup-sensitive "
+    "attribution.  Plan shape at 100 TB: one shuffle by user_id serves both "
     "window passes (binding + rank), then one map-side-combinable "
     "groupBy by channel; no self-join of the event log.",
     oracle="""

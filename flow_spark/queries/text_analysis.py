@@ -1168,6 +1168,35 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _surprisal_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_toks, sum_info_bits): per-doc floor-log2 unigram
+    surprisal sums — shared by the surprisal score and the CCNet buckets
+    (identical pipeline: vocab groupBy, frequency join, 1-row total)."""
+    from flow_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    info = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (
+                F.length(F.bin(F.col("n").cast("bigint")))
+                - F.length(F.bin(F.col("c").cast("bigint")))
+            ).alias("info_bits"),
+        )
+    )
+    return info.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+        F.sum("info_bits").cast("bigint").alias("sum_info_bits"),
+    )
+
+
 @register(
     "text_unigram_surprisal",
     category="text-analysis",
@@ -1212,29 +1241,7 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flow_spark.operators.text import tokens
-
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
-    )
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    total = vocab.agg(F.sum("c").alias("n"))
-    info = (
-        toks.join(vocab, "tok")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "doc_id",
-            (
-                F.length(F.bin(F.col("n").cast("bigint")))
-                - F.length(F.bin(F.col("c").cast("bigint")))
-            ).alias("info_bits"),
-        )
-    )
-    agg = info.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_toks"),
-        F.sum("info_bits").cast("bigint").alias("sum_info_bits"),
-    )
+    agg = _surprisal_doc_stats(spark, sf_dir)
     # integer floor division on both sides (Spark `div` == DuckDB `//`)
     mean_milli = F.expr("(1000 * sum_info_bits) div n_toks")
     return agg.select(
@@ -2533,24 +2540,12 @@ def text_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from flow_spark.operators.text import tokens
-
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    total = vocab.agg(F.sum("c").alias("n"))
-    scored = (
-        toks.join(vocab, "tok")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id")
-        .agg(
-            F.expr(
-                "(1000 * sum(length(bin(CAST(n AS BIGINT)))"
-                " - length(bin(CAST(c AS BIGINT))))) div count(*)"
-            )
-            .cast("bigint")
-            .alias("score_milli")
-        )
+    scored = _surprisal_doc_stats(spark, sf_dir).select(
+        "doc_id",
+        F.expr("(1000 * sum_info_bits) div n_toks")
+        .cast("bigint")
+        .alias("score_milli"),
     )
     w = Window.partitionBy("lang").orderBy("score_milli", "doc_id")
     bucketed = (

@@ -1063,23 +1063,14 @@ def seq_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def seq_followedby_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.sessionize import tag_sessions
+
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    w_order = W.partitionBy("user_id").orderBy("us", "event_id")
-    tagged = ev.withColumn(
-        "ns",
-        F.when(
-            (F.col("us") - F.lag("us").over(w_order) > 86_400_000_000)
-            | F.lag("us").over(w_order).isNull(),
-            1,
-        ).otherwise(0),
-    ).withColumn(
-        "sess",
-        F.sum("ns").over(
-            w_order.rowsBetween(W.unboundedPreceding, W.currentRow)
-        ),
-    )
+    tagged = tag_sessions(
+        ev, "us", by="user_id", gap=86_400_000_000, order_cols=["event_id"]
+    ).withColumnRenamed("session_seq", "sess")
     firsts = tagged.groupBy("user_id", "sess", "event_type").agg(
         F.min(F.struct("us", "event_id")).alias("k")
     )

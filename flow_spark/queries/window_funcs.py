@@ -948,26 +948,16 @@ def win_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.sessionize import tag_sessions
+
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    w_order = W.partitionBy("user_id").orderBy("us", "event_id")
-    seq = ev.withColumn(
-        "new_sess",
-        F.when(
-            (F.col("us") - F.lag("us").over(w_order) > 86_400_000_000)
-            | F.lag("us").over(w_order).isNull(),
-            1,
-        ).otherwise(0),
-    )
-    tagged = seq.withColumn(
-        "sess",
-        F.sum("new_sess").over(
-            w_order.rowsBetween(W.unboundedPreceding, W.currentRow)
-        ),
+    tagged = tag_sessions(
+        ev, "us", by="user_id", gap=86_400_000_000, order_cols=["event_id"]
     )
     paths = (
-        tagged.groupBy("user_id", "sess")
+        tagged.groupBy("user_id", "session_seq")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.array_sort(

@@ -68,3 +68,21 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_cached_blocks(spark) -> None:
+    """Drop SQL-cached relations AND checkpoint blocks between benchmark
+    entries.
+
+    ``clearCache`` only covers cached relations; ``localCheckpoint``
+    blocks live as persistent RDDs until their Python handles are GC'd,
+    and across a long single-JVM benchmark the stragglers inflate LATE
+    entries 2-4x (measured: family-bench stateful-stream 9 s -> 25 s
+    total with solo steady state unchanged).
+    """
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()
+    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        jrdd.unpersist()

@@ -25,7 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from flow_spark.queries.registry import all_queries  # noqa: E402
-from flow_spark.session import get_spark  # noqa: E402
+from flow_spark.session import get_spark, release_cached_blocks  # noqa: E402
 
 FAMILIES = {
     "graph": [
@@ -183,20 +183,7 @@ def main() -> int:
             # accumulate executor memory pressure that bleeds multi-second
             # noise into later families (observed: an 8.6 s text_pmi
             # outlier in a session whose solo steady state is 1.0 s)
-            spark.catalog.clearCache()
-            # clearCache only drops SQL-cached relations; localCheckpoint
-            # blocks (BT ratings, LPA edge lists, boosting presence...)
-            # live as persistent RDDs until their Python handles are
-            # GC'd — with 139 entries in one JVM the stragglers inflated
-            # the LAST families 2-4x (stateful-stream 9 s -> 25 s run
-            # total, solo steady state unchanged).  Unpersist explicitly
-            # and nudge the py4j reference cleaner.
-            import gc
-
-            gc.collect()
-            jmap = spark.sparkContext._jsc.getPersistentRDDs()
-            for jrdd in jmap.values():
-                jrdd.unpersist()
+            release_cached_blocks(spark)
             was = prior.get(name)
             if (
                 was is not None
