@@ -116,13 +116,26 @@ def cc_star(
 
     prev = _sig(cur)
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         cur = _small_star(_large_star(cur)).localCheckpoint()
         rounds += 1
         sig = _sig(cur)
         if sig == prev:
+            converged = True
             break
         prev = sig
+    if not converged:
+        # an exhausted budget means the edge set never reached the star
+        # fixpoint — the labels below could merge or split components.
+        # Raising (instead of silently returning) is the exact flaw this
+        # module's docstring criticizes in max_iter-truncated loops;
+        # star contraction needs O(log^2 n) rounds, so hitting 24 on any
+        # real graph signals a bug, not a big input.
+        raise RuntimeError(
+            f"cc_star did not converge within max_iter={max_iter} rounds; "
+            "raise max_iter (rounds grow ~log^2 in the longest chain)"
+        )
     # converged: every edge is (component_min, member).  A node's component
     # is its min neighbor; roots (component minima) map to themselves.
     member = _directed(cur).groupBy("u").agg(F.min("v").alias("mn"))

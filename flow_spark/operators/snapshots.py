@@ -118,6 +118,7 @@ def snapshot_write(
     )
     prev_version = current_version(table_dir)
     stats: dict[str, list] = {}
+    prev_manifest: "dict | None" = None
     if prev_version >= 1:  # inherit stats of reused files
         with open(_manifest_path(table_dir, prev_version)) as fh:
             prev_manifest = json.load(fh)
@@ -129,6 +130,8 @@ def snapshot_write(
             for f in reuse_files or []:
                 if f in prev_stats:
                     stats[f] = prev_stats[f]
+    # partition metadata of reused files always carries forward
+    partitions, bases = _inherited_layout(prev_manifest, list(reuse_files or []))
     if stats_col is not None and files:
         spark = df.sparkSession
         new_stats = (
@@ -150,6 +153,8 @@ def snapshot_write(
         "schema": df.schema.json(),
         "stats": stats,
         "stats_col": stats_col,
+        "partitions": partitions,
+        "bases": bases,
     }
     _commit_manifest(manifest, _manifest_path(table_dir, version))
     return version
@@ -179,6 +184,65 @@ def _manifest_schema(table_dir: str, version: int):
 
     with open(_manifest_path(table_dir, version)) as fh:
         return StructType.fromJson(json.loads(json.load(fh)["schema"]))
+
+
+def _read_manifest_subset(
+    spark: SparkSession,
+    manifest: dict,
+    files: "list[str]",
+    schema=None,
+):
+    """Read a subset of a manifest's files, reconstructing hive partition
+    columns for files written by :func:`snapshot_write_partitioned`.
+
+    Partitioned files store their partition values in the PATH, not the
+    payload — a plain ``spark.read.parquet(*files)`` (with or without an
+    explicit schema) silently NULL-fills those columns.  Files sharing a
+    recorded write-dir base are therefore read together with that dir as
+    ``basePath`` (Spark rebuilds the partition columns from the paths and
+    casts them to the given schema's types); files with no recorded base
+    carry all columns in the payload and are read directly.  Groups union
+    by name, so one version can mix files written under different specs.
+
+    Every manifest-reading API goes through here — reading partitioned
+    files through a path that skipped the bases would corrupt partition
+    columns to NULL (the exact interop bug this helper closes).
+    """
+    bases = manifest.get("bases", {})
+    by_base: "dict[str | None, list[str]]" = {}
+    for f in files:
+        by_base.setdefault(bases.get(f), []).append(f)
+    parts = []
+    for base in sorted(by_base, key=lambda b: (b is not None, b or "")):
+        rd = spark.read
+        if base is not None:
+            rd = rd.option("basePath", base)
+        if schema is not None:
+            rd = rd.schema(schema)
+        parts.append(rd.parquet(*sorted(by_base[base])))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def _inherited_layout(
+    manifest: "dict | None", reuse_files: "list[str]"
+) -> "tuple[dict, dict]":
+    """(partitions, bases) entries carried forward for reused files.
+
+    A version that inherits files from a partitioned predecessor MUST
+    keep their partition metadata — otherwise any later read of the new
+    version loses the basePath grouping and the partition columns come
+    back NULL.  Files the predecessor wrote plain simply have no entries.
+    """
+    if not manifest or not reuse_files:
+        return {}, {}
+    prev_parts = manifest.get("partitions", {})
+    prev_bases = manifest.get("bases", {})
+    partitions = {f: prev_parts[f] for f in reuse_files if f in prev_parts}
+    bases = {f: prev_bases[f] for f in reuse_files if f in prev_bases}
+    return partitions, bases
 
 
 def snapshot_read(
@@ -239,7 +303,7 @@ def snapshot_read(
         files = [f for f in files if f not in stats or may_intersect(stats[f])]
         if not files:
             return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    return _read_manifest_subset(spark, manifest, files, schema)
 
 
 def _prune_candidates(
@@ -306,8 +370,12 @@ def snapshot_upsert(
             batch.dropDuplicates([key_col]), table_dir, stats_col=key_col
         )
 
-    cur_files = snapshot_files(table_dir, cur_v)
-    cur_schema = _manifest_schema(table_dir, cur_v)
+    from pyspark.sql.types import StructType
+
+    with open(_manifest_path(table_dir, cur_v)) as fh:
+        cur_manifest = json.load(fh)
+    cur_files = cur_manifest["files"]
+    cur_schema = StructType.fromJson(json.loads(cur_manifest["schema"]))
     keys = batch.select(key_col).distinct()
 
     # --- stats pruning (driver-side, no data read) ---
@@ -333,10 +401,11 @@ def snapshot_upsert(
 
     # reads use the MANIFEST schema (the read authority, as in
     # snapshot_read): reused files from an older, narrower version fill
-    # missing columns with NULLs instead of poisoning footer inference
-    with_path = spark.read.schema(cur_schema).parquet(*candidates).select(
-        F.col(key_col), F.col("_metadata.file_path").alias("__fp")
-    )
+    # missing columns with NULLs instead of poisoning footer inference;
+    # basePath grouping keeps partitioned predecessors' path columns real
+    with_path = _read_manifest_subset(
+        spark, cur_manifest, candidates, cur_schema
+    ).select(F.col(key_col), F.col("_metadata.file_path").alias("__fp"))
     affected = [
         r[0]
         for r in with_path.join(F.broadcast(keys), key_col, "left_semi")
@@ -348,8 +417,8 @@ def snapshot_upsert(
     affected_raw = {p.removeprefix("file:") for p in affected}
     untouched = [f for f in cur_files if f not in affected_raw]
     if affected_raw:
-        survivors = spark.read.schema(cur_schema).parquet(
-            *sorted(affected_raw)
+        survivors = _read_manifest_subset(
+            spark, cur_manifest, sorted(affected_raw), cur_schema
         ).join(F.broadcast(keys), key_col, "left_anti")
         new_rows = survivors.unionByName(
             batch.dropDuplicates([key_col]), allowMissingColumns=True
@@ -388,27 +457,36 @@ def snapshot_changes(
     versions touches megabytes, not the table.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
 
-    old_files = set(snapshot_files(table_dir, from_version))
-    new_files = set(snapshot_files(table_dir, to_version))
+    with open(_manifest_path(table_dir, from_version)) as fh:
+        from_manifest = json.load(fh)
+    with open(_manifest_path(table_dir, to_version)) as fh:
+        to_manifest = json.load(fh)
+    old_files = set(from_manifest["files"])
+    new_files = set(to_manifest["files"])
     old_only = sorted(old_files - new_files)
     new_only = sorted(new_files - old_files)
     cols = [key_col, *value_cols]
     # both sides read under the TO version's manifest schema: files of an
     # older, narrower version fill evolved columns with NULLs (the same
     # read authority as snapshot_read) instead of failing footer
-    # inference when a requested column predates from_version
-    to_schema = _manifest_schema(table_dir, to_version)
+    # inference when a requested column predates from_version.  Each
+    # side's basePath grouping comes from ITS OWN manifest, so partition
+    # columns of partitioned files diff as real values, not NULLs.
+    to_schema = StructType.fromJson(json.loads(to_manifest["schema"]))
     empty = spark.createDataFrame(
         [], spark.createDataFrame([], to_schema).select(*cols).schema
     )
     old_df = (
-        spark.read.schema(to_schema).parquet(*old_only).select(*cols)
+        _read_manifest_subset(spark, from_manifest, old_only, to_schema)
+        .select(*cols)
         if old_only
         else empty
     )
     new_df = (
-        spark.read.schema(to_schema).parquet(*new_only).select(*cols)
+        _read_manifest_subset(spark, to_manifest, new_only, to_schema)
+        .select(*cols)
         if new_only
         else empty
     )
@@ -483,26 +561,34 @@ def snapshot_compact(
     # group reads use the manifest schema: a group mixing files from
     # before and after a column was added rewrites under the FULL schema
     # (older rows fill NULLs) — footer inference could silently commit
-    # the narrower schema and lose the evolved column's data
-    cur_schema = _manifest_schema(table_dir, v)
+    # the narrower schema and lose the evolved column's data.  Partitioned
+    # files read through the manifest's basePath grouping, so their path
+    # columns land in the compacted files' PAYLOAD with real values.
+    with open(_manifest_path(table_dir, v)) as fh:
+        cur_manifest = json.load(fh)
+    from pyspark.sql.types import StructType
+
+    cur_schema = StructType.fromJson(json.loads(cur_manifest["schema"]))
     for gi, gfiles in sorted(groups.items()):
-        spark.read.schema(cur_schema).parquet(*sorted(gfiles)).coalesce(
-            1
-        ).write.mode("append").parquet(write_dir)
+        _read_manifest_subset(
+            spark, cur_manifest, sorted(gfiles), cur_schema
+        ).coalesce(1).write.mode("append").parquet(write_dir)
     new_files = sorted(
         os.path.join(write_dir, f)
         for f in os.listdir(write_dir)
         if f.endswith(".parquet")
     )
     # commit: manifest = kept big files + compacted files, schema unchanged
-    with open(_manifest_path(table_dir, v)) as fh:
-        prev = json.load(fh)
+    prev = cur_manifest
     # kept files inherit stats only if they describe the SAME column
     stats = (
         {f: st for f, st in prev.get("stats", {}).items() if f in keep}
         if prev.get("stats_col") == stats_col and stats_col is not None
         else {}
     )
+    # kept files keep their partition metadata (compacted files carry the
+    # former path columns in their payload and need none)
+    partitions, bases = _inherited_layout(prev, keep)
     if stats_col is not None and new_files:
         from pyspark.sql import functions as F
 
@@ -522,6 +608,8 @@ def snapshot_compact(
         "schema": prev["schema"],
         "stats": stats,
         "stats_col": stats_col,
+        "partitions": partitions,
+        "bases": bases,
     }
     _commit_manifest(manifest, _manifest_path(table_dir, version))
     return version
@@ -588,19 +676,27 @@ def snapshot_vacuum(
     ddir = os.path.join(table_dir, DATA_DIR)
     now = time.time()
     if os.path.isdir(ddir):
+        import shutil
+
         for sub in os.listdir(ddir):
             subdir = os.path.join(ddir, sub)
             if not os.path.isdir(subdir):
                 continue
-            entries = [os.path.join(subdir, f) for f in os.listdir(subdir)]
+            # walk RECURSIVELY: partitioned write dirs nest hive
+            # directories, so the committed files (and hence the
+            # live_files hits) sit below the first level — a flat listdir
+            # would both miss live references and crash removing dirs
+            entries = []
+            for root, _dirs, names in os.walk(subdir):
+                entries.extend(os.path.join(root, n) for n in names)
             if any(p in live_files for p in entries):
                 continue
-            if all(now - os.path.getmtime(p) > orphan_grace_seconds for p in entries):
-                for p in entries:
-                    os.remove(p)
-                    if p.endswith(".parquet"):
-                        deleted += 1
-                os.rmdir(subdir)
+            mtimes = [os.path.getmtime(p) for p in entries] or [
+                os.path.getmtime(subdir)  # crashed before any file landed
+            ]
+            if all(now - m > orphan_grace_seconds for m in mtimes):
+                deleted += sum(1 for p in entries if p.endswith(".parquet"))
+                shutil.rmtree(subdir)
     return {"versions_dropped": dropped, "files_deleted": deleted}
 
 
@@ -668,7 +764,14 @@ def snapshot_publish(table_dir: str, branch: str = "audit") -> int:
     with open(marker_path) as fh:
         marker = json.load(fh)
     prev = current_version(table_dir)
-    prev_files = snapshot_files(table_dir, prev) if prev >= 1 else []
+    prev_manifest: "dict | None" = None
+    if prev >= 1:
+        with open(_manifest_path(table_dir, prev)) as fh:
+            prev_manifest = json.load(fh)
+    prev_files = prev_manifest["files"] if prev_manifest else []
+    # inherited files keep their partition metadata (staged files are
+    # written plain by snapshot_stage and need none)
+    partitions, bases = _inherited_layout(prev_manifest, prev_files)
     version = prev + 1
     manifest = {
         "version": version,
@@ -677,6 +780,8 @@ def snapshot_publish(table_dir: str, branch: str = "audit") -> int:
         "schema": marker["schema"],
         "stats": {},
         "stats_col": None,
+        "partitions": partitions,
+        "bases": bases,
     }
     _commit_manifest(manifest, _manifest_path(table_dir, version))
     os.unlink(marker_path)
@@ -705,6 +810,95 @@ def snapshot_abort_staged(table_dir: str, branch: str = "audit") -> int:
             pass  # shared or non-empty write dir stays
     os.unlink(marker_path)
     return removed
+
+
+# ---- multi-table atomic commits --------------------------------------------
+
+
+CATALOG_DIR = "_catalog"
+
+
+def _catalog_path(root_dir: str, version: int) -> str:
+    return os.path.join(root_dir, CATALOG_DIR, f"c{version}.json")
+
+
+def catalog_current_version(root_dir: str) -> int:
+    """Highest committed CATALOG version under ``root_dir``, or 0."""
+    cdir = os.path.join(root_dir, CATALOG_DIR)
+    if not os.path.isdir(cdir):
+        return 0
+    versions = [
+        int(f[1:-5])
+        for f in os.listdir(cdir)
+        if f.startswith("c") and f.endswith(".json")
+    ]
+    return max(versions, default=0)
+
+
+def snapshot_commit_tables(
+    writes: "dict[str, DataFrame]", root_dir: str
+) -> "tuple[int, dict[str, int]]":
+    """Commit N tables as ONE atomic catalog version (multi-table txn).
+
+    Per-table manifests alone cannot give cross-table consistency: a
+    reader can observe table A's new version next to table B's old one
+    while a two-table commit is in flight (the classic fact+dimension
+    torn read).  The fix is one more indirection level, exactly Iceberg's
+    catalog commit: each table's data+manifest land FIRST (step 1, crash
+    here leaves only invisible per-table versions — the catalog still
+    points at the old ones), then a single catalog manifest mapping
+    {table -> pinned version} publishes ALL of them with one atomic
+    ``os.link`` (step 2, same create-if-absent protocol as
+    :func:`_commit_manifest`, so concurrent multi-table committers get
+    :class:`ConcurrentSnapshotWrite` and retry).
+
+    Tables not named in `writes` are carried forward at their previously
+    pinned versions, so a catalog version is always a COMPLETE,
+    point-in-time-consistent view of every table.  Returns
+    ``(catalog_version, {table: table_version})``.
+
+    .. note:: :func:`snapshot_vacuum` is per-table and does not consult
+       catalog pins — keep its ``keep_versions`` at least as deep as the
+       oldest catalog version you intend to time-travel to.
+    """
+    prev_cv = catalog_current_version(root_dir)
+    pinned: dict[str, int] = {}
+    if prev_cv >= 1:
+        with open(_catalog_path(root_dir, prev_cv)) as fh:
+            pinned = dict(json.load(fh)["tables"])
+    os.makedirs(os.path.join(root_dir, CATALOG_DIR), exist_ok=True)
+    # step 1: land every table's data + per-table manifest (invisible to
+    # catalog readers until step 2 — a crash between tables is harmless)
+    for name in sorted(writes):
+        pinned[name] = snapshot_write(writes[name], os.path.join(root_dir, name))
+    # step 2: ONE atomic publish of the whole {table -> version} map
+    cv = prev_cv + 1
+    catalog = {
+        "version": cv,
+        "committed_at": time.time(),
+        "tables": pinned,
+    }
+    _commit_manifest(catalog, _catalog_path(root_dir, cv))
+    return cv, pinned
+
+
+def snapshot_read_catalog(
+    spark: SparkSession,
+    root_dir: str,
+    version: "int | None" = None,
+) -> "dict[str, DataFrame]":
+    """Read every table of one catalog version — a consistent multi-table
+    view: all tables reflect the same atomic commit (or a version-pinned
+    past one for time travel)."""
+    cv = version if version is not None else catalog_current_version(root_dir)
+    if cv < 1:
+        raise FileNotFoundError(f"no committed catalog versions in {root_dir}")
+    with open(_catalog_path(root_dir, cv)) as fh:
+        tables = json.load(fh)["tables"]
+    return {
+        name: snapshot_read(spark, os.path.join(root_dir, name), v)
+        for name, v in tables.items()
+    }
 
 
 def snapshot_write_partitioned(
@@ -798,21 +992,21 @@ def snapshot_read_pruned(
     with open(_manifest_path(table_dir, version)) as fh:
         manifest = json.load(fh)
     parts = manifest.get("partitions", {})
-    bases = manifest.get("bases", {})
     selected = [
         f
         for f in manifest["files"]
         if all(parts.get(f, {}).get(k, v) == v for k, v in equals.items())
     ]
-    by_base: dict[str, list] = {}
-    for f in selected:
-        by_base.setdefault(bases.get(f, os.path.dirname(f)), []).append(f)
-    df = None
-    for base, group in sorted(by_base.items()):
-        part = spark.read.option("basePath", base).parquet(*sorted(group))
-        df = part if df is None else df.unionByName(part)
-    if df is None:  # nothing survived pruning: empty frame, table schema
+    if selected:
+        df = _read_manifest_subset(spark, manifest, selected)
+    else:
+        # nothing survived pruning: empty frame under the MANIFEST's
+        # recorded schema — a footer read of files[0] would MISS the
+        # partition columns (they live in the path, not the payload) and
+        # crash on an empty file list
+        from pyspark.sql.types import StructType
+
         df = spark.createDataFrame(
-            [], spark.read.parquet(manifest["files"][0]).schema
+            [], StructType.fromJson(json.loads(manifest["schema"]))
         )
     return df, len(selected), len(manifest["files"])

@@ -79,6 +79,15 @@ def release_cached_blocks(spark) -> None:
     and across a long single-JVM benchmark the stragglers inflate LATE
     entries 2-4x (measured: family-bench stateful-stream 9 s -> 25 s
     total with solo steady state unchanged).
+
+    .. warning:: DESTRUCTIVE to live handles — this unpersists EVERY
+       persistent RDD in the JVM, including the blocks backing
+       ``localCheckpoint``/``cache`` DataFrames the caller still holds.
+       A local checkpoint truncates lineage, so any later action on such
+       a handle fails unrecoverably (there is nothing left to recompute
+       from).  Call it only at a quiescent point where no checkpointed or
+       cached DataFrame will be used again — i.e. BETWEEN independent
+       bench/sweep entries, which is its intended scope.
     """
     import gc
 

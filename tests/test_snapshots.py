@@ -622,3 +622,276 @@ def test_partition_evolution_empty_prune(spark, tmp_path):
     assert n_read == 0 and n_total > 0
     assert out.count() == 0
     assert "id" in out.columns
+
+
+# ---- partitioned-files interop (round-4 ADVICE fix) ------------------------
+# A version written by snapshot_write_partitioned stores partition values in
+# the PATH; every other manifest API must reconstruct them via the manifest's
+# recorded bases (basePath grouping) and carry 'partitions'/'bases' forward
+# when it inherits files — otherwise the columns silently read back NULL.
+
+
+def _pdf(spark):
+    from pyspark.sql import functions as F
+
+    return spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") * 10).alias("val"),
+    )
+
+
+def test_snapshot_read_reconstructs_partition_columns(spark, tmp_path):
+    from flow_spark.operators.snapshots import snapshot_write_partitioned
+
+    td = str(tmp_path / "tbl")
+    snapshot_write_partitioned(_pdf(spark), td, spec=["g"])
+    got = snapshot_read(spark, td).collect()
+    assert len(got) == 100
+    assert all(r.g is not None for r in got)
+    assert sorted((r.id, r.g) for r in got) == [
+        (i, str(i % 4)) for i in range(100)
+    ]
+
+
+def test_publish_inherits_partition_metadata(spark, tmp_path):
+    from flow_spark.operators.snapshots import (
+        snapshot_publish,
+        snapshot_stage,
+        snapshot_write_partitioned,
+    )
+
+    td = str(tmp_path / "tbl")
+    snapshot_write_partitioned(_pdf(spark), td, spec=["g"])
+    snapshot_stage(
+        spark.range(100, 110).selectExpr(
+            "id", "CAST(id % 4 AS string) AS g", "id * 10 AS val"
+        ),
+        td,
+    )
+    v2 = snapshot_publish(td)
+    got = snapshot_read(spark, td, v2).collect()
+    assert len(got) == 110
+    # inherited partitioned files still yield real partition values
+    assert all(r.g == str(r.id % 4) for r in got)
+
+
+def test_append_write_inherits_partition_metadata(spark, tmp_path):
+    from flow_spark.operators.snapshots import snapshot_write_partitioned
+
+    td = str(tmp_path / "tbl")
+    v1 = snapshot_write_partitioned(_pdf(spark), td, spec=["g"])
+    v2 = snapshot_write(
+        spark.range(100, 105).selectExpr(
+            "id", "CAST(id % 4 AS string) AS g", "id * 10 AS val"
+        ),
+        td,
+        reuse_files=snapshot_files(td, v1),
+    )
+    got = snapshot_read(spark, td, v2).collect()
+    assert len(got) == 105
+    assert all(r.g == str(r.id % 4) for r in got)
+
+
+def test_upsert_on_partitioned_table(spark, tmp_path):
+    from flow_spark.operators.snapshots import (
+        snapshot_upsert,
+        snapshot_write_partitioned,
+    )
+
+    td = str(tmp_path / "tbl")
+    snapshot_write_partitioned(_pdf(spark), td, spec=["g"])
+    batch = spark.range(98, 103).selectExpr(
+        "id", "CAST(id % 4 AS string) AS g", "id * 1000 AS val"
+    )
+    v2 = snapshot_upsert(spark, batch, td, key_col="id")
+    got = {r.id: (r.g, r.val) for r in snapshot_read(spark, td, v2).collect()}
+    assert len(got) == 103
+    for i in range(103):
+        expect_val = i * 1000 if i >= 98 else i * 10
+        assert got[i] == (str(i % 4), expect_val), i
+
+
+def test_compact_partitioned_table_keeps_rows(spark, tmp_path):
+    from flow_spark.operators.snapshots import (
+        snapshot_compact,
+        snapshot_write_partitioned,
+    )
+
+    td = str(tmp_path / "tbl")
+    snapshot_write_partitioned(_pdf(spark), td, spec=["g"])
+    v2 = snapshot_compact(spark, td, target_bytes=1 << 30)
+    got = sorted(
+        (r.id, r.g, r.val) for r in snapshot_read(spark, td, v2).collect()
+    )
+    assert got == [(i, str(i % 4), i * 10) for i in range(100)]
+
+
+def test_changefeed_on_partitioned_versions(spark, tmp_path):
+    from flow_spark.operators.snapshots import (
+        snapshot_changes,
+        snapshot_upsert,
+        snapshot_write_partitioned,
+    )
+
+    td = str(tmp_path / "tbl")
+    v1 = snapshot_write_partitioned(_pdf(spark), td, spec=["g"])
+    batch = spark.range(99, 101).selectExpr(
+        "id", "CAST(id % 4 AS string) AS g", "id * 1000 AS val"
+    )
+    v2 = snapshot_upsert(spark, batch, td, key_col="id")
+    # the partition column is a VALUE col here: NULL-filled reads would
+    # spray spurious updates across every carried-over row
+    changes = {
+        r.id: (r.change_type, r.g, r.val)
+        for r in snapshot_changes(
+            spark, td, v1, v2, key_col="id", value_cols=["g", "val"]
+        ).collect()
+    }
+    assert changes == {
+        99: ("update", "3", 99000),
+        100: ("insert", "0", 100000),
+    }
+
+
+def test_vacuum_handles_partitioned_dirs(spark, tmp_path):
+    import os as _os
+
+    from flow_spark.operators.snapshots import (
+        snapshot_upsert,
+        snapshot_vacuum,
+        snapshot_write_partitioned,
+    )
+
+    td = str(tmp_path / "tbl")
+    snapshot_write_partitioned(_pdf(spark), td, spec=["g"])
+    snapshot_upsert(
+        spark,
+        spark.range(200, 205).selectExpr(
+            "id", "CAST(id % 4 AS string) AS g", "id * 10 AS val"
+        ),
+        td,
+        key_col="id",
+    )
+    # a partitioned ORPHAN dir (crashed before manifest commit), aged out
+    ddir = _os.path.join(td, "data")
+    orphan = _os.path.join(ddir, "deadbeef0000", "g=9")
+    _os.makedirs(orphan)
+    with open(_os.path.join(orphan, "part-0.parquet"), "wb") as fh:
+        fh.write(b"junk")
+    old = 1.0
+    for root, _d, names in _os.walk(_os.path.join(ddir, "deadbeef0000")):
+        for n in names:
+            _os.utime(_os.path.join(root, n), (old, old))
+    res = snapshot_vacuum(td, keep_versions=1, orphan_grace_seconds=60)
+    assert res["files_deleted"] >= 1
+    assert not _os.path.exists(_os.path.join(ddir, "deadbeef0000"))
+    # the live (latest) partitioned version still reads fully
+    got = snapshot_read(spark, td).collect()
+    assert len(got) == 105
+    assert all(r.g == str(r.id % 4) for r in got)
+
+
+def test_cc_star_raises_when_budget_exhausted(spark):
+    import pytest as _pytest
+
+    from flow_spark.operators.graph import cc_star
+
+    chain = spark.range(40).selectExpr("id AS a", "id + 1 AS b")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        cc_star(chain, max_iter=1)
+    # an adequate budget converges and labels the whole chain as one component
+    labels = {r.id: r.component for r in cc_star(chain).collect()}
+    assert set(labels.values()) == {0}
+
+
+# ---- multi-table atomic commits --------------------------------------------
+
+
+def test_multi_table_commit_atomic_and_consistent(spark, tmp_path):
+    from flow_spark.operators.snapshots import (
+        snapshot_commit_tables,
+        snapshot_read_catalog,
+    )
+
+    root = str(tmp_path / "cat")
+    cv1, pins1 = snapshot_commit_tables(
+        {
+            "facts": spark.range(10).selectExpr("id AS k", "id * 2 AS v"),
+            "dims": spark.range(3).selectExpr("id AS k", "'x' AS name"),
+        },
+        root,
+    )
+    assert cv1 == 1 and set(pins1) == {"facts", "dims"}
+    # update ONLY facts: dims carries forward pinned at its old version
+    cv2, pins2 = snapshot_commit_tables(
+        {"facts": spark.range(20).selectExpr("id AS k", "id * 3 AS v")}, root
+    )
+    assert cv2 == 2
+    assert pins2["dims"] == pins1["dims"]
+    assert pins2["facts"] == pins1["facts"] + 1
+    v2 = snapshot_read_catalog(spark, root)
+    assert v2["facts"].count() == 20 and v2["dims"].count() == 3
+    # time travel to catalog v1 = BOTH tables as of the first commit
+    v1 = snapshot_read_catalog(spark, root, version=1)
+    assert v1["facts"].count() == 10
+    assert sorted(r.v for r in v1["facts"].collect()) == sorted(
+        i * 2 for i in range(10)
+    )
+
+
+def test_multi_table_commit_crash_between_steps_invisible(spark, tmp_path):
+    import os as _os
+
+    from flow_spark.operators.snapshots import (
+        catalog_current_version,
+        snapshot_commit_tables,
+        snapshot_read_catalog,
+        snapshot_write,
+    )
+
+    root = str(tmp_path / "cat")
+    snapshot_commit_tables(
+        {"facts": spark.range(5).selectExpr("id AS k")}, root
+    )
+    # simulate a committer that crashed AFTER landing the per-table
+    # version but BEFORE the catalog publish (step 1 done, step 2 not)
+    snapshot_write(
+        spark.range(99).selectExpr("id AS k"), _os.path.join(root, "facts")
+    )
+    assert catalog_current_version(root) == 1
+    got = snapshot_read_catalog(spark, root)
+    assert got["facts"].count() == 5  # old pinned version, torn state invisible
+
+
+def test_multi_table_commit_concurrency_loser_raises(
+    spark, tmp_path, monkeypatch
+):
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from flow_spark.operators import snapshots as snap
+
+    root = str(tmp_path / "cat")
+    snap.snapshot_commit_tables(
+        {"facts": spark.range(5).selectExpr("id AS k")}, root
+    )
+
+    # a racer steals catalog version 2 BETWEEN our step 1 (table writes)
+    # and step 2 (catalog publish): injected via the step-1 write hook
+    real_write = snap.snapshot_write
+
+    def write_then_race(df, table_dir, **kw):
+        v = real_write(df, table_dir, **kw)
+        _os.makedirs(_os.path.join(root, "_catalog"), exist_ok=True)
+        with open(_os.path.join(root, "_catalog", "c2.json"), "w") as fh:
+            _json.dump({"version": 2, "tables": {"facts": 1}}, fh)
+        return v
+
+    monkeypatch.setattr(snap, "snapshot_write", write_then_race)
+    with _pytest.raises(snap.ConcurrentSnapshotWrite):
+        snap.snapshot_commit_tables(
+            {"facts": spark.range(7).selectExpr("id AS k")}, root
+        )
