@@ -1433,3 +1433,102 @@ def snap_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("scenario")
+
+
+@register(
+    "snap_multi_table_commit",
+    category="scale-pattern",
+    doc="Multi-table ATOMIC snapshot commit (operators/snapshots."
+    "snapshot_commit_tables): fact and dimension tables publish "
+    "together under one catalog version — one os.link of a catalog "
+    "manifest pinning {table -> version}, Iceberg's catalog-commit "
+    "protocol — so no reader can ever join new facts against stale "
+    "dims (the torn fact+dimension read that per-table manifests "
+    "cannot prevent).  Catalog v1 = pre-1997 per-customer order "
+    "counts + the customer dim; catalog v2 updates ONLY the facts "
+    "(the dim carries forward pinned, zero rewrite).  Output joins "
+    "facts to dims per catalog version — both versions recomputed by "
+    "the oracle from the raw tables, proving time travel returns the "
+    "complete consistent pair.  A crash between the table writes and "
+    "the catalog publish leaves the old catalog fully visible "
+    "(tests/test_snapshots.py).",
+    oracle="""
+        WITH f1 AS (
+            SELECT o_custkey AS custkey, COUNT(*) AS n_orders
+            FROM orders
+            WHERE o_custkey % 10 = 0
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY o_custkey
+        ),
+        f2 AS (
+            SELECT o_custkey AS custkey, COUNT(*) AS n_orders
+            FROM orders WHERE o_custkey % 10 = 0
+            GROUP BY o_custkey
+        ),
+        d AS (
+            SELECT c_custkey AS custkey, c_mktsegment AS segment
+            FROM customer WHERE c_custkey % 10 = 0
+        )
+        SELECT 1 AS catalog_version, d.segment,
+               CAST(COUNT(*) AS BIGINT) AS n_cust,
+               CAST(SUM(f1.n_orders) AS BIGINT) AS orders_total
+        FROM f1 JOIN d USING (custkey)
+        GROUP BY d.segment
+        UNION ALL
+        SELECT 2, d.segment, CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(f2.n_orders) AS BIGINT)
+        FROM f2 JOIN d USING (custkey)
+        GROUP BY d.segment
+        ORDER BY catalog_version, segment
+    """,
+)
+def snap_multi_table_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flow_spark.operators.snapshots import (
+        snapshot_commit_tables,
+        snapshot_read_catalog,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 10 == 0
+    )
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 10 == 0
+    )
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    facts_v1 = orders.filter(F.col("o_orderdate") < cutoff).groupBy(
+        F.col("o_custkey").alias("custkey")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    facts_v2 = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    dims = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+    root = tempfile.mkdtemp(prefix="snap_cat_")
+    cv1, _ = snapshot_commit_tables({"facts": facts_v1, "dims": dims}, root)
+    cv2, pins2 = snapshot_commit_tables({"facts": facts_v2}, root)
+    assert pins2["dims"] == 1  # dim carried forward, never rewritten
+
+    parts = []
+    for cv in (cv1, cv2):
+        tabs = snapshot_read_catalog(spark, root, version=cv)
+        parts.append(
+            tabs["facts"]
+            .join(tabs["dims"], "custkey")
+            .groupBy("segment")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+                F.sum("n_orders").cast("bigint").alias("orders_total"),
+            )
+            .select(
+                F.lit(cv).cast("bigint").alias("catalog_version"),
+                "segment",
+                "n_cust",
+                "orders_total",
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("catalog_version", "segment")

@@ -610,3 +610,298 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "dq_psi_drift",
+    category="data-quality",
+    doc="Population Stability Index between the first and second half of "
+    "the event window, per event_type, with the log in exact bit space: "
+    "psi = sum_b (p_b - q_b) * ln(p_b / q_b) is approximated by "
+    "(p_ppm - q_ppm) * (bits(p_ppm) - bits(q_ppm)) where bits(x) = "
+    "length(bin(x)) is the floor-log2 bit length — the same libm-free "
+    "trick as text_unigram_surprisal, so the drift alarm is "
+    "bit-identical across engines and can never flip under retries or "
+    "re-plans.  Bins are 10 fixed $50-wide value buckets; both arms "
+    "get Laplace (+1) smoothing over the FULL bin grid (types x 10 via "
+    "sequence/range cross join), so empty bins contribute finite, "
+    "identical terms.  The industry rule-of-thumb thresholds (0.1 / "
+    "0.25) translate to the bit-space units ln(2) ~ 0.693 per bit: "
+    "flag_drift fires above ~0.25 / ln2 * 1e6 ppm-bits.  Scale shape: "
+    "one map-side-combinable groupBy (type, half, bin) collapses the "
+    "data to <= types*20 rows; everything after is driver-sized "
+    "arithmetic in the plan.",
+    oracle="""
+        WITH e AS (
+            SELECT event_type,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END
+                       AS half,
+                   LEAST(CAST(ROUND(value * 100, 0) AS BIGINT) // 5000, 9)
+                       AS bin
+            FROM events
+        ),
+        cnt AS (
+            SELECT event_type, half, bin, COUNT(*) AS c
+            FROM e GROUP BY event_type, half, bin
+        ),
+        grid AS (
+            SELECT DISTINCT e.event_type, r.range AS bin
+            FROM e CROSS JOIN range(0, 10) r
+        ),
+        tot AS (
+            SELECT event_type, half, SUM(c) AS t
+            FROM cnt GROUP BY event_type, half
+        ),
+        sm AS (
+            SELECT g.event_type, g.bin,
+                   (COALESCE(cr.c, 0) + 1) * 1000000
+                       // (tr.t + 10) AS p_ppm,
+                   (COALESCE(cc.c, 0) + 1) * 1000000
+                       // (tc.t + 10) AS q_ppm
+            FROM grid g
+            JOIN tot tr ON tr.event_type = g.event_type AND tr.half = 0
+            JOIN tot tc ON tc.event_type = g.event_type AND tc.half = 1
+            LEFT JOIN cnt cr ON cr.event_type = g.event_type
+                 AND cr.half = 0 AND cr.bin = g.bin
+            LEFT JOIN cnt cc ON cc.event_type = g.event_type
+                 AND cc.half = 1 AND cc.bin = g.bin
+        )
+        SELECT event_type,
+               CAST(SUM((p_ppm - q_ppm)
+                        * (length(bin(p_ppm)) - length(bin(q_ppm))))
+                    AS BIGINT) AS psi_ppm_bits,
+               CAST(CASE WHEN SUM((p_ppm - q_ppm)
+                                  * (length(bin(p_ppm)) - length(bin(q_ppm))))
+                              > 360674
+                         THEN 1 ELSE 0 END AS BIGINT) AS flag_drift
+        FROM sm
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("half"),
+        F.least(
+            F.expr("cast(round(value * 100, 0) as bigint) div 5000"), F.lit(9)
+        ).alias("bin"),
+    )
+    cnt = e.groupBy("event_type", "half", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin"))
+    )
+    tot = cnt.groupBy("event_type", "half").agg(F.sum("c").alias("t"))
+    tr = tot.filter(F.col("half") == 0).select("event_type", F.col("t").alias("t_ref"))
+    tc = tot.filter(F.col("half") == 1).select("event_type", F.col("t").alias("t_cur"))
+    cr = cnt.filter(F.col("half") == 0).select(
+        "event_type", "bin", F.col("c").alias("c_ref")
+    )
+    cc = cnt.filter(F.col("half") == 1).select(
+        "event_type", "bin", F.col("c").alias("c_cur")
+    )
+    sm = (
+        grid.join(tr, "event_type")
+        .join(tc, "event_type")
+        .join(cr, ["event_type", "bin"], "left")
+        .join(cc, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            F.expr(
+                "(coalesce(c_ref, 0) + 1) * 1000000 div (t_ref + 10)"
+            ).alias("p_ppm"),
+            F.expr(
+                "(coalesce(c_cur, 0) + 1) * 1000000 div (t_cur + 10)"
+            ).alias("q_ppm"),
+        )
+    )
+    bits = lambda c: F.length(F.bin(c))  # noqa: E731
+    term = (F.col("p_ppm") - F.col("q_ppm")) * (
+        bits(F.col("p_ppm")) - bits(F.col("q_ppm"))
+    )
+    return (
+        sm.groupBy("event_type")
+        .agg(F.sum(term).cast("bigint").alias("psi_ppm_bits"))
+        .select(
+            "event_type",
+            "psi_ppm_bits",
+            F.when(F.col("psi_ppm_bits") > 360674, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("flag_drift"),
+        )
+        .orderBy("event_type")
+    )
+
+
+#: team-draft pick order for 3 rounds (coin = round parity, deterministic):
+#: round 0 -> A,B; round 1 -> B,A; round 2 -> A,B
+_TD_ORDER = ["A", "B", "B", "A", "A", "B"]
+
+
+def _td_oracle() -> str:
+    """Generate the unrolled team-draft oracle SQL (one CTE per pick)."""
+    steps = []
+    prev = "base"
+    for i, team in enumerate(_TD_ORDER, start=1):
+        lst = "la" if team == "A" else "lb"
+        picked = (
+            "[]::BIGINT[]"
+            if i == 1
+            else "[" + ", ".join(f"p{j}" for j in range(1, i)) + "]"
+        )
+        steps.append(
+            f"s{i} AS (SELECT *, COALESCE(list_filter({lst}, "
+            f"x -> NOT list_contains({picked}, x))[1], {-i}) AS p{i} "
+            f"FROM {prev})"
+        )
+        prev = f"s{i}"
+    pick_rows = " UNION ALL ".join(
+        f"SELECT event_type, '{team}' AS team, p{i} AS u FROM s6"
+        for i, team in enumerate(_TD_ORDER, start=1)
+    )
+    return f"""
+        WITH per_user AS (
+            SELECT event_type, user_id,
+                   SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS s_cents,
+                   COUNT(*) AS n,
+                   MAX(CAST(ROUND(value * 100, 0) AS BIGINT)) AS mx
+            FROM events
+            GROUP BY event_type, user_id
+        ),
+        base AS (
+            SELECT event_type,
+                   (list_sort(list((-s_cents, user_id))))[:6]
+                       .list_transform(x -> x[2]) AS la,
+                   (list_sort(list((-n, user_id))))[:6]
+                       .list_transform(x -> x[2]) AS lb
+            FROM per_user
+            GROUP BY event_type
+        ),
+        {", ".join(steps)},
+        picks AS ({pick_rows}),
+        clicked AS (
+            SELECT event_type, user_id FROM per_user WHERE mx >= 20000
+        ),
+        scores AS (
+            SELECT p.event_type, p.team, COUNT(c.user_id) AS hits
+            FROM picks p
+            LEFT JOIN clicked c
+              ON c.event_type = p.event_type AND c.user_id = p.u
+            GROUP BY p.event_type, p.team
+        )
+        SELECT a.event_type,
+               CAST(a.hits AS BIGINT) AS score_a,
+               CAST(b.hits AS BIGINT) AS score_b,
+               CASE WHEN a.hits > b.hits THEN 'A'
+                    WHEN b.hits > a.hits THEN 'B'
+                    ELSE 'tie' END AS winner
+        FROM scores a
+        JOIN scores b ON a.event_type = b.event_type
+        WHERE a.team = 'A' AND b.team = 'B'
+        ORDER BY a.event_type
+    """
+
+
+@register(
+    "eval_interleave_teamdraft",
+    category="eval",
+    doc="Team-draft interleaving (Radlinski et al. 2008), the standard "
+    "online ranker A/B evaluation, made fully deterministic: per query "
+    "(event_type) ranker A orders candidate users by total spend and "
+    "ranker B by event count; three draft rounds pick alternately with "
+    "the coin fixed to round parity (A,B / B,A / A,B), each team "
+    "taking its highest-ranked candidate not already in the "
+    "interleaved list.  The draft is SEQUENTIAL state, but with a "
+    "fixed coin it unrolls into 6 set-based pick steps (array filter "
+    "+ head), identical in both engines — no per-query loop, no UDF.  "
+    "Credit: a pick scores when that user 'clicked' (max event >= "
+    "$200 for the query's type); more hits wins the query.  Scale "
+    "shape: one groupBy collapses events to (type, user) stats; the "
+    "draft runs over 6-element arrays per query — constant work per "
+    "query regardless of SF.",
+    oracle=_td_oracle(),
+)
+def eval_interleave_teamdraft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    yc = F.expr("cast(round(value * 100, 0) as bigint)")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(yc).alias("s_cents"),
+        F.count(F.lit(1)).alias("n"),
+        F.max(yc).alias("mx"),
+    )
+    top6 = lambda key: F.slice(  # noqa: E731
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col(key)).alias("k"), F.col("user_id").alias("u")))
+            ),
+            lambda x: x.u,
+        ),
+        1,
+        6,
+    )
+    base = per_user.groupBy("event_type").agg(
+        top6("s_cents").alias("la"), top6("n").alias("lb")
+    )
+    d = base
+    for i, team in enumerate(_TD_ORDER, start=1):
+        lst = "la" if team == "A" else "lb"
+        picked = (
+            "array()"
+            if i == 1
+            else "array(" + ", ".join(f"p{j}" for j in range(1, i)) + ")"
+        )
+        d = d.withColumn(
+            f"p{i}",
+            F.expr(
+                f"coalesce(element_at(filter({lst}, "
+                f"x -> NOT array_contains({picked}, x)), 1), {-i})"
+            ),
+        )
+    picks = d.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(team).alias("team"), F.col(f"p{i}").alias("u")
+                    )
+                    for i, team in enumerate(_TD_ORDER, start=1)
+                ]
+            )
+        ).alias("p"),
+    ).select("event_type", "p.team", "p.u")
+    clicked = per_user.filter(F.col("mx") >= 20000).select(
+        "event_type", F.col("user_id").alias("u"), F.lit(1).alias("hit")
+    )
+    scores = (
+        picks.join(clicked, ["event_type", "u"], "left")
+        .groupBy("event_type", "team")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("hits"))
+    )
+    a = scores.filter(F.col("team") == "A").select(
+        "event_type", F.col("hits").alias("score_a")
+    )
+    b = scores.filter(F.col("team") == "B").select(
+        "event_type", F.col("hits").alias("score_b")
+    )
+    return (
+        a.join(b, "event_type")
+        .select(
+            "event_type",
+            F.col("score_a").cast("bigint").alias("score_a"),
+            F.col("score_b").cast("bigint").alias("score_b"),
+            F.when(F.col("score_a") > F.col("score_b"), "A")
+            .when(F.col("score_b") > F.col("score_a"), "B")
+            .otherwise("tie")
+            .alias("winner"),
+        )
+        .orderBy("event_type")
+    )

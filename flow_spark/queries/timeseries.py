@@ -1111,3 +1111,199 @@ def seq_followedby_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "a_type", "b_type")
         .limit(15)
     )
+
+
+@register(
+    "ts_holt_linear",
+    category="timeseries",
+    doc="Holt's linear-trend (double exponential) smoothing per user over "
+    "the first 16 events, alpha = beta = 1/2 — bit-deterministic "
+    "across engines because the RECURSIVE level/trend updates run in "
+    "scaled-integer space: keeping state as (level*4^t, trend*4^t) "
+    "turns both halving updates into pure integer adds/multiplies "
+    "(L' = 2*(p*y + L + B), B' = p*y - L + 3*B with p = 4^(t-1); no "
+    "division anywhere until the single exact power-of-two descale at "
+    "the end, and |L| <= 4^16 * max_cents ~ 4e14 stays well inside "
+    "int64 AND double's 2^53 exact range).  Spark evaluates the "
+    "recursion as ONE aggregate() fold over each user's sorted value "
+    "array — no per-key iteration, no UDF; the oracle replays it with "
+    "a recursive CTE.  Scale shape: one shuffle on user_id, state O(1) "
+    "per user; the 16-obs cap keeps the fold bounded at any SF.",
+    oracle="""
+        WITH RECURSIVE e AS (
+            SELECT user_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS y,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events WHERE user_id % 25 = 0
+        ),
+        e16 AS (SELECT * FROM e WHERE rn <= 16),
+        rec AS (
+            SELECT user_id, rn, 4 * y AS l, CAST(0 AS BIGINT) AS b,
+                   CAST(4 AS BIGINT) AS p
+            FROM e16 WHERE rn = 1
+            UNION ALL
+            SELECT e.user_id, e.rn,
+                   2 * (r.p * e.y + r.l + r.b),
+                   r.p * e.y - r.l + 3 * r.b,
+                   4 * r.p
+            FROM rec r
+            JOIN e16 e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+        ),
+        fin AS (SELECT user_id, MAX(rn) AS n FROM rec GROUP BY user_id)
+        SELECT r.user_id,
+               CAST(r.rn AS BIGINT) AS n_obs,
+               CAST(r.l AS DOUBLE) / CAST(r.p AS DOUBLE) AS level_cents,
+               CAST(r.b AS DOUBLE) / CAST(r.p AS DOUBLE) AS trend_cents,
+               CAST(r.l + 3 * r.b AS DOUBLE) / CAST(r.p AS DOUBLE)
+                   AS forecast3_cents
+        FROM rec r JOIN fin f ON r.user_id = f.user_id AND r.rn = f.n
+        ORDER BY r.user_id
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
+    rows = ev.select(
+        "user_id",
+        F.struct("ts", "event_id", F.round(F.col("value") * 100, 0).cast("long").alias("y")).alias("o"),
+    )
+    per_user = rows.groupBy("user_id").agg(
+        F.slice(F.sort_array(F.collect_list("o")), 1, 16).alias("obs")
+    )
+    # fold: acc = (l, b, p) with p = 4^t after t steps; p = 0 marks "no
+    # observation folded yet" (the init case lv_1 = y_1, tr_1 = 0)
+    fold = F.expr(
+        """
+        aggregate(
+            transform(obs, o -> o.y),
+            named_struct('l', cast(0 as bigint), 'b', cast(0 as bigint),
+                         'p', cast(0 as bigint)),
+            (acc, y) -> CASE WHEN acc.p = 0
+                THEN named_struct('l', 4 * y, 'b', cast(0 as bigint),
+                                  'p', cast(4 as bigint))
+                ELSE named_struct(
+                    'l', 2 * (acc.p * y + acc.l + acc.b),
+                    'b', acc.p * y - acc.l + 3 * acc.b,
+                    'p', 4 * acc.p)
+                END)
+        """
+    )
+    return (
+        per_user.select("user_id", F.size("obs").alias("n"), fold.alias("s"))
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_obs"),
+            (F.col("s.l").cast("double") / F.col("s.p").cast("double")).alias(
+                "level_cents"
+            ),
+            (F.col("s.b").cast("double") / F.col("s.p").cast("double")).alias(
+                "trend_cents"
+            ),
+            (
+                (F.col("s.l") + 3 * F.col("s.b")).cast("double")
+                / F.col("s.p").cast("double")
+            ).alias("forecast3_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "ts_sax_words",
+    category="timeseries",
+    doc="SAX (Symbolic Aggregate approXimation) words per user: the first "
+    "32 events become 8 PAA segments of 4 observations; each segment "
+    "mean is discretized against the user's own [min, max] range split "
+    "into 4 equal-width letters a-d.  Classic SAX uses Gaussian "
+    "breakpoints on z-scores (libm territory); equal-width breakpoints "
+    "keep every comparison exact-rational — segment mean S/n vs "
+    "threshold mn + k*(mx-mn)/4 cross-multiplies to the integer "
+    "predicate 4*S > 4*n*mn + k*n*(mx-mn), so both engines pick "
+    "identical letters bit-for-bit.  The word (ordered concat of "
+    "letters) is the indexable motif fingerprint: equal words => "
+    "similar shapes, and a groupBy on the word finds repeated motifs "
+    "across users.  One shuffle on user_id; the 32-obs cap bounds "
+    "per-user work at any SF.",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS y,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events WHERE user_id % 10 = 0
+        ),
+        e32 AS (
+            SELECT user_id, y, (rn - 1) // 4 AS seg
+            FROM e WHERE rn <= 32
+        ),
+        rng AS (
+            SELECT user_id, MIN(y) AS mn, MAX(y) AS mx,
+                   COUNT(*) AS n_obs
+            FROM e32 GROUP BY user_id
+        ),
+        segs AS (
+            SELECT user_id, seg, SUM(y) AS s, COUNT(*) AS n
+            FROM e32 GROUP BY user_id, seg
+        ),
+        sym AS (
+            SELECT s.user_id, s.seg,
+                   chr(97 +
+                       CASE WHEN 4 * s.s > 4 * s.n * r.mn + 1 * s.n * (r.mx - r.mn) THEN 1 ELSE 0 END +
+                       CASE WHEN 4 * s.s > 4 * s.n * r.mn + 2 * s.n * (r.mx - r.mn) THEN 1 ELSE 0 END +
+                       CASE WHEN 4 * s.s > 4 * s.n * r.mn + 3 * s.n * (r.mx - r.mn) THEN 1 ELSE 0 END
+                   ) AS letter
+            FROM segs s JOIN rng r USING (user_id)
+        )
+        SELECT y.user_id,
+               CAST(r.n_obs AS BIGINT) AS n_obs,
+               string_agg(y.letter, '' ORDER BY y.seg) AS sax_word
+        FROM sym y JOIN rng r USING (user_id)
+        GROUP BY y.user_id, r.n_obs
+        ORDER BY y.user_id
+    """,
+)
+def ts_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e32 = (
+        ev.select(
+            "user_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 32)
+        .withColumn("seg", F.expr("(rn - 1) div 4"))
+    )
+    rng = e32.groupBy("user_id").agg(
+        F.min("y").alias("mn"),
+        F.max("y").alias("mx"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    segs = e32.groupBy("user_id", "seg").agg(
+        F.sum("y").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    above = lambda k: F.when(  # noqa: E731
+        4 * F.col("s") > 4 * F.col("n") * F.col("mn")
+        + k * F.col("n") * (F.col("mx") - F.col("mn")),
+        1,
+    ).otherwise(0)
+    sym = segs.join(rng, "user_id").select(
+        "user_id",
+        "seg",
+        "n_obs",
+        F.chr(F.lit(97) + above(1) + above(2) + above(3)).alias("letter"),
+    )
+    return (
+        sym.groupBy("user_id", "n_obs")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seg", "letter"))),
+                    lambda x: x.letter,
+                ),
+                "",
+            ).alias("sax_word")
+        )
+        .select(
+            "user_id", F.col("n_obs").cast("bigint").alias("n_obs"), "sax_word"
+        )
+        .orderBy("user_id")
+    )
