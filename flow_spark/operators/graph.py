@@ -37,34 +37,42 @@ def _directed(edges: DataFrame) -> DataFrame:
 def _large_star(edges: DataFrame) -> DataFrame:
     """large-star(u): connect every neighbor v > u to min(N(u) + {u}).
 
-    One groupBy(u) for the per-node min, one co-partitioned join back on u
-    — two stages sharing the same hash partitioning on u.
+    ONE exchange: the per-node min attaches via an unordered window over
+    u (same hash partitioning a groupBy would use) instead of a
+    groupBy + join-back, so a star round costs half the stages.  The
+    output is a BAG (no distinct here): the per-round distinct runs once
+    at the end of small-star, and the window min over a bag equals the
+    min over the set, so semantics are unchanged while each round drops
+    a full (a, b) shuffle.
     """
+    from pyspark.sql.window import Window
+
     d = _directed(edges)
-    m = d.groupBy("u").agg(F.min("v").alias("mn"))
-    m = m.select("u", F.least("mn", "u").alias("m"))
-    out = (
-        d.join(m, "u")
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
+    return (
+        d.withColumn("m", m)
         .where(F.col("v") > F.col("u"))
         .select(*_canonical(F.col("v"), F.col("m")))
         .where(F.col("a") != F.col("b"))
-        .distinct()
     )
-    return out
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """small-star(u): connect u and every neighbor v <= u to the min of
-    the smaller-or-equal neighborhood (plus u itself)."""
+    the smaller-or-equal neighborhood (plus u itself).
+
+    Same single-exchange window trick as large-star; self-links are
+    emitted once per (u, v) row and deduplicated by the final distinct —
+    the ONE (a, b) shuffle of the whole round."""
+    from pyspark.sql.window import Window
+
     d = _directed(edges)
     small = d.where(F.col("v") < F.col("u"))
-    m = small.groupBy("u").agg(F.min("v").alias("mn"))
-    m = m.select("u", F.least("mn", "u").alias("m"))
-    linked = (
-        small.join(m, "u")
-        .select(*_canonical(F.col("v"), F.col("m")))
+    with_m = small.withColumn(
+        "m", F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
     )
-    self_link = m.select(*_canonical(F.col("u"), F.col("m")))
+    linked = with_m.select(*_canonical(F.col("v"), F.col("m")))
+    self_link = with_m.select(*_canonical(F.col("u"), F.col("m")))
     return (
         linked.unionByName(self_link)
         .where(F.col("a") != F.col("b"))
