@@ -177,6 +177,13 @@ def snapshot_stats_col(table_dir: str, version: int) -> "str | None":
         return json.load(fh).get("stats_col")
 
 
+def snapshot_col_stats(table_dir: str, version: int) -> "dict[str, dict]":
+    """Multi-column per-file [min, max] stats ({col: {file: [mn, mx]}}),
+    written by :func:`snapshot_optimize_zorder`; {} when absent."""
+    with open(_manifest_path(table_dir, version)) as fh:
+        return json.load(fh).get("col_stats", {})
+
+
 def _manifest_schema(table_dir: str, version: int):
     """The version's recorded schema (the read authority, see
     snapshot_read) as a StructType."""
@@ -286,7 +293,10 @@ def snapshot_read(
         if key_col is None:
             raise ValueError("key_range requires key_col")
         lo, hi = key_range
-        stats = (
+        # pruning stats for the key column: the multi-column col_stats
+        # map (written by snapshot_optimize_zorder) takes precedence,
+        # else the single stats_col pair when it describes this column
+        stats = manifest.get("col_stats", {}).get(key_col) or (
             manifest.get("stats", {})
             if manifest.get("stats_col") == key_col
             else {}
@@ -810,6 +820,117 @@ def snapshot_abort_staged(table_dir: str, branch: str = "audit") -> int:
             pass  # shared or non-empty write dir stays
     os.unlink(marker_path)
     return removed
+
+
+def snapshot_optimize_zorder(
+    spark: SparkSession,
+    table_dir: str,
+    xcol: str,
+    ycol: str,
+    shift: int = 20,
+    target_rows_per_file: int = 100_000,
+) -> int:
+    """OPTIMIZE ZORDER: rewrite the latest version clustered on the
+    Morton curve of (xcol, ycol), committed as a new version with
+    IDENTICAL rows and per-file [min, max] stats on BOTH columns.
+
+    Delta/Iceberg's multi-dimensional clustering step: a z-ordered
+    layout makes every file's span tight in BOTH dimensions at once, so
+    ``snapshot_read(key_range=...)`` prunes files for predicates on
+    EITHER column — single-column sort can only ever serve one.
+
+    File assignment is DETERMINISTIC (no RangePartitioner sampling):
+    z-buckets (zval >> shift, <= 2^(32-shift) of them) aggregate to
+    driver-sized counts, and a bucket's file is
+    ``rows_in_strictly_earlier_buckets div target_rows_per_file`` — a
+    running-sum rule any engine can replay exactly.  Files then land via
+    one hash repartition on file id + partitionBy (each file id in one
+    task -> one file), the same one-writer-per-partition shape as
+    :func:`snapshot_write_partitioned`; the file id lives only in the
+    path, never in the payload, so the table schema is unchanged.
+
+    Multi-column stats ride a ``col_stats`` manifest key
+    ({col: {file: [min, max]}}); ``snapshot_read`` consults it for
+    pruning alongside the single-column ``stats``/``stats_col`` pair.
+    Returns the new version.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from flow_spark.functions.layout import morton_interleave16
+
+    v = current_version(table_dir)
+    with open(_manifest_path(table_dir, v)) as fh:
+        cur_manifest = json.load(fh)
+    schema = StructType.fromJson(json.loads(cur_manifest["schema"]))
+    df = _read_manifest_subset(spark, cur_manifest, cur_manifest["files"], schema)
+    zb = F.shiftright(
+        morton_interleave16(
+            F.col(xcol).cast("bigint"), F.col(ycol).cast("bigint")
+        ),
+        shift,
+    )
+    with_bucket = df.withColumn("__zb", zb)
+    # bucket census: bounded by 2^(32-shift) rows -> driver arithmetic
+    counts = sorted(
+        (r["__zb"], r["n"])
+        for r in with_bucket.groupBy("__zb").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assign = []
+    acc = 0
+    for bucket, n in counts:
+        assign.append((bucket, acc // target_rows_per_file))
+        acc += n
+    amap = spark.createDataFrame(assign, "__zb bigint, __zfile bigint")
+    write_dir = os.path.join(table_dir, DATA_DIR, uuid.uuid4().hex[:12])
+    (
+        with_bucket.join(F.broadcast(amap), "__zb")
+        .drop("__zb")
+        .repartition(F.col("__zfile"))
+        .sortWithinPartitions("__zfile")
+        .write.partitionBy("__zfile")
+        .mode("error")
+        .parquet(write_dir)
+    )
+    files: list[str] = []
+    for root, _dirs, names in os.walk(write_dir):
+        files.extend(
+            os.path.join(root, n) for n in names if n.endswith(".parquet")
+        )
+    files.sort()
+    # per-file [min, max] of BOTH z-columns (one aggregate scan of the
+    # new files — __zfile is path-only, the payload is the table schema)
+    col_stats: dict[str, dict[str, list]] = {xcol: {}, ycol: {}}
+    for r in (
+        spark.read.schema(schema).parquet(*files)
+        .groupBy(F.col("_metadata.file_path").alias("__fp"))
+        .agg(
+            F.min(xcol).alias("x_mn"),
+            F.max(xcol).alias("x_mx"),
+            F.min(ycol).alias("y_mn"),
+            F.max(ycol).alias("y_mx"),
+        )
+        .collect()
+    ):
+        fp = r["__fp"].removeprefix("file:")
+        if all(isinstance(v_, (int, float, str)) for v_ in (r["x_mn"], r["x_mx"])):
+            col_stats[xcol][fp] = [r["x_mn"], r["x_mx"]]
+        if all(isinstance(v_, (int, float, str)) for v_ in (r["y_mn"], r["y_mx"])):
+            col_stats[ycol][fp] = [r["y_mn"], r["y_mx"]]
+    version = v + 1
+    manifest = {
+        "version": version,
+        "committed_at": time.time(),
+        "files": files,
+        "schema": cur_manifest["schema"],
+        "stats": {},
+        "stats_col": None,
+        "col_stats": col_stats,
+        "partitions": {},
+        "bases": {},
+    }
+    _commit_manifest(manifest, _manifest_path(table_dir, version))
+    return version
 
 
 # ---- multi-table atomic commits --------------------------------------------

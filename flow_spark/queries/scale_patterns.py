@@ -1532,3 +1532,129 @@ def snap_multi_table_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return parts[0].unionByName(parts[1]).orderBy("catalog_version", "segment")
+
+
+@register(
+    "snap_zorder_optimize",
+    category="scale-pattern",
+    doc="OPTIMIZE ZORDER on the snapshot layer (operators/snapshots."
+    "snapshot_optimize_zorder): the latest version rewrites clustered "
+    "on the Morton curve of (custkey, order day) with DETERMINISTIC "
+    "file assignment — z-bucket census to the driver, file id = rows-"
+    "in-earlier-buckets div target, one hash repartition, one file per "
+    "id — and per-file [min, max] stats on BOTH columns land in the "
+    "manifest's col_stats.  Two range probes then read through "
+    "snapshot_read's stats pruning, one per dimension: z-ordering is "
+    "the layout where BOTH probes skip most files (a single-column "
+    "sort can only serve one).  The oracle replays the bucket/file "
+    "rule exactly — selected/total FILE COUNTS are value-checked, not "
+    "just the row aggregates.  The probe predicates re-apply as "
+    "residual filters (stats pruning only shrinks the input split "
+    "set), so row results are provably unchanged by the rewrite.",
+    oracle=f"""
+        WITH t AS (
+            SELECT o_orderkey AS okey, o_custkey AS ck,
+                   datediff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS dayn,
+                   CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+            FROM orders
+        ),
+        z AS (
+            SELECT *, {_sql_zvalue("ck", "dayn")} >> 20 AS zb FROM t
+        ),
+        census AS (
+            SELECT zb, COUNT(*) AS n FROM z GROUP BY zb
+        ),
+        packed AS (
+            SELECT zb,
+                   (SUM(n) OVER (ORDER BY zb
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) IS NULL) AS first_b,
+                   COALESCE(SUM(n) OVER (ORDER BY zb
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) // 2000 AS zfile
+            FROM census
+        ),
+        rowsf AS (
+            SELECT z.*, p.zfile FROM z JOIN packed p USING (zb)
+        ),
+        fstats AS (
+            SELECT zfile, MIN(ck) AS ck_mn, MAX(ck) AS ck_mx,
+                   MIN(dayn) AS d_mn, MAX(dayn) AS d_mx
+            FROM rowsf
+            GROUP BY zfile
+        ),
+        nfiles AS (SELECT COUNT(*) AS total FROM fstats)
+        SELECT p.probe,
+               CAST(n.total AS BIGINT) AS files_total,
+               CAST((SELECT COUNT(*) FROM fstats f
+                     WHERE (p.probe = 'custkey' AND f.ck_mn <= p.hi
+                            AND f.ck_mx >= p.lo)
+                        OR (p.probe = 'orderday' AND f.d_mn <= p.hi
+                            AND f.d_mx >= p.lo)) AS BIGINT)
+                   AS files_selected,
+               CAST((SELECT COUNT(*) FROM t
+                     WHERE (CASE WHEN p.probe = 'custkey' THEN t.ck
+                            ELSE t.dayn END) BETWEEN p.lo AND p.hi)
+                    AS BIGINT) AS n_rows,
+               CAST((SELECT COALESCE(SUM(cents), 0) FROM t
+                     WHERE (CASE WHEN p.probe = 'custkey' THEN t.ck
+                            ELSE t.dayn END) BETWEEN p.lo AND p.hi)
+                    AS BIGINT) AS sum_cents
+        FROM (VALUES ('custkey', 100, 300),
+                     ('orderday', 9131, 9496)) p(probe, lo, hi)
+        CROSS JOIN nfiles n
+        ORDER BY p.probe
+    """,
+)
+def snap_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flow_spark.operators.snapshots import (
+        snapshot_col_stats,
+        snapshot_optimize_zorder,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("ck"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("dayn"),
+        F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias("cents"),
+    )
+    td = tempfile.mkdtemp(prefix="snap_zorder_")
+    snapshot_write(t.repartition(4), td)
+    v2 = snapshot_optimize_zorder(
+        spark, td, "ck", "dayn", shift=20, target_rows_per_file=2000
+    )
+    cs = snapshot_col_stats(td, v2)
+    files_total = len({f for col in cs.values() for f in col})
+    probes = [("custkey", "ck", 100, 300), ("orderday", "dayn", 9131, 9496)]
+    parts = []
+    for probe, col, lo, hi in probes:
+        n_sel = sum(
+            1 for st in cs[col].values() if st[0] <= hi and st[1] >= lo
+        )
+        got = (
+            snapshot_read(spark, td, v2, key_range=(lo, hi), key_col=col)
+            .filter(F.col(col).between(lo, hi))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.coalesce(F.sum("cents"), F.lit(0))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .select(
+                F.lit(probe).alias("probe"),
+                F.lit(files_total).cast("bigint").alias("files_total"),
+                F.lit(n_sel).cast("bigint").alias("files_selected"),
+                "n_rows",
+                "sum_cents",
+            )
+        )
+        parts.append(got)
+    return parts[0].unionByName(parts[1]).orderBy("probe")

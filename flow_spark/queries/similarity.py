@@ -2009,3 +2009,159 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "eval_kendall_tau",
+    category="eval",
+    doc="Kendall rank agreement between two retrieval rankers — inner "
+    "product vs cosine — per query, entirely in exact integer space.  "
+    "Vectors quantize at a FIXED scale (q = floor(1000*x + 0.5), no "
+    "data-dependent scale), so dot products are exact integers; the "
+    "cosine ordering key avoids sqrt/division via the cross-multiplied "
+    "floor key sign(ip) * (ip^2 * 1e10 div |c|^2) riding decimal(38,0) "
+    "(Spark) / HUGEINT (DuckDB) — identical total orders in both "
+    "engines, ties broken by vec_id.  Tau is evaluated top-k style: "
+    "the union of both rankers' top-20 lists per query, concordant/"
+    "discordant counted over all shortlist pairs with the ORIGINAL "
+    "full-corpus ranks, tau_ppm = (C - D) * 1e6 div (C + D).  Scale "
+    "shape: queries broadcast against one candidate scan; the "
+    "shortlist cap (<= 40 per query) keeps the pair stage constant "
+    "per query at any SF — the ranking sweep itself is the only "
+    "data-sized pass.",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(floor(1000 * x + 0.5) AS BIGINT))
+                       AS qv
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, qv AS qq FROM v WHERE vec_id % 50 = 0),
+        c AS (SELECT vec_id, qv,
+                     CAST(list_dot_product(
+                         list_transform(qv, x -> CAST(x AS DOUBLE)),
+                         list_transform(qv, x -> CAST(x AS DOUBLE)))
+                         AS BIGINT) AS n2
+              FROM v WHERE vec_id % 5 = 0),
+        scored AS (
+            SELECT q.query_id, c.vec_id,
+                   CAST(list_dot_product(
+                       list_transform(q.qq, x -> CAST(x AS DOUBLE)),
+                       list_transform(c.qv, x -> CAST(x AS DOUBLE)))
+                       AS BIGINT) AS ip,
+                   c.n2
+            FROM q JOIN c ON c.vec_id != q.query_id
+        ),
+        keyed AS (
+            SELECT query_id, vec_id, ip,
+                   CASE WHEN ip >= 0 THEN 1 ELSE -1 END
+                   * CAST((CAST(ip AS HUGEINT) * ip * 10000000000) // n2
+                          AS BIGINT) AS kcos
+            FROM scored
+        ),
+        ranked AS (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY ip DESC, vec_id) AS r1,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY kcos DESC, vec_id) AS r2
+            FROM keyed
+        ),
+        short AS (
+            SELECT * FROM ranked WHERE r1 <= 20 OR r2 <= 20
+        ),
+        pairs AS (
+            SELECT a.query_id,
+                   CASE WHEN (a.r1 - b.r1) * (a.r2 - b.r2) > 0
+                        THEN 1 ELSE 0 END AS conc
+            FROM short a
+            JOIN short b ON a.query_id = b.query_id AND a.vec_id < b.vec_id
+        )
+        SELECT query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(conc) AS BIGINT) AS concordant,
+               CAST(COUNT(*) - SUM(conc) AS BIGINT) AS discordant,
+               CAST((2 * SUM(conc) - COUNT(*)) * 1000000 // COUNT(*)
+                    AS BIGINT) AS tau_ppm
+        FROM pairs
+        GROUP BY query_id
+        ORDER BY query_id
+    """,
+)
+def eval_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(F.lit(1000.0) * x.cast("double") + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    v = emb.select("vec_id", qv.alias("qv"))
+    zero = F.lit(0).cast("long")
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, x: acc + x
+    )
+    q = v.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+    )
+    c = v.filter(F.col("vec_id") % 5 == 0).select(
+        "vec_id", "qv", dot("qv", "qv").alias("n2")
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select("query_id", "vec_id", dot("qq", "qv").alias("ip"), "n2")
+    kcos = F.expr(
+        "(CASE WHEN ip >= 0 THEN 1 ELSE -1 END) * "
+        "cast((cast(ip as decimal(38,0)) * ip * 10000000000) div n2 as bigint)"
+    )
+    keyed = scored.withColumn("kcos", kcos)
+    wq = Window.partitionBy("query_id")
+    ranked = keyed.select(
+        "query_id",
+        "vec_id",
+        F.row_number().over(wq.orderBy(F.desc("ip"), "vec_id")).alias("r1"),
+        F.row_number().over(wq.orderBy(F.desc("kcos"), "vec_id")).alias("r2"),
+    )
+    short = ranked.filter((F.col("r1") <= 20) | (F.col("r2") <= 20))
+    a = short.select(
+        "query_id",
+        F.col("vec_id").alias("ida"),
+        F.col("r1").alias("r1a"),
+        F.col("r2").alias("r2a"),
+    )
+    b = short.select(
+        "query_id",
+        F.col("vec_id").alias("idb"),
+        F.col("r1").alias("r1b"),
+        F.col("r2").alias("r2b"),
+    )
+    pairs = a.join(b, "query_id").filter(F.col("ida") < F.col("idb")).select(
+        "query_id",
+        F.when(
+            (F.col("r1a") - F.col("r1b")) * (F.col("r2a") - F.col("r2b")) > 0, 1
+        )
+        .otherwise(0)
+        .alias("conc"),
+    )
+    return (
+        pairs.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("conc").cast("bigint").alias("concordant"),
+        )
+        .select(
+            "query_id",
+            "n_pairs",
+            "concordant",
+            (F.col("n_pairs") - F.col("concordant"))
+            .cast("bigint")
+            .alias("discordant"),
+            F.expr(
+                "cast((2 * concordant - n_pairs) * 1000000 div n_pairs as bigint)"
+            ).alias("tau_ppm"),
+        )
+        .orderBy("query_id")
+    )

@@ -895,3 +895,46 @@ def test_multi_table_commit_concurrency_loser_raises(
         snap.snapshot_commit_tables(
             {"facts": spark.range(7).selectExpr("id AS k")}, root
         )
+
+
+def test_zorder_optimize_rows_identical_and_pruning(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        snapshot_col_stats,
+        snapshot_optimize_zorder,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    td = str(tmp_path / "tbl")
+    df = spark.range(5000).select(
+        F.col("id"),
+        (F.col("id") % 97).alias("x"),
+        ((F.col("id") * 7) % 89).alias("y"),
+    )
+    v1 = snapshot_write(df.repartition(4), td)
+    v2 = snapshot_optimize_zorder(
+        spark, td, "x", "y", shift=4, target_rows_per_file=800
+    )
+    assert v2 == v1 + 1
+    before = sorted(r.id for r in snapshot_read(spark, td, v1).collect())
+    after = sorted(r.id for r in snapshot_read(spark, td, v2).collect())
+    assert before == after  # OPTIMIZE never changes rows
+    cs = snapshot_col_stats(td, v2)
+    assert set(cs) == {"x", "y"}
+    n_files = len(cs["x"])
+    assert n_files >= 4
+    # stats are true bounds: a probe through pruning == plain filter
+    for col, lo, hi in (("x", 10, 25), ("y", 50, 60)):
+        pruned = (
+            snapshot_read(spark, td, v2, key_range=(lo, hi), key_col=col)
+            .filter(F.col(col).between(lo, hi))
+            .count()
+        )
+        plain = df.filter(F.col(col).between(lo, hi)).count()
+        assert pruned == plain
+        n_sel = sum(
+            1 for st in cs[col].values() if st[0] <= hi and st[1] >= lo
+        )
+        assert n_sel <= n_files
