@@ -2165,3 +2165,134 @@ def eval_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "sample_coreset_kcenter",
+    category="sampling",
+    doc="Greedy k-center (farthest-point-first) coreset selection over "
+    "the embedding corpus — the classic 2-approximation for coverage-"
+    "maximizing data curation (pick the training subset whose furthest "
+    "point is closest).  k = 4 centers unroll into 4 set-based steps: "
+    "seed = lowest vec_id, then each next center is the argmax of the "
+    "running min-squared-distance to the chosen set (exact INTEGER "
+    "distances over fixed-scale int8-style quantization q = "
+    "floor(1000x + 0.5); ties broken by lowest vec_id via max_by on "
+    "dist * 2^20 - vec_id).  Each step is one 1-row broadcast cross "
+    "join (the new center's vector) + one scan — no driver loop over "
+    "data, no UDF; the coverage radius after each pick is the exact "
+    "integer certificate the approximation bound speaks about.  Scale "
+    "shape: k scans of the corpus, each a narrow JVM fold — the "
+    "standard distributed form of greedy k-center at 100 TB.",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(floor(1000 * x + 0.5) AS BIGINT))
+                       AS qv
+            FROM embeddings WHERE vec_id % 3 = 0
+        ),
+        c1 AS (SELECT MIN(vec_id) AS c FROM v),
+        -- O(k*n), never all-pairs: each step scores the corpus against
+        -- ONE center row (same shape as the Spark side's k scans)
+        m1 AS (
+            SELECT a.vec_id, a.qv,
+                   CAST(list_sum(list_transform(
+                       list_zip(a.qv, c.qv),
+                       p -> CAST((p[1] - p[2]) * (p[1] - p[2]) AS DOUBLE)))
+                       AS BIGINT) AS md
+            FROM v a JOIN v c ON c.vec_id = (SELECT c FROM c1)
+        ),
+        c2 AS (SELECT arg_max(vec_id, md * 1048576 - vec_id) AS c FROM m1),
+        m2 AS (
+            SELECT a.vec_id, a.qv,
+                   LEAST(a.md, CAST(list_sum(list_transform(
+                       list_zip(a.qv, c.qv),
+                       p -> CAST((p[1] - p[2]) * (p[1] - p[2]) AS DOUBLE)))
+                       AS BIGINT)) AS md
+            FROM m1 a JOIN v c ON c.vec_id = (SELECT c FROM c2)
+        ),
+        c3 AS (SELECT arg_max(vec_id, md * 1048576 - vec_id) AS c FROM m2),
+        m3 AS (
+            SELECT a.vec_id, a.qv,
+                   LEAST(a.md, CAST(list_sum(list_transform(
+                       list_zip(a.qv, c.qv),
+                       p -> CAST((p[1] - p[2]) * (p[1] - p[2]) AS DOUBLE)))
+                       AS BIGINT)) AS md
+            FROM m2 a JOIN v c ON c.vec_id = (SELECT c FROM c3)
+        ),
+        c4 AS (SELECT arg_max(vec_id, md * 1048576 - vec_id) AS c FROM m3),
+        m4 AS (
+            SELECT a.vec_id,
+                   LEAST(a.md, CAST(list_sum(list_transform(
+                       list_zip(a.qv, c.qv),
+                       p -> CAST((p[1] - p[2]) * (p[1] - p[2]) AS DOUBLE)))
+                       AS BIGINT)) AS md
+            FROM m3 a JOIN v c ON c.vec_id = (SELECT c FROM c4)
+        )
+        SELECT s.step, s.center_id, s.radius2
+        FROM (
+            SELECT 1 AS step, (SELECT c FROM c1) AS center_id,
+                   (SELECT MAX(md) FROM m1) AS radius2
+            UNION ALL
+            SELECT 2, (SELECT c FROM c2), (SELECT MAX(md) FROM m2)
+            UNION ALL
+            SELECT 3, (SELECT c FROM c3), (SELECT MAX(md) FROM m3)
+            UNION ALL
+            SELECT 4, (SELECT c FROM c4), (SELECT MAX(md) FROM m4)
+        ) s
+        ORDER BY s.step
+    """,
+)
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 3 == 0)
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(F.lit(1000.0) * x.cast("double") + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    v = emb.select("vec_id", qv.alias("qv")).localCheckpoint()
+    zero = F.lit(0).cast("long")
+    d2_to = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    # seed: lowest vec_id (1-row broadcast)
+    center = v.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    rows = []
+    md = None  # running min distance frame: (vec_id, qv, md)
+    cur = v
+    for step in range(1, 5):
+        withd = cur.crossJoin(F.broadcast(center)).withColumn("d2", d2_to)
+        if md is None:
+            cur = withd.select("vec_id", "qv", F.col("d2").alias("md"))
+        else:
+            cur = withd.select(
+                "vec_id", "qv", F.least("md", F.col("d2")).alias("md")
+            )
+        md = True
+        stat = cur.agg(
+            F.max("md").alias("radius2"),
+            F.expr("max_by(vec_id, md * 1048576 - vec_id)").alias("next_c"),
+        )
+        rows.append(
+            stat.crossJoin(F.broadcast(center)).select(
+                F.lit(step).cast("bigint").alias("step"),
+                F.col("cid").cast("bigint").alias("center_id"),
+                F.col("radius2").cast("bigint").alias("radius2"),
+            )
+        )
+        # the next center's (id, vector) as the next 1-row broadcast
+        center = (
+            stat.select(F.col("next_c").alias("vec_id"))
+            .join(v, "vec_id")
+            .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("step")

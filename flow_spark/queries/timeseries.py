@@ -1307,3 +1307,114 @@ def ts_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "ts_holt_winters_seasonal",
+    category="timeseries",
+    doc="Holt-Winters additive TRIPLE exponential smoothing (level + "
+    "trend + period-4 seasonality, alpha = beta = gamma = 1/2) per "
+    "user over the first 16 events — the full seasonal extension of "
+    "ts_holt_linear, same bit-determinism argument: state rides as "
+    "(level*4^t, trend*4^t, [4 seasonals]*4^t), the whole seasonal "
+    "array rescales by 4 each step, and with half = p*y - s1 + L + B "
+    "every update is integer-only (L' = 2*half, B' = p*y - s1 - L + "
+    "3*B, new seasonal = p*y + 3*s1 - L - B; seasonals zero-"
+    "initialized).  Spark folds the recursion in ONE aggregate() with "
+    "a struct+array accumulator; the oracle replays it in a recursive "
+    "CTE carrying a BIGINT[] column.  |state| <= 4^16 * max_cents "
+    "~ 4e14: inside int64 and double's 2^53.  One shuffle on user_id, "
+    "O(1) state per user, capped fold at any SF.",
+    oracle="""
+        WITH RECURSIVE e AS (
+            SELECT user_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS y,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events WHERE user_id % 25 = 0
+        ),
+        e16 AS (SELECT * FROM e WHERE rn <= 16),
+        rec AS (
+            SELECT user_id, rn, 4 * y AS l, CAST(0 AS BIGINT) AS b,
+                   CAST(4 AS BIGINT) AS p,
+                   [CAST(0 AS BIGINT), 0, 0, 0] AS s
+            FROM e16 WHERE rn = 1
+            UNION ALL
+            SELECT e.user_id, e.rn,
+                   2 * (r.p * e.y - r.s[1] + r.l + r.b),
+                   r.p * e.y - r.s[1] - r.l + 3 * r.b,
+                   4 * r.p,
+                   list_append(list_transform(r.s[2:4], v -> 4 * v),
+                               r.p * e.y + 3 * r.s[1] - r.l - r.b)
+            FROM rec r
+            JOIN e16 e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+        ),
+        fin AS (SELECT user_id, MAX(rn) AS n FROM rec GROUP BY user_id)
+        SELECT r.user_id,
+               CAST(r.rn AS BIGINT) AS n_obs,
+               CAST(r.l AS DOUBLE) / CAST(r.p AS DOUBLE) AS level_cents,
+               CAST(r.b AS DOUBLE) / CAST(r.p AS DOUBLE) AS trend_cents,
+               CAST(r.s[1] AS DOUBLE) / CAST(r.p AS DOUBLE)
+                   AS season_next_cents,
+               CAST(r.l + r.b + r.s[1] AS DOUBLE) / CAST(r.p AS DOUBLE)
+                   AS forecast1_cents
+        FROM rec r JOIN fin f ON r.user_id = f.user_id AND r.rn = f.n
+        ORDER BY r.user_id
+    """,
+)
+def ts_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
+    rows = ev.select(
+        "user_id",
+        F.struct(
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+        ).alias("o"),
+    )
+    per_user = rows.groupBy("user_id").agg(
+        F.slice(F.sort_array(F.collect_list("o")), 1, 16).alias("obs")
+    )
+    fold = F.expr(
+        """
+        aggregate(
+            transform(obs, o -> o.y),
+            named_struct('l', cast(0 as bigint), 'b', cast(0 as bigint),
+                         'p', cast(0 as bigint),
+                         's', array(cast(0 as bigint), cast(0 as bigint),
+                                    cast(0 as bigint), cast(0 as bigint))),
+            (acc, y) -> CASE WHEN acc.p = 0
+                THEN named_struct('l', 4 * y, 'b', cast(0 as bigint),
+                                  'p', cast(4 as bigint),
+                                  's', array(cast(0 as bigint), cast(0 as bigint),
+                                             cast(0 as bigint), cast(0 as bigint)))
+                ELSE named_struct(
+                    'l', 2 * (acc.p * y - element_at(acc.s, 1) + acc.l + acc.b),
+                    'b', acc.p * y - element_at(acc.s, 1) - acc.l + 3 * acc.b,
+                    'p', 4 * acc.p,
+                    's', concat(
+                        transform(slice(acc.s, 2, 3), v -> 4 * v),
+                        array(acc.p * y + 3 * element_at(acc.s, 1)
+                              - acc.l - acc.b)))
+                END)
+        """
+    )
+    pd = F.col("s.p").cast("double")
+    return (
+        per_user.select("user_id", F.size("obs").alias("n"), fold.alias("s"))
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_obs"),
+            (F.col("s.l").cast("double") / pd).alias("level_cents"),
+            (F.col("s.b").cast("double") / pd).alias("trend_cents"),
+            (F.element_at("s.s", 1).cast("double") / pd).alias(
+                "season_next_cents"
+            ),
+            (
+                (F.col("s.l") + F.col("s.b") + F.element_at("s.s", 1)).cast(
+                    "double"
+                )
+                / pd
+            ).alias("forecast1_cents"),
+        )
+        .orderBy("user_id")
+    )

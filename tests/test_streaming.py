@@ -1746,3 +1746,89 @@ def test_session_window_dynamic_gap_streaming(spark, tmp_path):
         for r in sessions(spark.read.parquet(str(tmp_path / "s"))).collect()
     )
     assert batch == got
+
+
+def test_streaming_psi_drift_monitor(spark, tmp_path):
+    """Streaming distribution-drift monitor: micro-batches fold their
+    value-bin histograms into cumulative monitor state (the bounded
+    per-bin counts a production monitor keeps in its state store), and
+    every batch re-scores PSI against a static reference window using
+    the SAME exact bit-space formula as the dq_psi_drift query —
+    integer-only, so the streamed scores are bit-reproducible.  A
+    shifted third batch must raise the score, and the final cumulative
+    PSI must equal the one-shot batch computation over all streamed
+    rows (streaming/batch parity)."""
+
+    def bin_of(v: int) -> int:
+        return min(v // 10, 9)
+
+    def psi_ppm_bits(ref: dict, cur: dict) -> int:
+        t_ref = sum(ref.values())
+        t_cur = sum(cur.values())
+        total = 0
+        for b in range(10):
+            p = (ref.get(b, 0) + 1) * 1_000_000 // (t_ref + 10)
+            q = (cur.get(b, 0) + 1) * 1_000_000 // (t_cur + 10)
+            total += (p - q) * (p.bit_length() - q.bit_length())
+        return total
+
+    # reference window: uniform-ish over bins 0..4
+    ref_counts = {b: 100 for b in range(5)}
+
+    ev_dir = tmp_path / "vals"
+    ev_dir.mkdir()
+    batches = [
+        [b * 10 + 1 for b in range(5) for _ in range(20)],  # like ref
+        [b * 10 + 2 for b in range(5) for _ in range(20)],  # like ref
+        [95] * 100,  # hard shift into bin 9
+    ]
+    for i, vals in enumerate(batches):
+        spark.createDataFrame(
+            [(v,) for v in vals], "v long"
+        ).coalesce(1).write.json(str(ev_dir / f"b{i}"))
+
+    stream = (
+        spark.readStream.schema("v long")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .json(str(ev_dir))
+    )
+
+    state: dict = {}
+    scores: list = []
+
+    def monitor(batch, epoch_id: int) -> None:
+        import pyspark.sql.functions as SF
+
+        counts = (
+            batch.groupBy(
+                SF.least(SF.col("v") / SF.lit(10), SF.lit(9))
+                .cast("long")
+                .alias("b")
+            )
+            .count()
+            .collect()
+        )
+        for r in counts:
+            state[int(r["b"])] = state.get(int(r["b"]), 0) + int(r["count"])
+        scores.append(psi_ppm_bits(ref_counts, state))
+
+    q = (
+        stream.writeStream.foreachBatch(monitor)
+        .option("checkpointLocation", str(tmp_path / "ckpt_psi"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert len(scores) == 3
+    # batches arrive in mtime order: the monitor is calm while the
+    # stream matches the reference, and alarms on the shifted batch
+    assert scores[-1] > max(scores[0], scores[1])
+    # streaming/batch parity: cumulative state == one-shot computation
+    all_vals = [v for vals in batches for v in vals]
+    batch_counts: dict = {}
+    for v in all_vals:
+        batch_counts[bin_of(v)] = batch_counts.get(bin_of(v), 0) + 1
+    assert state == batch_counts
+    assert scores[-1] == psi_ppm_bits(ref_counts, batch_counts)
