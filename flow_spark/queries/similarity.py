@@ -2037,7 +2037,8 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS qv
             FROM embeddings
         ),
-        q AS (SELECT vec_id AS query_id, qv AS qq FROM v WHERE vec_id % 50 = 0),
+        q AS (SELECT vec_id AS query_id, qv AS qq FROM v
+              WHERE vec_id % 50 = 0 AND vec_id < 2500),
         c AS (SELECT vec_id, qv,
                      CAST(list_dot_product(
                          list_transform(qv, x -> CAST(x AS DOUBLE)),
@@ -2104,7 +2105,9 @@ def eval_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, x: acc + x
     )
-    q = v.filter(F.col("vec_id") % 50 == 0).select(
+    # SF-pinned query panel (<= 50 queries; the sim_pq_adc convention —
+    # an unpinned panel x corpus is quadratic in SF, see SCALE.md)
+    q = v.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2500)).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
     )
     c = v.filter(F.col("vec_id") % 5 == 0).select(

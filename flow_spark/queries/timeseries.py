@@ -1162,19 +1162,29 @@ def seq_followedby_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
-    rows = ev.select(
-        "user_id",
-        F.struct("ts", "event_id", F.round(F.col("value") * 100, 0).cast("long").alias("y")).alias("o"),
+    # row_number cap BEFORE the collect: the fold only ever sees 16 rows
+    # per user, so the collect shuffles 16/user, not the whole history
+    # (collect-then-slice ships every event; same shuffle key either way)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    rows = (
+        ev.select(
+            "user_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 16)
     )
     per_user = rows.groupBy("user_id").agg(
-        F.slice(F.sort_array(F.collect_list("o")), 1, 16).alias("obs")
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("rn", "y"))), lambda x: x.y
+        ).alias("ys")
     )
     # fold: acc = (l, b, p) with p = 4^t after t steps; p = 0 marks "no
     # observation folded yet" (the init case lv_1 = y_1, tr_1 = 0)
     fold = F.expr(
         """
         aggregate(
-            transform(obs, o -> o.y),
+            ys,
             named_struct('l', cast(0 as bigint), 'b', cast(0 as bigint),
                          'p', cast(0 as bigint)),
             (acc, y) -> CASE WHEN acc.p = 0
@@ -1188,7 +1198,7 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return (
-        per_user.select("user_id", F.size("obs").alias("n"), fold.alias("s"))
+        per_user.select("user_id", F.size("ys").alias("n"), fold.alias("s"))
         .select(
             "user_id",
             F.col("n").cast("bigint").alias("n_obs"),
@@ -1363,21 +1373,25 @@ def ts_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
-    rows = ev.select(
-        "user_id",
-        F.struct(
-            "ts",
-            "event_id",
+    # same pre-collect row cap as ts_holt_linear (16 rows/user shuffled)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    rows = (
+        ev.select(
+            "user_id",
             F.round(F.col("value") * 100, 0).cast("long").alias("y"),
-        ).alias("o"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 16)
     )
     per_user = rows.groupBy("user_id").agg(
-        F.slice(F.sort_array(F.collect_list("o")), 1, 16).alias("obs")
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("rn", "y"))), lambda x: x.y
+        ).alias("ys")
     )
     fold = F.expr(
         """
         aggregate(
-            transform(obs, o -> o.y),
+            ys,
             named_struct('l', cast(0 as bigint), 'b', cast(0 as bigint),
                          'p', cast(0 as bigint),
                          's', array(cast(0 as bigint), cast(0 as bigint),
@@ -1400,7 +1414,7 @@ def ts_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pd = F.col("s.p").cast("double")
     return (
-        per_user.select("user_id", F.size("obs").alias("n"), fold.alias("s"))
+        per_user.select("user_id", F.size("ys").alias("n"), fold.alias("s"))
         .select(
             "user_id",
             F.col("n").cast("bigint").alias("n_obs"),
