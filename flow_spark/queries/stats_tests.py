@@ -905,3 +905,289 @@ def eval_interleave_teamdraft(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# NDCG@8 discount weights round(1e9 / log2(i+1)), i = 1..8 — computed ONCE
+# in Python (math.log2) and embedded as the SAME integer literals in the
+# Spark plan and the DuckDB oracle, so no engine ever evaluates a log.
+_NDCG_W = [
+    1_000_000_000,
+    630_929_754,
+    500_000_000,
+    430_676_558,
+    386_852_807,
+    356_207_187,
+    333_333_333,
+    315_464_877,
+]
+
+
+def _ndcg_oracle() -> str:
+    w_case = " ".join(
+        f"WHEN {i + 1} THEN {w}::BIGINT" for i, w in enumerate(_NDCG_W)
+    )
+    return f"""
+        WITH per_user AS (
+            SELECT event_type, user_id,
+                   SUM(CAST(round(value * 100) AS BIGINT)) AS s_cents,
+                   LEAST(3, COUNT(*)) AS grade
+            FROM events
+            GROUP BY event_type, user_id
+        ),
+        ranked AS (
+            SELECT event_type, grade,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY s_cents DESC, user_id) AS rn
+            FROM per_user
+        ),
+        ideal AS (
+            SELECT event_type, grade,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY grade DESC, user_id) AS rn
+            FROM per_user
+        ),
+        dcg AS (
+            SELECT event_type,
+                   SUM(grade * CASE rn {w_case} END) AS dcg_units
+            FROM ranked WHERE rn <= 8 GROUP BY event_type
+        ),
+        idcg AS (
+            SELECT event_type,
+                   SUM(grade * CASE rn {w_case} END) AS idcg_units
+            FROM ideal WHERE rn <= 8 GROUP BY event_type
+        )
+        SELECT d.event_type,
+               CAST(d.dcg_units AS BIGINT) AS dcg_units,
+               CAST(i.idcg_units AS BIGINT) AS idcg_units,
+               CAST(d.dcg_units * 1000000 // i.idcg_units AS BIGINT)
+                   AS ndcg_ppm
+        FROM dcg d JOIN idcg i USING (event_type)
+        ORDER BY d.event_type
+    """
+
+
+@register(
+    "eval_ndcg_at_k",
+    category="eval",
+    doc="NDCG@8 ranking-quality evaluation, fully exact: per query "
+    "(event_type) the evaluated ranker orders users by total spend "
+    "(cents, user_id tiebreak) and the relevance grade is "
+    "least(3, event count).  The log2 position discounts are "
+    "PRE-COMPUTED integer literals round(1e9/log2(i+1)) baked "
+    "identically into both engines, so DCG and ideal-DCG are pure "
+    "integer dot products and NDCG is one integer division to ppm — "
+    "no engine-side transcendental, no float sum order.  Scale shape: "
+    "ONE map-side-combinable groupBy collapses events to (query, "
+    "candidate) stats; both rank windows run over that bounded "
+    "summary, and the @8 cut means the DCG sums see <= 8 rows per "
+    "query.",
+    oracle=_ndcg_oracle(),
+)
+def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    yc = F.expr("cast(round(value * 100, 0) as bigint)")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(yc).alias("s_cents"),
+        F.least(F.lit(3), F.count(F.lit(1))).alias("grade"),
+    )
+    weights = F.array(*[F.lit(w).cast("bigint") for w in _NDCG_W])
+    ranked = per_user.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(
+                F.col("s_cents").desc(), "user_id"
+            )
+        ),
+    )
+    ideal = per_user.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(F.col("grade").desc(), "user_id")
+        ),
+    )
+
+    def _dcg(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.filter(F.col("rn") <= 8)
+            .select(
+                "event_type",
+                (
+                    F.col("grade") * F.element_at(weights, F.col("rn").cast("int"))
+                ).alias("t"),
+            )
+            .groupBy("event_type")
+            .agg(F.sum("t").cast("bigint").alias(out))
+        )
+
+    d = _dcg(ranked, "dcg_units")
+    i = _dcg(ideal, "idcg_units")
+    return (
+        d.join(i, "event_type")
+        .select(
+            "event_type",
+            "dcg_units",
+            "idcg_units",
+            F.expr("(dcg_units * 1000000) div idcg_units")
+            .cast("bigint")
+            .alias("ndcg_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+
+@register(
+    "eval_ece_calibration",
+    category="eval",
+    doc="Expected-calibration-error of a deterministic propensity model "
+    "(per-user click-through rate in exact ppm predicts whether the "
+    "user ever makes a >= $150 purchase), the standard reliability "
+    "diagnostic for any learned quality/filter score.  Everything is "
+    "integer: conf_ppm = clicks*1e6 div events, 10 equal-width bins "
+    "by conf div 1e5, per-bin accuracy = positives*1e6 div n, and "
+    "ECE_ppm = sum(|acc-conf|*n) div N — no float division anywhere, "
+    "so the two engines agree bit-for-bit.  Scale shape: ONE "
+    "map-side-combinable groupBy collapses events to per-user stats; "
+    "the bin table is 10 rows.",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   COUNT(*) AS n_ev,
+                   COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+                   MAX(CASE WHEN event_type = 'purchase'
+                             AND CAST(round(value * 100) AS BIGINT) >= 15000
+                            THEN 1 ELSE 0 END) AS label
+            FROM events GROUP BY user_id
+        ),
+        scored AS (
+            SELECT user_id, label,
+                   n_click * 1000000 // n_ev AS conf_ppm
+            FROM per_user
+        ),
+        bins AS (
+            SELECT LEAST(9, conf_ppm // 100000) AS bin,
+                   COUNT(*) AS n,
+                   SUM(conf_ppm) AS sum_conf,
+                   SUM(label) AS pos
+            FROM scored GROUP BY 1
+        ),
+        stats AS (
+            SELECT bin, n,
+                   sum_conf // n AS avg_conf_ppm,
+                   pos * 1000000 // n AS acc_ppm
+            FROM bins
+        ),
+        tot AS (
+            SELECT SUM(ABS(acc_ppm - avg_conf_ppm) * n) // SUM(n) AS ece_ppm
+            FROM stats
+        )
+        SELECT CAST(s.bin AS BIGINT) AS bin,
+               CAST(s.n AS BIGINT) AS n,
+               CAST(s.avg_conf_ppm AS BIGINT) AS avg_conf_ppm,
+               CAST(s.acc_ppm AS BIGINT) AS acc_ppm,
+               CAST(t.ece_ppm AS BIGINT) AS ece_ppm
+        FROM stats s CROSS JOIN tot t
+        ORDER BY s.bin
+    """,
+)
+def eval_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    yc = F.expr("cast(round(value * 100, 0) as bigint)")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (yc >= 15000), 1).otherwise(0)
+        ).alias("label"),
+    )
+    scored = per_user.select(
+        "label", F.expr("n_click * 1000000 div n_ev").alias("conf_ppm")
+    )
+    bins = scored.groupBy(
+        F.least(F.lit(9), F.expr("conf_ppm div 100000")).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("conf_ppm").alias("sum_conf"),
+        F.sum("label").alias("pos"),
+    )
+    stats = bins.select(
+        "bin",
+        "n",
+        F.expr("sum_conf div n").alias("avg_conf_ppm"),
+        F.expr("pos * 1000000 div n").alias("acc_ppm"),
+    )
+    tot = stats.agg(
+        F.expr("sum(abs(acc_ppm - avg_conf_ppm) * n) div sum(n)").alias("ece_ppm")
+    )
+    return (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("avg_conf_ppm").cast("bigint").alias("avg_conf_ppm"),
+            F.col("acc_ppm").cast("bigint").alias("acc_ppm"),
+            F.col("ece_ppm").cast("bigint").alias("ece_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "dq_k_anonymity",
+    category="data-quality",
+    doc="k-anonymity audit of the customer table under the "
+    "quasi-identifier (nation, market segment, $100 account-balance "
+    "bucket) at k=5 — the training-data governance check that a "
+    "record's QI combination hides it among at least k-1 others.  Per "
+    "market segment: QI group count, groups below k, rows that would "
+    "need suppression, and the suppression rate in exact ppm.  Scale "
+    "shape: ONE groupBy on the QI tuple sees data-sized input "
+    "(map-side combinable); the per-segment rollup runs over group "
+    "counts.  The balance bucket uses floor division on exact cents "
+    "(floor semantics identical in both engines for negatives).",
+    oracle="""
+        WITH qi AS (
+            SELECT c_mktsegment,
+                   c_nationkey,
+                   CAST(floor(round(c_acctbal * 100) / 10000.0) AS BIGINT)
+                       AS bal_bucket,
+                   COUNT(*) AS cnt
+            FROM customer
+            GROUP BY 1, 2, 3
+        )
+        SELECT c_mktsegment,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(COUNT(*) FILTER (WHERE cnt < 5) AS BIGINT) AS groups_lt_k,
+               CAST(COALESCE(SUM(cnt) FILTER (WHERE cnt < 5), 0) AS BIGINT)
+                   AS rows_suppressed,
+               CAST(COALESCE(SUM(cnt) FILTER (WHERE cnt < 5), 0) * 1000000
+                    // SUM(cnt) AS BIGINT) AS suppression_ppm
+        FROM qi
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    bal_bucket = F.expr(
+        "cast(floor(round(c_acctbal * 100, 0) / 10000.0) as bigint)"
+    )
+    qi = cust.groupBy(
+        "c_mktsegment", "c_nationkey", bal_bucket.alias("bal_bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    small = F.when(F.col("cnt") < 5, F.col("cnt"))
+    return (
+        qi.groupBy("c_mktsegment")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.count(small).cast("bigint").alias("groups_lt_k"),
+            F.coalesce(F.sum(small), F.lit(0)).cast("bigint").alias("rows_suppressed"),
+            F.expr(
+                "cast(coalesce(sum(case when cnt < 5 then cnt end), 0) "
+                "* 1000000 div sum(cnt) as bigint)"
+            ).alias("suppression_ppm"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1432,3 +1432,135 @@ def ts_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "ts_kaplan_meier",
+    category="timeseries",
+    doc="Kaplan-Meier survival curve for time-to-first-purchase with "
+    "right censoring (users who never purchase are censored at their "
+    "last observed event) — the standard churn/conversion estimator.  "
+    "Survival probabilities are chained in exact ppm integer space: "
+    "S_i = S_{i-1} * (n_i - d_i) div n_i with floor division at every "
+    "step, so the sequential product is bit-identical between the "
+    "Spark array fold and the DuckDB recursive CTE (a float product "
+    "would drift with association order).  Scale shape: ONE groupBy "
+    "collapses events to per-user (duration, event) rows, a second "
+    "bounds the table to distinct DURATION DAYS (calendar-bounded, "
+    "~30 rows at any SF); the unpartitioned risk-set window and the "
+    "fold run over that bounded curve, never over data.",
+    oracle="""
+        WITH RECURSIVE per_user AS (
+            SELECT user_id,
+                   MIN(CAST(ts AS DATE)) AS first_d,
+                   MIN(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ts AS DATE) END) AS p_d,
+                   MAX(CAST(ts AS DATE)) AS last_d
+            FROM events GROUP BY user_id
+        ),
+        durs AS (
+            SELECT CASE WHEN p_d IS NOT NULL
+                        THEN date_diff('day', first_d, p_d)
+                        ELSE date_diff('day', first_d, last_d) END AS dur,
+                   CASE WHEN p_d IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM per_user
+        ),
+        tbl AS (
+            SELECT dur, SUM(ev) AS d, SUM(1 - ev) AS c
+            FROM durs GROUP BY dur
+        ),
+        risk AS (
+            SELECT dur, d,
+                   (SELECT SUM(d + c) FROM tbl)
+                   - COALESCE(SUM(d + c) OVER (ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS n
+            FROM tbl
+        ),
+        steps AS (
+            SELECT row_number() OVER (ORDER BY dur) AS rn, dur, n, d
+            FROM risk WHERE d > 0
+        ),
+        km AS (
+            SELECT rn, dur, n, d, 1000000 * (n - d) // n AS s
+            FROM steps WHERE rn = 1
+            UNION ALL
+            SELECT t.rn, t.dur, t.n, t.d, km.s * (t.n - t.d) // t.n
+            FROM steps t JOIN km ON t.rn = km.rn + 1
+        )
+        SELECT CAST(dur AS BIGINT) AS dur_days,
+               CAST(n AS BIGINT) AS at_risk,
+               CAST(d AS BIGINT) AS events,
+               CAST(s AS BIGINT) AS surv_ppm
+        FROM km
+        ORDER BY dur_days
+    """,
+)
+def ts_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_d"),
+        F.min(F.when(F.col("event_type") == "purchase", F.to_date("ts"))).alias(
+            "p_d"
+        ),
+        F.max(F.to_date("ts")).alias("last_d"),
+    )
+    durs = per_user.select(
+        F.when(
+            F.col("p_d").isNotNull(), F.datediff("p_d", "first_d")
+        )
+        .otherwise(F.datediff("last_d", "first_d"))
+        .cast("bigint")
+        .alias("dur"),
+        F.when(F.col("p_d").isNotNull(), 1).otherwise(0).cast("bigint").alias("ev"),
+    )
+    tbl = durs.groupBy("dur").agg(
+        F.sum("ev").alias("d"), F.sum(1 - F.col("ev")).alias("c")
+    )
+    # unpartitioned windows are safe here: tbl is bounded by distinct
+    # calendar DAYS, not by data size (see docstring)
+    win = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    risk = tbl.select(
+        "dur",
+        "d",
+        (
+            F.sum(F.col("d") + F.col("c")).over(
+                W.orderBy(F.lit(1)).rowsBetween(
+                    W.unboundedPreceding, W.unboundedFollowing
+                )
+            )
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(win), F.lit(0))
+        ).alias("n"),
+    ).filter(F.col("d") > 0)
+    curve = risk.agg(
+        F.sort_array(F.collect_list(F.struct("dur", "n", "d"))).alias("steps")
+    )
+    folded = curve.select(
+        F.expr(
+            """
+            aggregate(
+                steps,
+                named_struct('s', cast(1000000 as bigint),
+                             'out', cast(array() as
+                                 array<struct<dur:bigint,n:bigint,
+                                              d:bigint,s:bigint>>)),
+                (acc, x) -> named_struct(
+                    's', (acc.s * (x.n - x.d)) div x.n,
+                    'out', array_append(acc.out,
+                        named_struct('dur', x.dur, 'n', x.n, 'd', x.d,
+                                     's', (acc.s * (x.n - x.d)) div x.n))),
+                acc -> acc.out
+            )
+            """
+        ).alias("curve")
+    )
+    return (
+        folded.select(F.explode("curve").alias("r"))
+        .select(
+            F.col("r.dur").alias("dur_days"),
+            F.col("r.n").alias("at_risk"),
+            F.col("r.d").alias("events"),
+            F.col("r.s").alias("surv_ppm"),
+        )
+        .orderBy("dur_days")
+    )
