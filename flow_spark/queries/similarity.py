@@ -2299,3 +2299,228 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("step")
+
+
+def _mmr_oracle() -> str:
+    dot = (
+        "CAST(list_dot_product("
+        "list_transform({a}, x -> CAST(x AS DOUBLE)), "
+        "list_transform({b}, x -> CAST(x AS DOUBLE))) AS BIGINT)"
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+                                 AS BIGINT)) AS qv
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS qid, qv AS qq FROM v
+              WHERE vec_id % 50 = 0 AND vec_id < 2500),
+        cand0 AS (
+            SELECT q.qid, v.vec_id AS cid, v.qv,
+                   {dot.format(a="q.qq", b="v.qv")} AS rel
+            FROM q JOIN v ON v.vec_id <> q.qid
+        ),
+        cand AS MATERIALIZED (
+            SELECT qid, cid, qv, rel FROM (
+                SELECT *, row_number() OVER (PARTITION BY qid
+                              ORDER BY rel DESC, cid) AS rn
+                FROM cand0
+            ) WHERE rn <= 12
+        ),
+        sims AS MATERIALIZED (
+            SELECT a.qid, a.cid AS ca, b.cid AS cb,
+                   {dot.format(a="a.qv", b="b.qv")} AS s
+            FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid
+        ),
+        p1 AS MATERIALIZED (
+            SELECT qid, cid, rel, 2 * rel AS score FROM (
+                SELECT *, row_number() OVER (PARTITION BY qid
+                              ORDER BY rel DESC, cid) AS rn
+                FROM cand
+            ) WHERE rn = 1
+        ),
+        r2 AS (
+            SELECT c.qid, c.cid, c.rel, 2 * c.rel - MAX(s.s) AS score
+            FROM cand c
+            JOIN p1 ON p1.qid = c.qid AND p1.cid <> c.cid
+            JOIN sims s ON s.qid = c.qid AND s.ca = c.cid AND s.cb = p1.cid
+            GROUP BY c.qid, c.cid, c.rel
+        ),
+        p2 AS MATERIALIZED (
+            SELECT qid, cid, rel, score FROM (
+                SELECT *, row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, cid) AS rn
+                FROM r2
+            ) WHERE rn = 1
+        ),
+        sel2 AS MATERIALIZED (
+            SELECT qid, cid FROM p1 UNION ALL SELECT qid, cid FROM p2
+        ),
+        r3 AS (
+            SELECT c.qid, c.cid, c.rel, 2 * c.rel - MAX(s.s) AS score
+            FROM cand c
+            JOIN sims s ON s.qid = c.qid AND s.ca = c.cid
+            JOIN sel2 e ON e.qid = s.qid AND e.cid = s.cb
+            WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+                              WHERE x.qid = c.qid AND x.cid = c.cid)
+            GROUP BY c.qid, c.cid, c.rel
+        ),
+        p3 AS MATERIALIZED (
+            SELECT qid, cid, rel, score FROM (
+                SELECT *, row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, cid) AS rn
+                FROM r3
+            ) WHERE rn = 1
+        ),
+        sel3 AS MATERIALIZED (
+            SELECT qid, cid FROM sel2 UNION ALL SELECT qid, cid FROM p3
+        ),
+        r4 AS (
+            SELECT c.qid, c.cid, c.rel, 2 * c.rel - MAX(s.s) AS score
+            FROM cand c
+            JOIN sims s ON s.qid = c.qid AND s.ca = c.cid
+            JOIN sel3 e ON e.qid = s.qid AND e.cid = s.cb
+            WHERE NOT EXISTS (SELECT 1 FROM sel3 x
+                              WHERE x.qid = c.qid AND x.cid = c.cid)
+            GROUP BY c.qid, c.cid, c.rel
+        ),
+        p4 AS (
+            SELECT qid, cid, rel, score FROM (
+                SELECT *, row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, cid) AS rn
+                FROM r4
+            ) WHERE rn = 1
+        )
+        SELECT CAST(qid AS BIGINT) AS query_id, CAST(pos AS BIGINT) AS pos,
+               CAST(cid AS BIGINT) AS vec_id,
+               CAST(rel AS BIGINT) AS rel_units,
+               CAST(score AS BIGINT) AS mmr_score
+        FROM (
+            SELECT qid, 1 AS pos, cid, rel, score FROM p1
+            UNION ALL SELECT qid, 2, cid, rel, score FROM p2
+            UNION ALL SELECT qid, 3, cid, rel, score FROM p3
+            UNION ALL SELECT qid, 4, cid, rel, score FROM p4
+        )
+        ORDER BY query_id, pos
+    """
+
+
+@register(
+    "sim_mmr_rerank",
+    category="similarity",
+    doc="Maximal-marginal-relevance diversity re-rank (Carbonell & "
+    "Goldstein 1998), the RAG-era answer to near-duplicate retrieval "
+    "lists: per query the top-12 candidates by relevance are re-picked "
+    "greedily 4 times with score = 2*rel - max sim to the already "
+    "selected (lambda = 2/3 in integer space).  Vectors are quantized "
+    "to exact integer units (floor(x*1000+0.5) — floor is "
+    "IEEE-identical in both engines) so every relevance and pairwise "
+    "similarity is an exact integer dot product, and the greedy argmax "
+    "(score DESC, vec_id tiebreak) is deterministic.  The sequential "
+    "greedy loop unrolls into 4 set-based pick stages (join + groupBy "
+    "+ rank window) — no per-query loop, no UDF.  Scale shape: the "
+    "SF-pinned query panel (<= 50 queries) broadcasts against the "
+    "corpus for ONE candidate scan; every later stage runs over <= 12 "
+    "candidates and <= 132 pair sims per query, constant per query "
+    "regardless of SF.",
+    oracle=_mmr_oracle(),
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    zero = F.lit(0).cast("bigint")
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, x: acc + x
+    )
+    v = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("bigint"),
+        ).alias("qv"),
+    )
+    q = v.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2500)).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qq")
+    )
+    cand0 = (
+        F.broadcast(q)
+        .join(v, v.vec_id != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"), "qv", dot(F.col("qq"), F.col("qv")).alias("rel"))
+    )
+    wrel = W.partitionBy("qid").orderBy(F.col("rel").desc(), "cid")
+    cand = (
+        cand0.withColumn("rn", F.row_number().over(wrel))
+        .filter(F.col("rn") <= 12)
+        .drop("rn")
+        .cache()
+    )
+    a = cand.select("qid", F.col("cid").alias("ca"), F.col("qv").alias("va"))
+    b = cand.select("qid", F.col("cid").alias("cb"), F.col("qv").alias("vb"))
+    sims = (
+        a.join(b, ["qid"])
+        .filter(F.col("ca") != F.col("cb"))
+        .select("qid", "ca", "cb", dot(F.col("va"), F.col("vb")).alias("s"))
+        .cache()
+    )
+    slim = cand.select("qid", "cid", "rel")
+    p1 = (
+        slim.withColumn("rn", F.row_number().over(wrel))
+        .filter(F.col("rn") == 1)
+        .select("qid", "cid", "rel", (2 * F.col("rel")).alias("score"))
+    )
+
+    wscore = W.partitionBy("qid").orderBy(F.col("score").desc(), "cid")
+    # disjoint column names per join side — slim/sims/sel all share lineage
+    # through cand, and same-name Column references across shared lineage
+    # resolve to ONE attribute (a trivially-true predicate), silently
+    # dropping the intended equi-key
+    msims = sims.select(
+        F.col("qid").alias("m_qid"), "ca", "cb", F.col("s").alias("s")
+    )
+
+    def _next_pick(sel: DataFrame) -> DataFrame:
+        rem = slim.join(
+            F.broadcast(sel.select("qid", "cid")), ["qid", "cid"], "left_anti"
+        )
+        esel = sel.select(F.col("qid").alias("e_qid"), F.col("cid").alias("e_cid"))
+        scored = (
+            rem.join(
+                F.broadcast(msims),
+                (F.col("qid") == F.col("m_qid")) & (F.col("cid") == F.col("ca")),
+            )
+            .join(
+                F.broadcast(esel),
+                (F.col("m_qid") == F.col("e_qid")) & (F.col("cb") == F.col("e_cid")),
+            )
+            .groupBy("qid", "cid", "rel")
+            .agg((2 * F.first("rel") - F.max("s")).alias("score"))
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(wscore))
+            .filter(F.col("rn") == 1)
+            .select("qid", "cid", "rel", "score")
+        )
+
+    # each pick frame is <= 1 row per query; caching them linearizes the
+    # unrolled DAG (without it p4 re-evaluates p3 which re-evaluates p2
+    # ... — stage count grows geometrically in the number of picks)
+    p1 = p1.cache()
+    p2 = _next_pick(p1).cache()
+    sel2 = p1.select("qid", "cid").unionByName(p2.select("qid", "cid"))
+    p3 = _next_pick(sel2).cache()
+    sel3 = sel2.unionByName(p3.select("qid", "cid"))
+    p4 = _next_pick(sel3)
+    out = None
+    for pos, p in enumerate([p1, p2, p3, p4], start=1):
+        row = p.select(
+            F.col("qid").cast("bigint").alias("query_id"),
+            F.lit(pos).cast("bigint").alias("pos"),
+            F.col("cid").cast("bigint").alias("vec_id"),
+            F.col("rel").cast("bigint").alias("rel_units"),
+            F.col("score").cast("bigint").alias("mmr_score"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("query_id", "pos")
