@@ -798,6 +798,35 @@ def snapshot_publish(table_dir: str, branch: str = "audit") -> int:
     return version
 
 
+def snapshot_rollback(table_dir: str, to_version: int) -> int:
+    """RESTORE: commit a NEW version whose content replays ``to_version``
+    (Delta RESTORE / Iceberg rollback semantics) — one atomic manifest
+    commit, zero data movement.
+
+    The bad versions stay in history (still time-travel-readable, still
+    vacuum-accountable); the table's CURRENT state simply becomes the
+    target version's file set again.  The target manifest's files,
+    schema, stats and partition layout all carry forward verbatim —
+    rolling back a hive-partitioned table keeps its partition columns
+    readable (the ADVICE round-3 interop contract).
+
+    Raises :class:`ConcurrentSnapshotWrite` on a commit race and
+    ``FileNotFoundError`` if ``to_version`` was never committed.
+    """
+    cur = current_version(table_dir)
+    with open(_manifest_path(table_dir, to_version)) as fh:
+        target = json.load(fh)
+    version = cur + 1
+    manifest = {
+        **target,
+        "version": version,
+        "committed_at": time.time(),
+        "restored_version": to_version,
+    }
+    _commit_manifest(manifest, _manifest_path(table_dir, version))
+    return version
+
+
 def snapshot_abort_staged(table_dir: str, branch: str = "audit") -> int:
     """WAP abort: drop the staged files and marker; the table is untouched.
 

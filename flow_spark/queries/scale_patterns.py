@@ -1658,3 +1658,61 @@ def snap_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         parts.append(got)
     return parts[0].unionByName(parts[1]).orderBy("probe")
+
+
+@register(
+    "snap_rollback",
+    category="scale-pattern",
+    doc="Snapshot RESTORE (operators/snapshots.py:snapshot_rollback) — "
+    "the bad-deploy undo: v1 loads pre-1997 orders, v2 accidentally "
+    "re-appends the same batch (the classic double-load), v3 rolls the "
+    "table back to v1 with ONE atomic manifest commit and zero data "
+    "movement; the bad version stays in history for audit.  The query "
+    "reads the bad and the restored versions and summarizes both in "
+    "exact integers; the oracle replays the double-load arithmetic "
+    "(bad = 2x every key).  Concurrency and partitioned-table rollback "
+    "are unit-tested in tests/test_snapshots.py.",
+    oracle="""
+        SELECT 'bad' AS state, CAST(2 * COUNT(*) AS BIGINT) AS n,
+               CAST(2 * SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        UNION ALL
+        SELECT 'restored', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(o_orderkey) AS BIGINT)
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        ORDER BY state
+    """,
+)
+def snap_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flow_spark.operators.snapshots import (
+        snapshot_files,
+        snapshot_read,
+        snapshot_rollback,
+        snapshot_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    batch = orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    table_dir = tempfile.mkdtemp(prefix="snap_rb_")
+    v1 = snapshot_write(batch, table_dir)
+    v2 = snapshot_write(batch, table_dir, reuse_files=snapshot_files(table_dir, v1))
+    v3 = snapshot_rollback(table_dir, v1)
+    assert v3 == v2 + 1
+    parts = []
+    for label, v in (("bad", v2), ("restored", v3)):
+        parts.append(
+            snapshot_read(spark, table_dir, v).select(
+                F.lit(label).alias("state"), "o_orderkey"
+            )
+        )
+    return (
+        parts[0].unionByName(parts[1])
+        .groupBy("state")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("state")
+    )

@@ -1191,3 +1191,62 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+#: identical arithmetic for the Wilson 95% lower bound in BOTH engines:
+#: only +,-,*,/ and sqrt (all IEEE-754-defined, bit-identical) over the
+#: SAME expression tree, from exact integer (k, n) inputs.  z^2 = 3.8416
+#: appears only as the same literal on both sides — no engine computes
+#: a transcendental.
+_WILSON_LOW = (
+    "((CAST(k AS DOUBLE) / n + 3.8416 / (2.0 * n)) "
+    "- 1.96 * sqrt((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n) / n "
+    "+ 3.8416 / (4.0 * n * n))) / (1.0 + 3.8416 / n)"
+)
+
+
+@register(
+    "eval_wilson_ctr",
+    category="eval",
+    doc="Conversion rate per event type with the Wilson-score 95% lower "
+    "confidence bound — the ranking statistic that beats raw CTR for "
+    "small-sample arms (never negative-biased to zero counts, the "
+    "standard 'sort by lower bound' pattern).  Counts are exact "
+    "integers from ONE map-side-combinable groupBy; the bound itself "
+    "uses only +,-,*,/ and sqrt over the identical expression tree in "
+    "both engines (IEEE-defined, bit-identical — no log, no erf), "
+    "with z^2 baked as the same literal.  Output: n, conversions, "
+    "ctr_ppm (integer), and the raw double bound (deliberately "
+    "UNROUNDED — it is deterministic).",
+    oracle=f"""
+        WITH arms AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   COUNT(*) FILTER (
+                       WHERE CAST(round(value * 100) AS BIGINT) >= 10000
+                   ) AS k
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n,
+               CAST(k AS BIGINT) AS conversions,
+               CAST(k * 1000000 // n AS BIGINT) AS ctr_ppm,
+               {_WILSON_LOW} AS wilson_low
+        FROM arms
+        ORDER BY event_type
+    """,
+)
+def eval_wilson_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    yc = F.expr("cast(round(value * 100, 0) as bigint)")
+    arms = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(yc >= 10000, 1)).alias("k"),
+    )
+    return arms.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("conversions"),
+        F.expr("k * 1000000 div n").cast("bigint").alias("ctr_ppm"),
+        F.expr(_WILSON_LOW).alias("wilson_low"),
+    ).orderBy("event_type")

@@ -938,3 +938,54 @@ def test_zorder_optimize_rows_identical_and_pruning(spark, tmp_path):
             1 for st in cs[col].values() if st[0] <= hi and st[1] >= lo
         )
         assert n_sel <= n_files
+
+
+def test_rollback_restores_target_and_keeps_history(spark, tmp_path):
+    from flow_spark.operators.snapshots import snapshot_rollback
+
+    t = str(tmp_path / "tbl")
+    v1 = snapshot_write(spark.range(10).selectExpr("id AS k"), t)
+    v2 = snapshot_write(spark.range(10).selectExpr("id AS k"), t,
+                        reuse_files=snapshot_files(t, v1))
+    v3 = snapshot_rollback(t, v1)
+    assert (v2, v3) == (2, 3)
+    assert sorted(r.k for r in snapshot_read(spark, t).collect()) == list(range(10))
+    # bad version still time-travel-readable (history preserved)
+    assert len(snapshot_read(spark, t, v2).collect()) == 20
+    # manifest records provenance
+    with open(os.path.join(t, "_manifests", f"v{v3}.json")) as fh:
+        m = json.load(fh)
+    assert m["restored_version"] == v1
+    assert m["files"] == snapshot_files(t, v1)
+
+
+def test_rollback_partitioned_table_keeps_partition_columns(spark, tmp_path):
+    from flow_spark.operators.snapshots import (
+        snapshot_rollback,
+        snapshot_write_partitioned,
+    )
+
+    td = str(tmp_path / "tbl")
+    df = spark.range(40).selectExpr("id", "CAST(id % 4 AS string) AS g")
+    v1 = snapshot_write_partitioned(df, td, spec=["g"])
+    snapshot_write(
+        spark.range(100, 110).selectExpr("id", "CAST(id % 4 AS string) AS g"),
+        td,
+        reuse_files=snapshot_files(td, v1),
+    )
+    v3 = snapshot_rollback(td, v1)
+    got = snapshot_read(spark, td, v3).collect()
+    assert len(got) == 40
+    # hive partition column survives the rollback (layout metadata carried)
+    assert all(r.g == str(r.id % 4) for r in got)
+
+
+def test_rollback_missing_version_raises(spark, tmp_path):
+    import pytest
+
+    from flow_spark.operators.snapshots import snapshot_rollback
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(3).selectExpr("id AS k"), t)
+    with pytest.raises(FileNotFoundError):
+        snapshot_rollback(t, 7)
