@@ -2524,3 +2524,153 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("query_id", "pos")
+
+
+def _pca_oracle() -> str:
+    # truncation-toward-zero division — Spark's `div` truncates while
+    # DuckDB's `//` floors, so negatives MUST go through the sign-aware
+    # form in both engines
+    tdiv = "(CASE WHEN {u} >= 0 THEN {u} // {d} ELSE -((-({u})) // {d}) END)"
+    return f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+                                 AS BIGINT)) AS qv
+            FROM embeddings
+        ),
+        dims AS (SELECT i FROM range(0, 64) t(i)),
+        sums AS MATERIALIZED (
+            SELECT d.i, SUM(qv[d.i + 1]) AS s
+            FROM v, dims d GROUP BY d.i
+        ),
+        n AS (SELECT COUNT(*) AS n FROM v),
+        upper_m AS (
+            SELECT a.i, b.i AS j, SUM(qv[a.i + 1] * qv[b.i + 1]) AS sp
+            FROM v, dims a, dims b
+            WHERE b.i >= a.i
+            GROUP BY a.i, b.i
+        ),
+        m0 AS (
+            SELECT i, j, sp FROM upper_m
+            UNION ALL
+            SELECT j, i, sp FROM upper_m WHERE i <> j
+        ),
+        m AS MATERIALIZED (
+            SELECT m0.i, m0.j,
+                   n.n * m0.sp - si.s * sj.s AS c
+            FROM m0, n
+            JOIN sums si ON si.i = m0.i
+            JOIN sums sj ON sj.i = m0.j
+        ),
+        u1 AS (SELECT i, SUM(c) AS u FROM m GROUP BY i),
+        d1 AS (SELECT MAX(ABS(u)) // 1000 + 1 AS d FROM u1),
+        w1 AS MATERIALIZED (
+            SELECT i, {tdiv.format(u="u", d="d")} AS w FROM u1, d1
+        ),
+        u2 AS (
+            SELECT m.i, SUM(m.c * w1.w) AS u
+            FROM m JOIN w1 ON w1.i = m.j GROUP BY m.i
+        ),
+        d2 AS (SELECT MAX(ABS(u)) // 1000 + 1 AS d FROM u2),
+        w2 AS MATERIALIZED (
+            SELECT i, {tdiv.format(u="u", d="d")} AS w FROM u2, d2
+        ),
+        u3 AS (
+            SELECT m.i, SUM(m.c * w2.w) AS u
+            FROM m JOIN w2 ON w2.i = m.j GROUP BY m.i
+        ),
+        d3 AS (SELECT MAX(ABS(u)) // 1000 + 1 AS d FROM u3),
+        w3 AS (
+            SELECT i, {tdiv.format(u="u", d="d")} AS w FROM u3, d3
+        )
+        SELECT CAST(i AS BIGINT) AS dim, CAST(w AS BIGINT) AS comp
+        FROM w3 ORDER BY dim
+    """
+
+
+@register(
+    "emb_pca_power",
+    category="similarity",
+    doc="Top principal component of the embedding corpus — the "
+    "whitening/compression primitive behind every 'project out the "
+    "dominant direction' embedding cleanup (Mu & Viswanath 2018) — "
+    "computed with NO floating point at all.  Vectors quantize to "
+    "integer units; the scaled covariance N^2*Cov = N*Sum(q_i q_j) - "
+    "s_i s_j is an exact integer matrix (summation-order-free, so "
+    "Spark's partial aggregation order cannot flip a bit); three "
+    "power-iteration rounds run as 64x64 matrix-vector joins with an "
+    "integer rescale (sign-aware truncating division — Spark div "
+    "truncates, DuckDB // floors, so negatives go through "
+    "sign(u)*(|u| div d) in BOTH engines).  Scale shape: the ONLY "
+    "data-sized stage is the upper-triangle pair explode (2080 "
+    "products/row, map-side combinable to a 4096-row matrix); every "
+    "iteration is constant 64x64 work.  The iterate is cached per "
+    "round — without it round k re-runs the covariance scan k times.",
+    oracle=_pca_oracle(),
+)
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("bigint"),
+        ).alias("qv")
+    )
+    pairs = F.expr(
+        "flatten(transform(qv, (x, i) -> "
+        "transform(slice(qv, i + 1, 64 - i), (y, j) -> "
+        "named_struct('i', i, 'j', i + j, 'p', x * y))))"
+    )
+    upper = (
+        v.select(F.explode(pairs).alias("e"))
+        .groupBy(F.col("e.i").alias("i"), F.col("e.j").alias("j"))
+        .agg(F.sum("e.p").alias("sp"))
+    )
+    m0 = upper.unionByName(
+        upper.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "sp"
+        )
+    )
+    sums = (
+        v.select(F.posexplode("qv").alias("i", "q"))
+        .groupBy("i")
+        .agg(F.sum("q").alias("s"))
+    )
+    n = v.count()
+    si = sums.select(F.col("i").alias("si_i"), F.col("s").alias("si"))
+    sj = sums.select(F.col("i").alias("sj_i"), F.col("s").alias("sj"))
+    m = (
+        m0.join(F.broadcast(si), F.col("i") == F.col("si_i"))
+        .join(F.broadcast(sj), F.col("j") == F.col("sj_i"))
+        .select(
+            "i", "j", (F.lit(n) * F.col("sp") - F.col("si") * F.col("sj")).alias("c")
+        )
+        .cache()
+    )
+
+    def _rescale(u: DataFrame) -> DataFrame:
+        d = u.agg((F.expr("max(abs(u)) div 1000") + F.lit(1)).alias("d"))
+        return (
+            u.crossJoin(F.broadcast(d))
+            .select(
+                "i",
+                F.expr(
+                    "CASE WHEN u >= 0 THEN u div d ELSE -((-u) div d) END"
+                ).alias("w"),
+            )
+            .cache()
+        )
+
+    w = _rescale(m.groupBy("i").agg(F.sum("c").alias("u")))
+    for _ in range(2):
+        wj = w.select(F.col("i").alias("wj"), "w")
+        u = (
+            m.join(F.broadcast(wj), F.col("j") == F.col("wj"))
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("w")).alias("u"))
+        )
+        w = _rescale(u)
+    return w.select(
+        F.col("i").cast("bigint").alias("dim"), F.col("w").cast("bigint").alias("comp")
+    ).orderBy("dim")
