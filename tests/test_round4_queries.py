@@ -1,0 +1,91 @@
+"""Property tests for the round-4 additions beyond oracle parity:
+NDCG bounds, KM monotonicity, Wilson-bound ordering, k-anonymity
+accounting, MMR pick invariants, PCA iterate bounds, rollback content.
+"""
+
+from __future__ import annotations
+
+from flow_spark.queries.registry import get
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_ndcg_bounds_and_ideal(spark):
+    rows = get("eval_ndcg_at_k").builder(spark, SF01).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # DCG can never beat ideal DCG; ppm bounded by 1e6
+        assert 0 < r["dcg_units"] <= r["idcg_units"]
+        assert 0 < r["ndcg_ppm"] <= 1_000_000
+
+
+def test_kaplan_meier_monotone(spark):
+    rows = get("ts_kaplan_meier").builder(spark, SF01).collect()
+    assert rows, "curve must have at least one event time"
+    prev_s, prev_n = 1_000_000, None
+    for r in sorted(rows, key=lambda r: r["dur_days"]):
+        # survival never increases; risk set strictly shrinks over time
+        assert r["surv_ppm"] <= prev_s
+        assert 0 < r["events"] <= r["at_risk"]
+        if prev_n is not None:
+            assert r["at_risk"] < prev_n
+        prev_s, prev_n = r["surv_ppm"], r["at_risk"]
+
+
+def test_wilson_lower_bound_below_ctr(spark):
+    rows = get("eval_wilson_ctr").builder(spark, SF01).collect()
+    for r in rows:
+        ctr = r["conversions"] / r["n"]
+        assert 0.0 <= r["wilson_low"] <= ctr
+        # the bound tightens toward ctr but never reaches it for 0<k<n
+        if 0 < r["conversions"] < r["n"]:
+            assert r["wilson_low"] < ctr
+
+
+def test_k_anonymity_accounting(spark):
+    rows = get("dq_k_anonymity").builder(spark, SF01).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["rows_suppressed"] <= r["n_rows"]
+        assert 0 <= r["groups_lt_k"] <= r["n_groups"]
+        # every below-k group has 1..4 rows
+        if r["groups_lt_k"]:
+            assert r["rows_suppressed"] < 5 * r["groups_lt_k"] + 1
+        assert r["suppression_ppm"] == r["rows_suppressed"] * 1_000_000 // r["n_rows"]
+
+
+def test_mmr_picks_distinct_and_first_is_top_rel(spark):
+    rows = get("sim_mmr_rerank").builder(spark, SF01).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, picks in by_q.items():
+        picks.sort(key=lambda r: r["pos"])
+        assert [p["pos"] for p in picks] == [1, 2, 3, 4]
+        cids = [p["vec_id"] for p in picks]
+        assert len(set(cids)) == 4, f"duplicate pick for query {qid}"
+        assert qid not in cids, "query must not retrieve itself"
+        # pick 1 is pure relevance; later MMR scores can only be lower
+        # than twice their own relevance (diversity penalty >= 0 unless
+        # all pairwise sims are negative, which the score still bounds)
+        p1 = picks[0]
+        assert p1["mmr_score"] == 2 * p1["rel_units"]
+        assert all(p["rel_units"] <= p1["rel_units"] for p in picks[1:])
+
+
+def test_pca_iterate_bounded_and_nonzero(spark):
+    rows = get("emb_pca_power").builder(spark, SF01).collect()
+    assert len(rows) == 64
+    comps = [r["comp"] for r in rows]
+    # rescale bounds every component to ~1000 units
+    assert all(abs(c) <= 1001 for c in comps)
+    assert max(abs(c) for c in comps) >= 900, "dominant dim should be near scale"
+    assert any(c != 0 for c in comps)
+
+
+def test_snap_rollback_restores_exactly(spark):
+    rows = get("snap_rollback").builder(spark, SF).collect()
+    by = {r["state"]: r for r in rows}
+    assert by["bad"]["n"] == 2 * by["restored"]["n"]
+    assert by["bad"]["key_sum"] == 2 * by["restored"]["key_sum"]
