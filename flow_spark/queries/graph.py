@@ -699,3 +699,126 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("lbl").cast("bigint").alias("community"), "n_members", "member_sum")
         .orderBy("community")
     )
+
+
+_KTRUSS_K = 4  # edges must sit in >= k-2 = 2 triangles
+_KTRUSS_ROUNDS = 2
+
+
+def _sql_ktruss_rounds() -> str:
+    steps = []
+    for i in range(_KTRUSS_ROUNDS):
+        steps.append(
+            f"""
+        tri{i} AS MATERIALIZED (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM g{i} e1
+            JOIN g{i} e2 ON e2.a = e1.b
+            JOIN g{i} e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        sup{i} AS (
+            SELECT a, b, COUNT(*) AS s FROM (
+                SELECT x AS a, y AS b FROM tri{i}
+                UNION ALL SELECT y AS a, z AS b FROM tri{i}
+                UNION ALL SELECT x AS a, z AS b FROM tri{i}
+            ) GROUP BY a, b
+        ),
+        g{i + 1} AS MATERIALIZED (
+            SELECT g.a, g.b FROM g{i} g
+            JOIN sup{i} s ON s.a = g.a AND s.b = g.b
+            WHERE s.s >= {_KTRUSS_K - 2}
+        )"""
+        )
+    return ",".join(steps)
+
+
+def _sql_ktruss_census() -> str:
+    parts = []
+    for i in range(_KTRUSS_ROUNDS + 1):
+        parts.append(
+            f"""SELECT {i} AS round,
+                   (SELECT COUNT(*) FROM g{i}) AS n_edges,
+                   (SELECT COUNT(*) FROM (
+                        SELECT 1 FROM g{i} e1
+                        JOIN g{i} e2 ON e2.a = e1.b
+                        JOIN g{i} e3 ON e3.a = e1.a AND e3.b = e2.b
+                   )) AS n_triangles"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "graph_ktruss_peel",
+    category="graph",
+    doc=f"k-truss peeling (k={_KTRUSS_K}, {_KTRUSS_ROUNDS} unrolled "
+    "rounds) over the strong-tie co-supply graph: each round counts "
+    "every edge's triangle support with the oriented (x<y<z) "
+    "enumeration join (each triangle credits its three edges once) and "
+    "drops edges in fewer than k-2 triangles — the community-core "
+    "refinement one notch stronger than k-core (Cohen 2008).  Support "
+    "recount per round is one self-join pipeline over the CAPPED "
+    "strong-tie edge list (top-3n ties, so triangle work is bounded at "
+    "any SF) and the edge set shrinks monotonically.  Output: "
+    "(edges, triangles) census per round, exact integers.",
+    oracle=f"""
+        WITH ps AS (
+            SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.s AS s1, b.s AS s2, COUNT(*) AS co
+            FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+            GROUP BY a.s, b.s
+        ),
+        g0 AS MATERIALIZED (
+            SELECT s1 AS a, s2 AS b FROM pairs
+            ORDER BY co DESC, s1, s2
+            LIMIT 3 * (SELECT COUNT(DISTINCT s) FROM ps)
+        ),
+        {_sql_ktruss_rounds()}
+        SELECT CAST(round AS BIGINT) AS round,
+               CAST(n_edges AS BIGINT) AS n_edges,
+               CAST(n_triangles AS BIGINT) AS n_triangles
+        FROM ({_sql_ktruss_census()})
+        ORDER BY round
+    """,
+)
+def graph_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = (
+        _strong_tie_edges(spark, sf_dir)
+        .select(F.col("s1").alias("a"), F.col("s2").alias("b"))
+        .localCheckpoint()
+    )
+
+    def _triangles(g: DataFrame) -> DataFrame:
+        e1 = g.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        e2 = g.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        e3 = g.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        return e1.join(e2, "y").join(e3, ["x", "z"])
+
+    censuses = []
+    cur = edges
+    for rnd in range(_KTRUSS_ROUNDS + 1):
+        tri = _triangles(cur)
+        censuses.append(
+            cur.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")).crossJoin(
+                tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+            ).select(
+                F.lit(rnd).cast("bigint").alias("round"), "n_edges", "n_triangles"
+            )
+        )
+        if rnd == _KTRUSS_ROUNDS:
+            break
+        sup = (
+            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+            .unionByName(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+            .unionByName(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("s"))
+            .filter(F.col("s") >= _KTRUSS_K - 2)
+            .select("a", "b")
+        )
+        cur = cur.join(sup, ["a", "b"], "left_semi").localCheckpoint(eager=False)
+    out = censuses[0]
+    for c in censuses[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("round")
