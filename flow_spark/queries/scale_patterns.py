@@ -1716,3 +1716,87 @@ def snap_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+@register(
+    "feat_quantile_normalize",
+    category="feature",
+    doc="Quantile normalization across groups (the batch-effect "
+    "remover classic: force every group's value distribution onto the "
+    "pooled reference), decided entirely on the distinct-cents-value "
+    "histogram — the dq_ks_test scale shape, so no row-level sort "
+    "ever happens: per (event_type, cents) the count and running "
+    "count assign every DISTINCT VALUE to one of 10 equal-frequency "
+    "bins via bin = (cum-1)*10 div n (ties share their last row's "
+    "bin — deterministic without a row tiebreak), and the reference "
+    "per bin is the pooled floor-mean across all groups.  Output per "
+    "(group, bin): row count, group floor-mean, and the reference "
+    "value the bin normalizes to — all exact integers.",
+    oracle="""
+        WITH hist AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+                   COUNT(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, v, c,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cm,
+                   SUM(c) OVER (PARTITION BY event_type) AS n
+            FROM hist
+        ),
+        binned AS (
+            SELECT event_type, (cm - 1) * 10 // n AS bin, c, v * c AS sv
+            FROM cum
+        ),
+        grp AS (
+            SELECT event_type, bin, SUM(c) AS n, SUM(sv) AS sv
+            FROM binned GROUP BY 1, 2
+        ),
+        ref AS (
+            SELECT bin, SUM(sv) // SUM(n) AS ref_cents
+            FROM grp GROUP BY bin
+        )
+        SELECT g.event_type,
+               CAST(g.bin AS BIGINT) AS bin,
+               CAST(g.n AS BIGINT) AS n,
+               CAST(g.sv // g.n AS BIGINT) AS mean_cents,
+               CAST(r.ref_cents AS BIGINT) AS ref_cents
+        FROM grp g JOIN ref r USING (bin)
+        ORDER BY g.event_type, g.bin
+    """,
+)
+def feat_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    v = F.expr("cast(round(value * 100, 0) as bigint)")
+    hist = ev.groupBy("event_type", v.alias("v")).agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.select(
+        "event_type",
+        "v",
+        "c",
+        F.sum("c").over(W.partitionBy("event_type").orderBy("v")).alias("cm"),
+        F.sum("c").over(W.partitionBy("event_type")).alias("n"),
+    )
+    grp = (
+        cum.select(
+            "event_type",
+            F.expr("(cm - 1) * 10 div n").alias("bin"),
+            "c",
+            (F.col("v") * F.col("c")).alias("sv"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.sum("c").alias("n"), F.sum("sv").alias("sv"))
+    )
+    ref = grp.groupBy("bin").agg(F.expr("sum(sv) div sum(n)").alias("ref_cents"))
+    return (
+        grp.join(F.broadcast(ref), "bin")
+        .select(
+            "event_type",
+            F.col("bin").cast("bigint").alias("bin"),
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("sv div n").cast("bigint").alias("mean_cents"),
+            F.col("ref_cents").cast("bigint").alias("ref_cents"),
+        )
+        .orderBy("event_type", "bin")
+    )

@@ -1250,3 +1250,85 @@ def eval_wilson_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("k * 1000000 div n").cast("bigint").alias("ctr_ppm"),
         F.expr(_WILSON_LOW).alias("wilson_low"),
     ).orderBy("event_type")
+
+
+def _ri_oracle_arm(child: str, fk: str, parent: str, pk: str, label: str) -> str:
+    return f"""
+        SELECT '{label}' AS relation,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) FILTER (WHERE pk IS NULL) AS BIGINT) AS n_dangling,
+               CAST(COUNT(DISTINCT fk)
+                    FILTER (WHERE pk IS NULL AND fk IS NOT NULL) AS BIGINT)
+                   AS n_dangling_keys,
+               CAST(COUNT(*) FILTER (WHERE fk IS NULL) AS BIGINT) AS n_null_fk,
+               CAST(COUNT(*) FILTER (WHERE pk IS NULL) * 1000000 // COUNT(*)
+                    AS BIGINT) AS orphan_ppm
+        FROM (
+            SELECT c.{fk} AS fk, p.{pk} AS pk
+            FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}
+        )"""
+
+
+@register(
+    "dq_referential_integrity",
+    category="data-quality",
+    doc="Cross-table referential-integrity audit — the join-key health "
+    "check that catches a broken ingest before a silent inner-join row "
+    "loss does: for each FK relation (orders.custkey -> customer, "
+    "lineitem.orderkey -> orders, lineitem.suppkey -> supplier) count "
+    "referencing rows, dangling rows (no parent), distinct dangling "
+    "keys, null FKs, and the orphan rate in exact ppm.  Each relation "
+    "is ONE left join against the unique parent key (no fan-out) "
+    "folded into conditional aggregates — one pass, no collect, no "
+    "correlated subquery; Spark broadcasts the parent when it is "
+    "small.  Null FKs never match (SQL join semantics) so they land "
+    "in n_dangling AND get their own column.",
+    oracle=" UNION ALL ".join(
+        [
+            _ri_oracle_arm("lineitem", "l_orderkey", "orders", "o_orderkey",
+                           "lineitem.orderkey"),
+            _ri_oracle_arm("lineitem", "l_suppkey", "supplier", "s_suppkey",
+                           "lineitem.suppkey"),
+            _ri_oracle_arm("orders", "o_custkey", "customer", "c_custkey",
+                           "orders.custkey"),
+        ]
+    )
+    + " ORDER BY relation",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _audit(child: DataFrame, fk: str, parent: DataFrame, pk: str, label: str):
+        joined = child.select(F.col(fk).alias("fk")).join(
+            parent.select(F.col(pk).alias("pk")),
+            F.col("fk") == F.col("pk"),
+            "left",
+        )
+        dang = F.count(F.when(F.col("pk").isNull(), 1))
+        return joined.agg(
+            F.lit(label).alias("relation"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dang.cast("bigint").alias("n_dangling"),
+            F.countDistinct(
+                F.when(F.col("pk").isNull(), F.col("fk"))
+            ).cast("bigint").alias("n_dangling_keys"),
+            F.count(F.when(F.col("fk").isNull(), 1)).cast("bigint").alias(
+                "n_null_fk"
+            ),
+            F.expr(
+                "cast(count(case when pk is null then 1 end) * 1000000 "
+                "div count(1) as bigint)"
+            ).alias("orphan_ppm"),
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    parts = [
+        _audit(li, "l_orderkey", orders, "o_orderkey", "lineitem.orderkey"),
+        _audit(li, "l_suppkey", supp, "s_suppkey", "lineitem.suppkey"),
+        _audit(orders, "o_custkey", cust, "c_custkey", "orders.custkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("relation")
