@@ -1564,3 +1564,116 @@ def ts_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dur_days")
     )
+
+
+@register(
+    "ts_cross_correlation",
+    category="timeseries",
+    doc="Lead-lag cross-correlation between the hourly click and "
+    "purchase count series (does activity in one series precede the "
+    "other?), fully exact: both series densify onto the calendar hour "
+    "grid (missing hours are 0 — sequence/range in either engine), "
+    "deviations are N-scaled integers dx = N*x - Sx so no mean "
+    "division ever happens, and ccf(lag) = Sum dx_t * dy_{t+lag} for "
+    "lags 0..12 is a pure integer dot product via one 13-way lag "
+    "explode + equi-join.  Scale shape: events collapse to the hour "
+    "grid with ONE map-side-combinable groupBy; the grid is "
+    "calendar-bounded (~720 rows/month at ANY SF), so the lag "
+    "fan-out and join run over bounded data.",
+    oracle="""
+        WITH hours AS (
+            -- floor(epoch) matches Spark's unix_timestamp (second FLOOR);
+            -- a bare BIGINT cast would ROUND fractional seconds and push
+            -- hh:59:59.5+ events into the next hour bucket
+            SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, event_type
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        span AS (
+            SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hours
+        ),
+        grid AS (
+            SELECT h0 + t.i AS h FROM span, range(0, 100000) t(i)
+            WHERE h0 + t.i <= h1
+        ),
+        cx AS (
+            SELECT h, COUNT(*) AS c FROM hours WHERE event_type = 'click'
+            GROUP BY h
+        ),
+        cy AS (
+            SELECT h, COUNT(*) AS c FROM hours WHERE event_type = 'purchase'
+            GROUP BY h
+        ),
+        x AS (
+            SELECT g.h, COALESCE(cx.c, 0) AS x FROM grid g
+            LEFT JOIN cx ON cx.h = g.h
+        ),
+        y AS (
+            SELECT g.h, COALESCE(cy.c, 0) AS y FROM grid g
+            LEFT JOIN cy ON cy.h = g.h
+        ),
+        tot AS (
+            SELECT (SELECT COUNT(*) FROM grid) AS n,
+                   (SELECT SUM(x) FROM x) AS sx,
+                   (SELECT SUM(y) FROM y) AS sy
+        ),
+        dx AS (SELECT h, tot.n * x.x - tot.sx AS d FROM x, tot),
+        dy AS (SELECT h, tot.n * y.y - tot.sy AS d FROM y, tot),
+        lags AS (SELECT i AS lag FROM range(0, 13) t(i))
+        SELECT CAST(l.lag AS BIGINT) AS lag,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(dx.d * dy.d) AS BIGINT) AS ccf_scaled
+        FROM lags l
+        JOIN dx ON TRUE
+        JOIN dy ON dy.h = dx.h + l.lag
+        GROUP BY l.lag
+        ORDER BY lag
+    """,
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    hours = ev.select(
+        (F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"), "event_type"
+    )
+    span = hours.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = span.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    cx = (
+        hours.filter(F.col("event_type") == "click").groupBy("h").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    )
+    cy = (
+        hours.filter(F.col("event_type") == "purchase").groupBy("h").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    )
+    x = grid.join(cx, "h", "left").select(
+        "h", F.coalesce("c", F.lit(0)).alias("x")
+    )
+    y = grid.join(cy, "h", "left").select(
+        "h", F.coalesce("c", F.lit(0)).alias("y")
+    )
+    tot = (
+        x.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"))
+        .crossJoin(y.agg(F.sum("y").alias("sy")))
+    )
+    dx = x.crossJoin(F.broadcast(tot)).select(
+        "h", (F.col("n") * F.col("x") - F.col("sx")).alias("d")
+    )
+    dy = y.crossJoin(F.broadcast(tot)).select(
+        F.col("h").alias("hy"), (F.col("n") * F.col("y") - F.col("sy")).alias("dy")
+    )
+    lags = spark.range(13).select(F.col("id").cast("bigint").alias("lag"))
+    return (
+        dx.crossJoin(F.broadcast(lags))
+        .join(dy, F.col("hy") == F.col("h") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("d") * F.col("dy")).cast("bigint").alias("ccf_scaled"),
+        )
+        .orderBy("lag")
+    )

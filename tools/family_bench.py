@@ -36,6 +36,8 @@ FAMILIES = {
         "graph_bfs_levels",
         "graph_label_propagation",
         "graph_connected_components",
+        "graph_kcore_peel",
+        "graph_ktruss_peel",
     ],
     "index-sketch": [
         "sketch_hll_replay",
@@ -54,6 +56,8 @@ FAMILIES = {
         "sim_ivf_pq_residual",
         "emb_binary_hamming_topk",
         "sim_ann_recall_eval",
+        "sim_mmr_rerank",
+        "emb_pca_power",
     ],
     "dedup": [
         "dedup_ngram_containment",
@@ -92,6 +96,13 @@ FAMILIES = {
         "ts_autocorrelation",
         "ts_changepoint_cusum",
         "text_watermark_detect",
+        "eval_ndcg_at_k",
+        "eval_ece_calibration",
+        "eval_wilson_ctr",
+        "dq_k_anonymity",
+        "dq_referential_integrity",
+        "feat_quantile_normalize",
+        "ts_kaplan_meier",
     ],
     "lakehouse": [
         "snap_time_travel",
@@ -99,6 +110,7 @@ FAMILIES = {
         "snap_changefeed",
         "snap_incremental_mv",
         "snap_partition_evolution",
+        "snap_rollback",
     ],
     "ml": [
         "ml_kmeans_quantized",
