@@ -2674,3 +2674,181 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select(
         F.col("i").cast("bigint").alias("dim"), F.col("w").cast("bigint").alias("comp")
     ).orderBy("dim")
+
+
+@register(
+    "eval_macro_f1",
+    category="eval",
+    doc="Classifier evaluation end-to-end in exact integer space: a "
+    "nearest-centroid classifier over the quantized embeddings "
+    "(resubstitution protocol), then the confusion matrix and "
+    "per-class precision/recall/F1 plus macro-F1 in ppm.  Centroids "
+    "are milli-unit FLOOR-of-quotient vectors — Spark's div truncates "
+    "toward zero while DuckDB's // floors, so the oracle wraps the "
+    "negative-sum case in sign-aware division; distances are pure "
+    "bigint sums of squares, and the argmin uses one scalar key "
+    "(dist*16 + label) for a deterministic tie.  Scale shape: "
+    "centroid sums are ONE map-side-combinable (label, dim) groupBy; "
+    "prediction is a broadcast of 10 centroid rows against one corpus "
+    "scan; metrics run over the 10x10 confusion matrix.",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, label,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+                                 AS BIGINT)) AS qv
+            FROM embeddings
+        ),
+        dims AS (SELECT i FROM range(0, 64) t(i)),
+        sums AS (
+            SELECT label, d.i, SUM(qv[d.i + 1]) AS s, COUNT(*) AS n
+            FROM v, dims d GROUP BY label, d.i
+        ),
+        cent AS (
+            SELECT label, i,
+                   CASE WHEN s >= 0 THEN (s * 1000) // n
+                        ELSE -(((-s) * 1000) // n) END AS c
+            FROM sums
+        ),
+        cent_arr AS MATERIALIZED (
+            SELECT label AS clbl, list(c ORDER BY i) AS cv
+            FROM cent GROUP BY label
+        ),
+        scored AS (
+            SELECT v.vec_id, v.label, a.clbl,
+                   SUM((v.qv[d.i + 1] * 1000 - a.cv[d.i + 1])
+                       * (v.qv[d.i + 1] * 1000 - a.cv[d.i + 1])) AS dist
+            FROM v, cent_arr a, dims d
+            GROUP BY v.vec_id, v.label, a.clbl
+        ),
+        pred AS (
+            SELECT vec_id, label,
+                   arg_min(clbl, dist * 16 + clbl) AS p
+            FROM scored GROUP BY vec_id, label
+        ),
+        conf AS MATERIALIZED (
+            SELECT label, p, COUNT(*) AS c FROM pred GROUP BY label, p
+        ),
+        classes AS (SELECT DISTINCT label FROM v),
+        per_class AS MATERIALIZED (
+            SELECT k.label,
+                   COALESCE((SELECT SUM(c) FROM conf WHERE conf.label = k.label), 0)
+                       AS n_true,
+                   COALESCE((SELECT SUM(c) FROM conf
+                             WHERE conf.label = k.label AND conf.p = k.label), 0)
+                       AS tp,
+                   COALESCE((SELECT SUM(c) FROM conf WHERE conf.p = k.label), 0)
+                       AS n_pred
+            FROM classes k
+        ),
+        metrics AS MATERIALIZED (
+            SELECT label, n_true, tp,
+                   CASE WHEN n_pred > 0 THEN tp * 1000000 // n_pred
+                        ELSE 0 END AS precision_ppm,
+                   tp * 1000000 // n_true AS recall_ppm
+            FROM per_class
+        ),
+        withf1 AS MATERIALIZED (
+            SELECT *,
+                   CASE WHEN precision_ppm + recall_ppm > 0
+                        THEN 2 * precision_ppm * recall_ppm
+                             // (precision_ppm + recall_ppm)
+                        ELSE 0 END AS f1_ppm
+            FROM metrics
+        ),
+        macro AS (
+            SELECT SUM(f1_ppm) // COUNT(*) AS macro_f1_ppm FROM withf1
+        )
+        SELECT CAST(w.label AS BIGINT) AS label,
+               CAST(w.n_true AS BIGINT) AS n_true,
+               CAST(w.tp AS BIGINT) AS tp,
+               CAST(w.precision_ppm AS BIGINT) AS precision_ppm,
+               CAST(w.recall_ppm AS BIGINT) AS recall_ppm,
+               CAST(w.f1_ppm AS BIGINT) AS f1_ppm,
+               CAST(m.macro_f1_ppm AS BIGINT) AS macro_f1_ppm
+        FROM withf1 w CROSS JOIN macro m
+        ORDER BY w.label
+    """,
+)
+def eval_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("bigint"),
+        ).alias("qv"),
+    )
+    sums = (
+        v.select("label", F.posexplode("qv").alias("i", "q"))
+        .groupBy("label", "i")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    # Spark div truncates toward zero natively — the oracle's sign-aware
+    # CASE reproduces exactly this for negative sums
+    cent = sums.select(
+        "label", "i", F.expr("(s * 1000) div n").alias("c")
+    )
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "c"))), lambda x: x.c
+        ).alias("cv")
+    ).select(F.col("label").alias("clbl"), "cv")
+    dist = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x * 1000 - y) * (x * 1000 - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + t,
+    )
+    scored = v.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id", "label", "clbl", dist.alias("dist")
+    )
+    pred = scored.groupBy("vec_id", "label").agg(
+        F.expr("min_by(clbl, dist * 16 + clbl)").alias("p")
+    )
+    conf = pred.groupBy("label", "p").agg(F.count(F.lit(1)).alias("c")).cache()
+    n_true = conf.groupBy("label").agg(F.sum("c").alias("n_true"))
+    n_pred = conf.groupBy("p").agg(F.sum("c").alias("n_pred"))
+    tp = conf.filter(F.col("label") == F.col("p")).select(
+        "label", F.col("c").alias("tp")
+    )
+    per_class = (
+        n_true.join(tp, "label", "left")
+        .join(n_pred.withColumnRenamed("p", "label"), "label", "left")
+        .select(
+            "label",
+            "n_true",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+        )
+    )
+    metrics = per_class.select(
+        "label",
+        "n_true",
+        "tp",
+        F.expr(
+            "case when n_pred > 0 then tp * 1000000 div n_pred else 0 end"
+        ).alias("precision_ppm"),
+        F.expr("tp * 1000000 div n_true").alias("recall_ppm"),
+    ).withColumn(
+        "f1_ppm",
+        F.expr(
+            "case when precision_ppm + recall_ppm > 0 then "
+            "2 * precision_ppm * recall_ppm div (precision_ppm + recall_ppm) "
+            "else 0 end"
+        ),
+    )
+    macro = metrics.agg(F.expr("sum(f1_ppm) div count(1)").alias("macro_f1_ppm"))
+    return (
+        metrics.crossJoin(F.broadcast(macro))
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            F.col("n_true").cast("bigint").alias("n_true"),
+            F.col("tp").cast("bigint").alias("tp"),
+            F.col("precision_ppm").cast("bigint").alias("precision_ppm"),
+            F.col("recall_ppm").cast("bigint").alias("recall_ppm"),
+            F.col("f1_ppm").cast("bigint").alias("f1_ppm"),
+            "macro_f1_ppm",
+        )
+        .orderBy("label")
+    )
