@@ -89,3 +89,30 @@ def test_snap_rollback_restores_exactly(spark):
     by = {r["state"]: r for r in rows}
     assert by["bad"]["n"] == 2 * by["restored"]["n"]
     assert by["bad"]["key_sum"] == 2 * by["restored"]["key_sum"]
+
+
+def test_cross_correlation_zero_lag_is_symmetric_baseline(spark):
+    rows = get("ts_cross_correlation").builder(spark, SF01).collect()
+    assert [r["lag"] for r in rows] == list(range(13))
+    # overlap shrinks by exactly one grid row per extra lag step
+    n0 = rows[0]["n_pairs"]
+    for r in rows:
+        assert r["n_pairs"] == n0 - r["lag"]
+
+
+def test_macro_f1_confusion_consistency(spark):
+    rows = get("eval_macro_f1").builder(spark, SF01).collect()
+    assert len(rows) == 10
+    total_true = sum(r["n_true"] for r in rows)
+    assert total_true == 500  # every vector classified exactly once
+    for r in rows:
+        assert 0 <= r["tp"] <= r["n_true"]
+        assert 0 <= r["precision_ppm"] <= 1_000_000
+        assert 0 <= r["recall_ppm"] <= 1_000_000
+        # F1 is between min and max of P and R (harmonic-mean bound)
+        lo, hi = sorted((r["precision_ppm"], r["recall_ppm"]))
+        assert r["f1_ppm"] <= hi + 1
+        if lo > 0:
+            assert r["f1_ppm"] >= lo - 1
+    macro = rows[0]["macro_f1_ppm"]
+    assert macro == sum(r["f1_ppm"] for r in rows) // 10

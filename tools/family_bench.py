@@ -58,6 +58,7 @@ FAMILIES = {
         "sim_ann_recall_eval",
         "sim_mmr_rerank",
         "emb_pca_power",
+        "eval_macro_f1",
     ],
     "dedup": [
         "dedup_ngram_containment",
@@ -103,6 +104,7 @@ FAMILIES = {
         "dq_referential_integrity",
         "feat_quantile_normalize",
         "ts_kaplan_meier",
+        "ts_cross_correlation",
     ],
     "lakehouse": [
         "snap_time_travel",
