@@ -2677,3 +2677,110 @@ def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("c12"), "w1", "w2").limit(50)
+
+
+@register(
+    "text_vocab_growth",
+    category="text-analysis",
+    doc="Heaps'-law vocabulary-growth curve: distinct vocabulary and "
+    "total token count after the first N documents (doc_id order) for "
+    "N at powers of two — the corpus-health diagnostic that shows "
+    "whether new data still brings new language or is recycling the "
+    "same tokens (a flattening curve = diminishing returns / heavy "
+    "duplication).  Scale shape: ONE explode+groupBy computes each "
+    "token's FIRST document (min doc_id, map-side combinable) and one "
+    "more the per-document token counts; both collapse to "
+    "document-indexed cumulative histograms (bounded by n_docs, not "
+    "token instances), and the power-of-two thresholds read the "
+    "running maxima with a tiny broadcast theta-join.  TTR in exact "
+    "ppm.",
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(
+                trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+            FROM documents
+        ),
+        tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+        firsts AS (
+            SELECT t, MIN(doc_id) AS fd FROM tok2 GROUP BY t
+        ),
+        new_hist AS (
+            SELECT fd AS doc_id, COUNT(*) AS c FROM firsts GROUP BY fd
+        ),
+        tok_hist AS (
+            SELECT doc_id, COUNT(*) AS c FROM tok2 GROUP BY doc_id
+        ),
+        cum AS (
+            SELECT th.doc_id,
+                   SUM(COALESCE(nh.c, 0)) OVER (ORDER BY th.doc_id) AS cum_new,
+                   SUM(th.c) OVER (ORDER BY th.doc_id) AS cum_tok
+            FROM tok_hist th LEFT JOIN new_hist nh ON nh.doc_id = th.doc_id
+        ),
+        thresholds AS (
+            SELECT (1 << k.i) AS n FROM range(4, 15) k(i)
+            WHERE (1 << k.i) <= (SELECT MAX(doc_id) + 1 FROM documents)
+        )
+        SELECT CAST(t.n AS BIGINT) AS n_docs_prefix,
+               CAST(MAX(c.cum_new) AS BIGINT) AS vocab,
+               CAST(MAX(c.cum_tok) AS BIGINT) AS total_tokens,
+               CAST(MAX(c.cum_new) * 1000000 // MAX(c.cum_tok) AS BIGINT)
+                   AS ttr_ppm
+        FROM thresholds t JOIN cum c ON c.doc_id < t.n
+        GROUP BY t.n
+        ORDER BY n_docs_prefix
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from flow_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    firsts = tok.groupBy("t").agg(F.min("doc_id").alias("fd"))
+    new_hist = firsts.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("nc")
+    )
+    tok_hist = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("tc"))
+    # cumulative curves are doc-count-bound; the unpartitioned window is
+    # over n_docs rows, not token instances
+    cum = (
+        tok_hist.join(new_hist, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum(F.coalesce("nc", F.lit(0)))
+            .over(W.orderBy("doc_id"))
+            .alias("cum_new"),
+            F.sum("tc").over(W.orderBy("doc_id")).alias("cum_tok"),
+        )
+    )
+    n_docs = docs.agg((F.max("doc_id") + 1).alias("nd"))
+    thresholds = (
+        spark.range(4, 15)
+        .select(F.expr("shiftleft(1L, cast(id as int))").alias("n"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("n") <= F.col("nd"))
+        .select("n")
+    )
+    return (
+        cum.crossJoin(F.broadcast(thresholds))
+        .filter(F.col("doc_id") < F.col("n"))
+        .groupBy("n")
+        .agg(
+            F.max("cum_new").cast("bigint").alias("vocab"),
+            F.max("cum_tok").cast("bigint").alias("total_tokens"),
+            F.expr("cast(max(cum_new) * 1000000 div max(cum_tok) as bigint)").alias(
+                "ttr_ppm"
+            ),
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n_docs_prefix"),
+            "vocab",
+            "total_tokens",
+            "ttr_ppm",
+        )
+        .orderBy("n_docs_prefix")
+    )

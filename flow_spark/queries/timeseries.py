@@ -1677,3 +1677,66 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+@register(
+    "ts_time_weighted_avg",
+    category="timeseries",
+    doc="Time-weighted average (the irregular-sampling aggregate "
+    "TimescaleDB ships as time_weight): each user's value is a step "
+    "function that holds between consecutive events, so the mean is "
+    "Sum(cents * hold_seconds) / Sum(hold_seconds) — NOT the naive "
+    "row mean, which over-weights bursts.  Weights come from lead() "
+    "per user (one user-keyed window over one shuffle); the weighted "
+    "sum stays in exact cents*seconds integers and the final division "
+    "is integer ppk (cents, floor) on both sides.  Users with one "
+    "event have no held interval and are excluded by the lead "
+    "semantics.  Output per user_id%10 cohort: users, intervals, "
+    "held seconds, and the TWA in cents.",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id,
+                   CAST(round(value * 100) AS BIGINT) AS v,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                   lead(CAST(floor(epoch(ts)) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS s_next
+            FROM events
+        ),
+        held AS (
+            SELECT user_id, v, s_next - s AS dur
+            FROM seq WHERE s_next IS NOT NULL
+        )
+        SELECT user_id % 10 AS cohort,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(*) AS BIGINT) AS n_intervals,
+               CAST(SUM(dur) AS BIGINT) AS held_seconds,
+               CAST(SUM(v * dur) // SUM(dur) AS BIGINT) AS twa_cents
+        FROM held
+        GROUP BY user_id % 10
+        ORDER BY cohort
+    """,
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        F.expr("cast(round(value * 100, 0) as bigint)").alias("v"),
+        F.unix_timestamp("ts").alias("s"),
+        F.lead(F.unix_timestamp("ts")).over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("s_next"),
+    )
+    held = seq.filter(F.col("s_next").isNotNull()).select(
+        "user_id", "v", (F.col("s_next") - F.col("s")).alias("dur")
+    )
+    return (
+        held.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum("dur").cast("bigint").alias("held_seconds"),
+            F.expr("sum(v * dur) div sum(dur)").cast("bigint").alias("twa_cents"),
+        )
+        .orderBy("cohort")
+    )

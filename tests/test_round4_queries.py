@@ -116,3 +116,28 @@ def test_macro_f1_confusion_consistency(spark):
             assert r["f1_ppm"] >= lo - 1
     macro = rows[0]["macro_f1_ppm"]
     assert macro == sum(r["f1_ppm"] for r in rows) // 10
+
+
+def test_vocab_growth_monotone_and_bounded(spark):
+    rows = get("text_vocab_growth").builder(spark, SF01).collect()
+    assert [r["n_docs_prefix"] for r in rows] == [16, 32, 64, 128, 256]
+    prev_v, prev_t = 0, 0
+    for r in rows:
+        # vocabulary and token mass both grow with the prefix; vocab
+        # can never exceed total tokens
+        assert r["vocab"] > prev_v
+        assert r["total_tokens"] > prev_t
+        assert r["vocab"] <= r["total_tokens"]
+        prev_v, prev_t = r["vocab"], r["total_tokens"]
+    # Heaps' law: type-token ratio decays as the corpus grows
+    ttrs = [r["ttr_ppm"] for r in rows]
+    assert ttrs == sorted(ttrs, reverse=True)
+
+
+def test_time_weighted_avg_bounds(spark):
+    rows = get("ts_time_weighted_avg").builder(spark, SF01).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["n_intervals"] >= r["n_users"]
+        assert r["held_seconds"] > 0
+        assert 0 <= r["twa_cents"] <= 100_000

@@ -105,6 +105,7 @@ FAMILIES = {
         "feat_quantile_normalize",
         "ts_kaplan_meier",
         "ts_cross_correlation",
+        "ts_time_weighted_avg",
     ],
     "lakehouse": [
         "snap_time_travel",
@@ -138,6 +139,7 @@ FAMILIES = {
         "text_rake_keywords",
         "text_skipgram_pairs",
         "ml_naive_bayes_langid",
+        "text_vocab_growth",
     ],
     # full streaming drains (readStream -> stateful op -> memory sink)
     "stateful-stream": [
