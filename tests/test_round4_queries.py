@@ -123,9 +123,10 @@ def test_vocab_growth_monotone_and_bounded(spark):
     assert [r["n_docs_prefix"] for r in rows] == [16, 32, 64, 128, 256]
     prev_v, prev_t = 0, 0
     for r in rows:
-        # vocabulary and token mass both grow with the prefix; vocab
-        # can never exceed total tokens
-        assert r["vocab"] > prev_v
+        # token mass strictly grows; vocabulary is non-decreasing (the
+        # synthetic corpus SATURATES its small vocabulary early) and can
+        # never exceed total tokens
+        assert r["vocab"] >= max(prev_v, 1)
         assert r["total_tokens"] > prev_t
         assert r["vocab"] <= r["total_tokens"]
         prev_v, prev_t = r["vocab"], r["total_tokens"]
