@@ -635,6 +635,35 @@ _LPA_ITERS = 3
 _LPA_KEY = 1 << 40
 
 
+def _lpa_communities(spark: SparkSession, sf_dir: str):
+    """Shared LPA machinery: returns (edges, sym, labels-after-N-rounds).
+
+    edges is the canonical (s1 < s2) strong-tie list, localCheckpointed
+    (it feeds both the sym expansion here and graph_modularity's
+    within-community join); labels is checkpointed per round so round k
+    never re-executes rounds 1..k-1.
+    """
+    st = _strong_tie_edges(spark, sf_dir).localCheckpoint()
+    sym = st.select(
+        F.col("s1").alias("node"), F.col("s2").alias("nbr")
+    ).unionByName(
+        st.select(F.col("s2").alias("node"), F.col("s1").alias("nbr"))
+    ).localCheckpoint()  # edge list feeds every iteration: materialize once
+    labels = sym.select("node").distinct().withColumn("lbl", F.col("node"))
+    for _ in range(_LPA_ITERS):
+        counts = (
+            sym.join(
+                labels.select(F.col("node").alias("nbr"), "lbl"), "nbr"
+            )
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = counts.groupBy("node").agg(
+            F.expr(f"max_by(lbl, cnt * {_LPA_KEY} - lbl)").alias("lbl")
+        ).localCheckpoint()
+    return st, sym, labels
+
+
 def _sql_lpa_step(prev: str, out: str) -> str:
     return f"""
         c_{out} AS (
@@ -693,24 +722,7 @@ def _sql_lpa_step(prev: str, out: str) -> str:
     """,
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    st = _strong_tie_edges(spark, sf_dir)
-    sym = st.select(
-        F.col("s1").alias("node"), F.col("s2").alias("nbr")
-    ).unionByName(
-        st.select(F.col("s2").alias("node"), F.col("s1").alias("nbr"))
-    ).localCheckpoint()  # edge list feeds every iteration: materialize once
-    labels = sym.select("node").distinct().withColumn("lbl", F.col("node"))
-    for _ in range(_LPA_ITERS):
-        counts = (
-            sym.join(
-                labels.select(F.col("node").alias("nbr"), "lbl"), "nbr"
-            )
-            .groupBy("node", "lbl")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        labels = counts.groupBy("node").agg(
-            F.expr(f"max_by(lbl, cnt * {_LPA_KEY} - lbl)").alias("lbl")
-        ).localCheckpoint()
+    _, _, labels = _lpa_communities(spark, sf_dir)
     return (
         labels.groupBy("lbl")
         .agg(
@@ -843,3 +855,123 @@ def graph_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in censuses[1:]:
         out = out.unionByName(c)
     return out.orderBy("round")
+
+
+@register(
+    "graph_modularity",
+    category="graph",
+    doc="Newman modularity Q of the label-propagation communities — the "
+    "standard quality score that closes the community-detection loop "
+    "(detect with graph_label_propagation, then QUANTIFY how much "
+    "better than random the partition is).  All in exact integers: "
+    "per community qnum = 4m*e_c - d_c^2 (e_c = within-community "
+    "edges, d_c = total degree), and Q = sum(qnum) / 4m^2 reported "
+    "once in ppm with floor division.  The LPA rounds are shared "
+    "machinery (_lpa_communities, each round checkpointed); the "
+    "modularity pass is two broadcast-joinable label lookups + one "
+    "groupBy over the CAPPED edge list.  The oracle replays the same "
+    "rounds as chained CTEs.",
+    oracle=f"""
+        WITH ps AS (
+            SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.s AS s1, b.s AS s2, COUNT(*) AS co
+            FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+            GROUP BY a.s, b.s
+        ),
+        nn AS (SELECT 3 * COUNT(DISTINCT s) AS e FROM ps),
+        edges AS MATERIALIZED (
+            SELECT s1, s2 FROM (
+                SELECT s1, s2,
+                       ROW_NUMBER() OVER (ORDER BY co DESC, s1, s2) AS rn
+                FROM pairs
+            ), nn WHERE rn <= e
+        ),
+        sym AS MATERIALIZED (
+            SELECT s1 AS node, s2 AS nbr FROM edges
+            UNION ALL SELECT s2, s1 FROM edges
+        ),
+        l0 AS (SELECT DISTINCT node, node AS lbl FROM sym),
+        {",".join(_sql_lpa_step(f"l{i}", f"l{i + 1}") for i in range(_LPA_ITERS))},
+        lab AS MATERIALIZED (SELECT node, lbl FROM l{_LPA_ITERS}),
+        m AS (SELECT COUNT(*) AS m FROM edges),
+        within AS (
+            SELECT la.lbl, COUNT(*) AS ec
+            FROM edges e
+            JOIN lab la ON la.node = e.s1
+            JOIN lab lb ON lb.node = e.s2
+            WHERE la.lbl = lb.lbl
+            GROUP BY la.lbl
+        ),
+        degs AS (SELECT node, COUNT(*) AS d FROM sym GROUP BY node),
+        dc AS (
+            SELECT la.lbl, SUM(d.d) AS dcs
+            FROM lab la JOIN degs d ON d.node = la.node
+            GROUP BY la.lbl
+        ),
+        contrib AS MATERIALIZED (
+            SELECT dc.lbl, COALESCE(w.ec, 0) AS ec, dc.dcs,
+                   4 * m.m * COALESCE(w.ec, 0) - dc.dcs * dc.dcs AS qnum
+            FROM dc CROSS JOIN m
+            LEFT JOIN within w ON w.lbl = dc.lbl
+        ),
+        tot AS (
+            SELECT SUM(c.qnum) * 1000000 // (4 * m.m * m.m) AS q_ppm
+            FROM contrib c, m GROUP BY m.m
+        )
+        SELECT CAST(c.lbl AS BIGINT) AS community,
+               CAST(c.ec AS BIGINT) AS within_edges,
+               CAST(c.dcs AS BIGINT) AS degree_sum,
+               CAST(c.qnum AS BIGINT) AS qnum,
+               CAST(t.q_ppm AS BIGINT) AS q_ppm
+        FROM contrib c CROSS JOIN tot t
+        ORDER BY community
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, sym, labels = _lpa_communities(spark, sf_dir)
+    la = labels.select(F.col("node").alias("s1"), F.col("lbl").alias("l1"))
+    lb = labels.select(F.col("node").alias("s2"), F.col("lbl").alias("l2"))
+    within = (
+        edges.join(F.broadcast(la), "s1")
+        .join(F.broadcast(lb), "s2")
+        .filter(F.col("l1") == F.col("l2"))
+        .groupBy(F.col("l1").alias("lbl"))
+        .agg(F.count(F.lit(1)).alias("ec"))
+    )
+    degs = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    dc = (
+        labels.join(degs, "node")
+        .groupBy("lbl")
+        .agg(F.sum("d").alias("dcs"))
+    )
+    mdf = edges.agg(F.count(F.lit(1)).alias("m"))
+    contrib = (
+        dc.join(within, "lbl", "left")
+        .crossJoin(F.broadcast(mdf))
+        .select(
+            "lbl",
+            F.coalesce("ec", F.lit(0)).alias("ec"),
+            "dcs",
+            (
+                4 * F.col("m") * F.coalesce("ec", F.lit(0))
+                - F.col("dcs") * F.col("dcs")
+            ).alias("qnum"),
+            "m",
+        )
+    )
+    tot = contrib.groupBy("m").agg(
+        F.expr("sum(qnum) * 1000000 div (4 * m * m)").alias("q_ppm")
+    ).select("q_ppm")
+    return (
+        contrib.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("lbl").cast("bigint").alias("community"),
+            F.col("ec").cast("bigint").alias("within_edges"),
+            F.col("dcs").cast("bigint").alias("degree_sum"),
+            F.col("qnum").cast("bigint").alias("qnum"),
+            F.col("q_ppm").cast("bigint").alias("q_ppm"),
+        )
+        .orderBy("community")
+    )
