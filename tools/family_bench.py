@@ -38,6 +38,7 @@ FAMILIES = {
         "graph_connected_components",
         "graph_kcore_peel",
         "graph_ktruss_peel",
+        "graph_modularity",
     ],
     "index-sketch": [
         "sketch_hll_replay",
