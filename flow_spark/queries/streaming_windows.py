@@ -729,3 +729,88 @@ def stream_session_window_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "stream_twa",
+    category="streaming",
+    doc="RUNTIME streaming time-weighted average inside an oracle-checked "
+    "query: the events fixture streams through twa_stream "
+    "(applyInPandasWithState, update mode) with trigger(availableNow) "
+    "draining as one micro-batch into a memory sink, so each key emits "
+    "exactly one running-total row — which must equal the BATCH "
+    "step-function TWA over the key's full history.  The DuckDB oracle "
+    "replays that with lead() hold durations.  Cross-batch state carry "
+    "(the same totals from a 2-slice drain) is runtime-tested in "
+    "tests/test_streaming.py.  All arithmetic is integer cents x "
+    "microseconds.",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) AS us, event_id,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS vc
+            FROM events WHERE user_id % 10 = 0
+        ),
+        seq AS (
+            SELECT user_id, vc, us,
+                   lead(us) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS us_next,
+                   last_value(vc) OVER (PARTITION BY user_id
+                                        ORDER BY us, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS last_v
+            FROM e
+        ),
+        agg AS (
+            SELECT user_id AS tkey,
+                   COUNT(*) AS n_events,
+                   COALESCE(SUM(us_next - us) FILTER (WHERE us_next IS NOT NULL),
+                            0) AS held_us,
+                   COALESCE(SUM(vc * (us_next - us))
+                            FILTER (WHERE us_next IS NOT NULL), 0) AS acc_num,
+                   MAX(last_v) AS last_v
+            FROM seq GROUP BY user_id
+        )
+        SELECT CAST(tkey AS BIGINT) AS tkey,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST(held_us AS BIGINT) AS held_us,
+               CAST(acc_num AS BIGINT) AS acc_num,
+               CAST(CASE WHEN held_us > 0 THEN acc_num // held_us
+                         ELSE last_v END AS BIGINT) AS twa_cents
+        FROM agg
+        ORDER BY tkey
+    """,
+)
+def stream_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flow_spark.catalog import normalize_events_ts, table_path
+    from flow_spark.streaming.stateful import twa_stream
+
+    path = table_path(sf_dir, "events")
+    raw_schema = spark.read.parquet(path).schema
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    prepared = stream.filter(F.col("user_id") % 10 == 0).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+    )
+    out = twa_stream(
+        prepared, key_col="user_id", ts_col="ts", val_col="vc"
+    )
+    name = "stream_twa_sink"
+    ckpt = tempfile.mkdtemp(prefix="flow-spark-ckpt-twa-")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("tkey")

@@ -356,3 +356,88 @@ def heavy_hitters_stream(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+# --- streaming time-weighted average -----------------------------------------
+
+TWA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("tkey", LongType()),
+        StructField("n_events", LongType()),
+        StructField("held_us", LongType()),
+        StructField("acc_num", LongType()),
+        StructField("twa_cents", LongType()),
+    ]
+)
+
+TWA_STATE_SCHEMA = StructType(
+    [
+        StructField("last_us", LongType()),
+        StructField("last_v", LongType()),
+        StructField("n", LongType()),
+        StructField("held_us", LongType()),
+        StructField("acc_num", LongType()),
+    ]
+)
+
+
+def twa_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Streaming time-weighted average: per key, the value is a step
+    function held between consecutive events, and the running TWA
+    Sum(v * dur_us) / Sum(dur_us) updates across micro-batches with the
+    (last_us, last_v) edge carried in the state store — the batch
+    ``ts_time_weighted_avg`` semantics made incremental.
+
+    Emits one UPDATE row per key per batch with the running totals; all
+    arithmetic is integer cents x microseconds, so replay, retry, and a
+    different batch slicing all yield the same final row (the
+    multi-batch == single-batch equivalence is runtime-tested).  A late
+    row older than the carried edge contributes zero duration (clamped)
+    instead of corrupting the accumulator.  State is two longs + three
+    counters per key, one shuffle on the key.
+    """
+    prepared = df.select(
+        F.col(key_col).cast("long").alias("tkey"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(order_col).cast("long").alias("ord"),
+        F.col(val_col).cast("long").alias("v"),
+    )
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "ord"])
+        if state.exists:
+            last_us, last_v, n, held, acc = (int(x) for x in state.get)
+        else:
+            last_us = last_v = n = held = acc = 0
+            last_us = -1
+        for ts_us, v in zip(pdf["ts_us"], pdf["v"]):
+            ts_us, v = int(ts_us), int(v)
+            if last_us >= 0:
+                dur = max(0, ts_us - last_us)
+                held += dur
+                acc += last_v * dur
+                last_us = max(last_us, ts_us)
+            else:
+                last_us = ts_us
+            last_v = v
+            n += 1
+        state.update((last_us, last_v, n, held, acc))
+        twa = acc // held if held > 0 else last_v
+        yield pd.DataFrame(
+            [(key[0], n, held, acc, twa)],
+            columns=["tkey", "n_events", "held_us", "acc_num", "twa_cents"],
+        )
+
+    return prepared.groupBy("tkey").applyInPandasWithState(
+        fn,
+        outputStructType=TWA_OUTPUT_SCHEMA,
+        stateStructType=TWA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

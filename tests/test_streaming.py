@@ -1832,3 +1832,78 @@ def test_streaming_psi_drift_monitor(spark, tmp_path):
         batch_counts[bin_of(v)] = batch_counts.get(bin_of(v), 0) + 1
     assert state == batch_counts
     assert scores[-1] == psi_ppm_bits(ref_counts, batch_counts)
+
+
+def test_twa_stream_multibatch_equals_singlebatch(spark, tmp_path):
+    """twa_stream: the (last_us, last_v) edge must carry across
+    micro-batch boundaries — splitting the same events into 3 files
+    yields the same FINAL running totals as one file, and both equal the
+    hand-computed step-function TWA."""
+    import json as _json
+    import time as _time
+
+    from flow_spark.streaming.stateful import twa_stream
+
+    rows = [  # (user, ts_us, cents, eid)
+        (1, 1_000_000, 100, 1),
+        (1, 3_000_000, 200, 2),   # holds 100 for 2s
+        (2, 2_000_000, 50, 3),
+        (1, 7_000_000, 500, 4),   # holds 200 for 4s
+        (2, 5_000_000, 150, 5),   # holds 50 for 3s
+        (1, 8_000_000, 0, 6),     # holds 500 for 1s
+    ]
+    # user 1: num = 100*2e6 + 200*4e6 + 500*1e6 = 1_500_000_000, held 7e6
+    # user 2: num = 50*3e6 = 150_000_000, held 3e6
+    expected = [
+        (1, 4, 7_000_000, 1_500_000_000, 214),
+        (2, 2, 3_000_000, 150_000_000, 50),
+    ]
+
+    def run(n_files: int, tag: str):
+        src = tmp_path / f"src_{tag}"
+        src.mkdir()
+        per = (len(rows) + n_files - 1) // n_files
+        for i in range(n_files):
+            with open(src / f"b{i}.jsonl", "w") as fh:
+                for u, us, vc, eid in rows[i * per : (i + 1) * per]:
+                    fh.write(
+                        _json.dumps(
+                            {"user": u, "ts_us": us, "vc": vc, "eid": eid}
+                        )
+                        + "\n"
+                    )
+            _time.sleep(0.02)  # distinct mtimes pin file-source batch order
+        stream = (
+            spark.readStream.schema("user long, ts_us long, vc long, eid long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+        out = twa_stream(
+            stream, key_col="user", ts_col="ts", val_col="vc", order_col="eid"
+        )
+        name = f"twa_{tag}"
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # update mode emits one row per key per touching batch; the final
+        # state of a key is its row with the highest n_events
+        rows_out = spark.table(name).collect()
+        final: dict = {}
+        for r in rows_out:
+            if r.tkey not in final or r.n_events > final[r.tkey].n_events:
+                final[r.tkey] = r
+        return sorted(
+            (r.tkey, r.n_events, r.held_us, r.acc_num, r.twa_cents)
+            for r in final.values()
+        )
+
+    multi = run(3, "multi")
+    single = run(1, "single")
+    assert multi == single == expected

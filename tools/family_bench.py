@@ -149,6 +149,7 @@ FAMILIES = {
         "stream_asof_enrich",
         "stream_funnel_cep",
         "stream_heavy_hitters",
+        "stream_twa",
     ],
 }
 
