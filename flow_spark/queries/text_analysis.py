@@ -2784,3 +2784,123 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_docs_prefix")
     )
+
+
+_TR_ITERS = 2
+_TR_INIT = 1_000_000
+_TR_TELEPORT = 150_000
+
+
+def _sql_textrank_step(prev: str, out: str) -> str:
+    return f"""
+        {out} AS MATERIALIZED (
+            SELECT e.b AS word,
+                   CAST({_TR_TELEPORT} + (85 * SUM(r.rank * e.w // s.s)) // 100
+                        AS BIGINT) AS rank
+            FROM wedges e
+            JOIN {prev} r ON r.word = e.a
+            JOIN strength s ON s.word = e.a
+            GROUP BY e.b
+        )"""
+
+
+@register(
+    "text_textrank_keywords",
+    category="text-analysis",
+    doc="TextRank keyword extraction (Mihalcea & Tarau 2004): a weighted "
+    "PageRank over the word co-occurrence graph (adjacent content "
+    "tokens, len >= 4, both directions, weight = corpus co-occurrence "
+    f"count), {_TR_ITERS} unrolled rounds entirely in micro-rank "
+    "integer arithmetic — contribution = rank * w // strength with "
+    "floor division, update = 150000 + 85%% of incoming — so both "
+    "engines agree bit-for-bit (the graph_pagerank discipline applied "
+    "to text).  Scale shape: bigram pairs explode MAP-SIDE from each "
+    "doc's token array (no self-join) into one (a,b) groupBy; each "
+    "round is one join of the edge list against the word-sized rank "
+    "table.  Output: top-20 words by final rank, deterministic "
+    "(rank DESC, word) tiebreak.",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id, string_split(
+                trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+            FROM documents
+        ),
+        big AS (
+            SELECT ts[t.i] AS a, ts[t.i + 1] AS b
+            FROM toks, range(1, 100000) t(i)
+            WHERE t.i < len(ts)
+              AND length(ts[t.i]) >= 4 AND length(ts[t.i + 1]) >= 4
+        ),
+        cnt AS (
+            SELECT a, b, COUNT(*) AS w FROM big WHERE a <> b GROUP BY a, b
+        ),
+        wedges AS MATERIALIZED (
+            SELECT a, b, SUM(w) AS w FROM (
+                SELECT a, b, w FROM cnt
+                UNION ALL SELECT b, a, w FROM cnt
+            ) GROUP BY a, b
+        ),
+        strength AS MATERIALIZED (
+            SELECT a AS word, SUM(w) AS s FROM wedges GROUP BY a
+        ),
+        r0 AS (
+            SELECT word, CAST({_TR_INIT} AS BIGINT) AS rank FROM strength
+        ),
+        {",".join(_sql_textrank_step(f"r{i}", f"r{i + 1}") for i in range(_TR_ITERS))}
+        SELECT word, CAST(rank AS BIGINT) AS microrank
+        FROM r{_TR_ITERS}
+        ORDER BY rank DESC, word
+        LIMIT 20
+    """,
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    # adjacent content-token pairs, generated map-side from the token
+    # array (zip with its own tail) — no positional self-join
+    pairs = F.expr(
+        "filter(zip_with(ts, slice(ts, 2, size(ts)), "
+        "(x, y) -> named_struct('a', x, 'b', y)), "
+        "p -> p.a IS NOT NULL AND p.b IS NOT NULL "
+        "AND length(p.a) >= 4 AND length(p.b) >= 4 AND p.a <> p.b)"
+    )
+    cnt = (
+        docs.select(tokens(F.col("text")).alias("ts"))
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wedges = (
+        cnt.unionByName(
+            cnt.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint()  # feeds strength + every rank round
+    )
+    strength = wedges.groupBy(F.col("a").alias("word")).agg(F.sum("w").alias("s"))
+    ranks = strength.select(
+        "word", F.lit(_TR_INIT).cast("bigint").alias("rank")
+    )
+    sj = strength.select(F.col("word").alias("a"), "s")
+    for _ in range(_TR_ITERS):
+        ranks = (
+            wedges.join(ranks.withColumnRenamed("word", "a"), "a")
+            .join(sj, "a")
+            .select("b", F.expr("rank * w div s").alias("contrib"))
+            .groupBy("b")
+            .agg(
+                (
+                    F.lit(_TR_TELEPORT) + F.expr("(85 * sum(contrib)) div 100")
+                )
+                .cast("bigint")
+                .alias("rank")
+            )
+            .select(F.col("b").alias("word"), "rank")
+        )
+    return (
+        ranks.select("word", F.col("rank").alias("microrank"))
+        .orderBy(F.desc("microrank"), "word")
+        .limit(20)
+    )

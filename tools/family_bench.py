@@ -141,6 +141,7 @@ FAMILIES = {
         "text_skipgram_pairs",
         "ml_naive_bayes_langid",
         "text_vocab_growth",
+        "text_textrank_keywords",
     ],
     # full streaming drains (readStream -> stateful op -> memory sink)
     "stateful-stream": [
