@@ -1740,3 +1740,150 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+_DTW_INF = 9_000_000_000_000_000  # effectively +inf, still bigint-safe to add
+
+
+@register(
+    "ts_dtw_band",
+    category="timeseries",
+    doc="Dynamic time warping with a Sakoe-Chiba band (r=3) between each "
+    "panel user's 30-day spend series and the population mean series — "
+    "the alignment distance for 'which users' spending rhythm deviates "
+    "from the norm', computed EXACTLY in integer cents.  The DP runs "
+    "on ANTI-DIAGONALS: cells on diagonal d depend only on diagonals "
+    "d-1 and d-2, so each of the 59 steps is a pure element-wise "
+    "transform (no intra-step dependency) — a fold of 59 map steps in "
+    "Spark == a 59-row recursive CTE carrying two LIST columns in "
+    "DuckDB, bit-identical.  Scale shape: ONE (user, day) groupBy sees "
+    "the data; series assembly is a calendar-bounded 30-slot fill; the "
+    "DP is constant work (59 x 30 cells) per panel user.  Output: "
+    "user_id, exact DTW cost in cents.",
+    oracle=f"""
+        WITH RECURSIVE d0 AS (
+            SELECT MIN(CAST(ts AS DATE)) AS dmin FROM events
+        ),
+        daily AS (
+            SELECT user_id,
+                   date_diff('day', d0.dmin, CAST(ts AS DATE)) AS dd,
+                   SUM(CAST(round(value * 100) AS BIGINT)) AS c
+            FROM events, d0
+            WHERE user_id % 25 = 0
+              AND date_diff('day', d0.dmin, CAST(ts AS DATE)) < 30
+            GROUP BY user_id, dd
+        ),
+        smap AS (
+            SELECT user_id, map_from_entries(list(struct_pack(k := dd, v := c)))
+                       AS m
+            FROM daily GROUP BY user_id
+        ),
+        serie AS (
+            SELECT user_id,
+                   list_transform(range(0, 30), d ->
+                       COALESCE(map_extract(m, d)[1], 0)) AS a
+            FROM smap
+        ),
+        refd AS (
+            SELECT map_from_entries(list(struct_pack(k := dd, v := tot))) AS m
+            FROM (SELECT dd, SUM(c) AS tot FROM daily GROUP BY dd)
+        ),
+        nref AS (SELECT COUNT(*) AS n FROM serie),
+        refs AS (
+            SELECT list_transform(range(0, 30), d ->
+                       COALESCE(map_extract(m, d)[1], 0) // nref.n) AS b
+            FROM refd, nref
+        ),
+        init AS (
+            SELECT s.user_id, s.a, r.b, 0 AS d,
+                   list_transform(range(0, 30), i ->
+                       CASE WHEN i = 0 THEN ABS(s.a[1] - r.b[1])
+                            ELSE {_DTW_INF} END) AS p,
+                   list_transform(range(0, 30), i -> {_DTW_INF}) AS pp
+            FROM serie s CROSS JOIN refs r
+        ),
+        dp AS (
+            SELECT * FROM init
+            UNION ALL
+            SELECT user_id, a, b, d + 1,
+                   list_transform(range(0, 30), i ->
+                       CASE WHEN (d + 1) - i BETWEEN 0 AND 29
+                             AND ABS(2 * i - (d + 1)) <= 3
+                            THEN ABS(a[i + 1] - b[(d + 1) - i + 1])
+                                 + LEAST(
+                                     CASE WHEN i > 0 THEN p[i] ELSE {_DTW_INF} END,
+                                     p[i + 1],
+                                     CASE WHEN i > 0 THEN pp[i] ELSE {_DTW_INF} END)
+                            ELSE {_DTW_INF} END) AS p,
+                   p AS pp
+            FROM dp WHERE d < 58
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(p[30] AS BIGINT) AS dtw_cents
+        FROM dp WHERE d = 58
+        ORDER BY user_id
+    """,
+)
+def ts_dtw_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dmin = ev.agg(F.min(F.to_date("ts")).alias("dmin"))
+    daily = (
+        ev.filter(F.col("user_id") % 25 == 0)
+        .crossJoin(F.broadcast(dmin))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.col("dmin")).cast("bigint").alias("dd"),
+            F.expr("cast(round(value * 100, 0) as bigint)").alias("vc"),
+        )
+        .filter(F.col("dd") < 30)
+        .groupBy("user_id", "dd")
+        .agg(F.sum("vc").alias("c"))
+    )
+    fill = (
+        "transform(sequence(0, 29), d -> "
+        "coalesce(element_at(map_from_entries(collect_list(struct(dd, c))), d), "
+        "cast(0 as bigint)))"
+    )
+    serie = daily.groupBy("user_id").agg(F.expr(fill).alias("a"))
+    refd = daily.groupBy("dd").agg(F.sum("c").alias("c"))
+    nref = serie.agg(F.count(F.lit(1)).alias("n"))
+    refs = (
+        refd.crossJoin(F.broadcast(nref))
+        .groupBy("n")
+        .agg(F.expr(fill.replace("struct(dd, c)", "struct(dd, c)")).alias("tot"))
+        .select(F.expr("transform(tot, t -> t div n)").alias("b"))
+    )
+    inf = str(_DTW_INF)
+    # NB: Spark's arr[i] bracket is 0-BASED (GetArrayItem) while DuckDB's
+    # is 1-based — the oracle uses [i+1] for the same cell
+    dp = F.expr(
+        f"""
+        aggregate(
+            sequence(1, 58),
+            named_struct(
+                'p', transform(sequence(0, 29), i ->
+                        IF(i = 0, abs(a[0] - b[0]), {inf}L)),
+                'pp', transform(sequence(0, 29), i -> {inf}L)),
+            (acc, d) -> named_struct(
+                'p', transform(sequence(0, 29), i ->
+                    CASE WHEN d - i BETWEEN 0 AND 29
+                          AND abs(2 * i - d) <= 3
+                         THEN abs(a[i] - b[d - i])
+                              + least(
+                                  IF(i > 0, acc.p[i - 1], {inf}L),
+                                  acc.p[i],
+                                  IF(i > 0, acc.pp[i - 1], {inf}L))
+                         ELSE {inf}L END),
+                'pp', acc.p),
+            acc -> acc.p[29]
+        )
+        """
+    )
+    return (
+        serie.crossJoin(F.broadcast(refs))
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            dp.cast("bigint").alias("dtw_cents"),
+        )
+        .orderBy("user_id")
+    )

@@ -142,3 +142,51 @@ def test_time_weighted_avg_bounds(spark):
         assert r["n_intervals"] >= r["n_users"]
         assert r["held_seconds"] > 0
         assert 0 <= r["twa_cents"] <= 100_000
+
+
+def test_dtw_band_matches_python_reference(spark):
+    """Independent check: recompute the banded DTW in plain Python from
+    the same daily series and compare cell-for-cell."""
+    import duckdb
+
+    con = duckdb.connect()
+    daily = con.execute(f"""
+        WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS dmin
+                    FROM '{SF01}/events.parquet'),
+        daily AS (
+            SELECT user_id,
+                   date_diff('day', d0.dmin, CAST(ts AS DATE)) AS dd,
+                   SUM(CAST(round(value * 100) AS BIGINT)) AS c
+            FROM '{SF01}/events.parquet', d0
+            WHERE user_id % 25 = 0
+              AND date_diff('day', d0.dmin, CAST(ts AS DATE)) < 30
+            GROUP BY user_id, dd)
+        SELECT user_id, dd, c FROM daily
+    """).fetchall()
+    series: dict = {}
+    for u, dd, c in daily:
+        series.setdefault(u, [0] * 30)[dd] = c
+    n_users = len(series)
+    ref = [sum(s[d] for s in series.values()) // n_users for d in range(30)]
+
+    def dtw_band(a, b, r=3):
+        inf = float("inf")
+        dp = [[inf] * 30 for _ in range(30)]
+        for i in range(30):
+            for j in range(max(0, i - r), min(30, i + r + 1)):
+                cost = abs(a[i] - b[j])
+                if i == 0 and j == 0:
+                    dp[i][j] = cost
+                else:
+                    best = min(
+                        dp[i - 1][j] if i > 0 else inf,
+                        dp[i][j - 1] if j > 0 else inf,
+                        dp[i - 1][j - 1] if i > 0 and j > 0 else inf,
+                    )
+                    dp[i][j] = cost + best
+        return dp[29][29]
+
+    rows = get("ts_dtw_band").builder(spark, SF01).collect()
+    assert len(rows) == n_users
+    for r_ in rows:
+        assert r_["dtw_cents"] == dtw_band(series[r_["user_id"]], ref)

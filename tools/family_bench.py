@@ -107,6 +107,7 @@ FAMILIES = {
         "ts_kaplan_meier",
         "ts_cross_correlation",
         "ts_time_weighted_avg",
+        "ts_dtw_band",
     ],
     "lakehouse": [
         "snap_time_travel",
