@@ -17,6 +17,14 @@ from tools.make_sf1 import ensure_sf1  # noqa: E402
 
 NEW = [
     "eval_ndcg_at_k",
+    "eval_macro_f1",
+    "text_vocab_growth",
+    "ts_time_weighted_avg",
+    "graph_modularity",
+    "stream_twa",
+    "text_textrank_keywords",
+    "ts_dtw_band",
+    "ts_cross_correlation",
     "eval_ece_calibration",
     "eval_wilson_ctr",
     "dq_k_anonymity",
