@@ -23,6 +23,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class ConvergenceError(RuntimeError):
+    """An iterative operator exhausted its round budget before reaching a
+    fixpoint.  Subclasses RuntimeError so existing ``except RuntimeError``
+    callers keep working, while new callers can distinguish
+    non-convergence (raise max_iter / inspect the graph) from other
+    runtime failures."""
+
+
 def _canonical(a: F.Column, b: F.Column) -> list[F.Column]:
     return [F.least(a, b).alias("a"), F.greatest(a, b).alias("b")]
 
@@ -140,7 +148,7 @@ def cc_star(
         # module's docstring criticizes in max_iter-truncated loops;
         # star contraction needs O(log^2 n) rounds, so hitting 24 on any
         # real graph signals a bug, not a big input.
-        raise RuntimeError(
+        raise ConvergenceError(
             f"cc_star did not converge within max_iter={max_iter} rounds; "
             "raise max_iter (rounds grow ~log^2 in the longest chain)"
         )

@@ -882,6 +882,18 @@ def snapshot_optimize_zorder(
     ({col: {file: [min, max]}}); ``snapshot_read`` consults it for
     pruning alongside the single-column ``stats``/``stats_col`` pair.
     Returns the new version.
+
+    Inputs are first RANGE-BUCKETED into 16-bit space by driver-computed
+    [min, max] (``(v - mn) div ceil(span / 65536)``, pure bigint — no
+    overflow, no float): morton_interleave16 only reads the low 16 bits,
+    so raw keys above 65535 (e.g. o_custkey at sf1) would otherwise wrap
+    and alias high keys into low z-buckets, silently degrading the
+    2-D clustering the operator exists for (pruning would stay correct —
+    col_stats are measured post-write — but the benefit would not).
+    Rows where either column is NULL get a dedicated z-bucket BELOW all
+    real buckets (Morton of NULL is NULL, which would otherwise crash
+    the driver-side bucket sort and be dropped by the assignment join),
+    so they cluster into the first file(s) and are kept.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
@@ -891,20 +903,49 @@ def snapshot_optimize_zorder(
     v = current_version(table_dir)
     with open(_manifest_path(table_dir, v)) as fh:
         cur_manifest = json.load(fh)
+    if not cur_manifest["files"]:
+        raise ValueError(
+            f"snapshot_optimize_zorder: version {v} of {table_dir} is empty"
+        )
     schema = StructType.fromJson(json.loads(cur_manifest["schema"]))
     df = _read_manifest_subset(spark, cur_manifest, cur_manifest["files"], schema)
+    # driver-computed ranges: scale each column into 0..65535 so the
+    # 16-bit Morton interleave sees the full key distribution
+    rng = df.agg(
+        F.min(F.col(xcol).cast("bigint")).alias("x_mn"),
+        F.max(F.col(xcol).cast("bigint")).alias("x_mx"),
+        F.min(F.col(ycol).cast("bigint")).alias("y_mn"),
+        F.max(F.col(ycol).cast("bigint")).alias("y_mx"),
+    ).collect()[0]
+
+    def scaled(col: str, mn, mx):
+        if mn is None:  # all-NULL column: every row takes the NULL bucket
+            return F.lit(None).cast("bigint")
+        divisor = max(1, (int(mx) - int(mn)) // 65536 + 1)
+        # bigint `div` keeps the math exact (a double `/` would lose
+        # precision above 2^53); operands are non-negative after the
+        # min-shift, so div == floor
+        return F.expr(
+            f"(cast(`{col}` as bigint) - {int(mn)}L) div {divisor}L"
+        )
+
     zb = F.shiftright(
         morton_interleave16(
-            F.col(xcol).cast("bigint"), F.col(ycol).cast("bigint")
+            scaled(xcol, rng["x_mn"], rng["x_mx"]),
+            scaled(ycol, rng["y_mn"], rng["y_mx"]),
         ),
         shift,
     )
-    with_bucket = df.withColumn("__zb", zb)
+    with_bucket = df.withColumn("__zb", F.coalesce(zb, F.lit(-1)))
     # bucket census: bounded by 2^(32-shift) rows -> driver arithmetic
     counts = sorted(
         (r["__zb"], r["n"])
         for r in with_bucket.groupBy("__zb").agg(F.count(F.lit(1)).alias("n")).collect()
     )
+    if not counts:
+        raise ValueError(
+            f"snapshot_optimize_zorder: version {v} of {table_dir} has no rows"
+        )
     assign = []
     acc = 0
     for bucket, n in counts:
@@ -994,22 +1035,34 @@ def snapshot_commit_tables(
     reader can observe table A's new version next to table B's old one
     while a two-table commit is in flight (the classic fact+dimension
     torn read).  The fix is one more indirection level, exactly Iceberg's
-    catalog commit: each table's data+manifest land FIRST (step 1, crash
-    here leaves only invisible per-table versions — the catalog still
-    points at the old ones), then a single catalog manifest mapping
-    {table -> pinned version} publishes ALL of them with one atomic
-    ``os.link`` (step 2, same create-if-absent protocol as
-    :func:`_commit_manifest`, so concurrent multi-table committers get
-    :class:`ConcurrentSnapshotWrite` and retry).
+    catalog commit: each table's data+manifest land FIRST (step 1), then
+    a single catalog manifest mapping {table -> pinned version} publishes
+    ALL of them with one atomic ``os.link`` (step 2, same
+    create-if-absent protocol as :func:`_commit_manifest`, so concurrent
+    multi-table committers get :class:`ConcurrentSnapshotWrite` and
+    retry).
 
     Tables not named in `writes` are carried forward at their previously
     pinned versions, so a catalog version is always a COMPLETE,
     point-in-time-consistent view of every table.  Returns
     ``(catalog_version, {table: table_version})``.
 
+    .. warning:: Cross-table consistency holds ONLY for readers going
+       through :func:`snapshot_read_catalog`.  The step-1 versions are
+       invisible to the catalog, but fully visible to the per-table API
+       (:func:`snapshot_read` / :func:`current_version` pick up the
+       latest per-table manifest), so a reader mixing per-table reads
+       with catalog reads can still observe the torn fact/dimension
+       state this function exists to prevent.  A crash after step 1 (or
+       a retry after losing the step-2 catalog race) likewise leaves
+       committed-but-unpinned per-table versions behind as extra history
+       — harmless to catalog readers, but they count against
+       :func:`snapshot_vacuum`'s ``keep_versions`` depth.
+
     .. note:: :func:`snapshot_vacuum` is per-table and does not consult
        catalog pins — keep its ``keep_versions`` at least as deep as the
-       oldest catalog version you intend to time-travel to.
+       oldest catalog version you intend to time-travel to, PLUS any
+       unpinned versions left by aborted multi-table commits.
     """
     prev_cv = catalog_current_version(root_dir)
     pinned: dict[str, int] = {}

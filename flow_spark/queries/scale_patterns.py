@@ -1546,11 +1546,14 @@ def snap_multi_table_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "manifest's col_stats.  Two range probes then read through "
     "snapshot_read's stats pruning, one per dimension: z-ordering is "
     "the layout where BOTH probes skip most files (a single-column "
-    "sort can only serve one).  The oracle replays the bucket/file "
-    "rule exactly — selected/total FILE COUNTS are value-checked, not "
-    "just the row aggregates.  The probe predicates re-apply as "
-    "residual filters (stats pruning only shrinks the input split "
-    "set), so row results are provably unchanged by the rewrite.",
+    "sort can only serve one).  Inputs are range-bucketed into 16-bit "
+    "space by driver-computed [min, max] before the interleave (raw "
+    "keys above 65535 would wrap).  The oracle replays the scale + "
+    "bucket/file rule exactly — selected/total FILE COUNTS are "
+    "value-checked, not just the row aggregates.  The probe "
+    "predicates re-apply as residual filters (stats pruning only "
+    "shrinks the input split set), so row results are provably "
+    "unchanged by the rewrite.",
     oracle=f"""
         WITH t AS (
             SELECT o_orderkey AS okey, o_custkey AS ck,
@@ -1559,8 +1562,17 @@ def snap_multi_table_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
             FROM orders
         ),
+        rng AS (
+            SELECT MIN(ck) AS x_mn, (MAX(ck) - MIN(ck)) // 65536 + 1 AS xdiv,
+                   MIN(dayn) AS y_mn,
+                   (MAX(dayn) - MIN(dayn)) // 65536 + 1 AS ydiv
+            FROM t
+        ),
         z AS (
-            SELECT *, {_sql_zvalue("ck", "dayn")} >> 20 AS zb FROM t
+            SELECT t.*,
+                   {_sql_zvalue("((t.ck - r.x_mn) // r.xdiv)",
+                                "((t.dayn - r.y_mn) // r.ydiv)")} >> 20 AS zb
+            FROM t CROSS JOIN rng r
         ),
         census AS (
             SELECT zb, COUNT(*) AS n FROM z GROUP BY zb

@@ -398,9 +398,14 @@ def twa_stream(
     arithmetic is integer cents x microseconds, so replay, retry, and a
     different batch slicing all yield the same final row (the
     multi-batch == single-batch equivalence is runtime-tested).  A late
-    row older than the carried edge contributes zero duration (clamped)
-    instead of corrupting the accumulator.  State is two longs + three
-    counters per key, one shuffle on the key.
+    row older than the carried edge is counted in ``n_events`` but
+    contributes zero duration AND leaves the (last_us, last_v) edge
+    untouched — otherwise a stale value would weight every subsequent
+    hold interval (cross-batch late-arrival test covers this).  "Have we
+    seen a row" is tracked by ``n > 0``, not a ``last_us`` sentinel,
+    because unix_micros is legitimately negative for pre-1970
+    timestamps.  State is two longs + three counters per key, one
+    shuffle on the key.
     """
     prepared = df.select(
         F.col(key_col).cast("long").alias("tkey"),
@@ -415,17 +420,16 @@ def twa_stream(
             last_us, last_v, n, held, acc = (int(x) for x in state.get)
         else:
             last_us = last_v = n = held = acc = 0
-            last_us = -1
         for ts_us, v in zip(pdf["ts_us"], pdf["v"]):
             ts_us, v = int(ts_us), int(v)
-            if last_us >= 0:
-                dur = max(0, ts_us - last_us)
+            if n == 0:
+                last_us, last_v = ts_us, v
+            elif ts_us >= last_us:
+                dur = ts_us - last_us
                 held += dur
                 acc += last_v * dur
-                last_us = max(last_us, ts_us)
-            else:
-                last_us = ts_us
-            last_v = v
+                last_us, last_v = ts_us, v
+            # else: late row older than the carried edge — count it only
             n += 1
         state.update((last_us, last_v, n, held, acc))
         twa = acc // held if held > 0 else last_v

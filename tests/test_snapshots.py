@@ -795,11 +795,14 @@ def test_vacuum_handles_partitioned_dirs(spark, tmp_path):
 def test_cc_star_raises_when_budget_exhausted(spark):
     import pytest as _pytest
 
-    from flow_spark.operators.graph import cc_star
+    from flow_spark.operators.graph import ConvergenceError, cc_star
 
     chain = spark.range(40).selectExpr("id AS a", "id + 1 AS b")
-    with _pytest.raises(RuntimeError, match="did not converge"):
+    # the dedicated type lets callers distinguish non-convergence from
+    # other runtime failures; it still IS-A RuntimeError for old callers
+    with _pytest.raises(ConvergenceError, match="did not converge"):
         cc_star(chain, max_iter=1)
+    assert issubclass(ConvergenceError, RuntimeError)
     # an adequate budget converges and labels the whole chain as one component
     labels = {r.id: r.component for r in cc_star(chain).collect()}
     assert set(labels.values()) == {0}
@@ -938,6 +941,70 @@ def test_zorder_optimize_rows_identical_and_pruning(spark, tmp_path):
             1 for st in cs[col].values() if st[0] <= hi and st[1] >= lo
         )
         assert n_sel <= n_files
+
+
+def test_zorder_optimize_null_keys_and_wide_range(spark, tmp_path):
+    """NULL z-keys must survive the rewrite (dedicated bucket, not a
+    driver-side sort crash or a silent inner-join drop), and keys far
+    above 65535 must not wrap — range scaling keeps high keys in high
+    z-buckets so clustering holds at real key widths."""
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        snapshot_col_stats,
+        snapshot_optimize_zorder,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    td = str(tmp_path / "tbl")
+    # x spans 0 .. 10M (wraps 16 bits raw); every 10th row has NULL x
+    df = spark.range(4000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 != 0, F.col("id") * 2500).alias("x"),
+        (F.col("id") % 83).alias("y"),
+    )
+    v1 = snapshot_write(df.repartition(4), td)
+    v2 = snapshot_optimize_zorder(
+        spark, td, "x", "y", shift=4, target_rows_per_file=700
+    )
+    assert v2 == v1 + 1
+    before = sorted((r.id, r.x, r.y) for r in snapshot_read(spark, td, v1).collect())
+    after = sorted((r.id, r.x, r.y) for r in snapshot_read(spark, td, v2).collect())
+    assert before == after  # NULL-x rows kept, all rows identical
+    # scaling (not 16-bit wrap) => file x-spans are localized: a probe on
+    # a narrow high-x range must select a strict minority of files
+    cs = snapshot_col_stats(td, v2)
+    n_files = len(cs["y"])
+    assert n_files >= 4
+    lo, hi = 9_000_000, 9_500_000
+    n_sel = sum(1 for st in cs["x"].values() if st[0] <= hi and st[1] >= lo)
+    assert n_sel < n_files / 2
+    pruned = (
+        snapshot_read(spark, td, v2, key_range=(lo, hi), key_col="x")
+        .filter(F.col("x").between(lo, hi))
+        .count()
+    )
+    assert pruned == df.filter(F.col("x").between(lo, hi)).count()
+
+
+def test_zorder_optimize_empty_table_short_circuits(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        snapshot_optimize_zorder,
+        snapshot_write,
+    )
+
+    td = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.range(5).select(F.col("id"), F.col("id").alias("x"),
+                              F.col("id").alias("y")).filter("id < 0"),
+        td,
+    )
+    with _pytest.raises(ValueError, match="empty|no rows"):
+        snapshot_optimize_zorder(spark, td, "x", "y")
 
 
 def test_rollback_restores_target_and_keeps_history(spark, tmp_path):

@@ -1907,3 +1907,69 @@ def test_twa_stream_multibatch_equals_singlebatch(spark, tmp_path):
     multi = run(3, "multi")
     single = run(1, "single")
     assert multi == single == expected
+
+
+def test_twa_stream_late_row_keeps_edge(spark, tmp_path):
+    """twa_stream: a row arriving in a LATER micro-batch with a ts older
+    than the carried (last_us, last_v) edge is counted in n_events but
+    must contribute zero duration AND leave the edge untouched — an
+    unconditional last_v overwrite would weight every subsequent hold
+    interval by the stale value.  Also covers pre-1970 (negative
+    unix_micros) timestamps, which a `last_us >= 0` seen-sentinel would
+    misclassify as unseen."""
+    import json as _json
+    import time as _time
+
+    from flow_spark.streaming.stateful import twa_stream
+
+    batches = [  # each inner list = one file = one micro-batch
+        [(1, 10_000_000, 100, 1), (1, 12_000_000, 300, 2),
+         (7, -5_000_000, 40, 10)],
+        [(1, 11_000_000, 999, 3),          # LATE: older than edge 12e6
+         (7, -3_000_000, 80, 11)],         # pre-1970 but in order
+        [(1, 14_000_000, 400, 4)],         # holds 300 (not 999!) for 2s
+    ]
+    # user 1: held 2e6 + 2e6, acc 100*2e6 + 300*2e6 = 800e6, twa 200
+    # user 7: held 2e6 (from -5s to -3s at 40), acc 80e6, twa 40
+    expected = [
+        (1, 4, 4_000_000, 800_000_000, 200),
+        (7, 2, 2_000_000, 80_000_000, 40),
+    ]
+
+    src = tmp_path / "src_late"
+    src.mkdir()
+    for i, batch in enumerate(batches):
+        with open(src / f"b{i}.jsonl", "w") as fh:
+            for u, us, vc, eid in batch:
+                fh.write(
+                    _json.dumps({"user": u, "ts_us": us, "vc": vc, "eid": eid})
+                    + "\n"
+                )
+        _time.sleep(0.02)  # distinct mtimes pin file-source batch order
+    stream = (
+        spark.readStream.schema("user long, ts_us long, vc long, eid long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    out = twa_stream(
+        stream, key_col="user", ts_col="ts", val_col="vc", order_col="eid"
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("twa_late")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final: dict = {}
+    for r in spark.table("twa_late").collect():
+        if r.tkey not in final or r.n_events > final[r.tkey].n_events:
+            final[r.tkey] = r
+    got = sorted(
+        (r.tkey, r.n_events, r.held_us, r.acc_num, r.twa_cents)
+        for r in final.values()
+    )
+    assert got == expected
