@@ -2850,16 +2850,15 @@ def _sql_textrank_step(prev: str, out: str) -> str:
               AND length(ts[t.i]) >= 4 AND length(ts[t.i + 1]) >= 4
         ),
         cnt AS (
-            SELECT a, b, COUNT(*) AS w FROM big
+            SELECT least(a, b) AS a, greatest(a, b) AS b, COUNT(*) AS w
+            FROM big
             WHERE a <> b
               AND a IN (SELECT w FROM vocab) AND b IN (SELECT w FROM vocab)
-            GROUP BY a, b
+            GROUP BY 1, 2
         ),
         wedges AS MATERIALIZED (
-            SELECT a, b, SUM(w) AS w FROM (
-                SELECT a, b, w FROM cnt
-                UNION ALL SELECT b, a, w FROM cnt
-            ) GROUP BY a, b
+            SELECT a, b, w FROM cnt
+            UNION ALL SELECT b, a, w FROM cnt
         ),
         strength AS MATERIALIZED (
             SELECT a AS word, SUM(w) AS s FROM wedges GROUP BY a
@@ -2878,33 +2877,51 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flow_spark.operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
+    # tokenize ONCE and cache the arrays: both the vocab pass and the
+    # pair pass read them, and the regex tokenization is the dominant
+    # corpus-linear cost (the token arrays are text-sized, cache-cheap)
+    tokd = (
+        docs.select(tokens(F.col("text")).alias("ts"))
+        .filter(F.size("ts") >= 2)
+        .cache()
+    )
     # document-frequency floor: frequent vocab (word in >= _TR_DF_FLOOR
     # distinct docs) gates both pair endpoints via broadcast semi-joins
     # BEFORE the pair aggregation, so the (a,b) shuffle and every rank
-    # round run on a bounded graph instead of the Heaps-growing raw one
+    # round run on a bounded graph instead of the Heaps-growing raw one.
+    # Per-doc dedup happens MAP-SIDE (array_distinct on the token array),
+    # so the df shuffle carries (doc, distinct-word) rows, never token
+    # instances — an explode + .distinct() here measured 2x the whole
+    # query at 10x data.
     vocab = (
-        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
-        .filter(F.length("w") >= 4)
-        .distinct()
+        tokd.select(
+            F.explode(
+                F.expr("array_distinct(filter(ts, w -> length(w) >= 4))")
+            ).alias("w")
+        )
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= _TR_DF_FLOOR)
         .select("w")
     )
-    # adjacent content-token pairs, generated map-side from the token
-    # array (zip with its own tail) — no positional self-join
-    pairs = F.expr(
-        "filter(zip_with(ts, slice(ts, 2, size(ts)), "
-        "(x, y) -> named_struct('a', x, 'b', y)), "
-        "p -> p.a IS NOT NULL AND p.b IS NOT NULL "
-        "AND length(p.a) >= 4 AND length(p.b) >= 4 AND p.a <> p.b)"
-    )
+    # adjacent content-token pairs: explode arrays_zip of the array and
+    # its own tail — builtin functions only, so the whole pair stream
+    # stays in whole-stage codegen (the zip_with/filter lambda form
+    # evaluates interpreted and measured 2.2x slower at sf1)
     cnt = (
-        docs.select(tokens(F.col("text")).alias("ts"))
-        .select(F.explode(pairs).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        tokd.select(
+            F.slice("ts", F.lit(1), F.size("ts") - 1).alias("xs"),
+            F.expr("slice(ts, 2, size(ts) - 1)").alias("ys"),
+        )
+        .select(F.explode(F.arrays_zip("xs", "ys")).alias("p"))
+        .select(F.col("p.xs").alias("a"), F.col("p.ys").alias("b"))
+        .filter("length(a) >= 4 AND length(b) >= 4 AND a <> b")
         .join(F.broadcast(vocab.withColumnRenamed("w", "a")), "a", "left_semi")
         .join(F.broadcast(vocab.withColumnRenamed("w", "b")), "b", "left_semi")
+        # canonicalize (least, greatest) BEFORE the groupBy: (a,b) and
+        # (b,a) instances merge in ONE aggregation, and the symmetric
+        # edge list is then a map-side union — one shuffle, not two
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("w"))
     )
@@ -2912,8 +2929,6 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt.unionByName(
             cnt.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
         )
-        .groupBy("a", "b")
-        .agg(F.sum("w").alias("w"))
         .localCheckpoint()  # feeds strength + every rank round
     )
     strength = wedges.groupBy(F.col("a").alias("word")).agg(F.sum("w").alias("s"))
