@@ -137,6 +137,69 @@ def idempotent_sink(
     )
 
 
+def upsert_sink(
+    df: DataFrame,
+    table_dir: str,
+    key_col: str,
+    checkpoint_dir: str,
+    order_col: str | None = None,
+):
+    """Streaming CDC -> MERGE: each micro-batch upserts into a manifest
+    snapshot table (operators/snapshots.snapshot_upsert), exactly-once
+    under replay — the streaming half of the lakehouse write path.
+
+    Exactly-once protocol (the reference sink's delivery contract,
+    actor/sink.go:136-150, mapped to batchId-keyed commits): each applied
+    batch leaves an atomically-renamed ``_streaming_commits/b<id>.json``
+    marker next to the table; a replayed batch id (crash between the
+    MERGE commit and the source checkpoint advance) is skipped before any
+    work.  The narrow crash window between MERGE commit and marker rename
+    is covered by MERGE's content idempotence: re-applying the identical
+    batch replaces rows with the same values, so the table content is
+    unchanged (one extra version appears in history — the same unpinned-
+    version caveat as :func:`snapshot_commit_tables` aborts).
+
+    ``order_col`` deduplicates multi-row keys within a batch to the
+    greatest order value (deterministic last-writer-wins) and is then
+    DROPPED — it is CDC transport metadata, not table payload; leave
+    None when the upstream already emits one row per key per batch.
+    Returns the DataStreamWriter (caller picks trigger and starts).
+    """
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from flow_spark.operators.snapshots import snapshot_upsert
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        commits = os.path.join(table_dir, "_streaming_commits")
+        os.makedirs(commits, exist_ok=True)
+        done = os.path.join(commits, f"b{batch_id}.json")
+        if os.path.exists(done):
+            return  # replayed batch: its MERGE already committed
+        b = batch
+        if order_col is not None:
+            w = Window.partitionBy(key_col).orderBy(
+                F.desc(order_col), F.desc(key_col)
+            )
+            b = (
+                b.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", order_col)
+            )
+        version = snapshot_upsert(batch.sparkSession, b, table_dir, key_col)
+        tmp = f"{done}.{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"batch_id": batch_id, "version": version}, fh)
+        os.replace(tmp, done)  # atomic publish of the applied marker
+
+    return df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
 def _dial(bind: str):
     """Open a writer socket for `bind` = tcp://host:port | udp://host:port |
     unix://path — the sink-head schemes of sink_head_factory.go:17-46."""

@@ -1909,6 +1909,113 @@ def test_twa_stream_multibatch_equals_singlebatch(spark, tmp_path):
     assert multi == single == expected
 
 
+def test_streaming_upsert_end_to_end(spark, tmp_path):
+    """upsert_sink: a CDC stream MERGEd into a snapshot table batch by
+    batch (availableNow) must equal applying the same batches
+    sequentially with snapshot_upsert, and a replayed batch id must be
+    a no-op (batchId-keyed commit markers) — streaming CDC -> lakehouse
+    MERGE, exactly-once under replay."""
+    import json as _json
+    import time as _time
+
+    from flow_spark.operators.snapshots import (
+        current_version,
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_write,
+    )
+    from flow_spark.streaming.sinks import upsert_sink
+
+    initial = [(1, 100), (2, 200), (3, 300), (4, 400)]
+    batches = [  # (k, v, ord): updates + inserts, k=2 updated twice
+        [(2, 210, 1), (5, 500, 2)],
+        [(2, 220, 3), (2, 215, 2), (1, 110, 4)],  # intra-batch dup key 2
+        [(6, 600, 5)],
+    ]
+    expected = {1: 110, 2: 220, 3: 300, 4: 400, 5: 500, 6: 600}
+
+    def seed(tag: str) -> str:
+        t = str(tmp_path / f"tbl_{tag}")
+        snapshot_write(
+            spark.createDataFrame(initial, "k long, v long"), t, stats_col="k"
+        )
+        return t
+
+    # --- reference: sequential batch MERGEs ---
+    t_batch = seed("batch")
+    for rows in batches:
+        b = spark.createDataFrame(rows, "k long, v long, ord long")
+        latest = (
+            b.orderBy(F.desc("ord"))
+            .dropDuplicates(["k"])
+            .select("k", "v")
+        )
+        snapshot_upsert(spark, latest, t_batch, "k")
+
+    # --- streaming: same batches through upsert_sink ---
+    t_stream = seed("stream")
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        with open(src / f"b{i}.jsonl", "w") as fh:
+            for k, v, o in rows:
+                fh.write(_json.dumps({"k": k, "v": v, "ord": o}) + "\n")
+        _time.sleep(0.02)  # distinct mtimes pin file-source batch order
+    stream = (
+        spark.readStream.schema("k long, v long, ord long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        upsert_sink(
+            stream.select("k", "v", "ord"),
+            t_stream,
+            key_col="k",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            order_col="ord",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got_stream = {
+        r.k: r.v for r in snapshot_read(spark, t_stream).select("k", "v").collect()
+    }
+    got_batch = {
+        r.k: r.v for r in snapshot_read(spark, t_batch).select("k", "v").collect()
+    }
+    assert got_stream == got_batch == expected
+
+    # --- replay idempotence ---
+    import os as _os
+
+    v_before = current_version(t_stream)
+    markers = sorted(_os.listdir(_os.path.join(t_stream, "_streaming_commits")))
+    assert markers == ["b0.json", "b1.json", "b2.json"]
+    # drain the SAME source with a FRESH checkpoint: identical batching
+    # (availableNow + maxFilesPerTrigger=1 + mtime order) re-delivers
+    # every batch id; the commit markers must swallow all of them (no
+    # new version, content unchanged)
+    q2 = (
+        upsert_sink(
+            stream.select("k", "v", "ord"),
+            t_stream,
+            key_col="k",
+            checkpoint_dir=str(tmp_path / "ckpt3"),
+            order_col="ord",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert current_version(t_stream) == v_before
+    got_replayed = {
+        r.k: r.v for r in snapshot_read(spark, t_stream).select("k", "v").collect()
+    }
+    assert got_replayed == expected
+
+
 def test_twa_stream_late_row_keeps_edge(spark, tmp_path):
     """twa_stream: a row arriving in a LATER micro-batch with a ts older
     than the carried (last_us, last_v) edge is counted in n_events but

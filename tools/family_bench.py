@@ -152,6 +152,7 @@ FAMILIES = {
         "stream_funnel_cep",
         "stream_heavy_hitters",
         "stream_twa",
+        "stream_upsert_cdc",
     ],
 }
 
