@@ -1332,3 +1332,233 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("relation")
+
+
+@register(
+    "eval_auc_ranksum",
+    category="eval",
+    doc="Exact ROC-AUC via the Mann-Whitney rank-sum identity, per user "
+    "cohort (user_id %% 8): the purchase-vs-view label is scored by the "
+    "event's cents value and AUC = (R+ - n+(n+1)/2) / (n+ n-), where R+ "
+    "is the sum of AVERAGE ranks of positives.  Ties are exact: the "
+    "data collapses to a distinct-score histogram per cohort (the "
+    "dq_ks_test shape — the only data-sized shuffle), the cumulative "
+    "count gives 2*avg_rank = 2*cum_before + cnt + 1 (always integer), "
+    "and AUC lands in ppm via one floor division of nonnegative "
+    "integers — identical in both engines, no float ranks, no sort of "
+    "raw rows.  At 100 TB the rank window runs over the score "
+    "histogram (cents-grid-bounded), never the observations.",
+    oracle="""
+        WITH e AS (
+            SELECT user_id % 8 AS cohort,
+                   CAST(round(value * 100) AS BIGINT) AS s,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+            FROM events
+            WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+        ),
+        h AS (
+            SELECT cohort, s, COUNT(*) AS cnt, SUM(pos) AS cpos
+            FROM e GROUP BY cohort, s
+        ),
+        r AS (
+            SELECT cohort, cnt, cpos,
+                   COALESCE(SUM(cnt) OVER (
+                       PARTITION BY cohort ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum
+            FROM h
+        ),
+        a AS (
+            SELECT cohort,
+                   SUM(cpos * (2 * cum + cnt + 1)) AS two_rpos,
+                   SUM(cpos) AS npos,
+                   SUM(cnt - cpos) AS nneg
+            FROM r GROUP BY cohort
+        )
+        SELECT CAST(cohort AS BIGINT) AS cohort,
+               CAST(npos AS BIGINT) AS n_pos,
+               CAST(nneg AS BIGINT) AS n_neg,
+               CAST((two_rpos - npos * (npos + 1)) * 1000000
+                    // (2 * npos * nneg) AS BIGINT) AS auc_ppm
+        FROM a ORDER BY cohort
+    """,
+)
+def eval_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.filter(
+        F.col("event_type").isin("purchase", "view")
+        & F.col("value").isNotNull()
+    ).select(
+        (F.col("user_id") % 8).alias("cohort"),
+        cents("value").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    h = e.groupBy("cohort", "s").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("cpos")
+    )
+    # rank window over the per-cohort score HISTOGRAM (cents-grid-bounded),
+    # not the raw observations
+    cum_w = (
+        W.partitionBy("cohort")
+        .orderBy("s")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    r = h.select(
+        "cohort",
+        "cnt",
+        "cpos",
+        F.coalesce(F.sum("cnt").over(cum_w), F.lit(0)).alias("cum"),
+    )
+    a = r.groupBy("cohort").agg(
+        F.sum(
+            F.col("cpos") * (2 * F.col("cum") + F.col("cnt") + 1)
+        ).alias("two_rpos"),
+        F.sum("cpos").alias("npos"),
+        F.sum(F.col("cnt") - F.col("cpos")).alias("nneg"),
+    )
+    return a.select(
+        F.col("cohort").cast("bigint").alias("cohort"),
+        F.col("npos").cast("bigint").alias("n_pos"),
+        F.col("nneg").cast("bigint").alias("n_neg"),
+        F.expr(
+            "cast((two_rpos - npos * (npos + 1)) * 1000000 "
+            "div (2 * npos * nneg) as bigint)"
+        ).alias("auc_ppm"),
+    ).orderBy("cohort")
+
+
+@register(
+    "eval_conformal_coverage",
+    category="eval",
+    doc="Split-conformal prediction coverage (Vovk et al.; the "
+    "distribution-free uncertainty wrapper production ML ships with): "
+    "events split deterministically into calibration (event_id %% 3 != "
+    "0) and eval; the point predictor is the per-event-type floored "
+    "mean cents (sum div count — exact); the conformal radius q is the "
+    "calibration order statistic at ceil(0.9 * (n_cal + 1)), found by "
+    "a cumulative-count walk over the |residual| HISTOGRAM (never a "
+    "sort of raw rows); coverage is the ppm share of eval rows with "
+    "|residual| <= q.  Finite-sample theory says coverage >= 90%% in "
+    "expectation — the query emits the exact empirical number.  Every "
+    "step is integer arithmetic on map-side-combinable aggregates; at "
+    "100 TB only the two histogram groupBys see data.",
+    oracle="""
+        WITH e AS (
+            SELECT event_type AS et,
+                   CAST(round(value * 100) AS BIGINT) AS v,
+                   event_id % 3 = 0 AS is_eval
+            FROM events
+            WHERE value IS NOT NULL
+              AND event_type IN ('view', 'click', 'purchase')
+        ),
+        pred AS (
+            SELECT et, SUM(v) // COUNT(*) AS p
+            FROM e WHERE NOT is_eval GROUP BY et
+        ),
+        calres AS (
+            SELECT e.et, abs(e.v - pred.p) AS r
+            FROM e JOIN pred USING (et) WHERE NOT e.is_eval
+        ),
+        hist AS (
+            SELECT et, r, COUNT(*) AS cnt FROM calres GROUP BY et, r
+        ),
+        walk AS (
+            SELECT et, r,
+                   SUM(cnt) OVER (PARTITION BY et ORDER BY r
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum,
+                   SUM(cnt) OVER (PARTITION BY et) AS n_cal
+            FROM hist
+        ),
+        q AS (
+            SELECT et, MIN(n_cal) AS n_cal,
+                   MIN(CASE WHEN cum * 10 >= 9 * (n_cal + 1)
+                            THEN r END) AS q_cents
+            FROM walk GROUP BY et
+        ),
+        cov AS (
+            SELECT e.et, COUNT(*) AS n_eval,
+                   SUM(CASE WHEN abs(e.v - pred.p) <= q.q_cents
+                            THEN 1 ELSE 0 END) AS n_in
+            FROM e JOIN pred USING (et) JOIN q USING (et)
+            WHERE e.is_eval GROUP BY e.et
+        )
+        SELECT cov.et AS event_type,
+               CAST(q.n_cal AS BIGINT) AS n_cal,
+               CAST(q.q_cents AS BIGINT) AS q_cents,
+               CAST(cov.n_eval AS BIGINT) AS n_eval,
+               CAST(cov.n_in * 1000000 // cov.n_eval AS BIGINT)
+                   AS coverage_ppm
+        FROM cov JOIN q USING (et) ORDER BY event_type
+    """,
+)
+def eval_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        F.col("event_type").alias("et"),
+        cents("value").alias("v"),
+        (F.col("event_id") % 3 == 0).alias("is_eval"),
+    )
+    # floored-mean predictor: sum div count is exact in both engines for
+    # the nonnegative cents domain
+    pred = (
+        e.filter(~F.col("is_eval"))
+        .groupBy("et")
+        .agg(F.expr("sum(v) div count(*)").alias("p"))
+    )
+    calres = (
+        e.filter(~F.col("is_eval"))
+        .join(F.broadcast(pred), "et")
+        .select("et", F.abs(F.col("v") - F.col("p")).alias("r"))
+    )
+    hist = calres.groupBy("et", "r").agg(F.count(F.lit(1)).alias("cnt"))
+    # order-statistic walk over the residual histogram: q = smallest r
+    # whose cumulative count reaches the ceil(0.9*(n_cal+1))-th rank;
+    # integer k >= ceil(9(n+1)/10)  <=>  10k >= 9(n+1), no fractions
+    cum_w = (
+        W.partitionBy("et").orderBy("r").rowsBetween(W.unboundedPreceding, 0)
+    )
+    walk = hist.select(
+        "et",
+        "r",
+        F.sum("cnt").over(cum_w).alias("cum"),
+        F.sum("cnt").over(W.partitionBy("et")).alias("n_cal"),
+    )
+    q = walk.groupBy("et").agg(
+        F.min("n_cal").alias("n_cal"),
+        F.min(
+            F.when(
+                F.col("cum") * 10 >= 9 * (F.col("n_cal") + 1), F.col("r")
+            )
+        ).alias("q_cents"),
+    )
+    cov = (
+        e.filter(F.col("is_eval"))
+        .join(F.broadcast(pred), "et")
+        .join(F.broadcast(q.select("et", "q_cents")), "et")
+        .groupBy("et")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("v") - F.col("p")) <= F.col("q_cents"), 1
+                ).otherwise(0)
+            ).alias("n_in"),
+        )
+    )
+    return (
+        cov.join(q, "et")
+        .select(
+            F.col("et").alias("event_type"),
+            F.col("n_cal").cast("bigint").alias("n_cal"),
+            F.col("q_cents").cast("bigint").alias("q_cents"),
+            F.col("n_eval").cast("bigint").alias("n_eval"),
+            F.expr("cast(n_in * 1000000 div n_eval as bigint)").alias(
+                "coverage_ppm"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -101,6 +101,8 @@ FAMILIES = {
         "eval_ndcg_at_k",
         "eval_ece_calibration",
         "eval_wilson_ctr",
+        "eval_auc_ranksum",
+        "eval_conformal_coverage",
         "dq_k_anonymity",
         "dq_referential_integrity",
         "feat_quantile_normalize",
