@@ -950,3 +950,81 @@ def stream_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "stream_quantile_monitor",
+    category="stateful-streaming",
+    doc="Streaming EXACT quantile monitor (streaming/stateful."
+    "quantile_monitor_stream): per event_type, the state store carries "
+    "a (cents value -> count) histogram merged across micro-batches; "
+    "each batch emits running n/p50/p90 as order statistics over the "
+    "merged histogram (p50 = smallest v with 2*cum >= n, p90 = 10*cum "
+    ">= 9*n).  Histogram merge is commutative+associative, so the "
+    "availableNow drain's final row per key equals the batch "
+    "computation the oracle runs (cross-batch merge runtime-proven in "
+    "test_quantile_monitor_multibatch).  Exact — not t-digest/KLL — "
+    "because the metric lives on a bounded integer grid: state is "
+    "O(distinct cents) per key, domain-bounded, not row-bounded.  The "
+    "latency/value drift monitor a 100 TB ingest pipeline runs beside "
+    "the throttler.",
+    oracle="""
+        WITH e AS (
+            SELECT event_type AS qkey,
+                   CAST(round(value * 100) AS BIGINT) AS v
+            FROM events
+            WHERE value IS NOT NULL
+              AND event_type IN ('view', 'click', 'purchase')
+        ),
+        h AS (
+            SELECT qkey, v, COUNT(*) AS cnt FROM e GROUP BY qkey, v
+        ),
+        w AS (
+            SELECT qkey, v,
+                   SUM(cnt) OVER (PARTITION BY qkey ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum,
+                   SUM(cnt) OVER (PARTITION BY qkey) AS n
+            FROM h
+        )
+        SELECT qkey,
+               CAST(MIN(n) AS BIGINT) AS n_obs,
+               CAST(MIN(CASE WHEN 2 * cum >= n THEN v END) AS BIGINT) AS p50,
+               CAST(MIN(CASE WHEN 10 * cum >= 9 * n THEN v END) AS BIGINT)
+                   AS p90
+        FROM w GROUP BY qkey ORDER BY qkey
+    """,
+)
+def stream_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flow_spark.catalog import normalize_events_ts, table_path
+    from flow_spark.streaming.stateful import quantile_monitor_stream
+
+    path = table_path(sf_dir, "events")
+    raw_schema = spark.read.parquet(path).schema
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    prepared = stream.filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+    )
+    out = quantile_monitor_stream(prepared, key_col="event_type", val_col="vc")
+    name = "stream_quantile_monitor_sink"
+    ckpt = tempfile.mkdtemp(prefix="flow-spark-ckpt-qm-")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("qkey")

@@ -445,3 +445,82 @@ def twa_stream(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# --- streaming exact quantile monitor -----------------------------------------
+
+QM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("qkey", StringType()),
+        StructField("n_obs", LongType()),
+        StructField("p50", LongType()),
+        StructField("p90", LongType()),
+    ]
+)
+
+QM_STATE_SCHEMA = StructType(
+    [
+        StructField("vals", ArrayType(LongType())),
+        StructField("cnts", ArrayType(LongType())),
+    ]
+)
+
+
+def quantile_monitor_stream(
+    df: DataFrame, key_col: str, val_col: str
+) -> DataFrame:
+    """Streaming EXACT quantile monitor: per key, the state store carries
+    a (value -> count) histogram; each micro-batch merges its own
+    histogram in and emits the running n/p50/p90.
+
+    Quantiles are order statistics over the merged histogram — p50 =
+    smallest v with 2*cum >= n, p90 = smallest v with 10*cum >= 9*n —
+    so the final row after an availableNow drain equals the batch
+    computation over all data (histogram merge is commutative and
+    associative; batch slicing cannot change it).  No t-digest/KLL
+    approximation is needed because the monitored metric lives on a
+    bounded integer grid (cents): state is O(distinct values) per key —
+    domain-bounded, NOT row-bounded — which is exactly when exact
+    streaming quantiles are the right call at 100 TB.  One shuffle on
+    the key.
+    """
+    prepared = df.select(
+        F.col(key_col).cast("string").alias("qkey"),
+        F.col(val_col).cast("long").alias("v"),
+    )
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs))
+        if state.exists:
+            vals, cnts = state.get
+            hist = dict(zip((int(v) for v in vals), (int(c) for c in cnts)))
+        else:
+            hist = {}
+        for v, c in batch.groupby("v").size().items():
+            v = int(v)
+            hist[v] = hist.get(v, 0) + int(c)
+        items = sorted(hist.items())
+        state.update(([v for v, _ in items], [c for _, c in items]))
+        n = sum(c for _, c in items)
+
+        def rank_value(num: int, den: int) -> int:
+            # smallest v with den*cum >= num*n
+            cum = 0
+            for v, c in items:
+                cum += c
+                if den * cum >= num * n:
+                    return v
+            return items[-1][0]
+
+        yield pd.DataFrame(
+            [(key[0], n, rank_value(1, 2), rank_value(9, 10))],
+            columns=["qkey", "n_obs", "p50", "p90"],
+        )
+
+    return prepared.groupBy("qkey").applyInPandasWithState(
+        fn,
+        outputStructType=QM_OUTPUT_SCHEMA,
+        stateStructType=QM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

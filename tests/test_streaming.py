@@ -1909,6 +1909,60 @@ def test_twa_stream_multibatch_equals_singlebatch(spark, tmp_path):
     assert multi == single == expected
 
 
+def test_quantile_monitor_multibatch(spark, tmp_path):
+    """quantile_monitor_stream: the histogram state must merge across
+    micro-batches — splitting the same rows into 3 files yields the same
+    FINAL (n, p50, p90) as one file, equal to the hand-computed order
+    statistics (p50: smallest v with 2*cum >= n; p90: 10*cum >= 9*n)."""
+    import json as _json
+    import time as _time
+
+    from flow_spark.streaming.stateful import quantile_monitor_stream
+
+    rows = [("a", v) for v in (10, 20, 20, 30, 100, 100, 40, 50, 60)] + [
+        ("b", v) for v in (5, 5, 7)
+    ]
+    # a: sorted 10,20,20,30,40,50,60,100,100 (n=9): p50 needs cum >= 4.5
+    #    -> 5th value = 40; p90 needs cum >= 8.1 -> 9th value = 100
+    # b: sorted 5,5,7 (n=3): p50 cum >= 1.5 -> 5; p90 cum >= 2.7 -> 7
+    expected = [("a", 9, 40, 100), ("b", 3, 5, 7)]
+
+    def run(n_files: int, tag: str):
+        src = tmp_path / f"qm_{tag}"
+        src.mkdir()
+        per = (len(rows) + n_files - 1) // n_files
+        for i in range(n_files):
+            with open(src / f"b{i}.jsonl", "w") as fh:
+                for k, v in rows[i * per : (i + 1) * per]:
+                    fh.write(_json.dumps({"k": k, "v": v}) + "\n")
+            _time.sleep(0.02)
+        stream = (
+            spark.readStream.schema("k string, v long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        out = quantile_monitor_stream(stream, key_col="k", val_col="v")
+        name = f"qm_{tag}"
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"qm_ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        final: dict = {}
+        for r in spark.table(name).collect():
+            if r.qkey not in final or r.n_obs > final[r.qkey].n_obs:
+                final[r.qkey] = r
+        return sorted(
+            (r.qkey, r.n_obs, r.p50, r.p90) for r in final.values()
+        )
+
+    assert run(3, "multi") == run(1, "single") == expected
+
+
 def test_streaming_upsert_end_to_end(spark, tmp_path):
     """upsert_sink: a CDC stream MERGEd into a snapshot table batch by
     batch (availableNow) must equal applying the same batches

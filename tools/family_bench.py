@@ -155,6 +155,7 @@ FAMILIES = {
         "stream_heavy_hitters",
         "stream_twa",
         "stream_upsert_cdc",
+        "stream_quantile_monitor",
     ],
 }
 
