@@ -1513,3 +1513,111 @@ def dedup_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+@register(
+    "dedup_golden_record",
+    category="dedup",
+    doc="Golden-record SURVIVORSHIP, the step after ER clustering that "
+    "MDM systems ship: each multi-member identity cluster (from the "
+    "dedup_record_linkage pairs promoted to components via "
+    "operators/graph.cc_star) collapses to ONE canonical record under "
+    "deterministic survivorship rules — canonical id = min member id "
+    "(source ids sort before feed ids, so the system of record wins), "
+    "surviving name = the canonical member's (min_by on the unique id, "
+    "tie-free), surviving balance = max cents across members (the "
+    "freshest-amount rule), plus a conflict census (distinct balance "
+    "values > 1 means the merge had to choose).  Scale shape: the "
+    "cluster labels come from the O(log^2)-round cc_star contraction; "
+    "attributes join back by id (one shuffle) and every survivorship "
+    "rule is a plain aggregate over members.  The oracle replays the "
+    "closure recursively and applies identical rules.",
+    oracle=f"""
+        WITH RECURSIVE {_RL_PAIRS_SQL},
+        edges AS (
+            SELECT a_id AS src, b_id AS dst FROM pairs
+            UNION ALL
+            SELECT b_id, a_id FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        walk(node, lbl) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+        ),
+        comp AS (SELECT node, MIN(lbl) AS component FROM walk GROUP BY node),
+        attrs AS (
+            SELECT a_id AS node, c_name AS name, bal_cents FROM a
+            UNION ALL
+            SELECT b_id AS node, c_name AS name, bal_cents FROM b
+        ),
+        merged AS (
+            SELECT c.component,
+                   COUNT(*) AS n_members,
+                   MIN(c.node) AS canonical_id,
+                   arg_min(t.name, c.node) AS survived_name,
+                   MAX(t.bal_cents) AS survived_bal_cents,
+                   COUNT(DISTINCT t.bal_cents) AS n_bal_values
+            FROM comp c JOIN attrs t ON t.node = c.node
+            GROUP BY c.component
+        )
+        SELECT CAST(component AS BIGINT) AS component,
+               CAST(n_members AS BIGINT) AS n_members,
+               CAST(canonical_id AS BIGINT) AS canonical_id,
+               survived_name,
+               CAST(survived_bal_cents AS BIGINT) AS survived_bal_cents,
+               CAST(CASE WHEN n_bal_values > 1 THEN 1 ELSE 0 END AS BIGINT)
+                   AS bal_conflict
+        FROM merged
+        ORDER BY component
+    """,
+)
+def dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.graph import cc_star
+    from flow_spark.queries.util import cents
+
+    pairs = dedup_record_linkage(spark, sf_dir).select("a_id", "b_id")
+    comps = cc_star(pairs, a_col="a_id", b_col="b_id")
+    cust = load_table(spark, sf_dir, "customer")
+    # the same two record sides the linkage scored: source (a) + dirty
+    # re-registration feed (b) — attribute table keyed by the node id
+    a = cust.select(
+        F.col("c_custkey").alias("node"),
+        F.col("c_name").alias("name"),
+        cents("c_acctbal").alias("bal_cents"),
+    )
+    b = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("node"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lower("c_name"))
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        (
+            cents("c_acctbal")
+            + F.when(F.col("c_custkey") % 3 == 1, F.lit(37)).otherwise(F.lit(0))
+        ).alias("bal_cents"),
+    )
+    attrs = a.unionByName(b)
+    return (
+        comps.select(F.col("id").alias("node"), "component")
+        .join(attrs, "node")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("node").cast("bigint").alias("canonical_id"),
+            F.expr("min_by(name, node)").alias("survived_name"),
+            F.max("bal_cents").cast("bigint").alias("survived_bal_cents"),
+            F.when(F.countDistinct("bal_cents") > 1, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("bal_conflict"),
+        )
+        .select(
+            F.col("component").cast("bigint").alias("component"),
+            "n_members",
+            "canonical_id",
+            "survived_name",
+            "survived_bal_cents",
+            "bal_conflict",
+        )
+        .orderBy("component")
+    )

@@ -1562,3 +1562,73 @@ def eval_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "dq_l_diversity",
+    category="data-quality",
+    doc="l-diversity audit (Machanavajjhala et al. 2007), the governance "
+    "check k-anonymity misses: a QI group can hide a record among k "
+    "others and STILL leak the sensitive attribute if every member "
+    "shares it.  QI = (nation, market segment), sensitive = the $100 "
+    "account-balance bucket, l = 3: per market segment, groups whose "
+    "members span fewer than 3 distinct buckets let an attacker infer "
+    "the balance range of anyone they can place in the group.  Scale "
+    "shape: one (QI, sensitive) groupBy sees data-sized input, the "
+    "distinct-sensitive census and the per-segment rollup run over "
+    "group counts.  Companion to dq_k_anonymity (same cents-exact "
+    "bucketing).",
+    oracle="""
+        WITH cell AS (
+            SELECT c_mktsegment, c_nationkey,
+                   CAST(floor(round(c_acctbal * 100) / 10000.0) AS BIGINT)
+                       AS bal_bucket,
+                   COUNT(*) AS cnt
+            FROM customer GROUP BY 1, 2, 3
+        ),
+        grp AS (
+            SELECT c_mktsegment, c_nationkey,
+                   COUNT(*) AS n_sensitive,
+                   SUM(cnt) AS n_rows
+            FROM cell GROUP BY 1, 2
+        )
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) FILTER (WHERE n_sensitive < 3) AS BIGINT)
+                   AS groups_lt_l,
+               CAST(COALESCE(SUM(n_rows) FILTER (WHERE n_sensitive < 3), 0)
+                    AS BIGINT) AS rows_exposed,
+               CAST(COALESCE(SUM(n_rows) FILTER (WHERE n_sensitive < 3), 0)
+                    * 1000000 // SUM(n_rows) AS BIGINT) AS exposure_ppm
+        FROM grp GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    bal_bucket = F.expr(
+        "cast(floor(round(c_acctbal * 100, 0) / 10000.0) as bigint)"
+    )
+    cell = cust.groupBy(
+        "c_mktsegment", "c_nationkey", bal_bucket.alias("bal_bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    grp = cell.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_sensitive"), F.sum("cnt").alias("n_rows")
+    )
+    exposed = F.when(F.col("n_sensitive") < 3, F.col("n_rows"))
+    return (
+        grp.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.count(exposed).cast("bigint").alias("groups_lt_l"),
+            F.coalesce(F.sum(exposed), F.lit(0))
+            .cast("bigint")
+            .alias("rows_exposed"),
+            F.expr(
+                "cast(coalesce(sum(case when n_sensitive < 3 then n_rows "
+                "end), 0) * 1000000 div sum(n_rows) as bigint)"
+            ).alias("exposure_ppm"),
+        )
+        .orderBy("c_mktsegment")
+    )

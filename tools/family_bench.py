@@ -83,6 +83,8 @@ FAMILIES = {
         "sample_temperature_mix",
         "feat_winsorize",
         "dedup_record_linkage",
+        "dedup_golden_record",
+        "dq_l_diversity",
         "dq_chi2_independence",
         "join_interval_allen",
         "funnel_attribution",
