@@ -78,9 +78,12 @@ def _calibration_probe(spark, n_timed: int = 5) -> dict[str, float]:
 
 
 #: calibration reference: the probe's median on the box that recorded the
-#: round-5 BENCH artifact (idle, 2026-08-15).  value_normalized =
-#: value * (ref mt_sec / this run's mt_sec) — comparable across boxes.
-_CAL_REF_MT_SEC = None  # pinned at recording time; see main()
+#: round-5 clean bench (idle, 2026-08-15: headline total 15.03 s,
+#: st_sec 0.397, mt_sec 0.577).  value_normalized =
+#: value * (ref mt_sec / this run's mt_sec) — a code regression moves it,
+#: a slower/loaded box does not.  For context, the same code measured
+#: 10.0-17.3 s across round-3/4 boxes purely from host speed.
+_CAL_REF_MT_SEC = 0.577
 
 
 def _time_set(spark, queries, sf_dir: str, n_timed: int) -> dict[str, float]:
