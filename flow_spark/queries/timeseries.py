@@ -1887,3 +1887,142 @@ def ts_dtw_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "ts_gap_fill_lerp",
+    category="timeseries",
+    doc="Time-series gap filling with EXACT linear interpolation: per "
+    "panel user (user_id %% 50 == 0), hourly spend cents densify onto "
+    "the user's first-48-hour grid; missing hours interpolate linearly "
+    "between the neighboring known hours in pure integer space — both "
+    "engines TRUNCATE integer division toward zero (Spark `div`, "
+    "DuckDB integer `//`: -7//2 is -3 in both, verified), so negative "
+    "deltas agree with no emulation (the feature-pipeline imputation "
+    "step before any rolling model input).  Neighbor lookup is two "
+    "ignore-nulls windows per "
+    "user over the union of grid and known rows (known hours beyond "
+    "the grid serve as the right neighbor), so the fill is one "
+    "user-partition shuffle; the grid is 48 rows per panel user, "
+    "bounded regardless of data volume.",
+    oracle="""
+        WITH known AS (
+            SELECT user_id AS u,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                   SUM(CAST(round(value * 100) AS BIGINT)) AS v
+            FROM events
+            WHERE user_id % 50 = 0 AND value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        b AS (
+            SELECT u, MIN(h) AS h0,
+                   LEAST(MAX(h), MIN(h) + 47) AS hg1
+            FROM known GROUP BY u
+        ),
+        grid AS (
+            SELECT b.u, b.h0 + t.i AS h
+            FROM b, range(0, 48) t(i)
+            WHERE b.h0 + t.i <= b.hg1
+        ),
+        g AS (
+            SELECT grid.u, grid.h, k.v, 1 AS in_grid
+            FROM grid LEFT JOIN known k ON k.u = grid.u AND k.h = grid.h
+        ),
+        kout AS (
+            SELECT k.u, k.h, k.v, 0 AS in_grid
+            FROM known k JOIN b ON b.u = k.u
+            WHERE k.h > b.hg1
+        ),
+        un AS (
+            SELECT * FROM g UNION ALL SELECT * FROM kout
+        ),
+        f AS (
+            SELECT u, h, v, in_grid,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY u ORDER BY h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS vp,
+                   last_value(CASE WHEN v IS NOT NULL THEN h END
+                              IGNORE NULLS) OVER (
+                       PARTITION BY u ORDER BY h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS hp,
+                   first_value(v IGNORE NULLS) OVER (
+                       PARTITION BY u ORDER BY h
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS vn,
+                   first_value(CASE WHEN v IS NOT NULL THEN h END
+                               IGNORE NULLS) OVER (
+                       PARTITION BY u ORDER BY h
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS hn
+            FROM un
+        )
+        SELECT CAST(u AS BIGINT) AS user_id,
+               CAST(h AS BIGINT) AS hour_n,
+               CAST(CASE WHEN v IS NOT NULL THEN v
+                         ELSE vp + (vn - vp) * (h - hp) // (hn - hp)
+                    END AS BIGINT) AS cents,
+               CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                   AS interpolated
+        FROM f WHERE in_grid = 1
+        ORDER BY user_id, hour_n
+    """,
+)
+def ts_gap_fill_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    known = (
+        ev.filter((F.col("user_id") % 50 == 0) & F.col("value").isNotNull())
+        .select(
+            F.col("user_id").alias("u"),
+            (F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+            F.expr("cast(round(value * 100, 0) as bigint)").alias("vc"),
+        )
+        .groupBy("u", "h")
+        .agg(F.sum("vc").alias("v"))
+    )
+    b = known.groupBy("u").agg(
+        F.min("h").alias("h0"),
+        F.least(F.max("h"), F.min("h") + 47).alias("hg1"),
+    )
+    grid = b.select(
+        "u", F.explode(F.sequence("h0", "hg1")).alias("h")
+    )
+    g = grid.join(known, ["u", "h"], "left").select(
+        "u", "h", "v", F.lit(1).alias("in_grid")
+    )
+    kout = (
+        known.join(b, "u")
+        .filter(F.col("h") > F.col("hg1"))
+        .select("u", "h", "v", F.lit(0).alias("in_grid"))
+    )
+    un = g.unionByName(kout)
+    wp = W.partitionBy("u").orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    wn = W.partitionBy("u").orderBy("h").rowsBetween(0, W.unboundedFollowing)
+    kh = F.when(F.col("v").isNotNull(), F.col("h"))
+    f = un.select(
+        "u",
+        "h",
+        "v",
+        "in_grid",
+        F.last("v", ignorenulls=True).over(wp).alias("vp"),
+        F.last(kh, ignorenulls=True).over(wp).alias("hp"),
+        F.first("v", ignorenulls=True).over(wn).alias("vn"),
+        F.first(kh, ignorenulls=True).over(wn).alias("hn"),
+    )
+    # both engines truncate integer division toward zero (Spark div ==
+    # DuckDB integer //), so the negative-delta lerp needs no emulation
+    lerp = F.expr("vp + ((vn - vp) * (h - hp)) div (hn - hp)")
+    return (
+        f.filter(F.col("in_grid") == 1)
+        .select(
+            F.col("u").cast("bigint").alias("user_id"),
+            F.col("h").cast("bigint").alias("hour_n"),
+            F.coalesce("v", lerp).cast("bigint").alias("cents"),
+            F.when(F.col("v").isNull(), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("interpolated"),
+        )
+        .orderBy("user_id", "hour_n")
+    )

@@ -112,6 +112,7 @@ FAMILIES = {
         "ts_cross_correlation",
         "ts_time_weighted_avg",
         "ts_dtw_band",
+        "ts_gap_fill_lerp",
     ],
     "lakehouse": [
         "snap_time_travel",
