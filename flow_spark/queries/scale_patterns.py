@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from flow_spark.catalog import load_table
 from flow_spark.functions.hashing import portable_hash_expr
+from flow_spark.functions.layout import HILBERT_BITS, hilbert_rounds_sql
 from flow_spark.queries.registry import register
 
 _SALT = 8
@@ -1811,4 +1812,93 @@ def feat_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ref_cents").cast("bigint").alias("ref_cents"),
         )
         .orderBy("event_type", "bin")
+    )
+
+
+@register(
+    "scale_hilbert_layout",
+    category="scale",
+    doc="Hilbert-curve layout key over (custkey, order day) — the "
+    "space-filling curve Databricks liquid clustering and modern "
+    "Iceberg writers prefer over Z-order because it has no diagonal "
+    "jumps: consecutive d values are always grid neighbors, so "
+    "per-bucket spans stay tighter on BOTH dimensions.  Inputs "
+    "range-bucket into the 256x256 grid by their own min/max (one "
+    "1-row aggregate, broadcast back — no driver round trip), then "
+    "the textbook xy->d walk runs one round per bit (MSB-first "
+    "quadrant digit + conditional reflect/swap) with IDENTICAL "
+    "per-round expression text in Spark (selectExpr chain, "
+    "functions/layout.hilbert_rounds_spark) and DuckDB (CTE chain, "
+    "hilbert_rounds_sql): +, -, *, &, CASE only, so the curve index "
+    "is value-checked bit-for-bit (and against a pure-python "
+    "reference in tests).  Output: per-d-bucket counts and raw-key "
+    "spans — the file-skipping stats a 100 TB table would store.",
+    oracle=f"""
+        WITH t AS (
+            SELECT o_custkey AS rawx,
+                   datediff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS rawy
+            FROM orders
+        ),
+        rng AS (
+            SELECT MIN(rawx) AS x_mn,
+                   (MAX(rawx) - MIN(rawx)) // 256 + 1 AS xdiv,
+                   MIN(rawy) AS y_mn,
+                   (MAX(rawy) - MIN(rawy)) // 256 + 1 AS ydiv
+            FROM t
+        ),
+        scaled AS (
+            SELECT (t.rawx - r.x_mn) // r.xdiv AS x,
+                   (t.rawy - r.y_mn) // r.ydiv AS y,
+                   t.rawx, t.rawy
+            FROM t CROSS JOIN rng r
+        ),
+        {hilbert_rounds_sql("scaled")}
+        SELECT CAST(d // 64 AS BIGINT) AS h_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(rawx) AS BIGINT) AS x_min,
+               CAST(MAX(rawx) AS BIGINT) AS x_max,
+               CAST(MAX(rawx) - MIN(rawx) AS BIGINT) AS x_span,
+               CAST(MIN(rawy) AS BIGINT) AS y_min,
+               CAST(MAX(rawy) AS BIGINT) AS y_max,
+               CAST(MAX(rawy) - MIN(rawy) AS BIGINT) AS y_span
+        FROM h{HILBERT_BITS}
+        GROUP BY h_bucket ORDER BY h_bucket
+    """,
+)
+def scale_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.functions.layout import hilbert_rounds_spark
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.select(
+        F.col("o_custkey").cast("bigint").alias("rawx"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("rawy"),
+    )
+    rng = t.agg(
+        F.min("rawx").alias("x_mn"),
+        F.expr("(max(rawx) - min(rawx)) div 256 + 1").alias("xdiv"),
+        F.min("rawy").alias("y_mn"),
+        F.expr("(max(rawy) - min(rawy)) div 256 + 1").alias("ydiv"),
+    )
+    scaled = t.crossJoin(F.broadcast(rng)).selectExpr(
+        "(rawx - x_mn) div xdiv AS x",
+        "(rawy - y_mn) div ydiv AS y",
+        "rawx",
+        "rawy",
+    )
+    hd = hilbert_rounds_spark(scaled)
+    return (
+        hd.groupBy(F.expr("d div 64").cast("bigint").alias("h_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("rawx").cast("bigint").alias("x_min"),
+            F.max("rawx").cast("bigint").alias("x_max"),
+            (F.max("rawx") - F.min("rawx")).cast("bigint").alias("x_span"),
+            F.min("rawy").cast("bigint").alias("y_min"),
+            F.max("rawy").cast("bigint").alias("y_max"),
+            (F.max("rawy") - F.min("rawy")).cast("bigint").alias("y_span"),
+        )
+        .orderBy("h_bucket")
     )

@@ -390,3 +390,38 @@ def test_incremental_join_maintenance(spark, sf_dir, tmp_path):
         for r in enrich(orders).collect()
     )
     assert incremental == full
+
+
+def test_hilbert_rounds_match_reference(spark):
+    """The shared-text Hilbert SQL walk (hilbert_rounds_spark) == the
+    pure-python xy->d reference, and the curve is a true Hilbert curve:
+    bijective on the grid with unit steps between consecutive d (the
+    no-diagonal-jumps property Z-order lacks — why per-bucket spans
+    stay tighter)."""
+    import random
+
+    from flow_spark.functions.layout import (
+        HILBERT_BITS,
+        hilbert_rounds_spark,
+        hilbert_xy2d_py,
+    )
+
+    rng = random.Random(11)
+    side = 1 << HILBERT_BITS
+    rows = [(rng.randrange(side), rng.randrange(side)) for _ in range(400)]
+    df = spark.createDataFrame(rows, "x long, y long").selectExpr(
+        "x", "y", "x AS rawx", "y AS rawy"
+    )
+    got = hilbert_rounds_spark(df).collect()
+    for r in got:
+        assert r.d == hilbert_xy2d_py(r.rawx, r.rawy), (r.rawx, r.rawy)
+    # exhaustive bijectivity + unit-step walk on the 16x16 subcurve
+    inv = {}
+    for x in range(16):
+        for y in range(16):
+            inv[hilbert_xy2d_py(x, y, 4)] = (x, y)
+    assert sorted(inv) == list(range(256))
+    assert all(
+        abs(inv[i][0] - inv[i + 1][0]) + abs(inv[i][1] - inv[i + 1][1]) == 1
+        for i in range(255)
+    )
