@@ -1632,3 +1632,112 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "eval_ips_offpolicy",
+    category="eval",
+    doc="Off-policy evaluation via inverse-propensity scoring (IPS) and "
+    "its self-normalized variant (SNIPS) — the counterfactual 'what "
+    "would THIS policy have earned on the logged traffic' estimator "
+    "behind bandit/recommender/RLHF-reward evaluation (Horvitz-"
+    "Thompson; Swaminathan & Joachims 2015).  Logged decisions = "
+    "events (context u = user_id, action = event_type, reward = "
+    "cents); the logging propensity is a deterministic exact rational "
+    "p/10 with p = 1 + (u*7 + length(action)*3) %% 9, so 1/b scales to "
+    "the integer 25200 div p (25200 = lcm(1..9) x 10 x ...; exact for "
+    "every p).  Two target policies are scored in one scan: "
+    "pi_click (click if u even, else view) and pi_buy (purchase if "
+    "u %% 3 = 0, else click).  All sums are exact integers; the two "
+    "final divisions are single IEEE ops identical in both engines.  "
+    "Scale shape: one map-side-combinable aggregation per policy over "
+    "one scan — no shuffle beyond the 2-row rollup.",
+    oracle="""
+        WITH logged AS (
+            SELECT user_id AS u, event_type AS a,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   1 + (user_id * 7 + length(event_type) * 3) % 9 AS p
+            FROM events
+            WHERE value IS NOT NULL
+              AND event_type IN ('view', 'click', 'purchase')
+        ),
+        scored AS (
+            SELECT pol.policy, l.cents, 25200 // l.p AS w,
+                   CASE WHEN pol.policy = 'pi_click' THEN
+                            CASE WHEN l.u % 2 = 0 THEN 'click'
+                                 ELSE 'view' END
+                        ELSE CASE WHEN l.u % 3 = 0 THEN 'purchase'
+                                  ELSE 'click' END
+                   END = l.a AS match
+            FROM logged l
+            CROSS JOIN (VALUES ('pi_click'), ('pi_buy')) pol(policy)
+        )
+        SELECT policy,
+               CAST(COUNT(*) AS BIGINT) AS n_logged,
+               CAST(SUM(CASE WHEN match THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_matched,
+               CAST(SUM(CASE WHEN match THEN cents * w ELSE 0 END)
+                    AS BIGINT) AS ips_scaled,
+               CAST(SUM(CASE WHEN match THEN w ELSE 0 END) AS BIGINT)
+                   AS w_scaled,
+               CAST(SUM(CASE WHEN match THEN cents * w ELSE 0 END)
+                    AS DOUBLE)
+                   / (252000.0 * COUNT(*)) AS ips_usd_per_event,
+               CAST(SUM(CASE WHEN match THEN cents * w ELSE 0 END)
+                    AS DOUBLE)
+                   / (100.0 * SUM(CASE WHEN match THEN w ELSE 0 END))
+                   AS snips_usd
+        FROM scored GROUP BY policy ORDER BY policy
+    """,
+)
+def eval_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    logged = ev.filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("a"),
+        cents("value").alias("cts"),
+        (
+            1 + (F.col("user_id") * 7 + F.length("event_type") * 3) % 9
+        ).alias("p"),
+    )
+    pols = spark.createDataFrame(
+        [("pi_click",), ("pi_buy",)], "policy string"
+    )
+    scored = logged.crossJoin(F.broadcast(pols)).select(
+        "policy",
+        "cts",
+        F.expr("25200 div p").alias("w"),
+        (
+            F.when(
+                F.col("policy") == "pi_click",
+                F.when(F.col("u") % 2 == 0, "click").otherwise("view"),
+            ).otherwise(
+                F.when(F.col("u") % 3 == 0, "purchase").otherwise("click")
+            )
+            == F.col("a")
+        ).alias("match"),
+    )
+    m = F.when(F.col("match"), F.col("cts") * F.col("w")).otherwise(F.lit(0))
+    mw = F.when(F.col("match"), F.col("w")).otherwise(F.lit(0))
+    return (
+        scored.groupBy("policy")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_logged"),
+            F.sum(F.when(F.col("match"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_matched"),
+            F.sum(m).cast("bigint").alias("ips_scaled"),
+            F.sum(mw).cast("bigint").alias("w_scaled"),
+            (
+                F.sum(m).cast("double")
+                / (F.lit(252000.0) * F.count(F.lit(1)))
+            ).alias("ips_usd_per_event"),
+            (F.sum(m).cast("double") / (F.lit(100.0) * F.sum(mw))).alias(
+                "snips_usd"
+            ),
+        )
+        .orderBy("policy")
+    )

@@ -105,6 +105,7 @@ FAMILIES = {
         "eval_wilson_ctr",
         "eval_auc_ranksum",
         "eval_conformal_coverage",
+        "eval_ips_offpolicy",
         "dq_k_anonymity",
         "dq_referential_integrity",
         "feat_quantile_normalize",
