@@ -186,3 +186,52 @@ def blockmean_embedding(df: DataFrame, payload_col: str = "payload") -> DataFram
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=_BLOCK_SCHEMA)
+
+
+SCENE_CUT_SCHEMA = "asset_id long, frame_idx int, delta long"
+
+
+def scene_cuts(
+    df: DataFrame,
+    frame_size: int = 100,
+    threshold: int = 300,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Video scene-boundary detection, fake-decode edition: each payload
+    splits into frame_size-byte 'frames', per-frame feature = the exact
+    byte-intensity sum, and a cut is flagged wherever consecutive frames
+    differ by more than `threshold` — the shot-segmentation pass a video
+    curation pipeline runs before per-scene sampling.  The per-frame
+    feature is the deterministic fake (a real pipeline plugs a decoder +
+    histogram/embedding here); the mapInPandas batch shape, the
+    1-row -> N-cuts fan-out, and the exact integer thresholding are the
+    real thing.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            idxs: list = []
+            deltas: list = []
+            for aid, payload in zip(pdf["asset_id"], pdf[payload_col]):
+                b = bytes(payload)
+                n = fake_decode_frames(b, frame_size)
+                feats = [
+                    sum(b[i * frame_size : (i + 1) * frame_size])
+                    for i in range(n)
+                ]
+                for i in range(1, n):
+                    d = abs(feats[i] - feats[i - 1])
+                    if d > threshold:
+                        ids.append(aid)
+                        idxs.append(i)
+                        deltas.append(d)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "delta": pd.Series(deltas, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=SCENE_CUT_SCHEMA)

@@ -303,3 +303,54 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.mapInPandas(
         energy_windows, schema="asset_id long, win_idx int, energy long"
     ).orderBy("asset_id", "win_idx")
+
+
+@register(
+    "mm_scene_cuts",
+    category="multimodal",
+    doc="Video scene-boundary detection (operators/multimodal.scene_cuts): "
+    "payloads split into 100-byte 'frames', per-frame feature = exact "
+    "byte-intensity sum, cut flagged where consecutive frames differ by "
+    "more than 300 — the shot-segmentation pass before per-scene frame "
+    "sampling.  The feature is the documented deterministic fake (a "
+    "real pipeline plugs decoder + histogram here); the mapInPandas "
+    "fan-out and integer thresholding are real and value-checked: the "
+    "oracle recomputes every frame's ASCII byte sum via char-list "
+    "aggregation and the same lag/threshold walk.",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, text,
+                   CAST(ceil(length(text) / 100.0) AS INT) AS n
+            FROM documents WHERE doc_id % 25 = 0
+        ),
+        f AS (
+            SELECT doc_id, CAST(i AS INT) AS frame_idx,
+                   list_aggregate(list_transform(
+                       string_split(substring(text, i * 100 + 1, 100), ''),
+                       x -> ord(x)), 'sum') AS feat
+            FROM d, range(0, 64) t(i)
+            WHERE i < n
+        ),
+        p AS (
+            SELECT doc_id, frame_idx, feat,
+                   lag(feat) OVER (PARTITION BY doc_id
+                                   ORDER BY frame_idx) AS prev
+            FROM f
+        )
+        SELECT doc_id AS asset_id,
+               frame_idx,
+               CAST(abs(feat - prev) AS BIGINT) AS delta
+        FROM p
+        WHERE prev IS NOT NULL AND abs(feat - prev) > 300
+        ORDER BY asset_id, frame_idx
+    """,
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.operators.multimodal import documents_as_assets, scene_cuts
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 25 == 0
+    )
+    return scene_cuts(
+        documents_as_assets(docs), frame_size=100, threshold=300
+    ).orderBy("asset_id", "frame_idx")

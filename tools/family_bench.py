@@ -70,7 +70,7 @@ FAMILIES = {
         "dedup_dup_span_removal",
     ],
     "sequence": ["seq_markov_transitions", "seq_pattern_regex", "udtf_partitioned_cusum"],
-    "multimodal": ["mm_blockmean_embedding", "mm_extract_features"],
+    "multimodal": ["mm_blockmean_embedding", "mm_extract_features", "mm_scene_cuts"],
     "source": ["pysource_synthetic_events"],
     "python-exec": ["udf_cogrouped_reconcile", "udf_map_in_arrow", "udf_arrow_optimized"],
     "curation": [
