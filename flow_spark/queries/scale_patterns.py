@@ -1902,3 +1902,89 @@ def scale_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("h_bucket")
     )
+
+
+@register(
+    "snap_version_diff",
+    category="scale-pattern",
+    doc="Row-level diff between two snapshot versions "
+    "(operators/snapshots.snapshot_diff — Delta's table_changes for an "
+    "arbitrary version pair): v1 = customer balances, v2 rewrites the "
+    "table with every 7th key deleted, every remaining 5th key's cents "
+    "bumped, and a synthetic insert per 50th key; ONE full-outer join "
+    "on the key classifies every row insert/delete/update/unchanged "
+    "with null-safe struct comparison over the value columns.  The "
+    "audit query a training-data platform runs to answer 'what changed "
+    "between the dataset the model saw and today'.  Output: per-class "
+    "counts, key checksum, and old/new cents sums; the oracle replays "
+    "the same set algebra straight off the source table.",
+    oracle="""
+        WITH base AS (
+            SELECT c_custkey AS k,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+            FROM customer
+        ),
+        cls AS (
+            SELECT k,
+                   CASE WHEN k % 7 = 0 THEN 'delete'
+                        WHEN k % 5 = 0 THEN 'update'
+                        ELSE 'unchanged' END AS change,
+                   cents AS old_cents,
+                   CASE WHEN k % 7 = 0 THEN NULL
+                        WHEN k % 5 = 0 THEN cents + 1111
+                        ELSE cents END AS new_cents
+            FROM base
+            UNION ALL
+            SELECT k + 1000000, 'insert', NULL, cents
+            FROM base WHERE k % 50 = 0
+        )
+        SELECT change,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(k) AS BIGINT) AS key_checksum,
+               CAST(COALESCE(SUM(old_cents), 0) AS BIGINT) AS old_cents_sum,
+               CAST(COALESCE(SUM(new_cents), 0) AS BIGINT) AS new_cents_sum
+        FROM cls GROUP BY change ORDER BY change
+    """,
+)
+def snap_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flow_spark.operators.snapshots import snapshot_diff, snapshot_write
+
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.expr("cast(round(c_acctbal * 100, 0) as bigint)").alias("cents"),
+    )
+    td = tempfile.mkdtemp(prefix="snap_diff_")
+    v1 = snapshot_write(base, td, stats_col="k")
+    v2df = (
+        base.filter(F.col("k") % 7 != 0)
+        .withColumn(
+            "cents",
+            F.when(F.col("k") % 5 == 0, F.col("cents") + 1111).otherwise(
+                F.col("cents")
+            ),
+        )
+        .unionByName(
+            base.filter(F.col("k") % 50 == 0).select(
+                (F.col("k") + 1000000).alias("k"), "cents"
+            )
+        )
+    )
+    v2 = snapshot_write(v2df, td, stats_col="k")
+    d = snapshot_diff(spark, td, v1, v2, key_col="k")
+    return (
+        d.groupBy("change")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("key_checksum"),
+            F.coalesce(F.sum("old.cents"), F.lit(0))
+            .cast("bigint")
+            .alias("old_cents_sum"),
+            F.coalesce(F.sum("new.cents"), F.lit(0))
+            .cast("bigint")
+            .alias("new_cents_sum"),
+        )
+        .orderBy("change")
+    )

@@ -122,6 +122,7 @@ FAMILIES = {
         "snap_incremental_mv",
         "snap_partition_evolution",
         "snap_rollback",
+        "snap_version_diff",
     ],
     "ml": [
         "ml_kmeans_quantized",
