@@ -1963,6 +1963,63 @@ def test_quantile_monitor_multibatch(spark, tmp_path):
     assert run(3, "multi") == run(1, "single") == expected
 
 
+def test_quantile_monitor_survives_query_restart(spark, tmp_path):
+    """Checkpoint recovery across SEPARATE query runs: drain batch 1
+    with one availableNow query, STOP it, add more data, start a brand
+    new query object on the SAME checkpoint — the histogram state must
+    come back from the state store (not from memory), so the final
+    quantiles equal a single-run drain over all data."""
+    import json as _json
+    import time as _time
+
+    from flow_spark.streaming.stateful import quantile_monitor_stream
+
+    src = tmp_path / "qm_restart"
+    src.mkdir()
+    ckpt = str(tmp_path / "qm_restart_ckpt")
+
+    def write_file(i, vals):
+        with open(src / f"b{i}.jsonl", "w") as fh:
+            for v in vals:
+                fh.write(_json.dumps({"k": "a", "v": v}) + "\n")
+        _time.sleep(0.02)
+
+    spool = str(tmp_path / "qm_restart_out")
+
+    def drain(name):
+        # memory sink refuses checkpoint recovery; a foreachBatch parquet
+        # spool is the restart-capable sink shape
+        stream = (
+            spark.readStream.schema("k string, v long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        out = quantile_monitor_stream(stream, key_col="k", val_col="v")
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(spool)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(spool).collect()
+        return max(rows, key=lambda r: r.n_obs) if rows else None
+
+    write_file(0, [10, 20, 30, 40])
+    first = drain("qm_run1")
+    assert (first.n_obs, first.p50, first.p90) == (4, 20, 40)
+
+    # the first query is terminated; new data + a NEW query, same ckpt
+    write_file(1, [50, 60, 70, 80, 90])
+    second = drain("qm_run2")
+    # n=9 over 10..90: p50 needs cum >= 4.5 -> 50; p90 cum >= 8.1 -> 90.
+    # Only correct if the run-1 histogram was recovered from the store.
+    assert (second.n_obs, second.p50, second.p90) == (9, 50, 90)
+
+
 def test_streaming_upsert_end_to_end(spark, tmp_path):
     """upsert_sink: a CDC stream MERGEd into a snapshot table batch by
     batch (availableNow) must equal applying the same batches
