@@ -1113,7 +1113,7 @@ _RL_THRESHOLD = 60
             FROM customer
         ),
         b AS (
-            SELECT c_custkey + 1000000 AS b_id,
+            SELECT c_custkey + 10000000 AS b_id,
                    CASE WHEN c_custkey % 3 = 0 THEN lower(c_name)
                         ELSE c_name END AS c_name,
                    c_nationkey, c_mktsegment,
@@ -1154,7 +1154,7 @@ def dedup_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("c_name", -2, 2).alias("a_blk"),
     )
     b = cust.filter(F.col("c_custkey") % 2 == 0).select(
-        (F.col("c_custkey") + 1000000).alias("b_id"),
+        (F.col("c_custkey") + 10000000).alias("b_id"),
         F.when(
             F.col("c_custkey") % 3 == 0, F.lower("c_name")
         ).otherwise(F.col("c_name")).alias("b_name"),
@@ -1423,7 +1423,7 @@ _RL_PAIRS_SQL = f"""
             FROM customer
         ),
         b AS (
-            SELECT c_custkey + 1000000 AS b_id,
+            SELECT c_custkey + 10000000 AS b_id,
                    CASE WHEN c_custkey % 3 = 0 THEN lower(c_name)
                         ELSE c_name END AS c_name,
                    c_nationkey, c_mktsegment,
@@ -1484,9 +1484,9 @@ _RL_PAIRS_SQL = f"""
         comp AS (SELECT node, MIN(lbl) AS component FROM walk GROUP BY node)
         SELECT CAST(component AS BIGINT) AS component,
                CAST(COUNT(*) AS BIGINT) AS n_members,
-               CAST(SUM(CASE WHEN node < 1000000 THEN 1 ELSE 0 END)
+               CAST(SUM(CASE WHEN node < 10000000 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_source,
-               CAST(SUM(CASE WHEN node >= 1000000 THEN 1 ELSE 0 END)
+               CAST(SUM(CASE WHEN node >= 10000000 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_feed,
                CAST(SUM(node) AS BIGINT) AS id_checksum
         FROM comp
@@ -1503,10 +1503,10 @@ def dedup_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         comps.groupBy("component")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_members"),
-            F.sum(F.when(F.col("id") < 1000000, 1).otherwise(0))
+            F.sum(F.when(F.col("id") < 10000000, 1).otherwise(0))
             .cast("bigint")
             .alias("n_source"),
-            F.sum(F.when(F.col("id") >= 1000000, 1).otherwise(0))
+            F.sum(F.when(F.col("id") >= 10000000, 1).otherwise(0))
             .cast("bigint")
             .alias("n_feed"),
             F.sum("id").cast("bigint").alias("id_checksum"),
@@ -1587,7 +1587,7 @@ def dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents("c_acctbal").alias("bal_cents"),
     )
     b = cust.filter(F.col("c_custkey") % 2 == 0).select(
-        (F.col("c_custkey") + 1000000).alias("node"),
+        (F.col("c_custkey") + 10000000).alias("node"),
         F.when(F.col("c_custkey") % 3 == 0, F.lower("c_name"))
         .otherwise(F.col("c_name"))
         .alias("name"),

@@ -162,6 +162,9 @@ def _strong_tie_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import tempfile as _tempfile
 
+    import atexit as _atexit
+    import shutil as _shutil
+
     key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
     path = _STRONG_TIE_CACHE.get(key)
     if path is not None and _os.path.isdir(path):
@@ -205,6 +208,9 @@ def _strong_tie_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.orderBy(F.desc("co"), "s1", "s2").limit(n_edges).select("s1", "s2")
     )
     path = _tempfile.mkdtemp(prefix="flow_spark_strong_ties_")
+    # one memo dir per (application, sf_dir); removed at interpreter exit
+    # so long-running multi-session hosts don't accrete parquet dirs
+    _atexit.register(_shutil.rmtree, path, ignore_errors=True)
     edges.write.mode("overwrite").parquet(path)
     _STRONG_TIE_CACHE[key] = path
     return spark.read.parquet(path)

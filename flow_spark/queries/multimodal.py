@@ -328,7 +328,11 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                    list_aggregate(list_transform(
                        string_split(substring(text, i * 100 + 1, 100), ''),
                        x -> ord(x)), 'sum') AS feat
-            FROM d, range(0, 64) t(i)
+            -- constant frame-index bound (DuckDB range() can't take a
+            -- lateral column bound): 1024 frames = 100 KiB payloads,
+            -- ~150x the fixture's longest document; the Spark side is
+            -- unbounded, so keep this bound ahead of fixture growth
+            FROM d, range(0, 1024) t(i)
             WHERE i < n
         ),
         p AS (

@@ -1935,7 +1935,7 @@ def scale_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ELSE cents END AS new_cents
             FROM base
             UNION ALL
-            SELECT k + 1000000, 'insert', NULL, cents
+            SELECT k + 10000000, 'insert', NULL, cents
             FROM base WHERE k % 50 = 0
         )
         SELECT change,
@@ -1968,7 +1968,7 @@ def snap_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             base.filter(F.col("k") % 50 == 0).select(
-                (F.col("k") + 1000000).alias("k"), "cents"
+                (F.col("k") + 10000000).alias("k"), "cents"
             )
         )
     )

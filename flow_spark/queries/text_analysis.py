@@ -2931,6 +2931,9 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # feeds strength + every rank round
     )
+    # the checkpoint above materialized both cache consumers — drop the
+    # corpus-sized token arrays instead of pinning them for the session
+    tokd.unpersist()
     strength = wedges.groupBy(F.col("a").alias("word")).agg(F.sum("w").alias("s"))
     ranks = strength.select(
         "word", F.lit(_TR_INIT).cast("bigint").alias("rank")

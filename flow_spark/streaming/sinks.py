@@ -163,6 +163,10 @@ def upsert_sink(
     greatest order value (deterministic last-writer-wins) and is then
     DROPPED — it is CDC transport metadata, not table payload; leave
     None when the upstream already emits one row per key per batch.
+    Rows tied on (key, order_col) break on an xxhash64 of the full row,
+    so the pick is deterministic even when an upstream reuses sequence
+    numbers — required for the crash-window idempotence argument above
+    (an arbitrary pick could MERGE a different row on replay).
     Returns the DataStreamWriter (caller picks trigger and starts).
     """
     import json
@@ -182,7 +186,7 @@ def upsert_sink(
         b = batch
         if order_col is not None:
             w = Window.partitionBy(key_col).orderBy(
-                F.desc(order_col), F.desc(key_col)
+                F.desc(order_col), F.desc(F.xxhash64(*batch.columns))
             )
             b = (
                 b.withColumn("__rn", F.row_number().over(w))
