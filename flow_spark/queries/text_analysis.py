@@ -2820,16 +2820,25 @@ def _sql_textrank_step(prev: str, out: str) -> str:
     "integer arithmetic — contribution = rank * w // strength with "
     "floor division, update = 150000 + 85%% of incoming — so both "
     "engines agree bit-for-bit (the graph_pagerank discipline applied "
-    "to text).  Scale shape: a document-frequency floor (word in >= "
-    f"{_TR_DF_FLOOR} distinct docs) gates the graph via broadcast "
-    "semi-joins BEFORE the pair aggregation — the raw bigram table "
-    "grows Heaps-like with the corpus (2.4x edges at 10x data "
-    "measured) while the floored one is frequent-vocab-bound; bigram "
-    "pairs explode MAP-SIDE from each doc's token array (no "
-    "self-join) into one (a,b) groupBy; each round is one join of "
-    "the edge list against the word-sized rank table.  Output: "
-    "top-20 words by final rank, deterministic (rank DESC, word) "
-    "tiebreak.",
+    "to text).  Scale shape: ONE corpus scan — each document's token "
+    "array emits both its distinct-word stream (df counting) and its "
+    "canonicalized (least, greatest) adjacent-pair stream through a "
+    "single explode into a single (a, b) groupBy (word rows carry "
+    "b = '' as a sentinel key, so both counts ride one shuffle; all "
+    "builtin codegen expressions, no lambda HOFs).  The "
+    f"document-frequency floor (word in >= {_TR_DF_FLOOR} distinct "
+    "docs) is then applied to the aggregated pair table via broadcast "
+    "semi-joins, so every rank round runs on the bounded "
+    "frequent-vocab graph, not the Heaps-growing raw one (2.4x edges "
+    "at 10x data measured).  Tradeoff vs the earlier two-pass form "
+    "(floor via semi-join BEFORE the pair shuffle): the fused shuffle "
+    "carries map-side-combined raw distinct pairs instead of floored "
+    "ones, but saves a whole tokenize+cache pass — measured 1.74 -> "
+    "0.86 s at sf0.1 and 3.56 -> 2.58 s at sf1 on the same box; at "
+    "extreme vocab skew re-floor before the shuffle.  Each rank round "
+    "is one join of the edge list against the word-sized rank table.  "
+    "Output: top-20 words by final rank, deterministic (rank DESC, "
+    "word) tiebreak.",
     oracle=rf"""
         WITH toks AS (
             SELECT doc_id, string_split(
@@ -2877,53 +2886,55 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flow_spark.operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    # tokenize ONCE and cache the arrays: both the vocab pass and the
-    # pair pass read them, and the regex tokenization is the dominant
-    # corpus-linear cost (the token arrays are text-sized, cache-cheap)
-    tokd = (
-        docs.select(tokens(F.col("text")).alias("ts"))
-        .filter(F.size("ts") >= 2)
-        .cache()
-    )
-    # document-frequency floor: frequent vocab (word in >= _TR_DF_FLOOR
-    # distinct docs) gates both pair endpoints via broadcast semi-joins
-    # BEFORE the pair aggregation, so the (a,b) shuffle and every rank
-    # round run on a bounded graph instead of the Heaps-growing raw one.
-    # Per-doc dedup happens MAP-SIDE (array_distinct on the token array),
-    # so the df shuffle carries (doc, distinct-word) rows, never token
-    # instances — an explode + .distinct() here measured 2x the whole
-    # query at 10x data.
-    vocab = (
+    tokd = docs.select(tokens(F.col("text")).alias("ts")).filter(F.size("ts") >= 2)
+    # ONE scan, ONE shuffle: each doc's token array emits its adjacent
+    # pairs (for co-occurrence counting) AND its distinct words (for df
+    # counting, sentinel b = '') through a single explode into a single
+    # (a, b) groupBy.  Length/identity filters run POST-explode so the
+    # whole stream stays in whole-stage codegen (lambda HOFs evaluate
+    # interpreted and measured 2.2x slower at sf1); canonicalizing
+    # (least, greatest) before the groupBy merges (a,b)/(b,a) instances
+    # in one aggregation, and map-side partial agg compresses the
+    # shuffle to distinct keys per map partition.
+    both = (
         tokd.select(
             F.explode(
-                F.expr("array_distinct(filter(ts, w -> length(w) >= 4))")
-            ).alias("w")
+                F.concat(
+                    F.arrays_zip(
+                        F.slice("ts", F.lit(1), F.size("ts") - 1).alias("xs"),
+                        F.expr("slice(ts, 2, size(ts) - 1)").alias("ys"),
+                    ),
+                    F.arrays_zip(
+                        F.array_distinct("ts").alias("xs"),
+                        F.expr(
+                            "array_repeat('', size(array_distinct(ts)))"
+                        ).alias("ys"),
+                    ),
+                )
+            ).alias("p")
         )
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= _TR_DF_FLOOR)
-        .select("w")
-    )
-    # adjacent content-token pairs: explode arrays_zip of the array and
-    # its own tail — builtin functions only, so the whole pair stream
-    # stays in whole-stage codegen (the zip_with/filter lambda form
-    # evaluates interpreted and measured 2.2x slower at sf1)
-    cnt = (
-        tokd.select(
-            F.slice("ts", F.lit(1), F.size("ts") - 1).alias("xs"),
-            F.expr("slice(ts, 2, size(ts) - 1)").alias("ys"),
+        .select(F.col("p.xs").alias("x"), F.col("p.ys").alias("y"))
+        .filter("length(x) >= 4 AND (y = '' OR (length(y) >= 4 AND x <> y))")
+        .select(
+            F.expr("CASE WHEN y = '' THEN x ELSE least(x, y) END").alias("a"),
+            F.expr("CASE WHEN y = '' THEN '' ELSE greatest(x, y) END").alias("b"),
         )
-        .select(F.explode(F.arrays_zip("xs", "ys")).alias("p"))
-        .select(F.col("p.xs").alias("a"), F.col("p.ys").alias("b"))
-        .filter("length(a) >= 4 AND length(b) >= 4 AND a <> b")
-        .join(F.broadcast(vocab.withColumnRenamed("w", "a")), "a", "left_semi")
-        .join(F.broadcast(vocab.withColumnRenamed("w", "b")), "b", "left_semi")
-        # canonicalize (least, greatest) BEFORE the groupBy: (a,b) and
-        # (b,a) instances merge in ONE aggregation, and the symmetric
-        # edge list is then a map-side union — one shuffle, not two
-        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()  # feeds vocab + cnt without rescanning the corpus
+    )
+    # document-frequency floor, applied to the aggregated pair table:
+    # the sentinel rows ARE the per-word df counts (array_distinct ran
+    # map-side, so each doc contributed each word once), and the floored
+    # vocab gates both pair endpoints via broadcast semi-joins so every
+    # rank round runs on the bounded frequent-vocab graph.
+    vocab = both.filter((F.col("b") == "") & (F.col("w") >= _TR_DF_FLOOR)).select(
+        "a"
+    )
+    cnt = (
+        both.filter(F.col("b") != "")
+        .join(F.broadcast(vocab), "a", "left_semi")
+        .join(F.broadcast(vocab.withColumnRenamed("a", "b")), "b", "left_semi")
     )
     wedges = (
         cnt.unionByName(
@@ -2931,9 +2942,6 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # feeds strength + every rank round
     )
-    # the checkpoint above materialized both cache consumers — drop the
-    # corpus-sized token arrays instead of pinning them for the session
-    tokd.unpersist()
     strength = wedges.groupBy(F.col("a").alias("word")).agg(F.sum("w").alias("s"))
     ranks = strength.select(
         "word", F.lit(_TR_INIT).cast("bigint").alias("rank")
