@@ -496,3 +496,158 @@ def ngram_containment_pairs(
         .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
         .filter(F.col("containment") >= threshold)
     )
+
+
+def prefix_filter_pairs(
+    sets: DataFrame,
+    t_num: int = 7,
+    t_den: int = 10,
+    id_col: str = "doc_id",
+    item_col: str = "shingle",
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (SSJoin /
+    PPJoin family: Chaudhuri et al. ICDE'06, Xiao et al. WWW'08).
+
+    Input: a (id, item) table of DISTINCT set members (e.g.
+    ``word_shingles``).  Each set is sorted by a global rare-item-first
+    order (set frequency asc, item asc); for Jaccard threshold
+    t = t_num/t_den, a pair with J >= t MUST share at least one item in
+    each side's first |set| - ceil(t*|set|) + 1 items, for ANY
+    consistent global order.  Candidates are therefore sets sharing a
+    PREFIX item (rare by construction, so per-item fan-out is bounded
+    by rare-item frequency — the pruning never misses a qualifying
+    pair, unlike LSH), plus the length filter
+    least(sz)*t_den >= greatest(sz)*t_num (J <= min/max).  Survivors
+    are verified with the exact Jaccard on the full sets.
+
+    Unlike MinHash-LSH this is exact (recall 1.0, deterministically) at
+    the cost of a frequency pass; at 100 TB the frequency table is
+    vocab-sized (zipf — far smaller than the corpus), the prefix index
+    shuffles on rare items only, and verification is linear in
+    candidates.
+
+    Returns (doc_a, doc_b, jaccard_ppm) for pairs with J >= t, where
+    jaccard_ppm = |intersection| * 1_000_000 div |union| (exact integer).
+    """
+    from pyspark.sql import Window
+
+    tok = sets.select(F.col(id_col).alias("doc_id"), F.col(item_col).alias("tk"))
+    # item frequency via a window over the same shuffle that the per-set
+    # aggregation needs anyway — one pass, no separate vocab join
+    # (partition by tk, then regroup by doc_id: two shuffles total)
+    # one ordered item array per set: sort_array over (df, tk) structs is
+    # deterministic under task retries (collect_list alone is not)
+    ordered = (
+        tok.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("tk"))
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "tk"))).alias("arr"))
+        .select("doc_id", F.size("arr").alias("sz"), "arr")
+        .localCheckpoint()  # feeds the prefix index AND both verify sides
+    )
+    pref_len = F.expr(f"sz - ((sz * {t_num} + {t_den - 1}) div {t_den}) + 1")
+    # explode prefix positions, keeping each item's global frequency and
+    # its 0-based position: a df=1 item exists in exactly one set and can
+    # never produce a join partner, so skipping it cannot drop a
+    # qualifying pair — in a mostly-unique shingle space this discards
+    # almost the whole index
+    prefix = (
+        ordered.select(
+            "doc_id",
+            "sz",
+            F.posexplode(F.slice("arr", F.lit(1), pref_len)).alias("pos", "p"),
+        )
+        .filter(F.col("p.df") >= 2)
+        .select("doc_id", "sz", "pos", F.col("p.tk").alias("tk"))
+    )
+    # overlap threshold: J >= t  <=>  |intersection| >= t/(1+t)*(sa+sb);
+    # PPJoin positional filter: the FIRST shared item (in the global
+    # order) sits at positions (pa, pb), and every shared item follows
+    # it, so overlap <= min(sa - pa, sb - pb).  Filtering each joined
+    # row by that upper bound is safe — for a qualifying pair the
+    # first-shared-item row always passes — and prunes most of the
+    # candidate fan-out before the expensive verify join (measured
+    # 120k -> far fewer candidate pairs on the fixture corpus).
+    cand = (
+        prefix.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("sz").alias("sa"),
+            F.col("pos").alias("pa"),
+            "tk",
+        )
+        .join(
+            prefix.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("sz").alias("sb"),
+                F.col("pos").alias("pb"),
+                "tk",
+            ),
+            "tk",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # length filter: J <= min(sz)/max(sz), so J >= t needs this
+        .filter(
+            F.expr(f"least(sa, sb) * {t_den} >= greatest(sa, sb) * {t_num}")
+        )
+        # positional filter: o_ub * (t_num + t_den) >= t_num * (sa + sb)
+        .filter(
+            F.expr(
+                f"least(sa - pa, sb - pb) * {t_num + t_den} "
+                f">= {t_num} * (sa + sb)"
+            )
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # verify: project the stored (df, tk) struct arrays down to item
+    # strings POST-join (candidate rows only, cheap) — array_intersect
+    # over struct arrays has no hash-based fast path and degrades to a
+    # quadratic interpreted comparison (measured: turned a 10 s query
+    # into a >5 min one at sf0.1)
+    full = ordered.select(
+        "doc_id", F.expr("transform(arr, s -> s.tk)").alias("arr"), "sz"
+    )
+    # both verify sides are the per-set arrays (set-count rows, far
+    # smaller than the corpus) — broadcast them so the candidate pairs
+    # never shuffle with array payloads attached.  At 100 TB the set
+    # table outgrows a broadcast: drop the two hints and the same plan
+    # becomes a pair-partitioned shuffle join, still linear in
+    # candidates.
+    return (
+        cand.join(
+            F.broadcast(
+                full.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("arr").alias("ta"),
+                    F.col("sz").alias("sa"),
+                )
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                full.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("arr").alias("tb"),
+                    F.col("sz").alias("sb"),
+                )
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ta", "tb")).alias("n_common"),
+            "sa",
+            "sb",
+        )
+        .filter(f"n_common * {t_den} >= {t_num} * (sa + sb - n_common)")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("n_common * 1000000 div (sa + sb - n_common)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )

@@ -203,3 +203,75 @@ def test_dup_span_removal_keeps_lowest_doc(spark):
         portable_hash64(F.lit(b_clean), salt="clean").alias("h")
     ).collect()[0].h
     assert out[2].clean_fp == fp
+
+
+def test_prefix_filter_join_complete_vs_bruteforce(spark):
+    """Prefix filtering (SSJoin/PPJoin) must be EXACT: identical result
+    set to the all-pairs Jaccard join on a synthetic corpus engineered
+    with planted near-dups, exact dups, disjoint docs, and sets whose
+    sizes straddle the length filter (recall 1.0 is the operator's whole
+    claim vs MinHash-LSH)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.dedup import prefix_filter_pairs
+
+    # items are single tokens (the operator is representation-agnostic)
+    sets = {
+        1: ["a", "b", "c", "d", "e", "f", "g", "h", "i", "j"],
+        2: ["a", "b", "c", "d", "e", "f", "g", "h", "i", "k"],  # J=9/11
+        3: ["a", "b", "c", "d", "e", "f", "g", "h", "i", "j"],  # J=1 w/ 1
+        4: ["x", "y", "z"],                                      # disjoint
+        5: ["a", "b", "c"],            # high overlap, fails length filter
+        6: ["x", "y", "z", "w"],                                 # J=3/4 w/ 4
+        7: ["m"],                                                # singleton
+        8: ["m"],                                                # J=1 w/ 7
+    }
+    rows = [(i, tk) for i, ts in sets.items() for tk in ts]
+    df = spark.createDataFrame(rows, ["doc_id", "shingle"])
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard_ppm)
+        for r in prefix_filter_pairs(df, t_num=7, t_den=10).collect()
+    }
+    want = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(set(sets[a]) & set(sets[b]))
+        union = len(set(sets[a]) | set(sets[b]))
+        if inter * 10 >= 7 * union:
+            want.add((a, b, inter * 1_000_000 // union))
+    assert got == want, (sorted(got), sorted(want))
+    assert (1, 3, 1_000_000) in want and (7, 8, 1_000_000) in want
+
+
+def test_prefix_filter_join_randomized_vs_bruteforce(spark):
+    """Deterministic pseudo-random corpus (hash-derived, no RNG state):
+    prefix-filter result == brute force at two thresholds."""
+    import hashlib
+    import itertools
+
+    from flow_spark.operators.dedup import prefix_filter_pairs
+
+    def toks(i):
+        # overlapping vocab slices force shared rare+common tokens
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        base = h % 20
+        n = 5 + h % 11
+        return [f"t{(base + j * (1 + h % 3)) % 40}" for j in range(n)]
+
+    sets = {i: sorted(set(toks(i))) for i in range(60)}
+    rows = [(i, tk) for i, ts in sets.items() for tk in ts]
+    df = spark.createDataFrame(rows, ["doc_id", "shingle"])
+    for t_num, t_den in ((7, 10), (1, 2)):
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in prefix_filter_pairs(df, t_num=t_num, t_den=t_den).collect()
+        }
+        want = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(set(sets[a]) & set(sets[b]))
+            union = len(set(sets[a]) | set(sets[b]))
+            if inter * t_den >= t_num * union:
+                want.add((a, b))
+        assert got == want, (t_num, t_den, got ^ want)
+        assert want  # the corpus genuinely contains qualifying pairs

@@ -10,6 +10,16 @@ its previous time (and above NOISE_FLOOR_SEC, where scheduling jitter
 dominates) fails the run with exit 2, so the novel-operator families get
 the same round-over-round protection as the 19 bench.py headliners.
 
+Host-drift normalization (round 5): identical code measured 1.4-1.7x
+apart across round-3/4/5 boxes, so every run now records bench.py's
+fixed-work calibration probe (calibration_mt_sec, top level) and the
+gate scales each prior record by (this run's probe / the prior run's
+probe) before comparing.  A slower box inflates probe and queries
+together and stays quiet; a real code regression moves the query but
+not the probe.  Prior files without a probe fall back to bench.py's
+pinned _CAL_REF_MT_SEC (recorded on the same round-5 box class as the
+last un-probed refresh).
+
 Usage: python tools/family_bench.py [sf_dir]
 Exit: 0 ok, 2 regression detected (FAMILY_BENCH.json still refreshed,
 with the offending entries listed in the "regressions" key).
@@ -168,20 +178,24 @@ REGRESSION_FACTOR = 1.5
 NOISE_FLOOR_SEC = 0.4  # below this, scheduling jitter dominates the median
 
 
-def _previous(path: str) -> dict[str, float]:
-    """Flat {query: sec} from the prior round's FAMILY_BENCH.json."""
+def _previous(path: str) -> tuple[dict[str, float], float]:
+    """(flat {query: sec}, calibration_mt_sec) from the prior round's
+    FAMILY_BENCH.json.  Prior files recorded before the probe existed
+    fall back to bench.py's pinned reference (same box class)."""
+    from bench import _CAL_REF_MT_SEC
+
     if not os.path.exists(path):
-        return {}
+        return {}, _CAL_REF_MT_SEC
     try:
         with open(path) as f:
             prior = json.load(f)
     except (OSError, json.JSONDecodeError):
-        return {}
+        return {}, _CAL_REF_MT_SEC
     flat: dict[str, float] = {}
     for fam in prior.values():
         if isinstance(fam, dict):
             flat.update(fam.get("queries", {}))
-    return flat
+    return flat, float(prior.get("calibration_mt_sec") or _CAL_REF_MT_SEC)
 
 
 def main() -> int:
@@ -190,9 +204,16 @@ def main() -> int:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "FAMILY_BENCH.json",
     )
-    prior = _previous(path)
+    prior, prior_cal = _previous(path)
     spark = get_spark("flow-spark-family-bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from bench import _calibration_probe
+
+    cal = _calibration_probe(spark)
+    # a slower box makes drift > 1; prior records are scaled UP by it
+    # before the regression compare (and down on a faster box, which
+    # only tightens the gate)
+    drift = cal["mt_sec"] / prior_cal
     queries = all_queries()
     out: dict[str, dict] = {}
     regressions: list[dict] = []
@@ -217,12 +238,19 @@ def main() -> int:
             if (
                 was is not None
                 and fam[name] > NOISE_FLOOR_SEC
-                and fam[name] > REGRESSION_FACTOR * was
+                and fam[name] > REGRESSION_FACTOR * was * drift
             ):
                 regressions.append(
-                    {"query": name, "was_sec": was, "now_sec": fam[name]}
+                    {
+                        "query": name,
+                        "was_sec": was,
+                        "now_sec": fam[name],
+                        "drift_applied": round(drift, 3),
+                    }
                 )
         out[family] = {"queries": fam, "total_sec": round(sum(fam.values()), 3)}
+    out["calibration_mt_sec"] = cal["mt_sec"]
+    out["calibration"] = cal
     if regressions:
         out["regressions"] = regressions
     with open(path, "w") as f:
