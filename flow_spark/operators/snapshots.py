@@ -1259,3 +1259,162 @@ def snapshot_diff(
         "old",
         "new",
     )
+
+
+# ---- file-level bloom-filter index -----------------------------------------
+#
+# [min, max] stats prune files only for columns the data is CLUSTERED on;
+# a point lookup on a scattered column (customer id in an orderkey-
+# clustered table) matches every file's range.  Lakehouse formats answer
+# with per-file bloom filters (Parquet bloom filters, Delta bloom index):
+# k hash probes against a per-file bit array decide "definitely absent"
+# (skip the file) vs "maybe present" (scan it) — false positives only
+# cost an extra scan, never correctness.  The hash family is the
+# portable md5 mix (functions/hashing.py + mh_coeffs), so the DuckDB
+# oracle can replay every bit and the probe is computable driver-side
+# without a Spark job.
+
+
+def snapshot_build_bloom(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    bits: int = 8192,
+    k: int = 3,
+    version: "int | None" = None,
+) -> int:
+    """Build per-file bloom filters over ``col`` and commit them as the
+    next version (same data files — an index build, not a rewrite).
+
+    Bit positions of a value v: ``((a_i * h + b_i) % P) % bits`` for
+    i in 0..k-1, with ``h = portable_hash64(cast(v as string)) % P``
+    and (a_i, b_i) from :func:`flow_spark.operators.dedup.mh_coeffs`.
+    One aggregate scan computes every file's set-bit list (grouped by
+    ``_metadata.file_path``, distinct positions collected map-side); the
+    driver packs each into a base64 bitmap stored in the manifest
+    (bits/8 bytes per file — 1 KB at the 8192 default).
+
+    The index belongs to THIS version's file list: a later
+    ``snapshot_write`` commits a manifest without the ``bloom`` key, so
+    stale filters can never prune files they were not built from
+    (standard index invalidation; rebuild after data commits).
+    """
+    import base64
+
+    from pyspark.sql import functions as F
+
+    from flow_spark.functions.hashing import portable_hash64
+    from flow_spark.operators.dedup import MH_P, mh_coeffs
+
+    v = version if version is not None else current_version(table_dir)
+    with open(_manifest_path(table_dir, v)) as fh:
+        manifest = json.load(fh)
+    files = manifest["files"]
+    h = portable_hash64(F.col(col).cast("string")) % MH_P
+    pos_cols = []
+    for i in range(k):
+        a, b = mh_coeffs(i)
+        pos_cols.append(((F.lit(a) * h + F.lit(b)) % MH_P % bits).alias(f"p{i}"))
+    from functools import reduce
+
+    union_of_sets = reduce(
+        F.array_union, [F.collect_set(f"p{i}") for i in range(1, k)],
+        F.collect_set("p0"),
+    )
+    per_file = (
+        _read_manifest_subset(spark, manifest, files)
+        .select(F.col("_metadata.file_path").alias("__fp"), *pos_cols)
+        .groupBy("__fp")
+        .agg(F.array_sort(union_of_sets).alias("positions"))
+        .collect()
+    )
+    filters: dict[str, str] = {}
+    by_path = {r["__fp"].removeprefix("file:"): r["positions"] for r in per_file}
+    for f in files:
+        positions = by_path.get(f)
+        if positions is None:
+            continue  # empty file: no rows, no filter — always scanned
+        bm = bytearray(bits // 8)
+        for p in positions:
+            bm[p // 8] |= 1 << (p % 8)
+        filters[f] = base64.b64encode(bytes(bm)).decode("ascii")
+    new_version = v + 1
+    manifest = dict(manifest)
+    manifest["version"] = new_version
+    manifest["committed_at"] = time.time()
+    manifest["bloom"] = {"col": col, "bits": bits, "k": k, "filters": filters}
+    _commit_manifest(manifest, _manifest_path(table_dir, new_version))
+    return new_version
+
+
+def bloom_probe_positions(value, bits: int, k: int) -> "list[int]":
+    """The k bit positions of ``value`` — pure Python, bit-identical to
+    the executor-side expression (md5 is md5 everywhere)."""
+    import hashlib
+
+    from flow_spark.operators.dedup import MH_P, mh_coeffs
+
+    h = (
+        int(hashlib.md5(str(value).encode()).hexdigest()[:15], 16) % MH_P
+    )
+    out = []
+    for i in range(k):
+        a, b = mh_coeffs(i)
+        out.append((a * h + b) % MH_P % bits)
+    return out
+
+
+def snapshot_bloom_candidates(
+    table_dir: str, value, version: "int | None" = None
+) -> "tuple[list[str], int]":
+    """(files that may contain ``value`` in the indexed column, total
+    file count) — decided from the manifest alone, zero data read.
+
+    A file is skipped ONLY when its filter proves absence (some probe
+    bit unset); files without a recorded filter are always candidates.
+    Raises if the version has no bloom index (callers must not silently
+    fall back to a full scan they believe is pruned).
+    """
+    import base64
+
+    v = version if version is not None else current_version(table_dir)
+    with open(_manifest_path(table_dir, v)) as fh:
+        manifest = json.load(fh)
+    bloom = manifest.get("bloom")
+    if not bloom:
+        raise ValueError(f"version {v} of {table_dir} has no bloom index")
+    probes = bloom_probe_positions(value, bloom["bits"], bloom["k"])
+    out = []
+    for f in manifest["files"]:
+        b64 = bloom["filters"].get(f)
+        if b64 is None:
+            out.append(f)
+            continue
+        bm = base64.b64decode(b64)
+        if all(bm[p // 8] & (1 << (p % 8)) for p in probes):
+            out.append(f)
+    return out, len(manifest["files"])
+
+
+def snapshot_read_point(
+    spark: SparkSession,
+    table_dir: str,
+    value,
+    version: "int | None" = None,
+) -> DataFrame:
+    """Point lookup through the bloom index: scan ONLY candidate files,
+    with the row filter on the indexed column applied (false positives
+    are eliminated here — the index can only over-scan, never miss)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    v = version if version is not None else current_version(table_dir)
+    with open(_manifest_path(table_dir, v)) as fh:
+        manifest = json.load(fh)
+    col = manifest["bloom"]["col"]  # KeyError if unindexed: same contract
+    files, _total = snapshot_bloom_candidates(table_dir, value, v)
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    if not files:
+        return spark.createDataFrame([], schema)
+    df = _read_manifest_subset(spark, manifest, files, schema)
+    return df.filter(F.col(col) == F.lit(value))

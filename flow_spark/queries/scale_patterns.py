@@ -1988,3 +1988,136 @@ def snap_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change")
     )
+
+
+def _bloom_oracle_sql() -> str:
+    from flow_spark.operators.dedup import MH_P, mh_coeffs
+
+    probes = ",\n                ".join(
+        f"(({a} * h + {b}) % {MH_P}) % 65536"
+        for a, b in (mh_coeffs(i) for i in range(3))
+    )
+    return f"""
+        WITH o AS (
+            SELECT o_orderkey // 4096 AS okb, o_custkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       AS cents
+            FROM orders
+        ),
+        hs AS (
+            SELECT okb, o_custkey,
+                   CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                        AS BIGINT) % {MH_P} AS h
+            FROM o
+        ),
+        filebits AS MATERIALIZED (
+            SELECT DISTINCT okb, unnest([{probes}]) AS pos FROM hs
+        ),
+        probes AS (
+            SELECT o_custkey AS k FROM (
+                SELECT DISTINCT o_custkey FROM orders
+                ORDER BY o_custkey LIMIT 5)
+            UNION ALL SELECT MAX(o_custkey) + 1 FROM orders
+            UNION ALL SELECT MAX(o_custkey) + 2 FROM orders
+        ),
+        ppos AS (
+            SELECT k, pos FROM (
+                SELECT DISTINCT k,
+                       CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))
+                            AS BIGINT) % {MH_P} AS h
+                FROM probes
+            ), LATERAL (SELECT unnest([{probes}]) AS pos)
+        ),
+        np AS (SELECT k, COUNT(DISTINCT pos) AS n FROM ppos GROUP BY k),
+        scanned AS (
+            SELECT p.k, b.okb
+            FROM (SELECT DISTINCT k, pos FROM ppos) p
+            JOIN filebits b ON b.pos = p.pos
+            GROUP BY p.k, b.okb
+            HAVING COUNT(DISTINCT p.pos) = (SELECT n FROM np WHERE np.k = p.k)
+        ),
+        tot AS (SELECT COUNT(DISTINCT okb) AS nf FROM o)
+        SELECT p.k AS custkey,
+               CAST(COALESCE(COUNT(o.o_custkey), 0) AS BIGINT) AS n_orders,
+               CAST(COALESCE(SUM(o.cents), 0) AS BIGINT) AS cents_sum,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM scanned s
+                WHERE s.k = p.k) AS n_files_scanned,
+               (SELECT CAST(nf AS BIGINT) FROM tot) AS n_files_total
+        FROM probes p
+        LEFT JOIN o ON o.o_custkey = p.k
+        GROUP BY p.k
+        ORDER BY custkey
+    """
+
+
+@register(
+    "snap_bloom_pointlookup",
+    category="scale-pattern",
+    doc="File-level BLOOM-FILTER index point lookup (operators/"
+    "snapshots.snapshot_build_bloom): orders are committed clustered "
+    "on o_orderkey range buckets (one file per bucket), where [min, "
+    "max] stats are useless for a lookup on the SCATTERED o_custkey — "
+    "every file's custkey range matches.  A per-file bloom filter "
+    "(65536 bits = 8 KB/file, k=3, portable md5 family) answers 'definitely "
+    "absent' from the manifest alone; the lookup scans only candidate "
+    "files and re-filters rows, so false positives cost an extra scan "
+    "but can never miss a row.  Probes: the 5 smallest custkeys plus "
+    "two absent keys.  The oracle replays every set bit and every "
+    "probe, so the PRUNED FILE COUNTS are value-checked, not just the "
+    "rows — Parquet bloom filters / Delta bloom indexes, rebuilt at "
+    "the manifest layer.  At 100 TB this turns a needle-in-haystack "
+    "scan into reading a handful of files.",
+    oracle=_bloom_oracle_sql(),
+)
+def snap_bloom_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flow_spark.operators.snapshots import (
+        snapshot_bloom_candidates,
+        snapshot_build_bloom,
+        snapshot_read_point,
+        snapshot_write_partitioned,
+    )
+    from flow_spark.queries.util import cents
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.expr("o_orderkey div 4096").alias("okb"),
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+    )
+    table_dir = tempfile.mkdtemp(prefix="snap_bloom_")
+    v1 = snapshot_write_partitioned(orders, table_dir, spec=["okb"])
+    v2 = snapshot_build_bloom(
+        spark, table_dir, "o_custkey", bits=65536, k=3, version=v1
+    )
+    # bounded driver-side probe panel (collect-tiny contract): 5 smallest
+    # distinct custkeys + 2 keys guaranteed absent
+    low = [
+        r[0]
+        for r in orders.select("o_custkey")
+        .distinct()
+        .orderBy("o_custkey")
+        .limit(5)
+        .collect()
+    ]
+    mx = orders.agg(F.max("o_custkey")).collect()[0][0]
+    parts = []
+    for key in low + [mx + 1, mx + 2]:
+        cands, total = snapshot_bloom_candidates(table_dir, key, v2)
+        got = snapshot_read_point(spark, table_dir, key, v2)
+        parts.append(
+            got.agg(
+                F.lit(int(key)).cast("bigint").alias("custkey"),
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.coalesce(F.sum(cents("o_totalprice")), F.lit(0))
+                .cast("bigint")
+                .alias("cents_sum"),
+                F.lit(len(cands)).cast("bigint").alias("n_files_scanned"),
+                F.lit(total).cast("bigint").alias("n_files_total"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("custkey")

@@ -1056,3 +1056,98 @@ def test_rollback_missing_version_raises(spark, tmp_path):
     snapshot_write(spark.range(3).selectExpr("id AS k"), t)
     with pytest.raises(FileNotFoundError):
         snapshot_rollback(t, 7)
+
+
+def test_bloom_index_never_misses_and_prunes(spark, tmp_path):
+    """Conservative correctness: for EVERY present key, the candidate
+    list contains every file that holds the key (a miss would silently
+    drop rows); for clearly-absent keys most files are skipped (the
+    index's reason to exist); point reads equal a full-scan filter."""
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        snapshot_bloom_candidates,
+        snapshot_build_bloom,
+        snapshot_read,
+        snapshot_read_point,
+        snapshot_write_partitioned,
+    )
+
+    t = str(tmp_path / "tbl")
+    # 8 files clustered on bucket; key column `u` is scattered mod 97
+    df = spark.range(4000).select(
+        (F.col("id") % 8).alias("bucket"),
+        F.col("id").alias("rid"),
+        (F.col("id") % 97).alias("u"),
+    )
+    v1 = snapshot_write_partitioned(df, t, spec=["bucket"])
+    v2 = snapshot_build_bloom(spark, t, "u", bits=4096, k=3, version=v1)
+
+    full = snapshot_read(spark, t, v2)
+    # every present key: zero false negatives, row-for-row equality
+    truth = {
+        r.u: r.n for r in full.groupBy("u").agg(F.count("*").alias("n")).collect()
+    }
+    for key in (0, 13, 96):
+        cands, total = snapshot_bloom_candidates(t, key, v2)
+        assert total == 8
+        got = snapshot_read_point(spark, t, key, v2)
+        assert got.count() == truth[key]
+        # keys mod 97 < 4000/8... every file holds every residue here, so
+        # candidates must be ALL files (pruning would be a miss)
+        assert len(cands) == 8
+    # absent keys: (almost) everything pruned; reads come back empty
+    pruned_counts = []
+    for key in range(1000, 1040):
+        cands, _ = snapshot_bloom_candidates(t, key, v2)
+        pruned_counts.append(len(cands))
+        if cands:
+            assert snapshot_read_point(spark, t, key, v2).count() == 0
+    assert sum(pruned_counts) <= 8 * len(pruned_counts) * 0.25  # >=75% skipped
+
+
+def test_bloom_index_invalidated_by_later_write(spark, tmp_path):
+    """A data commit after the index build produces a manifest WITHOUT
+    the bloom key — stale filters must never prune files they were not
+    built from."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        snapshot_bloom_candidates,
+        snapshot_build_bloom,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(100).select(F.col("id").alias("u")), t)
+    v2 = snapshot_build_bloom(spark, t, "u", bits=1024, k=3)
+    assert snapshot_bloom_candidates(t, 5, v2)
+    v3 = snapshot_write(spark.range(100, 200).select(F.col("id").alias("u")), t)
+    with pytest.raises(ValueError, match="no bloom index"):
+        snapshot_bloom_candidates(t, 5, v3)
+
+
+def test_bloom_probe_matches_executor_hash(spark, tmp_path):
+    """The driver-side Python probe and the executor-side expression must
+    set exactly the same bits (md5 portability contract)."""
+    from pyspark.sql import functions as F
+
+    from flow_spark.functions.hashing import portable_hash64
+    from flow_spark.operators.dedup import MH_P, mh_coeffs
+    from flow_spark.operators.snapshots import bloom_probe_positions
+
+    bits, k = 4096, 3
+    vals = [0, 1, 7, 96, 12345, 999999999]
+    h = portable_hash64(F.col("v").cast("string")) % MH_P
+    cols = []
+    for i in range(k):
+        a, b = mh_coeffs(i)
+        cols.append(((F.lit(a) * h + F.lit(b)) % MH_P % bits).alias(f"p{i}"))
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], ["v"])
+        .select("v", *cols)
+        .collect()
+    )
+    for r in rows:
+        assert [r.p0, r.p1, r.p2] == bloom_probe_positions(r.v, bits, k), r.v
