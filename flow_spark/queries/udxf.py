@@ -441,3 +441,67 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(
         batch_stats, schema="doc_id long, nchars long, nspaces long"
     ).orderBy("doc_id")
+
+
+@register(
+    "udf_grouped_apply_arrow",
+    category="udf",
+    doc="groupBy().applyInArrow (Spark 4): per-group pyarrow Table "
+    "transform — the Arrow-native sibling of grouped applyInPandas, "
+    "zero pandas materialization.  Each user bucket's event_ids are "
+    "sorted inside the group and the census of LARGE GAPS between "
+    "consecutive ids (> 500) is counted — a computation that needs the "
+    "whole group ordered, not a per-row or algebraic aggregate.  All "
+    "integer outputs; the oracle restates the gap census with a lag "
+    "window.  One shuffle on the group key; Arrow batches both ways.",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, user_id % 50 AS ub FROM events
+        ),
+        d AS (
+            SELECT ub,
+                   event_id - lag(event_id)
+                       OVER (PARTITION BY ub ORDER BY event_id) AS gap
+            FROM e
+        )
+        SELECT ub,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(gap) AS BIGINT) AS max_gap,
+               CAST(COALESCE(SUM(CASE WHEN gap > 500 THEN 1 END), 0)
+                    AS BIGINT) AS n_big_gaps
+        FROM d
+        GROUP BY ub
+        ORDER BY ub
+    """,
+)
+def udf_grouped_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def gap_census(tbl):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = np.sort(tbl.column("event_id").to_numpy())
+        gaps = np.diff(ids)
+        return pa.table(
+            {
+                "ub": pa.array([int(tbl.column("ub")[0].as_py())], pa.int64()),
+                "n_events": pa.array([len(ids)], pa.int64()),
+                "max_gap": pa.array(
+                    [int(gaps.max()) if len(gaps) else None], pa.int64()
+                ),
+                "n_big_gaps": pa.array(
+                    [int((gaps > 500).sum())], pa.int64()
+                ),
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", (F.col("user_id") % 50).alias("ub")
+    )
+    return (
+        ev.groupBy("ub")
+        .applyInArrow(
+            gap_census,
+            schema="ub long, n_events long, max_gap long, n_big_gaps long",
+        )
+        .orderBy("ub")
+    )
