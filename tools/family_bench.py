@@ -78,11 +78,17 @@ FAMILIES = {
         "dedup_url_canonical",
         "dedup_dup_spans",
         "dedup_dup_span_removal",
+        "dedup_prefix_filter_join",
     ],
     "sequence": ["seq_markov_transitions", "seq_pattern_regex", "udtf_partitioned_cusum"],
     "multimodal": ["mm_blockmean_embedding", "mm_extract_features", "mm_scene_cuts"],
     "source": ["pysource_synthetic_events"],
-    "python-exec": ["udf_cogrouped_reconcile", "udf_map_in_arrow", "udf_arrow_optimized"],
+    "python-exec": [
+        "udf_cogrouped_reconcile",
+        "udf_map_in_arrow",
+        "udf_arrow_optimized",
+        "udf_grouped_apply_arrow",
+    ],
     "curation": [
         "sample_source_rebalance",
         "feat_hashing_trick",
@@ -133,6 +139,7 @@ FAMILIES = {
         "snap_partition_evolution",
         "snap_rollback",
         "snap_version_diff",
+        "snap_bloom_pointlookup",
     ],
     "ml": [
         "ml_kmeans_quantized",
