@@ -1322,11 +1322,15 @@ def snapshot_build_bloom(
         F.collect_set("p0"),
     )
     per_file = (
-        _read_manifest_subset(spark, manifest, files)
-        .select(F.col("_metadata.file_path").alias("__fp"), *pos_cols)
-        .groupBy("__fp")
-        .agg(F.array_sort(union_of_sets).alias("positions"))
-        .collect()
+        (
+            _read_manifest_subset(spark, manifest, files)
+            .select(F.col("_metadata.file_path").alias("__fp"), *pos_cols)
+            .groupBy("__fp")
+            .agg(F.array_sort(union_of_sets).alias("positions"))
+            .collect()
+        )
+        if files
+        else []  # empty version: commit an index with no filters
     )
     filters: dict[str, str] = {}
     by_path = {r["__fp"].removeprefix("file:"): r["positions"] for r in per_file}

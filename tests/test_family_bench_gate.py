@@ -19,14 +19,19 @@ def test_previous_flattens_families(tmp_path):
             }
         )
     )
-    assert _previous(str(p)) == {"a": 1.0, "b": 2.0, "c": 0.5}
+    flat, cal = _previous(str(p))
+    assert flat == {"a": 1.0, "b": 2.0, "c": 0.5}
+    # no probe recorded -> falls back to bench.py's pinned reference
+    from bench import _CAL_REF_MT_SEC
+
+    assert cal == _CAL_REF_MT_SEC
 
 
 def test_previous_missing_or_corrupt(tmp_path):
-    assert _previous(str(tmp_path / "absent.json")) == {}
+    assert _previous(str(tmp_path / "absent.json"))[0] == {}
     bad = tmp_path / "bad.json"
     bad.write_text("{not json")
-    assert _previous(str(bad)) == {}
+    assert _previous(str(bad))[0] == {}
 
 
 def test_gate_thresholds_are_sane():
@@ -37,3 +42,18 @@ def test_gate_thresholds_are_sane():
     assert now > REGRESSION_FACTOR * was and now > NOISE_FLOOR_SEC
     was, now = 0.1, 0.39  # 3.9x slower but under the noise floor
     assert not (now > NOISE_FLOOR_SEC and now > REGRESSION_FACTOR * was)
+
+
+def test_previous_reads_recorded_calibration(tmp_path):
+    p = tmp_path / "FAMILY_BENCH.json"
+    p.write_text(
+        json.dumps(
+            {
+                "graph": {"queries": {"a": 1.0}, "total_sec": 1.0},
+                "calibration_mt_sec": 0.9,
+            }
+        )
+    )
+    flat, cal = _previous(str(p))
+    assert flat == {"a": 1.0}
+    assert cal == 0.9
