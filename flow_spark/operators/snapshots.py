@@ -341,6 +341,36 @@ def _prune_candidates(
     return out
 
 
+def _bloom_prune_candidates(
+    bloom: dict, files: "list[str]", keys: "list"
+) -> "list[str]":
+    """Files whose bloom filter admits at least one batch key.
+
+    A file proves a key absent when some probe bit is unset; it stays a
+    MERGE candidate only if SOME key passes all probes (or it has no
+    recorded filter — must scan).  Pure driver arithmetic on the
+    manifest: each file's bitmap is decoded once, each key's probe
+    positions are computed once.
+    """
+    import base64
+
+    probes = [
+        bloom_probe_positions(k, bloom["bits"], bloom["k"]) for k in keys
+    ]
+    out = []
+    for f in files:
+        b64 = bloom["filters"].get(f)
+        if b64 is None:
+            out.append(f)
+            continue
+        bm = base64.b64decode(b64)
+        if any(
+            all(bm[p // 8] & (1 << (p % 8)) for p in ps) for ps in probes
+        ):
+            out.append(f)
+    return out
+
+
 def snapshot_upsert(
     spark: SparkSession,
     batch: DataFrame,
@@ -359,7 +389,11 @@ def snapshot_upsert(
        sorted batch keys per interval, pure driver-side arithmetic)
        cannot be affected and is never even scanned — at 100 TB this is
        what turns a point update from a table scan into a footer-sized
-       read, exactly how Delta/Iceberg MERGE prunes on file stats;
+       read, exactly how Delta/Iceberg MERGE prunes on file stats; when
+       the version also carries a bloom index on the key column
+       (:func:`snapshot_build_bloom`), files whose filters prove every
+       batch key absent are pruned too — the case [min, max] can't
+       touch, keys scattered across every file's range;
     2. scan only the candidate files with ``_metadata.file_path`` and
        semi-join against the batch keys -> the affected-file list
        (the stats say "may contain", the scan says "does");
@@ -388,19 +422,32 @@ def snapshot_upsert(
     cur_schema = StructType.fromJson(json.loads(cur_manifest["schema"]))
     keys = batch.select(key_col).distinct()
 
-    # --- stats pruning (driver-side, no data read) ---
-    # only when the manifest's stats describe THIS key column; one
-    # bounded collect serves both the size check and the key list
+    # --- stats + bloom pruning (driver-side, no data read) ---
+    # [min, max] stats apply when the manifest's stats describe THIS key
+    # column; a bloom index built on it (snapshot_build_bloom) prunes
+    # the files min/max can't — scattered keys match every file's range
+    # but set only a few files' bloom bits.  One bounded collect serves
+    # both prunings and the size check.
     stats = snapshot_stats(table_dir, cur_v)
+    stats_usable = bool(stats) and snapshot_stats_col(table_dir, cur_v) == key_col
+    bloom = cur_manifest.get("bloom")
+    bloom_usable = bool(bloom) and bloom.get("col") == key_col
     candidates = cur_files
-    if stats and snapshot_stats_col(table_dir, cur_v) == key_col:
+    if stats_usable or bloom_usable:
         rows = keys.limit(1_000_001).collect()
         if len(rows) <= 1_000_000:  # CDC batches are small; else full scan
             raw_keys = [r[0] for r in rows]
             if any(k is None for k in raw_keys):
                 raise ValueError("MERGE key must be non-null in the batch")
             key_list = sorted(raw_keys)
-            candidates = _prune_candidates(cur_files, stats, key_list)
+            if stats_usable:
+                candidates = _prune_candidates(cur_files, stats, key_list)
+            # bloom probing is O(files x keys x k) driver arithmetic:
+            # worth it for CDC-sized batches, skipped for bulk loads
+            if bloom_usable and len(key_list) <= 10_000:
+                candidates = _bloom_prune_candidates(
+                    bloom, candidates, key_list
+                )
     if not candidates:
         return snapshot_write(
             batch.dropDuplicates([key_col]),
@@ -1298,6 +1345,12 @@ def snapshot_build_bloom(
     ``snapshot_write`` commits a manifest without the ``bloom`` key, so
     stale filters can never prune files they were not built from
     (standard index invalidation; rebuild after data commits).
+
+    The rebuild is INCREMENTAL: data files are immutable, so filters
+    recorded by any earlier version under the same (col, bits, k) stay
+    valid for the files both versions share — they are inherited, and
+    only files never indexed before are scanned.  After a MERGE that
+    rewrote one file out of a thousand, re-indexing scans one file.
     """
     import base64
 
@@ -1309,7 +1362,28 @@ def snapshot_build_bloom(
     v = version if version is not None else current_version(table_dir)
     with open(_manifest_path(table_dir, v)) as fh:
         manifest = json.load(fh)
-    files = manifest["files"]
+    all_files = manifest["files"]
+    # inherit filters from the most recent earlier version whose index
+    # used the same column and geometry (per-file bitmaps of immutable
+    # files never go stale; only membership of the FILE LIST changes)
+    inherited: dict[str, str] = {}
+    for pv in range(v - 1, 0, -1):
+        try:
+            with open(_manifest_path(table_dir, pv)) as fh:
+                pb = json.load(fh).get("bloom")
+        except FileNotFoundError:  # vacuumed away
+            break
+        if (
+            pb
+            and pb.get("col") == col
+            and pb.get("bits") == bits
+            and pb.get("k") == k
+        ):
+            inherited = {
+                f: b64 for f, b64 in pb["filters"].items() if f in set(all_files)
+            }
+            break
+    files = [f for f in all_files if f not in inherited]
     h = portable_hash64(F.col(col).cast("string")) % MH_P
     pos_cols = []
     for i in range(k):
@@ -1332,7 +1406,7 @@ def snapshot_build_bloom(
         if files
         else []  # empty version: commit an index with no filters
     )
-    filters: dict[str, str] = {}
+    filters: dict[str, str] = dict(inherited)
     by_path = {r["__fp"].removeprefix("file:"): r["positions"] for r in per_file}
     for f in files:
         positions = by_path.get(f)

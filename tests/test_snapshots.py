@@ -1151,3 +1151,118 @@ def test_bloom_probe_matches_executor_hash(spark, tmp_path):
     )
     for r in rows:
         assert [r.p0, r.p1, r.p2] == bloom_probe_positions(r.v, bits, k), r.v
+
+
+def test_upsert_prunes_with_bloom_index(spark, tmp_path):
+    """MERGE on a bloom-indexed version: files whose filters prove every
+    batch key absent are never candidates (the scattered-key case where
+    [min, max] stats prune nothing), semantics identical to an unpruned
+    MERGE, and the committed version drops the now-stale index."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        _bloom_prune_candidates,
+        _manifest_path,
+        snapshot_build_bloom,
+        snapshot_files,
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_write_partitioned,
+    )
+
+    t = str(tmp_path / "tbl")
+    # 8 files clustered on bucket; u is the scattered merge key
+    base = spark.range(800).select(
+        (F.col("id") % 8).alias("bucket"),
+        F.col("id").alias("u"),
+        (F.col("id") * 3).alias("val"),
+    )
+    v1 = snapshot_write_partitioned(base, t, spec=["bucket"])
+    v2 = snapshot_build_bloom(spark, t, "u", bits=65536, k=3, version=v1)
+    with open(_manifest_path(t, v2)) as fh:
+        m2 = _json.load(fh)
+
+    # keys 5 and 13 live in buckets 5 and 5? (id%8: 5 -> bucket 5,
+    # 13 -> bucket 5) — pick keys in two different buckets instead
+    keys = [5, 14]  # buckets 5 and 6
+    cands = _bloom_prune_candidates(m2["bloom"], m2["files"], keys)
+    assert len(cands) <= 3  # 2 true files + at most 1 false positive
+    truefiles = {f for f in m2["files"] if "bucket=5" in f or "bucket=6" in f}
+    assert truefiles <= set(cands)  # never prune a file holding a key
+
+    batch = spark.createDataFrame(
+        [(5, 5, -100), (6, 14, -200), (0, 801, -300)],
+        ["bucket", "u", "val"],
+    )
+    v3 = snapshot_upsert(spark, batch, t, key_col="u")
+    got = {
+        r.u: r.val
+        for r in snapshot_read(spark, t, v3).filter(
+            F.col("u").isin(5, 14, 801, 6, 22)
+        ).collect()
+    }
+    assert got[5] == -100 and got[14] == -200 and got[801] == -300
+    assert got[6] == 18 and got[22] == 66  # untouched neighbors survive
+    assert snapshot_read(spark, t, v3).count() == 801
+    # untouched files reused by reference; stale bloom dropped
+    reused = set(snapshot_files(t, v2)) & set(snapshot_files(t, v3))
+    assert len(reused) >= 5  # at least the 5 never-candidate buckets
+    with open(_manifest_path(t, v3)) as fh:
+        assert "bloom" not in _json.load(fh)
+
+
+def test_bloom_incremental_rebuild_inherits_shared_files(spark, tmp_path):
+    """Re-indexing after a MERGE must scan ONLY files not indexed
+    before: filters of shared (immutable) files are inherited from the
+    prior index version.  Proven by tampering one shared file's stored
+    filter — a rescan would recompute it, inheritance carries the
+    tampered bytes verbatim — while new files get real filters."""
+    import base64
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        _manifest_path,
+        snapshot_build_bloom,
+        snapshot_files,
+        snapshot_upsert,
+        snapshot_write_partitioned,
+    )
+
+    t = str(tmp_path / "tbl")
+    base = spark.range(800).select(
+        (F.col("id") % 8).alias("bucket"),
+        F.col("id").alias("u"),
+        (F.col("id") * 3).alias("val"),
+    )
+    v1 = snapshot_write_partitioned(base, t, spec=["bucket"])
+    v2 = snapshot_build_bloom(spark, t, "u", bits=65536, k=3, version=v1)
+    batch = spark.createDataFrame([(5, 5, -1), (0, 900, -2)], ["bucket", "u", "val"])
+    v3 = snapshot_upsert(spark, batch, t, key_col="u")
+
+    shared = sorted(set(snapshot_files(t, v2)) & set(snapshot_files(t, v3)))
+    new_files = sorted(set(snapshot_files(t, v3)) - set(snapshot_files(t, v2)))
+    assert shared and new_files
+    # tamper one shared file's stored filter in the v2 manifest
+    mp2 = _manifest_path(t, v2)
+    with open(mp2) as fh:
+        m2 = _json.load(fh)
+    tampered = base64.b64encode(bytes([0xFF] * (65536 // 8))).decode("ascii")
+    f0 = shared[0]
+    orig_other = {f: m2["bloom"]["filters"][f] for f in shared[1:]}
+    m2["bloom"]["filters"][f0] = tampered
+    with open(mp2, "w") as fh:
+        _json.dump(m2, fh)
+
+    v4 = snapshot_build_bloom(spark, t, "u", bits=65536, k=3, version=v3)
+    with open(_manifest_path(t, v4)) as fh:
+        m4 = _json.load(fh)
+    assert m4["bloom"]["filters"][f0] == tampered  # inherited, not rescanned
+    for f, b64 in orig_other.items():
+        assert m4["bloom"]["filters"][f] == b64
+    for f in new_files:
+        assert f in m4["bloom"]["filters"]
+        assert m4["bloom"]["filters"][f] != tampered
