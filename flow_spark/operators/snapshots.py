@@ -156,6 +156,10 @@ def snapshot_write(
         "partitions": partitions,
         "bases": bases,
     }
+    # reused files keep needing their deletion vectors (DV rows are
+    # path-keyed; entries for dropped files anti-join nothing)
+    if reuse_files and prev_manifest and prev_manifest.get("dv_dirs"):
+        manifest["dv_dirs"] = prev_manifest["dv_dirs"]
     _commit_manifest(manifest, _manifest_path(table_dir, version))
     return version
 
@@ -198,6 +202,7 @@ def _read_manifest_subset(
     manifest: dict,
     files: "list[str]",
     schema=None,
+    with_meta: bool = False,
 ):
     """Read a subset of a manifest's files, reconstructing hive partition
     columns for files written by :func:`snapshot_write_partitioned`.
@@ -211,10 +216,28 @@ def _read_manifest_subset(
     carry all columns in the payload and are read directly.  Groups union
     by name, so one version can mix files written under different specs.
 
+    Deletion vectors: when the manifest carries ``dv_dirs``
+    (:func:`snapshot_delete`), rows listed in the DV sidecars are
+    anti-joined out HERE, so every manifest-reading API — reads, MERGE
+    survivor scans, changefeeds, compaction, index builds — sees the
+    post-delete table (merge-on-read).  The join keys are the scan's
+    own ``_metadata`` (file_path, row_index), attached as real columns
+    before the union because ``_metadata`` cannot be referenced through
+    a join.
+
+    ``with_meta=True`` keeps those columns (named ``__fp``/``__ri``) in
+    the result for callers that need file lineage — selecting
+    ``_metadata`` on the RETURNED frame breaks as soon as a DV join is
+    present, so lineage-needing callers must use this flag instead.
+
     Every manifest-reading API goes through here — reading partitioned
     files through a path that skipped the bases would corrupt partition
     columns to NULL (the exact interop bug this helper closes).
     """
+    from pyspark.sql import functions as F
+
+    dv_dirs = manifest.get("dv_dirs") or []
+    attach = with_meta or bool(dv_dirs)
     bases = manifest.get("bases", {})
     by_base: "dict[str | None, list[str]]" = {}
     for f in files:
@@ -226,10 +249,25 @@ def _read_manifest_subset(
             rd = rd.option("basePath", base)
         if schema is not None:
             rd = rd.schema(schema)
-        parts.append(rd.parquet(*sorted(by_base[base])))
+        p = rd.parquet(*sorted(by_base[base]))
+        if attach:
+            p = p.withColumns(
+                {
+                    "__fp": F.col("_metadata.file_path"),
+                    "__ri": F.col("_metadata.row_index"),
+                }
+            )
+        parts.append(p)
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
+    if dv_dirs:
+        # no broadcast hint: small DVs auto-broadcast under the session
+        # threshold, a mass-delete DV shuffles — both correct
+        dv = spark.read.parquet(*dv_dirs).select("__fp", "__ri").distinct()
+        df = df.join(dv, ["__fp", "__ri"], "left_anti")
+    if attach and not with_meta:
+        df = df.drop("__fp", "__ri")
     return df
 
 
@@ -461,8 +499,8 @@ def snapshot_upsert(
     # missing columns with NULLs instead of poisoning footer inference;
     # basePath grouping keeps partitioned predecessors' path columns real
     with_path = _read_manifest_subset(
-        spark, cur_manifest, candidates, cur_schema
-    ).select(F.col(key_col), F.col("_metadata.file_path").alias("__fp"))
+        spark, cur_manifest, candidates, cur_schema, with_meta=True
+    ).select(F.col(key_col), "__fp")
     affected = [
         r[0]
         for r in with_path.join(F.broadcast(keys), key_col, "left_semi")
@@ -668,6 +706,11 @@ def snapshot_compact(
         "partitions": partitions,
         "bases": bases,
     }
+    # kept (uncompacted) files still need their deletion vectors; the
+    # rewritten groups were read DV-filtered, so their new files are
+    # clean and no DV path can match them
+    if keep and prev.get("dv_dirs"):
+        manifest["dv_dirs"] = prev["dv_dirs"]
     _commit_manifest(manifest, _manifest_path(table_dir, version))
     return version
 
@@ -1196,11 +1239,13 @@ def snapshot_write_partitioned(
         partitions[f] = vals
         bases[f] = write_dir
     prev_version = current_version(table_dir)
+    dv_dirs = None
     if prev_version >= 1 and reuse_files:
         with open(_manifest_path(table_dir, prev_version)) as fh:
             prev_manifest = json.load(fh)
         prev_parts = prev_manifest.get("partitions", {})
         prev_bases = prev_manifest.get("bases", {})
+        dv_dirs = prev_manifest.get("dv_dirs")
         for f in reuse_files:
             partitions.setdefault(f, prev_parts.get(f, {}))
             if f in prev_bases:
@@ -1216,6 +1261,8 @@ def snapshot_write_partitioned(
         "partitions": partitions,
         "bases": bases,
     }
+    if dv_dirs:  # reused files keep needing their deletion vectors
+        manifest["dv_dirs"] = dv_dirs
     _commit_manifest(manifest, _manifest_path(table_dir, version))
     return version
 
@@ -1397,8 +1444,8 @@ def snapshot_build_bloom(
     )
     per_file = (
         (
-            _read_manifest_subset(spark, manifest, files)
-            .select(F.col("_metadata.file_path").alias("__fp"), *pos_cols)
+            _read_manifest_subset(spark, manifest, files, with_meta=True)
+            .select("__fp", *pos_cols)
             .groupBy("__fp")
             .agg(F.array_sort(union_of_sets).alias("positions"))
             .collect()
@@ -1496,3 +1543,67 @@ def snapshot_read_point(
         return spark.createDataFrame([], schema)
     df = _read_manifest_subset(spark, manifest, files, schema)
     return df.filter(F.col(col) == F.lit(value))
+
+
+# ---- deletion vectors (merge-on-read DELETE) -------------------------------
+
+
+def snapshot_delete(
+    spark: SparkSession,
+    table_dir: str,
+    predicate,
+) -> int:
+    """DELETE WHERE ``predicate`` without rewriting a single data file —
+    deletion vectors, the merge-on-read strategy of modern Delta/Iceberg.
+
+    One scan finds the matching rows' (file, row_index) pairs — the
+    scan's own ``_metadata``, stable for parquet regardless of task
+    scheduling — and writes them as a parquet DV sidecar under
+    ``table_dir/_dv/``; the commit is a manifest that lists the SAME
+    data files plus the sidecar path.  Every manifest-reading API
+    anti-joins the vectors out centrally (``_read_manifest_subset``),
+    so reads, MERGEs, changefeeds and index builds all see the
+    post-delete table; rewriting paths (compaction, MERGE survivors)
+    physically drop the rows and their new files carry no vectors.
+
+    Deletes accumulate: each call appends a sidecar, read-side
+    ``distinct`` makes re-deleting a row idempotent.  At 100 TB a
+    point delete costs one pushdown-pruned scan plus a sidecar of the
+    deleted row count — not a copy-on-write of every touched file; run
+    compaction when accumulated vectors make the anti-join material.
+
+    ``predicate``: a Column or SQL string evaluated against the current
+    version.  Returns the new version (identical to the old one when
+    nothing matched — the DV is empty but harmless).
+    """
+    from pyspark.sql import functions as F
+
+    cur_v = current_version(table_dir)
+    if cur_v < 1:
+        raise FileNotFoundError(f"no committed versions in {table_dir}")
+    with open(_manifest_path(table_dir, cur_v)) as fh:
+        manifest = json.load(fh)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    dv_dir = os.path.join(table_dir, "_dv", uuid.uuid4().hex[:12])
+    (
+        _read_manifest_subset(
+            spark, manifest, manifest["files"], schema, with_meta=True
+        )
+        .filter(cond)
+        .select("__fp", "__ri")
+        .write.mode("error")
+        .parquet(dv_dir)
+    )
+    new_version = cur_v + 1
+    new_manifest = dict(manifest)
+    new_manifest["version"] = new_version
+    new_manifest["committed_at"] = time.time()
+    new_manifest["dv_dirs"] = list(manifest.get("dv_dirs") or []) + [dv_dir]
+    # a bloom index keyed on data files stays VALID under merge-on-read
+    # deletes for pruning (it can only over-approximate membership), so
+    # it carries forward with the files it was built from.
+    _commit_manifest(new_manifest, _manifest_path(table_dir, new_version))
+    return new_version

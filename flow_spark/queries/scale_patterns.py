@@ -2121,3 +2121,64 @@ def snap_bloom_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("custkey")
+
+
+@register(
+    "snap_delete_vectors",
+    category="scale-pattern",
+    doc="Merge-on-read DELETE via deletion vectors (operators/snapshots."
+    "snapshot_delete): two successive DELETEs (GDPR-style scattered "
+    "customer purge, then a value-predicate purge) each commit only a "
+    "parquet sidecar of (file, row_index) pairs found by one scan — "
+    "ZERO data files rewritten, proven by the files_unchanged flag "
+    "comparing the manifests' file lists.  Every read path anti-joins "
+    "the vectors centrally, deletes accumulate across versions, and "
+    "time travel to the pre-delete version still sees every row "
+    "(asserted in tests/test_snapshots.py).  Output: per-status live "
+    "row counts and exact cents totals after both deletes — the "
+    "oracle recomputes them as WHERE NOT (p1 OR p2).  At 100 TB this "
+    "is the difference between a GDPR purge rewriting every touched "
+    "file (copy-on-write) and writing a row-id sidecar.",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_live,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS cents_live,
+               CAST(1 AS BIGINT) AS files_unchanged
+        FROM orders
+        WHERE NOT (o_custkey % 10 = 3 OR o_totalprice > 400000.0)
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+)
+def snap_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flow_spark.operators.snapshots import (
+        snapshot_delete,
+        snapshot_files,
+        snapshot_read,
+        snapshot_write,
+    )
+    from flow_spark.queries.util import cents
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    table_dir = tempfile.mkdtemp(prefix="snap_dv_")
+    v1 = snapshot_write(orders.repartition(8), table_dir)
+    snapshot_delete(spark, table_dir, "o_custkey % 10 = 3")
+    v3 = snapshot_delete(spark, table_dir, "o_totalprice > 400000.0")
+    unchanged = int(
+        sorted(snapshot_files(table_dir, v3)) == sorted(snapshot_files(table_dir, v1))
+    )
+    return (
+        snapshot_read(spark, table_dir, v3)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_live"),
+            F.sum(cents("o_totalprice")).cast("bigint").alias("cents_live"),
+            F.lit(unchanged).cast("bigint").alias("files_unchanged"),
+        )
+        .orderBy("o_orderstatus")
+    )

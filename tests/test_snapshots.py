@@ -1266,3 +1266,106 @@ def test_bloom_incremental_rebuild_inherits_shared_files(spark, tmp_path):
     for f in new_files:
         assert f in m4["bloom"]["filters"]
         assert m4["bloom"]["filters"][f] != tampered
+
+
+def test_deletion_vectors_merge_on_read(spark, tmp_path):
+    """DELETE via deletion vectors: rows disappear from reads while no
+    data file is rewritten; deletes accumulate and are idempotent; old
+    versions still see the rows (time travel unaffected)."""
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        snapshot_delete,
+        snapshot_files,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    v1 = snapshot_write(
+        spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v")),
+        t,
+    )
+    v2 = snapshot_delete(spark, t, "k % 10 = 3")
+    assert snapshot_files(t, v2) == snapshot_files(t, v1)  # zero rewrite
+    live = sorted(r.k for r in snapshot_read(spark, t, v2).collect())
+    assert live == [k for k in range(100) if k % 10 != 3]
+    # time travel: v1 still complete
+    assert snapshot_read(spark, t, v1).count() == 100
+    # cumulative + overlapping (idempotent) second delete
+    v3 = snapshot_delete(spark, t, "k % 10 IN (3, 7)")
+    live3 = sorted(r.k for r in snapshot_read(spark, t, v3).collect())
+    assert live3 == [k for k in range(100) if k % 10 not in (3, 7)]
+    assert snapshot_files(t, v3) == snapshot_files(t, v1)
+
+
+def test_deletion_vectors_survive_merge_and_compaction(spark, tmp_path):
+    """A MERGE after a delete must not resurrect deleted rows: survivors
+    are scanned DV-filtered, untouched files keep their vectors, and
+    compaction physically drops the rows from rewritten files."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        _manifest_path,
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartition(4, "k")
+    snapshot_write(df, t, stats_col="k")
+    snapshot_delete(spark, t, "k IN (10, 11, 12)")
+    # upsert key 11 (deleted) and 50 (live): 11 re-inserted by the batch,
+    # 10/12 must stay gone even though their file may be rewritten
+    batch = spark.createDataFrame([(11, -11), (50, -50)], ["k", "v"])
+    v = snapshot_upsert(spark, batch, t, key_col="k")
+    got = {r.k: r.v for r in snapshot_read(spark, t, v).collect()}
+    assert 10 not in got and 12 not in got
+    assert got[11] == -11 and got[50] == -50
+    assert len(got) == 98  # 100 - 3 deleted + 1 re-inserted (11)
+    # compaction: rewrites small files DV-filtered, result unchanged
+    v2 = snapshot_compact(spark, t)
+    got2 = {r.k: r.v for r in snapshot_read(spark, t, v2).collect()}
+    assert got2 == got
+    # fully-compacted manifest carries no stale vectors for new files
+    with open(_manifest_path(t, v2)) as fh:
+        m = _json.load(fh)
+    if "dv_dirs" in m:  # only if some original file was kept
+        assert m["files"]
+
+
+def test_deletion_vectors_with_bloom_and_changes(spark, tmp_path):
+    """DV composes with the rest of the layer: bloom index built AFTER a
+    delete excludes deleted rows' keys; the changefeed between versions
+    reflects the delete."""
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        snapshot_bloom_candidates,
+        snapshot_build_bloom,
+        snapshot_delete,
+        snapshot_read_point,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.range(2000).select((F.col("id") % 4).alias("b"),
+                                 F.col("id").alias("k")).repartition(4, "b"),
+        t,
+    )
+    snapshot_delete(spark, t, "k = 777")
+    v = snapshot_build_bloom(spark, t, "k", bits=65536, k=3)
+    # the deleted key's bits were never set -> pruned everywhere
+    from flow_spark.operators.snapshots import snapshot_files
+
+    cands, total = snapshot_bloom_candidates(t, 777, v)
+    assert cands == [] and total == len(snapshot_files(t, v)) >= 2
+    assert snapshot_read_point(spark, t, 776, v).count() == 1
