@@ -45,6 +45,11 @@ class ConcurrentSnapshotWrite(Exception):
     current version and retry (optimistic concurrency, as in Delta)."""
 
 
+class ConstraintViolation(Exception):
+    """A CHECK constraint failed on the rows being committed — nothing
+    was made visible (the staged files are orphans for vacuum)."""
+
+
 def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, MANIFEST_DIR, f"v{version}.json")
 
@@ -91,6 +96,7 @@ def snapshot_write(
     table_dir: str,
     reuse_files: "list[str] | None" = None,
     stats_col: "str | None" = None,
+    constraints: "list[str] | None" = None,
 ) -> int:
     """Commit `df` (+ optionally prior files) as the next version.
 
@@ -98,6 +104,17 @@ def snapshot_write(
     under a fresh uuid subdirectory (never overwritten by later writes);
     the manifest commit is an atomic rename, so a crash mid-write leaves
     the previous version intact and no partial version visible.
+
+    ``constraints``: CHECK expressions (SQL strings) every NEW row must
+    satisfy (Delta's table constraints).  They are validated against
+    the WRITTEN files before the manifest commit — validate-then-
+    commit, so a violating batch never becomes visible (its files are
+    unreferenced orphans that vacuum sweeps) and a crash between write
+    and validation leaves the table untouched.  Violations raise
+    :class:`ConstraintViolation` with per-constraint counts.  A NULL
+    result of a CHECK counts as a violation (stricter than SQL's
+    three-valued CHECK — a constraint that can't evaluate on a row is
+    a data bug at a 100 TB curation gate, not a pass).
 
     ``stats_col``: record per-file [min, max] of this column in the
     manifest (one aggregate scan of just the new files), the data-
@@ -116,6 +133,26 @@ def snapshot_write(
         for f in os.listdir(write_dir)
         if f.endswith(".parquet")
     )
+    if constraints and files:
+        # one aggregate scan of the written files counts violations of
+        # every constraint at once (NULL check result = violation)
+        spark = df.sparkSession
+        agg_cols = [
+            F.sum(
+                F.when(F.expr(c).eqNullSafe(F.lit(True)), 0).otherwise(1)
+            ).alias(f"c{i}")
+            for i, c in enumerate(constraints)
+        ]
+        counts = spark.read.parquet(*files).agg(*agg_cols).collect()[0]
+        violated = {
+            constraints[i]: int(counts[i])
+            for i in range(len(constraints))
+            if counts[i]
+        }
+        if violated:
+            raise ConstraintViolation(
+                f"commit rejected, violating rows per constraint: {violated}"
+            )
     prev_version = current_version(table_dir)
     stats: dict[str, list] = {}
     prev_manifest: "dict | None" = None

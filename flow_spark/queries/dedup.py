@@ -367,7 +367,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     category="dedup",
     doc="Exact word-3-gram Jaccard >= 0.5 pairs via shared-shingle join "
-    "(at 100 TB this runs on LSH candidates, not standalone).",
+    "(at 100 TB this runs on LSH candidates, not standalone — see "
+    "dedup_lsh_verified for the composed form, or "
+    "dedup_prefix_filter_join for the exact-recall prefix-filtered "
+    "alternative whose candidate generation is never all-pairs).",
     oracle=f"""
         WITH {_SQL_SHINGLES},
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),

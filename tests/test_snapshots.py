@@ -1369,3 +1369,36 @@ def test_deletion_vectors_with_bloom_and_changes(spark, tmp_path):
     cands, total = snapshot_bloom_candidates(t, 777, v)
     assert cands == [] and total == len(snapshot_files(t, v)) >= 2
     assert snapshot_read_point(spark, t, 776, v).count() == 1
+
+
+def test_write_constraints_validate_then_commit(spark, tmp_path):
+    """CHECK constraints (Delta table constraints): a violating batch
+    raises BEFORE the manifest commit — the table stays at its previous
+    version and the rejected files are unreferenced orphans; NULL check
+    results count as violations; a clean batch commits normally."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        ConstraintViolation,
+        current_version,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    good = spark.range(10).select(F.col("id").alias("k"), (F.col("id") + 1).alias("v"))
+    v1 = snapshot_write(good, t, constraints=["k IS NOT NULL", "v > 0"])
+    assert v1 == 1 and snapshot_read(spark, t).count() == 10
+
+    bad = spark.createDataFrame([(11, 5), (12, -1), (None, 3)], "k long, v long")
+    with pytest.raises(ConstraintViolation, match="v > 0"):
+        snapshot_write(bad, t, constraints=["k IS NOT NULL", "v > 0"])
+    # nothing became visible
+    assert current_version(t) == 1
+    assert snapshot_read(spark, t).count() == 10
+    # NULL k: the IS NOT NULL check catches it; NULL v would too (null
+    # check result = violation, not a three-valued pass)
+    nullv = spark.createDataFrame([(13, None)], "k long, v long")
+    with pytest.raises(ConstraintViolation, match="v > 0"):
+        snapshot_write(nullv, t, constraints=["k IS NOT NULL", "v > 0"])
