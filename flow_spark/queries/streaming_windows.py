@@ -1028,3 +1028,131 @@ def stream_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name).orderBy("qkey")
+
+
+@register(
+    "stream_cdc_deletes",
+    category="streaming",
+    doc="Full CDC stream -> lakehouse, upserts AND deletes (streaming/"
+    "sinks.upsert_sink op_col + operators/snapshots.snapshot_delete): "
+    "the customer-balance table is seeded, then a date-segmented order "
+    "event stream MERGEs updates and applies deletes (every 37th order "
+    "key is a tombstone) as merge-on-read deletion vectors — no file "
+    "rewrite per delete.  Within a batch, last-writer-wins dedup runs "
+    "BEFORE the op split, so update-then-tombstone of one key resolves "
+    "to the later op; a tombstone followed by a later-batch update "
+    "re-inserts the key.  The oracle replays the whole stream as one "
+    "global argmax by the (day, orderkey) composite and resolves the "
+    "winner's op — equal to the drained stream because segments are "
+    "date-ordered micro-batches.  Output per nation: live customers, "
+    "deleted customers, live balance cents.",
+    oracle="""
+        WITH ev AS (
+            SELECT o_custkey AS k,
+                   arg_max(CASE WHEN o_orderkey % 37 = 0 THEN 1 ELSE 0 END,
+                           datediff('day', DATE '1970-01-01',
+                                    CAST(o_orderdate AS DATE))
+                           * 10000000000 + o_orderkey) AS del,
+                   arg_max(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT),
+                           datediff('day', DATE '1970-01-01',
+                                    CAST(o_orderdate AS DATE))
+                           * 10000000000 + o_orderkey) AS cents
+            FROM orders
+            WHERE o_orderkey % 7 < 3
+            GROUP BY o_custkey
+        ),
+        final AS (
+            SELECT c.c_custkey AS k, c.c_nationkey AS nation,
+                   CASE WHEN e.k IS NULL
+                        THEN CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT)
+                        WHEN e.del = 1 THEN NULL
+                        ELSE e.cents END AS cents,
+                   CASE WHEN e.k IS NOT NULL AND e.del = 1 THEN 1 ELSE 0 END
+                       AS deleted
+            FROM customer c LEFT JOIN ev e ON e.k = c.c_custkey
+        )
+        SELECT CAST(nation AS BIGINT) AS nation,
+               CAST(SUM(1 - deleted) AS BIGINT) AS n_live,
+               CAST(SUM(deleted) AS BIGINT) AS n_deleted,
+               CAST(SUM(cents) AS BIGINT) AS live_cents
+        FROM final GROUP BY nation ORDER BY nation
+    """,
+)
+def stream_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import time as _time
+
+    from flow_spark.operators.snapshots import snapshot_read, snapshot_write
+    from flow_spark.streaming.sinks import upsert_sink
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    initial = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.expr("cast(round(c_acctbal * 100, 0) as bigint)").alias("cents"),
+    )
+    ev = orders.filter(F.expr("o_orderkey % 7 < 3")).select(
+        F.col("o_custkey").alias("k"),
+        F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias("cents"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            * F.lit(10_000_000_000).cast("bigint")
+            + F.col("o_orderkey")
+        ).alias("ord"),
+        F.expr("CASE WHEN o_orderkey % 37 = 0 THEN 'D' ELSE 'U' END").alias(
+            "op"
+        ),
+        F.col("o_orderdate").alias("odate"),
+    )
+    table_dir = tempfile.mkdtemp(prefix="stream_cdc_del_tbl_")
+    snapshot_write(initial, table_dir, stats_col="k")
+    spool = tempfile.mkdtemp(prefix="stream_cdc_del_spool_")
+    lo = None
+    for i, hi in enumerate(("1994-01-01", "1996-01-01", None)):
+        seg = ev
+        if lo is not None:
+            seg = seg.filter(F.col("odate") >= F.lit(lo).cast("date"))
+        if hi is not None:
+            seg = seg.filter(F.col("odate") < F.lit(hi).cast("date"))
+        seg.select("k", "cents", "ord", "op").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{spool}/b{i}")
+        _time.sleep(0.05)  # distinct mtimes pin file-source batch order
+        lo = hi
+    stream = (
+        spark.readStream.schema("k long, cents long, ord long, op string")
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{spool}/b*")
+    )
+    q = (
+        upsert_sink(
+            stream,
+            table_dir,
+            key_col="k",
+            checkpoint_dir=tempfile.mkdtemp(prefix="stream_cdc_del_ckpt_"),
+            order_col="ord",
+            op_col="op",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    live = snapshot_read(spark, table_dir)
+    nations = cust.select(
+        F.col("c_custkey").alias("k"), F.col("c_nationkey").alias("nation")
+    )
+    per_cust = nations.join(
+        live.select("k", "cents"), "k", "left"
+    ).withColumn("deleted", F.when(F.col("cents").isNull(), 1).otherwise(0))
+    return (
+        per_cust.groupBy("nation")
+        .agg(
+            F.sum(1 - F.col("deleted")).cast("bigint").alias("n_live"),
+            F.sum("deleted").cast("bigint").alias("n_deleted"),
+            F.sum("cents").cast("bigint").alias("live_cents"),
+        )
+        .select(F.col("nation").cast("bigint").alias("nation"), "n_live", "n_deleted", "live_cents")
+        .orderBy("nation")
+    )

@@ -143,6 +143,8 @@ def upsert_sink(
     key_col: str,
     checkpoint_dir: str,
     order_col: str | None = None,
+    op_col: str | None = None,
+    delete_value: str = "D",
 ):
     """Streaming CDC -> MERGE: each micro-batch upserts into a manifest
     snapshot table (operators/snapshots.snapshot_upsert), exactly-once
@@ -167,6 +169,18 @@ def upsert_sink(
     so the pick is deterministic even when an upstream reuses sequence
     numbers — required for the crash-window idempotence argument above
     (an arbitrary pick could MERGE a different row on replay).
+
+    ``op_col``: full CDC semantics — rows whose op equals
+    ``delete_value`` DELETE their key (merge-on-read deletion vectors,
+    :func:`~flow_spark.operators.snapshots.snapshot_delete`), everything
+    else upserts.  Last-writer-wins dedup runs BEFORE the split, so an
+    update and a delete of the same key in one batch resolve to the
+    later op; after dedup the delete and upsert key sets are disjoint,
+    making their apply order irrelevant.  Replay safety extends
+    naturally: re-MERGE replaces identical rows, re-DELETE of deleted
+    rows is a no-op (DV reads are distinct), and the batch marker still
+    gates both.  The op column is CDC transport metadata and is dropped
+    before the MERGE.
     Returns the DataStreamWriter (caller picks trigger and starts).
     """
     import json
@@ -193,7 +207,31 @@ def upsert_sink(
                 .filter(F.col("__rn") == 1)
                 .drop("__rn", order_col)
             )
-        version = snapshot_upsert(batch.sparkSession, b, table_dir, key_col)
+        version = None
+        if op_col is not None:
+            from flow_spark.operators.snapshots import (
+                current_version,
+                snapshot_delete,
+            )
+
+            del_keys = [
+                r[0]
+                for r in b.filter(F.col(op_col) == delete_value)
+                .select(key_col)
+                .distinct()
+                .collect()  # CDC batches are bounded (same contract as MERGE)
+            ]
+            b = b.filter(
+                (F.col(op_col).isNull()) | (F.col(op_col) != delete_value)
+            ).drop(op_col)
+            if del_keys and current_version(table_dir) >= 1:
+                version = snapshot_delete(
+                    batch.sparkSession,
+                    table_dir,
+                    F.col(key_col).isin(del_keys),
+                )
+        if b.limit(1).count() > 0 or version is None:
+            version = snapshot_upsert(batch.sparkSession, b, table_dir, key_col)
         tmp = f"{done}.{os.getpid()}.tmp"
         with open(tmp, "w") as fh:
             json.dump({"batch_id": batch_id, "version": version}, fh)

@@ -1402,3 +1402,55 @@ def test_write_constraints_validate_then_commit(spark, tmp_path):
     nullv = spark.createDataFrame([(13, None)], "k long, v long")
     with pytest.raises(ConstraintViolation, match="v > 0"):
         snapshot_write(nullv, t, constraints=["k IS NOT NULL", "v > 0"])
+
+
+def test_streaming_cdc_with_deletes(spark, tmp_path):
+    """Full CDC through upsert_sink(op_col=...): upserts and deletes in
+    one stream, last-writer-wins across ops within a batch, final state
+    == sequential application, and a full re-drain (fresh checkpoint,
+    markers present) changes nothing (replay idempotence)."""
+    import json as _json
+
+    from flow_spark.operators.snapshots import snapshot_read
+    from flow_spark.streaming.sinks import upsert_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        # (key, value, seq, op)
+        [(1, 10, 1, "U"), (2, 20, 2, "U"), (3, 30, 3, "U")],
+        [(2, 0, 4, "D"), (4, 40, 5, "U")],
+        # same key updated then deleted in ONE batch: later seq wins
+        [(1, 99, 6, "U"), (1, 0, 7, "D"), (5, 50, 8, "U")],
+    ]
+    for i, rows in enumerate(batches):
+        with open(src / f"b{i}.jsonl", "w") as fh:
+            for k, v, s, op in rows:
+                fh.write(
+                    _json.dumps({"k": k, "v": v, "seq": s, "op": op}) + "\n"
+                )
+    t = str(tmp_path / "tbl")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("k int, v int, seq int, op string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            upsert_sink(
+                stream, t, "k", str(tmp_path / ckpt),
+                order_col="seq", op_col="op",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain("ckpt1")
+    final = {(r.k, r.v) for r in snapshot_read(spark, t).collect()}
+    assert final == {(3, 30), (4, 40), (5, 50)}  # 1 and 2 deleted
+    # replay everything: batch markers gate re-application
+    drain("ckpt2")
+    again = {(r.k, r.v) for r in snapshot_read(spark, t).collect()}
+    assert again == final
