@@ -201,6 +201,30 @@ def snapshot_write(
     return version
 
 
+def snapshot_version_at(table_dir: str, timestamp: float) -> int:
+    """Version visible at ``timestamp`` (unix seconds) — Delta's
+    ``TIMESTAMP AS OF``: the highest version whose commit time is <= the
+    timestamp.  Raises if the table had no committed version yet at that
+    time (or the early manifests were vacuumed away — time travel only
+    works within retention).
+    """
+    mdir = os.path.join(table_dir, MANIFEST_DIR)
+    best = 0
+    if os.path.isdir(mdir):
+        for f in os.listdir(mdir):
+            if not (f.startswith("v") and f.endswith(".json")):
+                continue
+            v = int(f[1:-5])
+            with open(os.path.join(mdir, f)) as fh:
+                if json.load(fh).get("committed_at", 0) <= timestamp:
+                    best = max(best, v)
+    if best < 1:
+        raise FileNotFoundError(
+            f"no version committed at or before {timestamp} in {table_dir}"
+        )
+    return best
+
+
 def snapshot_files(table_dir: str, version: int) -> list[str]:
     with open(_manifest_path(table_dir, version)) as fh:
         return json.load(fh)["files"]
@@ -833,6 +857,24 @@ def snapshot_vacuum(
             ]
             if all(now - m > orphan_grace_seconds for m in mtimes):
                 deleted += sum(1 for p in entries if p.endswith(".parquet"))
+                shutil.rmtree(subdir)
+    # deletion-vector sidecars referenced by NO remaining manifest are
+    # reclaimed the same way (a DV dir outlives its manifests only while
+    # some kept version still lists it in dv_dirs); same grace window
+    # protects an in-flight snapshot_delete
+    dvroot = os.path.join(table_dir, "_dv")
+    if os.path.isdir(dvroot):
+        import shutil
+
+        live_dv: set[str] = set()
+        for v in keep:
+            with open(_manifest_path(table_dir, v)) as fh:
+                live_dv.update(json.load(fh).get("dv_dirs") or [])
+        for sub in os.listdir(dvroot):
+            subdir = os.path.join(dvroot, sub)
+            if subdir in live_dv or not os.path.isdir(subdir):
+                continue
+            if now - os.path.getmtime(subdir) > orphan_grace_seconds:
                 shutil.rmtree(subdir)
     return {"versions_dropped": dropped, "files_deleted": deleted}
 

@@ -1454,3 +1454,48 @@ def test_streaming_cdc_with_deletes(spark, tmp_path):
     drain("ckpt2")
     again = {(r.k, r.v) for r in snapshot_read(spark, t).collect()}
     assert again == final
+
+
+def test_timestamp_time_travel_and_dv_vacuum(spark, tmp_path):
+    """snapshot_version_at resolves TIMESTAMP AS OF between commits;
+    vacuum reclaims DV sidecars once no kept manifest references them
+    (and never while one does)."""
+    import os
+    import time as _time
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        snapshot_delete,
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_version_at,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    t0 = _time.time()
+    with pytest.raises(FileNotFoundError):
+        snapshot_version_at(t, t0)
+    snapshot_write(spark.range(10).selectExpr("id AS k"), t)
+    t1 = _time.time()
+    _time.sleep(0.02)
+    snapshot_delete(spark, t, "k >= 5")
+    t2 = _time.time()
+    _time.sleep(0.02)
+    snapshot_write(spark.range(100, 103).selectExpr("id AS k"), t)
+    assert snapshot_version_at(t, t1) == 1
+    assert snapshot_version_at(t, t2) == 2
+    assert snapshot_read(spark, t, snapshot_version_at(t, t2)).count() == 5
+    with pytest.raises(FileNotFoundError):
+        snapshot_version_at(t, t0)
+
+    dvroot = os.path.join(t, "_dv")
+    assert len(os.listdir(dvroot)) == 1
+    # v2 (the DV version) still within retention: sidecar survives
+    snapshot_vacuum(t, keep_versions=2, orphan_grace_seconds=0)
+    assert len(os.listdir(dvroot)) == 1
+    # retention shrinks to v3 only (no dv_dirs): sidecar reclaimed
+    snapshot_vacuum(t, keep_versions=1, orphan_grace_seconds=0)
+    assert os.listdir(dvroot) == []
