@@ -623,6 +623,26 @@ def snapshot_changes(
     new_files = set(to_manifest["files"])
     old_only = sorted(old_files - new_files)
     new_only = sorted(new_files - old_files)
+    # merge-on-read deletes change a version WITHOUT changing its file
+    # list: a shared file named by a deletion-vector sidecar that only
+    # one side carries must be diffed too — each side reads it filtered
+    # by ITS OWN vectors, so deleted rows surface old-side-only
+    # ('delete') and re-appearing rows new-side-only ('insert'); rows
+    # untouched by the vectors come back equal and drop out.  Pruning
+    # stays proportional to change: only files the DELTA vectors name.
+    dv_delta = sorted(
+        set(from_manifest.get("dv_dirs") or [])
+        ^ set(to_manifest.get("dv_dirs") or [])
+    )
+    if dv_delta:
+        shared = old_files & new_files
+        touched = {
+            r[0].removeprefix("file:")
+            for r in spark.read.parquet(*dv_delta).select("__fp").distinct().collect()
+        }
+        dv_files = sorted(touched & shared)
+        old_only = sorted(set(old_only) | set(dv_files))
+        new_only = sorted(set(new_only) | set(dv_files))
     cols = [key_col, *value_cols]
     # both sides read under the TO version's manifest schema: files of an
     # older, narrower version fill evolved columns with NULLs (the same

@@ -1364,11 +1364,17 @@ def test_deletion_vectors_with_bloom_and_changes(spark, tmp_path):
     snapshot_delete(spark, t, "k = 777")
     v = snapshot_build_bloom(spark, t, "k", bits=65536, k=3)
     # the deleted key's bits were never set -> pruned everywhere
-    from flow_spark.operators.snapshots import snapshot_files
+    from flow_spark.operators.snapshots import snapshot_changes, snapshot_files
 
     cands, total = snapshot_bloom_candidates(t, 777, v)
     assert cands == [] and total == len(snapshot_files(t, v)) >= 2
     assert snapshot_read_point(spark, t, 776, v).count() == 1
+    # the changefeed across the delete version reports exactly the delete
+    changed = {
+        (r.k, r.change_type)
+        for r in snapshot_changes(spark, t, 1, 2, "k", ["b"]).collect()
+    }
+    assert changed == {(777, "delete")}
 
 
 def test_write_constraints_validate_then_commit(spark, tmp_path):
