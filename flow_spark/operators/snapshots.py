@@ -982,6 +982,10 @@ def snapshot_publish(table_dir: str, branch: str = "audit") -> int:
         "partitions": partitions,
         "bases": bases,
     }
+    # inherited files keep their deletion vectors too — dropping them
+    # here would resurrect merge-on-read-deleted rows on publish
+    if prev_files and prev_manifest and prev_manifest.get("dv_dirs"):
+        manifest["dv_dirs"] = prev_manifest["dv_dirs"]
     _commit_manifest(manifest, _manifest_path(table_dir, version))
     os.unlink(marker_path)
     return version

@@ -77,3 +77,25 @@ def test_restage_replaces_marker(spark):
     assert snapshot_staged_read(spark, tmp).count() == 7
     v2 = snapshot_publish(tmp)
     assert snapshot_read(spark, tmp, v2).count() == 107
+
+
+def test_publish_preserves_deletion_vectors(spark, tmp_path):
+    """WAP publish after a merge-on-read delete must carry the deletion
+    vectors of the inherited files — the resurrect bug class."""
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        snapshot_delete,
+        snapshot_publish,
+        snapshot_read,
+        snapshot_stage,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(20).select(F.col("id").alias("k")), t)
+    snapshot_delete(spark, t, "k < 5")
+    snapshot_stage(spark.range(100, 103).select(F.col("id").alias("k")), t)
+    v = snapshot_publish(t)
+    live = sorted(r.k for r in snapshot_read(spark, t, v).collect())
+    assert live == list(range(5, 20)) + [100, 101, 102]
