@@ -1710,3 +1710,65 @@ def snapshot_delete(
     # it carries forward with the files it was built from.
     _commit_manifest(new_manifest, _manifest_path(table_dir, new_version))
     return new_version
+
+
+def snapshot_purge_deletes(spark: SparkSession, table_dir: str) -> int:
+    """Materialize accumulated deletion vectors (Delta's ``REORG TABLE
+    ... APPLY (PURGE)``): rewrite ONLY the files the vectors reference,
+    DV-filtered, and commit a vector-free version; files no vector
+    touches are reused by reference.  Run when read-side anti-join cost
+    or tombstone retention (the deleted bytes still live in the old
+    files until vacuum) makes merge-on-read worth converting back to
+    copy-on-write.  Returns the current version unchanged when there is
+    nothing to purge.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    v = current_version(table_dir)
+    if v < 1:
+        raise FileNotFoundError(f"no committed versions in {table_dir}")
+    with open(_manifest_path(table_dir, v)) as fh:
+        manifest = json.load(fh)
+    dv_dirs = manifest.get("dv_dirs") or []
+    if not dv_dirs:
+        return v
+    touched = {
+        r[0].removeprefix("file:")
+        for r in spark.read.parquet(*dv_dirs).select("__fp").distinct().collect()
+    }
+    affected = sorted(set(manifest["files"]) & touched)
+    untouched = [f for f in manifest["files"] if f not in touched]
+    if not affected:  # vectors only reference already-dropped files
+        new_manifest = dict(manifest)
+        new_manifest["version"] = v + 1
+        new_manifest["committed_at"] = time.time()
+        new_manifest.pop("dv_dirs", None)
+        _commit_manifest(new_manifest, _manifest_path(table_dir, v + 1))
+        return v + 1
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    survivors = _read_manifest_subset(spark, manifest, affected, schema)
+    # snapshot_write inherits dv_dirs when reuse_files is set — correct
+    # for partial rewrites, but a purge rewrites EVERY vectored file, so
+    # the committed manifest must drop them; strip after the commit via
+    # a manifest rewrite would break immutability, so commit manually.
+    write_dir = os.path.join(table_dir, DATA_DIR, uuid.uuid4().hex[:12])
+    survivors.write.mode("error").parquet(write_dir)
+    new_files = sorted(
+        os.path.join(write_dir, f)
+        for f in os.listdir(write_dir)
+        if f.endswith(".parquet")
+    )
+    partitions, bases = _inherited_layout(manifest, untouched)
+    new_manifest = {
+        "version": v + 1,
+        "committed_at": time.time(),
+        "files": untouched + new_files,
+        "schema": manifest["schema"],
+        "stats": {},
+        "stats_col": None,
+        "partitions": partitions,
+        "bases": bases,
+    }
+    _commit_manifest(new_manifest, _manifest_path(table_dir, v + 1))
+    return v + 1

@@ -1505,3 +1505,38 @@ def test_timestamp_time_travel_and_dv_vacuum(spark, tmp_path):
     # retention shrinks to v3 only (no dv_dirs): sidecar reclaimed
     snapshot_vacuum(t, keep_versions=1, orphan_grace_seconds=0)
     assert os.listdir(dvroot) == []
+
+
+def test_purge_deletes_materializes_vectors(spark, tmp_path):
+    """REORG/PURGE: only vectored files are rewritten (others reused by
+    reference), the committed version carries no vectors, and content
+    matches the merge-on-read view exactly."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        _manifest_path,
+        snapshot_delete,
+        snapshot_files,
+        snapshot_purge_deletes,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(100).select(F.col("id").alias("k")).repartitionByRange(4, "k")
+    snapshot_write(df, t)
+    v1_files = set(snapshot_files(t, 1))
+    assert len(v1_files) == 4
+    v2 = snapshot_delete(spark, t, "k IN (3, 4)")  # both in the first range file
+    before = sorted(r.k for r in snapshot_read(spark, t, v2).collect())
+    v3 = snapshot_purge_deletes(spark, t)
+    after = sorted(r.k for r in snapshot_read(spark, t, v3).collect())
+    assert after == before == [k for k in range(100) if k not in (3, 4)]
+    v3_files = set(snapshot_files(t, v3))
+    assert len(v1_files & v3_files) == 3  # three untouched files reused
+    with open(_manifest_path(t, v3)) as fh:
+        assert "dv_dirs" not in _json.load(fh)
+    # purging a vector-free table is a no-op
+    assert snapshot_purge_deletes(spark, t) == v3
