@@ -463,9 +463,7 @@ def _bloom_prune_candidates(
             out.append(f)
             continue
         bm = base64.b64decode(b64)
-        if any(
-            all(bm[p // 8] & (1 << (p % 8)) for p in ps) for ps in probes
-        ):
+        if any(_bloom_admits(bm, ps) for ps in probes):
             out.append(f)
     return out
 
@@ -636,11 +634,7 @@ def snapshot_changes(
     )
     if dv_delta:
         shared = old_files & new_files
-        touched = {
-            r[0].removeprefix("file:")
-            for r in spark.read.parquet(*dv_delta).select("__fp").distinct().collect()
-        }
-        dv_files = sorted(touched & shared)
+        dv_files = sorted(_dv_touched_files(spark, dv_delta) & shared)
         old_only = sorted(set(old_only) | set(dv_files))
         new_only = sorted(set(new_only) | set(dv_files))
     cols = [key_col, *value_cols]
@@ -1458,6 +1452,19 @@ def snapshot_diff(
     )
 
 
+def _dv_touched_files(spark: SparkSession, dv_dirs: "list[str]") -> "set[str]":
+    """Manifest-style raw paths of every file the vectors reference."""
+    return {
+        r[0].removeprefix("file:")
+        for r in spark.read.parquet(*dv_dirs).select("__fp").distinct().collect()
+    }
+
+
+def _bloom_admits(bitmap: bytes, probes: "list[int]") -> bool:
+    """True when every probe bit is set — 'maybe present'."""
+    return all(bitmap[p // 8] & (1 << (p % 8)) for p in probes)
+
+
 # ---- file-level bloom-filter index -----------------------------------------
 #
 # [min, max] stats prune files only for columns the data is CLUSTERED on;
@@ -1513,6 +1520,32 @@ def snapshot_build_bloom(
     with open(_manifest_path(table_dir, v)) as fh:
         manifest = json.load(fh)
     all_files = manifest["files"]
+    # the driver-side probe hashes Python str(value) and MUST render
+    # identically to the executor-side CAST(col AS STRING): true for
+    # integral and string types, false for doubles ('1.0E16' vs
+    # '1e+16'), booleans ('true' vs 'True'), timestamps... — a silent
+    # divergence would PRUNE FILES THAT CONTAIN THE KEY, so refuse to
+    # index anything else
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        StructType as _St,
+    )
+
+    schema = _St.fromJson(json.loads(manifest["schema"]))
+    if col in schema.fieldNames():
+        dt = schema[col].dataType
+        if not isinstance(
+            dt, (ByteType, ShortType, IntegerType, LongType, StringType)
+        ):
+            raise ValueError(
+                f"bloom index on {col}: only integral/string columns render "
+                f"identically in the driver probe and the executor hash; "
+                f"got {dt.simpleString()}"
+            )
     # inherit filters from the most recent earlier version whose index
     # used the same column and geometry (per-file bitmaps of immutable
     # files never go stale; only membership of the FILE LIST changes)
@@ -1529,8 +1562,9 @@ def snapshot_build_bloom(
             and pb.get("bits") == bits
             and pb.get("k") == k
         ):
+            allf = set(all_files)
             inherited = {
-                f: b64 for f, b64 in pb["filters"].items() if f in set(all_files)
+                f: b64 for f, b64 in pb["filters"].items() if f in allf
             }
             break
     files = [f for f in all_files if f not in inherited]
@@ -1619,7 +1653,7 @@ def snapshot_bloom_candidates(
             out.append(f)
             continue
         bm = base64.b64decode(b64)
-        if all(bm[p // 8] & (1 << (p % 8)) for p in probes):
+        if _bloom_admits(bm, probes):
             out.append(f)
     return out, len(manifest["files"])
 
@@ -1733,10 +1767,7 @@ def snapshot_purge_deletes(spark: SparkSession, table_dir: str) -> int:
     dv_dirs = manifest.get("dv_dirs") or []
     if not dv_dirs:
         return v
-    touched = {
-        r[0].removeprefix("file:")
-        for r in spark.read.parquet(*dv_dirs).select("__fp").distinct().collect()
-    }
+    touched = _dv_touched_files(spark, dv_dirs)
     affected = sorted(set(manifest["files"]) & touched)
     untouched = [f for f in manifest["files"] if f not in touched]
     if not affected:  # vectors only reference already-dropped files
@@ -1760,15 +1791,40 @@ def snapshot_purge_deletes(spark: SparkSession, table_dir: str) -> int:
         if f.endswith(".parquet")
     )
     partitions, bases = _inherited_layout(manifest, untouched)
+    # untouched files are byte-identical and reused by reference, so
+    # their data-skipping stats stay valid and carry forward; the
+    # rewritten files get fresh stats for the same column (dropping
+    # them would turn every post-purge MERGE into a table scan)
+    stats_col = manifest.get("stats_col")
+    stats = {
+        f: st
+        for f, st in manifest.get("stats", {}).items()
+        if f in set(untouched)
+    }
+    if stats_col is not None and new_files:
+        for r in (
+            spark.read.parquet(*new_files)
+            .groupBy(F.col("_metadata.file_path").alias("__fp"))
+            .agg(F.min(stats_col).alias("mn"), F.max(stats_col).alias("mx"))
+            .collect()
+        ):
+            if all(isinstance(x, (int, float, str)) for x in (r[1], r[2])):
+                stats[r[0].removeprefix("file:")] = [r[1], r[2]]
+    col_stats = {
+        c: {f: st for f, st in per.items() if f in set(untouched)}
+        for c, per in manifest.get("col_stats", {}).items()
+    }
     new_manifest = {
         "version": v + 1,
         "committed_at": time.time(),
         "files": untouched + new_files,
         "schema": manifest["schema"],
-        "stats": {},
-        "stats_col": None,
+        "stats": stats,
+        "stats_col": stats_col,
         "partitions": partitions,
         "bases": bases,
     }
+    if col_stats:
+        new_manifest["col_stats"] = col_stats
     _commit_manifest(new_manifest, _manifest_path(table_dir, v + 1))
     return v + 1

@@ -173,10 +173,13 @@ def upsert_sink(
     ``op_col``: full CDC semantics — rows whose op equals
     ``delete_value`` DELETE their key (merge-on-read deletion vectors,
     :func:`~flow_spark.operators.snapshots.snapshot_delete`), everything
-    else upserts.  Last-writer-wins dedup runs BEFORE the split, so an
-    update and a delete of the same key in one batch resolve to the
-    later op; after dedup the delete and upsert key sets are disjoint,
-    making their apply order irrelevant.  Replay safety extends
+    else upserts.  ``order_col`` is REQUIRED alongside: the safety
+    argument depends on last-writer-wins dedup running BEFORE the
+    split, so an update and a delete of the same key in one batch
+    resolve to the later op; after dedup the delete and upsert key
+    sets are disjoint, making their apply order irrelevant.  Without
+    an order column that collision would silently resolve to
+    "upsert wins", so the combination raises.  Replay safety extends
     naturally: re-MERGE replaces identical rows, re-DELETE of deleted
     rows is a no-op (DV reads are distinct), and the batch marker still
     gates both.  The op column is CDC transport metadata and is dropped
@@ -190,6 +193,13 @@ def upsert_sink(
     from pyspark.sql.window import Window
 
     from flow_spark.operators.snapshots import snapshot_upsert
+
+    if op_col is not None and order_col is None:
+        raise ValueError(
+            "upsert_sink: op_col requires order_col — without "
+            "last-writer-wins dedup, a same-batch update/delete collision "
+            "on one key resolves arbitrarily"
+        )
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         commits = os.path.join(table_dir, "_streaming_commits")

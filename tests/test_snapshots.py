@@ -1540,3 +1540,29 @@ def test_purge_deletes_materializes_vectors(spark, tmp_path):
         assert "dv_dirs" not in _json.load(fh)
     # purging a vector-free table is a no-op
     assert snapshot_purge_deletes(spark, t) == v3
+
+
+def test_bloom_rejects_non_integral_key_and_sink_requires_order(spark, tmp_path):
+    """Review-fix guards: (a) a bloom index on a double column would hash
+    differently in the driver probe vs the executor ('1e+16' vs
+    '1.0E16') and silently prune files containing the key — the build
+    refuses; (b) op_col without order_col would resolve a same-batch
+    update/delete collision arbitrarily — the sink refuses."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import snapshot_build_bloom, snapshot_write
+    from flow_spark.streaming.sinks import upsert_sink
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 1.5).alias("x")),
+        t,
+    )
+    with pytest.raises(ValueError, match="integral/string"):
+        snapshot_build_bloom(spark, t, "x", bits=1024, k=3)
+    snapshot_build_bloom(spark, t, "k", bits=1024, k=3)  # integral: fine
+
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="op_col requires order_col"):
+        upsert_sink(stream, t, "value", str(tmp_path / "ckpt"), op_col="op")
