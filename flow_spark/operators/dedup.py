@@ -532,34 +532,49 @@ def prefix_filter_pairs(
     from pyspark.sql import Window
 
     tok = sets.select(F.col(id_col).alias("doc_id"), F.col(item_col).alias("tk"))
-    # item frequency via a window over the same shuffle that the per-set
-    # aggregation needs anyway — one pass, no separate vocab join
-    # (partition by tk, then regroup by doc_id: two shuffles total)
-    # one ordered item array per set: sort_array over (df, tk) structs is
-    # deterministic under task retries (collect_list alone is not)
+    # vocab-sized dimension build: one global rare-first DENSE RANK per
+    # item.  The rank is order-preserving over (df asc, item asc), so
+    # the per-set rare-first sort below is a plain ascending-int
+    # sort_array and every downstream structure — prefix index, join
+    # key, verify arrays — carries ints instead of (df, string) structs
+    # (measured at sf1: verify 4.8 s -> ~1.5 s, checkpoint 3.6 s ->
+    # ~2 s).  row_number over a global order is a single-task sort of
+    # the VOCAB only (zipf — far smaller than the corpus); at 100 TB
+    # swap in a two-phase range-partitioned rank (per-range row_number
+    # + prefix-sum offsets) — the corpus-side dataflow is unchanged.
+    vocab = (
+        tok.groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("tid", F.row_number().over(Window.orderBy("df", "tk")))
+        .localCheckpoint()  # vocab-sized; feeds one count + one join
+    )
+    # a df=1 item exists in exactly one set and can never produce a join
+    # partner, so dropping it from the prefix index cannot lose a
+    # qualifying pair; under the rare-first dense rank those items
+    # occupy exactly the id range [1, n_unique], so the drop is ONE
+    # literal comparison (in a mostly-unique shingle space it discards
+    # almost the whole index).
+    n_unique = vocab.filter(F.col("df") == 1).count()
+    # one ordered int array per set; ascending tid == rare-first order.
+    # sort_array is deterministic under task retries (collect_list alone
+    # is not).  The vocab broadcast outgrows its hint at extreme vocab
+    # cardinality: drop the hint and the same plan becomes a shuffle
+    # join on tk, corpus dataflow unchanged.
     ordered = (
-        tok.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("tk"))
-        )
+        tok.join(F.broadcast(vocab.select("tk", "tid")), "tk")
         .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list(F.struct("df", "tk"))).alias("arr"))
+        .agg(F.sort_array(F.collect_list("tid")).alias("arr"))
         .select("doc_id", F.size("arr").alias("sz"), "arr")
         .localCheckpoint()  # feeds the prefix index AND both verify sides
     )
     pref_len = F.expr(f"sz - ((sz * {t_num} + {t_den - 1}) div {t_den}) + 1")
-    # explode prefix positions, keeping each item's global frequency and
-    # its 0-based position: a df=1 item exists in exactly one set and can
-    # never produce a join partner, so skipping it cannot drop a
-    # qualifying pair — in a mostly-unique shingle space this discards
-    # almost the whole index
     prefix = (
         ordered.select(
             "doc_id",
             "sz",
-            F.posexplode(F.slice("arr", F.lit(1), pref_len)).alias("pos", "p"),
+            F.posexplode(F.slice("arr", F.lit(1), pref_len)).alias("pos", "tk"),
         )
-        .filter(F.col("p.df") >= 2)
-        .select("doc_id", "sz", "pos", F.col("p.tk").alias("tk"))
+        .filter(F.col("tk") > F.lit(n_unique))
     )
     # overlap threshold: J >= t  <=>  |intersection| >= t/(1+t)*(sa+sb);
     # PPJoin positional filter: the FIRST shared item (in the global
@@ -567,8 +582,8 @@ def prefix_filter_pairs(
     # it, so overlap <= min(sa - pa, sb - pb).  Filtering each joined
     # row by that upper bound is safe — for a qualifying pair the
     # first-shared-item row always passes — and prunes most of the
-    # candidate fan-out before the expensive verify join (measured
-    # 120k -> far fewer candidate pairs on the fixture corpus).
+    # candidate fan-out before the expensive verify join (measured at
+    # sf1: 1.16M length-filtered rows -> 386k -> 332k distinct pairs).
     cand = (
         prefix.select(
             F.col("doc_id").alias("doc_a"),
@@ -600,24 +615,17 @@ def prefix_filter_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # verify: project the stored (df, tk) struct arrays down to item
-    # strings POST-join (candidate rows only, cheap) — array_intersect
-    # over struct arrays has no hash-based fast path and degrades to a
-    # quadratic interpreted comparison (measured: turned a 10 s query
-    # into a >5 min one at sf0.1)
-    full = ordered.select(
-        "doc_id", F.expr("transform(arr, s -> s.tk)").alias("arr"), "sz"
-    )
-    # both verify sides are the per-set arrays (set-count rows, far
-    # smaller than the corpus) — broadcast them so the candidate pairs
-    # never shuffle with array payloads attached.  At 100 TB the set
-    # table outgrows a broadcast: drop the two hints and the same plan
-    # becomes a pair-partitioned shuffle join, still linear in
-    # candidates.
+    # verify: exact intersection over the stored int arrays (candidate
+    # rows only).  Both verify sides are the per-set arrays (set-count
+    # rows, far smaller than the corpus) — broadcast them so the
+    # candidate pairs never shuffle with array payloads attached.  At
+    # 100 TB the set table outgrows a broadcast: drop the two hints and
+    # the same plan becomes a pair-partitioned shuffle join, still
+    # linear in candidates.
     return (
         cand.join(
             F.broadcast(
-                full.select(
+                ordered.select(
                     F.col("doc_id").alias("doc_a"),
                     F.col("arr").alias("ta"),
                     F.col("sz").alias("sa"),
@@ -627,7 +635,7 @@ def prefix_filter_pairs(
         )
         .join(
             F.broadcast(
-                full.select(
+                ordered.select(
                     F.col("doc_id").alias("doc_b"),
                     F.col("arr").alias("tb"),
                     F.col("sz").alias("sb"),
