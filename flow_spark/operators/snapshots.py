@@ -91,6 +91,44 @@ def current_version(table_dir: str) -> int:
     return max(versions, default=0)
 
 
+def _footer_stats(files: "list[str]", col: str, schema) -> "dict | None":
+    """Per-file [min, max] of `col` from the parquet FOOTERS the write
+    just produced — driver-side metadata arithmetic, no Spark job.
+
+    INTEGER columns only: the parquet format's min/max statistics are
+    exact for them, while binary (string) statistics may be TRUNCATED
+    by the writer and float statistics are unreliable under NaN — for
+    both, pruning against a wrong bound can skip an affected file, so
+    they fall back to the aggregate scan.  Returns None whenever the
+    footers can't prove exact bounds (missing stats, non-integer key,
+    column absent at the footer's top level).
+    """
+    if next(
+        (f.dataType.typeName() for f in schema.fields if f.name == col), None
+    ) not in ("byte", "short", "integer", "long"):
+        return None
+    import pyarrow.parquet as pq
+
+    out: dict[str, list] = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        if col not in md.schema.names:
+            return None
+        idx = md.schema.names.index(col)
+        mn = mx = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max or st.null_count is None:
+                return None
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+        # an empty file gets no stats entry -> it stays a MERGE
+        # candidate, exactly as the aggregate-scan path records it
+        if mn is not None:
+            out[f] = [mn, mx]
+    return out
+
+
 def snapshot_write(
     df: DataFrame,
     table_dir: str,
@@ -170,18 +208,22 @@ def snapshot_write(
     # partition metadata of reused files always carries forward
     partitions, bases = _inherited_layout(prev_manifest, list(reuse_files or []))
     if stats_col is not None and files:
-        spark = df.sparkSession
-        new_stats = (
-            spark.read.parquet(*files)
-            .groupBy(F.col("_metadata.file_path").alias("__fp"))
-            .agg(F.min(stats_col).alias("mn"), F.max(stats_col).alias("mx"))
-            .collect()
-        )
-        for r in new_stats:
-            # only JSON-primitive stats are recorded (a timestamp key
-            # would not round-trip through the manifest)
-            if all(isinstance(v, (int, float, str)) for v in (r[1], r[2])):
-                stats[r[0].removeprefix("file:")] = [r[1], r[2]]
+        footer_stats = _footer_stats(files, stats_col, df.schema)
+        if footer_stats is not None:
+            stats.update(footer_stats)
+        else:
+            spark = df.sparkSession
+            new_stats = (
+                spark.read.parquet(*files)
+                .groupBy(F.col("_metadata.file_path").alias("__fp"))
+                .agg(F.min(stats_col).alias("mn"), F.max(stats_col).alias("mx"))
+                .collect()
+            )
+            for r in new_stats:
+                # only JSON-primitive stats are recorded (a timestamp key
+                # would not round-trip through the manifest)
+                if all(isinstance(v, (int, float, str)) for v in (r[1], r[2])):
+                    stats[r[0].removeprefix("file:")] = [r[1], r[2]]
     version = prev_version + 1
     manifest = {
         "version": version,
@@ -473,6 +515,8 @@ def snapshot_upsert(
     batch: DataFrame,
     table_dir: str,
     key_col: str,
+    batch_keys: "list | None" = None,
+    delete_keys: "list | None" = None,
 ) -> int:
     """MERGE (upsert) `batch` into the latest version, copy-on-write.
 
@@ -502,6 +546,22 @@ def snapshot_upsert(
     Untouched files are reused by reference, so a point update to one
     key rewrites one file, not the table.  First write (version 0)
     degenerates to a plain snapshot_write.  Returns the new version.
+
+    ``delete_keys``: the DELETE clause of the same MERGE (Delta's
+    ``WHEN MATCHED AND op = 'D' THEN DELETE``): rows with these keys
+    are dropped from every rewritten file and not reinserted — one
+    scan, one write, ONE commit for a full CDC batch instead of a
+    delete version plus an upsert version.  Keys absent from the table
+    are no-ops; a key in both ``delete_keys`` and the batch resolves to
+    the batch row (removal happens in the rewrite, the insert after).
+    Deletes here are copy-on-write; for bulk delete-ONLY workloads use
+    :func:`snapshot_delete` (merge-on-read deletion vectors) so files
+    touched by nothing else aren't rewritten.
+
+    ``batch_keys``: the caller's already-collected DISTINCT non-null
+    key list of the batch (``upsert_sink`` gathers it in the same agg
+    job as its op summary) — skips the key collect here; the join
+    sides below still come from the batch itself.
     """
     from pyspark.sql import functions as F
 
@@ -517,7 +577,27 @@ def snapshot_upsert(
         cur_manifest = json.load(fh)
     cur_files = cur_manifest["files"]
     cur_schema = StructType.fromJson(json.loads(cur_manifest["schema"]))
-    keys = batch.select(key_col).distinct()
+    del_list = sorted(set(delete_keys or ()))
+    if any(k is None for k in del_list):
+        raise ValueError("MERGE delete key must be non-null")
+    key_schema = batch.select(key_col).schema
+    # the affected/survivor key frame: delete keys participate exactly
+    # like replaced keys (a file holding one is rewritten without it).
+    # With caller-collected batch_keys it is a LOCAL literal relation —
+    # the two broadcast joins below then cost no batch scan at all; and
+    # a broadcast-hash build side needs no distinct (duplicates land in
+    # the same hash bucket), so no pre-join shuffle either way.
+    if batch_keys is not None:
+        if any(k is None for k in batch_keys):
+            raise ValueError("MERGE key must be non-null in the batch")
+        all_keys = sorted(set(batch_keys) | set(del_list))
+        keys = spark.createDataFrame([(k,) for k in all_keys], key_schema)
+    else:
+        keys = batch.select(key_col)
+        if del_list:
+            keys = keys.unionAll(
+                spark.createDataFrame([(k,) for k in del_list], key_schema)
+            )
 
     # --- stats + bloom pruning (driver-side, no data read) ---
     # [min, max] stats apply when the manifest's stats describe THIS key
@@ -531,7 +611,10 @@ def snapshot_upsert(
     bloom_usable = bool(bloom) and bloom.get("col") == key_col
     candidates = cur_files
     if stats_usable or bloom_usable:
-        rows = keys.limit(1_000_001).collect()
+        if batch_keys is not None:
+            rows = [(k,) for k in all_keys[:1_000_001]]
+        else:
+            rows = keys.distinct().limit(1_000_001).collect()
         if len(rows) <= 1_000_000:  # CDC batches are small; else full scan
             raw_keys = [r[0] for r in rows]
             if any(k is None for k in raw_keys):

@@ -1108,18 +1108,37 @@ def stream_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     table_dir = tempfile.mkdtemp(prefix="stream_cdc_del_tbl_")
     snapshot_write(initial, table_dir, stats_col="k")
     spool = tempfile.mkdtemp(prefix="stream_cdc_del_spool_")
-    lo = None
-    for i, hi in enumerate(("1994-01-01", "1996-01-01", None)):
-        seg = ev
-        if lo is not None:
-            seg = seg.filter(F.col("odate") >= F.lit(lo).cast("date"))
-        if hi is not None:
-            seg = seg.filter(F.col("odate") < F.lit(hi).cast("date"))
-        seg.select("k", "cents", "ord", "op").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{spool}/b{i}")
-        _time.sleep(0.05)  # distinct mtimes pin file-source batch order
-        lo = hi
+    # ONE write job produces all three date segments (partitionBy), then
+    # driver-side renames lay them out as b0/b1/b2 with explicit mtimes
+    # one second apart — the file source orders batches by modification
+    # time, so this pins micro-batch order without per-segment write
+    # jobs or sleeps
+    import glob as _glob
+    import os as _os
+
+    staging = tempfile.mkdtemp(prefix="stream_cdc_del_stage_")
+    (
+        ev.withColumn(
+            "seg",
+            F.when(F.col("odate") < F.lit("1994-01-01").cast("date"), 0)
+            .when(F.col("odate") < F.lit("1996-01-01").cast("date"), 1)
+            .otherwise(2),
+        )
+        .select("k", "cents", "ord", "op", "seg")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("seg")
+        .parquet(staging)
+    )
+    base = _time.time() - 60
+    for i in range(3):
+        _os.makedirs(f"{spool}/b{i}", exist_ok=True)
+        for j, part in enumerate(
+            sorted(_glob.glob(f"{staging}/seg={i}/*.parquet"))
+        ):
+            dst = f"{spool}/b{i}/part-{j}.parquet"
+            _os.replace(part, dst)
+            _os.utime(dst, (base + i, base + i))
     stream = (
         spark.readStream.schema("k long, cents long, ord long, op string")
         .option("pathGlobFilter", "*.parquet")

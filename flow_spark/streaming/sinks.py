@@ -171,9 +171,13 @@ def upsert_sink(
     (an arbitrary pick could MERGE a different row on replay).
 
     ``op_col``: full CDC semantics — rows whose op equals
-    ``delete_value`` DELETE their key (merge-on-read deletion vectors,
-    :func:`~flow_spark.operators.snapshots.snapshot_delete`), everything
-    else upserts.  ``order_col`` is REQUIRED alongside: the safety
+    ``delete_value`` DELETE their key, everything else upserts.  A
+    batch with BOTH ops applies as ONE MERGE commit (copy-on-write
+    delete folded into the same rewrite, Delta's ``WHEN MATCHED AND
+    op='D' THEN DELETE``); a delete-ONLY batch goes merge-on-read
+    (deletion vectors, :func:`~flow_spark.operators.snapshots
+    .snapshot_delete`) so pure-tombstone batches rewrite no files.
+    ``order_col`` is REQUIRED alongside: the safety
     argument depends on last-writer-wins dedup running BEFORE the
     split, so an update and a delete of the same key in one batch
     resolve to the later op; after dedup the delete and upsert key
@@ -217,6 +221,12 @@ def upsert_sink(
                 .filter(F.col("__rn") == 1)
                 .drop("__rn", order_col)
             )
+        # one eager materialization per batch: every downstream action
+        # (delete-key summary, MERGE key collect, affected-file scan,
+        # survivor union) reuses the deduped rows instead of re-reading
+        # the source and re-running the window — at micro-batch sizes
+        # the per-action replanning was the dominant cost, not the data
+        b = b.localCheckpoint()
         version = None
         if op_col is not None:
             from flow_spark.operators.snapshots import (
@@ -224,23 +234,62 @@ def upsert_sink(
                 snapshot_delete,
             )
 
-            del_keys = [
-                r[0]
-                for r in b.filter(F.col(op_col) == delete_value)
-                .select(key_col)
-                .distinct()
-                .collect()  # CDC batches are bounded (same contract as MERGE)
-            ]
+            is_del = F.col(op_col) == F.lit(delete_value)
+            is_up = is_del.isNull() | ~is_del  # a NULL op is an upsert
+            # delete keys + upsert keys + null-key guard in ONE
+            # global-agg job (collect_set is bounded by the CDC batch
+            # contract, same as MERGE's own key collect)
+            summary = (
+                b.groupBy()
+                .agg(
+                    F.sort_array(
+                        F.collect_set(F.when(is_del, F.col(key_col)))
+                    ).alias("dk"),
+                    F.sort_array(
+                        F.collect_set(F.when(is_up, F.col(key_col)))
+                    ).alias("uk"),
+                    F.max(
+                        F.when(is_up & F.col(key_col).isNull(), F.lit(1))
+                    ).alias("null_up"),
+                    F.max(F.when(is_up, F.lit(1))).alias("has_up"),
+                )
+                .collect()[0]
+            )
+            if summary["null_up"] is not None:
+                # collect_set silently drops NULLs — surface the same
+                # error snapshot_upsert's own key collect would raise
+                raise ValueError("MERGE key must be non-null in the batch")
+            del_keys = list(summary["dk"])
+            has_up = summary["has_up"] is not None
             b = b.filter(
                 (F.col(op_col).isNull()) | (F.col(op_col) != delete_value)
             ).drop(op_col)
-            if del_keys and current_version(table_dir) >= 1:
+            table_live = current_version(table_dir) >= 1
+            if del_keys and not has_up and table_live:
+                # delete-ONLY batch: merge-on-read deletion vectors —
+                # no data file is rewritten for a pure tombstone batch
                 version = snapshot_delete(
                     batch.sparkSession,
                     table_dir,
                     F.col(key_col).isin(del_keys),
                 )
-        if b.limit(1).count() > 0 or version is None:
+            else:
+                # mixed or upsert-only batch: ONE MERGE commit applies
+                # upserts and deletes together (Delta's WHEN MATCHED
+                # AND op='D' THEN DELETE) — the files a delete touches
+                # are overwhelmingly the files the upserts rewrite
+                # anyway, so folding the delete into the same rewrite
+                # halves the per-batch scan/commit count vs a DV
+                # version followed by an upsert version
+                version = snapshot_upsert(
+                    batch.sparkSession,
+                    b,
+                    table_dir,
+                    key_col,
+                    batch_keys=list(summary["uk"]),
+                    delete_keys=del_keys if table_live else None,
+                )
+        else:
             version = snapshot_upsert(batch.sparkSession, b, table_dir, key_col)
         tmp = f"{done}.{os.getpid()}.tmp"
         with open(tmp, "w") as fh:
