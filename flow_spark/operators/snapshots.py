@@ -1562,11 +1562,26 @@ def _bloom_admits(bitmap: bytes, probes: "list[int]") -> bool:
 # without a Spark job.
 
 
+_BLOOM_POW2 = [1 << e for e in range(6, 31)]
+
+
+def _auto_bloom_bits(max_ndv: int) -> int:
+    """Smallest power of two >= 10 x the largest per-file distinct-key
+    count — ~10 bits/key at k=3 gives ~1.7% false-positive rate, the
+    standard 1%-class sizing.  Floor 64, cap 2^30 (a 128 MB bitmap is
+    past the point where a filter belongs in a manifest)."""
+    need = max_ndv * 10
+    for p in _BLOOM_POW2:
+        if p >= need:
+            return p
+    return _BLOOM_POW2[-1]
+
+
 def snapshot_build_bloom(
     spark: SparkSession,
     table_dir: str,
     col: str,
-    bits: int = 8192,
+    bits: "int | str" = "auto",
     k: int = 3,
     version: "int | None" = None,
 ) -> int:
@@ -1591,6 +1606,17 @@ def snapshot_build_bloom(
     valid for the files both versions share — they are inherited, and
     only files never indexed before are scanned.  After a MERGE that
     rewrote one file out of a thousand, re-indexing scans one file.
+
+    ``bits="auto"`` (the default) sizes the array from the data: one
+    exact per-file distinct-count scan, then the smallest power of two
+    >= 10 x the largest per-file count (:func:`_auto_bloom_bits`,
+    ~1.7% FPP at k=3).  A fixed default can silently saturate — 4k
+    keys against 8192 bits sets ~78% of them and prunes nothing — so
+    an EXPLICIT ``bits`` is checked after packing: any filter more
+    than half full triggers a rebuild of the whole index at the auto
+    size (auto-sized filters stay under ~26% full by construction,
+    terminating the recursion).  The manifest always records the
+    RESOLVED integer, so probes and inheritance never see "auto".
     """
     import base64
 
@@ -1629,6 +1655,20 @@ def snapshot_build_bloom(
                 f"identically in the driver probe and the executor hash; "
                 f"got {dt.simpleString()}"
             )
+    auto = bits == "auto"
+    if auto:
+        # one exact per-file NDV scan sizes the array; exact (not
+        # approximate) so the DuckDB oracle can re-derive the same
+        # bits and replay every set bit
+        ndv_rows = (
+            _read_manifest_subset(spark, manifest, all_files, with_meta=True)
+            .groupBy("__fp")
+            .agg(F.countDistinct(col).alias("ndv"))
+            .collect()
+            if all_files
+            else []
+        )
+        bits = _auto_bloom_bits(max((r["ndv"] for r in ndv_rows), default=0))
     # inherit filters from the most recent earlier version whose index
     # used the same column and geometry (per-file bitmaps of immutable
     # files never go stale; only membership of the FILE LIST changes)
@@ -1683,6 +1723,21 @@ def snapshot_build_bloom(
         for p in positions:
             bm[p // 8] |= 1 << (p % 8)
         filters[f] = base64.b64encode(bytes(bm)).decode("ascii")
+    if not auto and any(
+        int.from_bytes(base64.b64decode(filters[f]), "big").bit_count() * 2
+        > bits
+        for f in files
+        if f in filters
+    ):
+        # a saturated filter admits (almost) everything — it prunes
+        # nothing while looking like an index.  Rebuild at the data-
+        # derived size instead of committing a silently useless one.
+        # Only NEWLY scanned files are checked: inherited filters
+        # passed this gate at their own build (inherit = trust the
+        # immutable artifact verbatim).
+        return snapshot_build_bloom(
+            spark, table_dir, col, bits="auto", k=k, version=version
+        )
     new_version = v + 1
     manifest = dict(manifest)
     manifest["version"] = new_version

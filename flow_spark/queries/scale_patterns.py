@@ -1993,8 +1993,13 @@ def snap_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bloom_oracle_sql() -> str:
     from flow_spark.operators.dedup import MH_P, mh_coeffs
 
+    # bit-array size replays snapshot_build_bloom's AUTO sizing: the
+    # smallest power of two >= 10 x the largest per-file distinct-key
+    # count (exact integer selection from a value table — no log2
+    # floating point that could flip at an exact power of two)
+    pow2 = ", ".join(f"({1 << e})" for e in range(6, 31))
     probes = ",\n                ".join(
-        f"(({a} * h + {b}) % {MH_P}) % 65536"
+        f"(({a} * h + {b}) % {MH_P}) % (SELECT bits FROM bsel)"
         for a, b in (mh_coeffs(i) for i in range(3))
     )
     return f"""
@@ -2003,6 +2008,17 @@ def _bloom_oracle_sql() -> str:
                    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
                        AS cents
             FROM orders
+        ),
+        need AS (
+            SELECT MAX(cnt) * 10 AS need FROM (
+                SELECT okb, COUNT(DISTINCT o_custkey) AS cnt
+                FROM o GROUP BY okb)
+        ),
+        bsel AS (
+            SELECT COALESCE(
+                MIN(b), {1 << 30}) AS bits
+            FROM (VALUES {pow2}) t(b)
+            WHERE b >= (SELECT need FROM need)
         ),
         hs AS (
             SELECT okb, o_custkey,
@@ -2058,7 +2074,9 @@ def _bloom_oracle_sql() -> str:
     "on o_orderkey range buckets (one file per bucket), where [min, "
     "max] stats are useless for a lookup on the SCATTERED o_custkey — "
     "every file's custkey range matches.  A per-file bloom filter "
-    "(65536 bits = 8 KB/file, k=3, portable md5 family) answers 'definitely "
+    "(bits AUTO-SIZED to the smallest power of two >= 10x the largest "
+    "per-file distinct-key count — ~1.7% FPP at k=3, portable md5 "
+    "family; the oracle re-derives the same size) answers 'definitely "
     "absent' from the manifest alone; the lookup scans only candidate "
     "files and re-filters rows, so false positives cost an extra scan "
     "but can never miss a row.  Probes: the 5 smallest custkeys plus "
@@ -2089,7 +2107,7 @@ def snap_bloom_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     table_dir = tempfile.mkdtemp(prefix="snap_bloom_")
     v1 = snapshot_write_partitioned(orders, table_dir, spec=["okb"])
     v2 = snapshot_build_bloom(
-        spark, table_dir, "o_custkey", bits=65536, k=3, version=v1
+        spark, table_dir, "o_custkey", bits="auto", k=3, version=v1
     )
     # bounded driver-side probe panel (collect-tiny contract): 5 smallest
     # distinct custkeys + 2 keys guaranteed absent

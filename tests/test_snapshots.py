@@ -1128,6 +1128,65 @@ def test_bloom_index_invalidated_by_later_write(spark, tmp_path):
         snapshot_bloom_candidates(t, 5, v3)
 
 
+def test_bloom_auto_size_and_saturation_rebuild(spark, tmp_path):
+    """(a) bits='auto' picks the smallest power of two >= 10x the
+    largest per-file distinct-key count; (b) an explicit size a file
+    saturates (>50% bits set — it would admit nearly everything and
+    prune nothing) is detected at build time and the index is rebuilt
+    at the auto size rather than committed silently useless; (c) the
+    rebuilt index still prunes absent keys and never misses present
+    ones."""
+    import base64
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        _manifest_path,
+        snapshot_bloom_candidates,
+        snapshot_build_bloom,
+        snapshot_read_point,
+        snapshot_write_partitioned,
+    )
+
+    t = str(tmp_path / "tbl")
+    # 4 files of 1000 rows each; `u` has 1000 distinct values per file
+    df = spark.range(4000).select(
+        (F.col("id") % 4).alias("bucket"),
+        F.col("id").alias("u"),
+    )
+    v1 = snapshot_write_partitioned(df, t, spec=["bucket"])
+
+    def bloom_meta(v):
+        with open(_manifest_path(t, v)) as fh:
+            return _json.load(fh)["bloom"]
+
+    # (a) auto: max per-file ndv = 1000 -> need 10000 -> 16384 bits
+    v2 = snapshot_build_bloom(spark, t, "u", bits="auto", k=3, version=v1)
+    meta = bloom_meta(v2)
+    assert meta["bits"] == 16384
+    # every filter comfortably under half full
+    for b64 in meta["filters"].values():
+        assert (
+            int.from_bytes(base64.b64decode(b64), "big").bit_count() * 2
+            < meta["bits"]
+        )
+
+    # (b) explicit 1024 bits vs 1000 keys/file would saturate (~95%
+    # fill): the build must come back auto-sized, not 1024
+    v3 = snapshot_build_bloom(spark, t, "u", bits=1024, k=3, version=v2)
+    meta3 = bloom_meta(v3)
+    assert meta3["bits"] == 16384
+
+    # (c) rebuilt index: absent key prunes every file, present key is
+    # never missed and the point read returns its rows
+    cands, total = snapshot_bloom_candidates(t, 10_000_000, v3)
+    assert total == 4 and len(cands) == 0
+    cands, _ = snapshot_bloom_candidates(t, 7, v3)
+    assert len(cands) >= 1
+    assert snapshot_read_point(spark, t, 7, v3).count() == 1
+
+
 def test_bloom_probe_matches_executor_hash(spark, tmp_path):
     """The driver-side Python probe and the executor-side expression must
     set exactly the same bits (md5 portability contract)."""
