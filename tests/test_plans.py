@@ -255,3 +255,23 @@ def test_two_level_distinct_rewrite_avoids_expand(spark, sf_dir):
         (r.o_orderpriority, r.n_custs, r.n_statuses) for r in rows
     )
     assert key(direct.collect()) == key(rewrite.collect())
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "snap_delete_vectors",
+        "snap_bloom_pointlookup",
+        "stream_upsert_cdc",
+        "stream_cdc_deletes",
+    ],
+)
+def test_lakehouse_tier_stays_jvm_side(spark, sf_dir, name):
+    """The DV anti-join and the bloom probe are the newest pieces of
+    plan machinery in the lakehouse tier; a Python-eval node sneaking
+    into their read path would turn every post-delete scan row-at-a-
+    time.  The builders run their snapshot workflow and return the
+    final read — that plan must stay JVM-side end to end."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan, f"{name} has row-at-a-time Python"
+    assert "ArrowEvalPython" not in plan, f"{name} has Python eval"

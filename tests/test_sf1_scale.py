@@ -78,3 +78,20 @@ def test_sf1_join_integrity(spark, sf1_dir):
     o = load_table(spark, sf1_dir, "orders")
     joined = li.join(o, li.l_orderkey == o.o_orderkey).count()
     assert joined == li.count()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["snap_delete_vectors", "snap_bloom_pointlookup", "stream_cdc_deletes"],
+)
+def test_lakehouse_oracle_bit_exact_at_10x(spark, sf1_dir, name):
+    """The lakehouse tier's pruned-file counts and DV-filtered totals
+    must stay BIT-EXACT at 10x data, not just at the fixture scale —
+    the bloom replay (every set bit re-derived by the oracle) and the
+    delete-vector arithmetic are the likeliest machinery to rot with
+    volume.  Full DuckDB-oracle parity at sf1."""
+    from flow_spark.oracle import check_query
+    from flow_spark.queries.registry import get
+
+    res = check_query(spark, get(name), sf1_dir)
+    assert res.ok, f"{name} at sf1: {res.detail}"
