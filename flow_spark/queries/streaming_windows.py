@@ -1175,3 +1175,170 @@ def stream_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("nation").cast("bigint").alias("nation"), "n_live", "n_deleted", "live_cents")
         .orderBy("nation")
     )
+
+
+@register(
+    "stream_stream_asof_join",
+    category="streaming",
+    doc="STREAM-STREAM as-of join (streaming/stateful.asof_join_stream, "
+    "VERDICT r5 #8 'new execution shape'): clicks AND purchases both "
+    "arrive as live file-source streams (three ascending time segments "
+    "each, availableNow, lockstep batches); the union shares one "
+    "watermark and a per-key stateful operator buffers pending clicks "
+    "plus the purchase history, emitting a click ONLY once the "
+    "watermark passes its event time — the point at which no earlier "
+    "purchase can still arrive, making the match final and replay-"
+    "deterministic.  Idle keys flush via event-time timeout; right "
+    "history is trimmed to the watermark plus one row, so state is "
+    "watermark-bounded like the built-in stream-stream joins'.  The "
+    "emitted set is an exact batching-independent contract — every "
+    "click whose event-time ms is strictly below (global max event-"
+    "time ms over BOTH streams minus the 5-minute delay) — which the "
+    "oracle replays together with the as-of match itself (DuckDB ASOF "
+    "LEFT JOIN, same greatest-event_id tie rule).  Spark's own stream-"
+    "stream joins cannot express 'latest right so far' (they bound the "
+    "time range); this is the KStream-style temporal enrichment done "
+    "with exact event-time semantics.",
+    oracle="""
+        WITH l AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+            WHERE event_type = 'click' AND event_id % 7 = 3
+        ),
+        r0 AS (
+            SELECT user_id, epoch_us(ts) AS ts_us,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS vc, event_id
+            FROM events WHERE event_type = 'purchase'
+        ),
+        r AS (
+            SELECT user_id, ts_us, vc FROM r0
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts_us
+                                       ORDER BY event_id DESC) = 1
+        ),
+        wm AS (
+            SELECT MAX(ts_us // 1000) - 300000 AS wm_ms FROM (
+                SELECT ts_us FROM l UNION ALL SELECT ts_us FROM r0)
+        ),
+        emit AS (
+            SELECT * FROM l
+            WHERE ts_us // 1000 < (SELECT wm_ms FROM wm)
+        )
+        SELECT CAST(e.event_id AS BIGINT) AS left_id,
+               CAST(e.user_id AS BIGINT) AS akey,
+               CAST(e.ts_us AS BIGINT) AS ts_us,
+               r.vc AS asof_val
+        FROM emit e ASOF LEFT JOIN r
+          ON e.user_id = r.user_id AND e.ts_us >= r.ts_us
+        ORDER BY left_id
+    """,
+)
+def stream_stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import tempfile
+    import time as _time
+
+    from flow_spark.streaming.stateful import asof_join_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    t1 = lo + (hi - lo) // 3
+    t2 = lo + 2 * (hi - lo) // 3
+
+    def spool(df: DataFrame, prefix: str) -> str:
+        """One write job -> three ascending time segments b0/b1/b2 with
+        explicit mtimes (the file source drains them in order).  BOTH
+        spools cut at the same boundaries, so the two sources advance
+        through time in lockstep and no row is ever late vs the shared
+        watermark — the contract the oracle's final-watermark replay
+        depends on.  A side's empty segment still gets an (empty)
+        parquet file to keep the sources aligned."""
+        staging = tempfile.mkdtemp(prefix=prefix + "stage_")
+        spool_dir = tempfile.mkdtemp(prefix=prefix)
+        us = F.unix_micros("ts")
+        (
+            df.withColumn(
+                "seg",
+                F.when(us < t1, 0).when(us < t2, 1).otherwise(2),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("seg")
+            .parquet(staging)
+        )
+        base = _time.time() - 60
+        for i in range(3):
+            _os.makedirs(f"{spool_dir}/b{i}", exist_ok=True)
+            parts = sorted(_glob.glob(f"{staging}/seg={i}/*.parquet"))
+            if not parts:
+                df.limit(0).coalesce(1).write.mode("overwrite").parquet(
+                    f"{staging}/seg={i}"
+                )
+                parts = sorted(_glob.glob(f"{staging}/seg={i}/*.parquet"))
+            for j, part in enumerate(parts):
+                dst = f"{spool_dir}/b{i}/part-{j}.parquet"
+                _os.replace(part, dst)
+                _os.utime(dst, (base + i, base + i))
+        return spool_dir
+
+    lspool = spool(
+        ev.filter(
+            (F.col("event_type") == "click") & (F.col("event_id") % 7 == 3)
+        ).select("user_id", "ts", "event_id"),
+        "ssaj_l_",
+    )
+    rspool = spool(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+        ),
+        "ssaj_r_",
+    )
+    lstream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long")
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{lspool}/b*")
+    )
+    rstream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, vc long"
+        )
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{rspool}/b*")
+    )
+    out = asof_join_stream(
+        lstream,
+        rstream,
+        key_col="user_id",
+        ts_col="ts",
+        left_id_col="event_id",
+        right_val_col="vc",
+        right_id_col="event_id",
+        delay="5 minutes",
+    )
+    name = "stream_stream_asof_join_sink"
+    ckpt = tempfile.mkdtemp(prefix="flow-spark-ckpt-ssaj-")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .select(
+            F.col("left_id").cast("bigint").alias("left_id"),
+            F.col("akey").cast("bigint").alias("akey"),
+            F.col("ts_us").cast("bigint").alias("ts_us"),
+            F.col("asof_val").cast("bigint").alias("asof_val"),
+        )
+        .orderBy("left_id")
+    )

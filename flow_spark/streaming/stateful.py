@@ -524,3 +524,156 @@ def quantile_monitor_stream(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+ASOF_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("left_id", LongType()),
+        StructField("akey", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("asof_val", LongType()),
+    ]
+)
+
+ASOF_STATE_SCHEMA = StructType(
+    [
+        StructField("pend_ts", ArrayType(LongType())),
+        StructField("pend_id", ArrayType(LongType())),
+        StructField("hist_ts", ArrayType(LongType())),
+        StructField("hist_val", ArrayType(LongType())),
+        StructField("hist_id", ArrayType(LongType())),
+    ]
+)
+
+
+def asof_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    left_id_col: str,
+    right_val_col: str,
+    right_id_col: str,
+    delay: str = "5 minutes",
+) -> DataFrame:
+    """STREAM-STREAM as-of join: each left event is enriched with the
+    value of the latest right event at-or-before its event time for the
+    same key, where BOTH sides arrive as live streams — the temporal
+    join Spark's stream-stream equi/interval joins can't express (they
+    bound the time difference; as-of wants "latest so far", unbounded).
+
+    Execution shape (new machinery vs the stream-batch
+    ``stream_asof_enrich``): the two streams are unioned with a side
+    tag and share ONE watermark; per-key state buffers (a) pending left
+    events and (b) the right-side history, and a left row is emitted
+    ONLY once the watermark passes its event time — at that point no
+    right row with an earlier event time can still arrive (it would be
+    dropped as late), so the match is final and replay-deterministic.
+    Keys idle in a batch flush via EVENT-TIME TIMEOUT when the
+    watermark moves past their oldest pending row.  The right history
+    is trimmed to rows the watermark hasn't sealed plus the single
+    newest sealed row (still the match for future lefts), so state is
+    watermark-bounded exactly like the built-in stream-stream joins'.
+
+    Same-event-time right rows dedupe to the greatest ``right_id_col``
+    (the batch as-of operator's tie rule).  All comparisons are integer
+    microseconds/milliseconds — replay-safe.  Emitted set: every left
+    whose event-time ms lies strictly below the final watermark
+    (global max event-time ms across BOTH streams minus the delay) —
+    an exact, batching-independent contract the DuckDB oracle replays.
+
+    Returns (left_id, akey, ts_us, asof_val) in append mode; asof_val
+    is NULL when no right row precedes the left row.
+    """
+    import bisect
+
+    tagged = left.select(
+        F.col(key_col).cast("long").alias("akey"),
+        F.col(ts_col).alias("ts"),
+        F.col(left_id_col).cast("long").alias("eid"),
+        F.lit(None).cast("long").alias("val"),
+        F.lit(0).alias("side"),
+    ).unionByName(
+        right.select(
+            F.col(key_col).cast("long").alias("akey"),
+            F.col(ts_col).alias("ts"),
+            F.col(right_id_col).cast("long").alias("eid"),
+            F.col(right_val_col).cast("long").alias("val"),
+            F.lit(1).alias("side"),
+        )
+    )
+    prepared = tagged.withWatermark("ts", delay).select(
+        "akey", "ts", F.unix_micros("ts").alias("ts_us"), "eid", "val", "side"
+    )
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        wm_ms = state.getCurrentWatermarkMs()
+        if state.exists:
+            pend_ts, pend_id, hist_ts, hist_val, hist_id = (
+                list(x) for x in state.get
+            )
+        else:
+            pend_ts, pend_id, hist_ts, hist_val, hist_id = [], [], [], [], []
+        if not state.hasTimedOut:
+            pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "eid"])
+            for ts_us, eid, val, side in zip(
+                pdf["ts_us"], pdf["eid"], pdf["val"], pdf["side"]
+            ):
+                ts_us, eid = int(ts_us), int(eid)
+                if int(side) == 1:
+                    v = int(val)
+                    i = bisect.bisect_left(hist_ts, ts_us)
+                    if i < len(hist_ts) and hist_ts[i] == ts_us:
+                        if eid > hist_id[i]:  # same-ts tie: greatest id
+                            hist_val[i], hist_id[i] = v, eid
+                    else:
+                        hist_ts.insert(i, ts_us)
+                        hist_val.insert(i, v)
+                        hist_id.insert(i, eid)
+                else:
+                    pend_ts.append(ts_us)
+                    pend_id.append(eid)
+        # emit every pending left the watermark has sealed: no right
+        # with event time <= it can still arrive
+        out: list[tuple[int, int, int, "int | None"]] = []
+        keep_ts: list[int] = []
+        keep_id: list[int] = []
+        for ts_us, eid in sorted(zip(pend_ts, pend_id)):
+            if wm_ms > ts_us // 1000:
+                j = bisect.bisect_right(hist_ts, ts_us) - 1
+                out.append(
+                    (eid, key[0], ts_us, hist_val[j] if j >= 0 else None)
+                )
+            else:
+                keep_ts.append(ts_us)
+                keep_id.append(eid)
+        # trim sealed rights, keeping the newest sealed one — it is
+        # still the as-of match for future (>= watermark) lefts
+        cut = bisect.bisect_left([t // 1000 for t in hist_ts], wm_ms)
+        drop = max(0, cut - 1)
+        hist_ts, hist_val, hist_id = (
+            hist_ts[drop:],
+            hist_val[drop:],
+            hist_id[drop:],
+        )
+        if keep_ts or hist_ts:
+            state.update((keep_ts, keep_id, hist_ts, hist_val, hist_id))
+            if keep_ts:
+                # the timeout must sit strictly above the watermark;
+                # fire as soon as it can seal the oldest pending left
+                state.setTimeoutTimestamp(
+                    max(wm_ms + 1, min(keep_ts) // 1000 + 1)
+                )
+        else:
+            state.remove()
+        yield pd.DataFrame(
+            out, columns=["left_id", "akey", "ts_us", "asof_val"]
+        )
+
+    return prepared.groupBy("akey").applyInPandasWithState(
+        fn,
+        outputStructType=ASOF_OUTPUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )

@@ -2191,3 +2191,98 @@ def test_twa_stream_late_row_keeps_edge(spark, tmp_path):
         for r in final.values()
     )
     assert got == expected
+
+
+def test_stream_stream_asof_join_semantics(spark, tmp_path):
+    """asof_join_stream: both sides live streams.  Pins (a) a left
+    matching a right that arrived in an EARLIER batch, (b) a left whose
+    match arrives in a LATER batch than the left itself (the left must
+    wait in state for the watermark, then match it via event-time
+    timeout flush), (c) same-event-time right tie resolving to the
+    greatest event id, (d) a key with no rights emitting NULL, and
+    (e) the watermark tail: a left with event-time ms not strictly
+    below (global max ms - delay) is NOT emitted."""
+    import json as _json
+    import time as _time
+
+    from flow_spark.streaming.stateful import asof_join_stream
+
+    def iso(sec: int) -> str:
+        return f"1970-01-01 00:{sec // 60:02d}:{sec % 60:02d}"
+
+    lsrc, rsrc = tmp_path / "l", tmp_path / "r"
+    lsrc.mkdir(), rsrc.mkdir()
+    lbatches = [
+        [(1, 100, 1), (2, 105, 2)],
+        [(1, 200, 3)],
+        [(1, 300, 4)],  # == final watermark (310-10): must NOT emit
+    ]
+    rbatches = [
+        [(1, 90, 100, 10), (1, 90, 101, 99)],  # same-ts tie: id 101 wins
+        [(1, 150, 102, 20)],  # arrives AFTER left id 3's batch? no — before
+        [(1, 310, 103, 30)],  # advances the final watermark to 300
+    ]
+    for i in range(3):
+        with open(lsrc / f"b{i}.jsonl", "w") as fh:
+            for k, sec, eid in lbatches[i]:
+                fh.write(
+                    _json.dumps(
+                        {"user_id": k, "ts": iso(sec), "event_id": eid}
+                    )
+                    + "\n"
+                )
+        with open(rsrc / f"b{i}.jsonl", "w") as fh:
+            for k, sec, eid, vc in rbatches[i]:
+                fh.write(
+                    _json.dumps(
+                        {
+                            "user_id": k,
+                            "ts": iso(sec),
+                            "event_id": eid,
+                            "vc": vc,
+                        }
+                    )
+                    + "\n"
+                )
+        _time.sleep(0.02)  # distinct mtimes pin batch order
+    lstream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(lsrc))
+    )
+    rstream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, vc long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(rsrc))
+    )
+    out = asof_join_stream(
+        lstream,
+        rstream,
+        key_col="user_id",
+        ts_col="ts",
+        left_id_col="event_id",
+        right_val_col="vc",
+        right_id_col="event_id",
+        delay="10 seconds",
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssaj_test_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.left_id: (r.akey, r.ts_us, r.asof_val)
+        for r in spark.table("ssaj_test_sink").collect()
+    }
+    assert got == {
+        1: (1, 100_000_000, 99),  # tie at ts=90 -> greatest id's value
+        2: (2, 105_000_000, None),  # key 2 has no rights
+        3: (1, 200_000_000, 20),  # match from a later batch than... the
+        # right (t=150, batch 1) lands before the left flushes (wm=300)
+    }  # left id 4 (t=300) == final watermark: sealed only strictly below
