@@ -164,8 +164,33 @@ def snapshot_write(
     from pyspark.sql import functions as F
 
     os.makedirs(os.path.join(table_dir, MANIFEST_DIR), exist_ok=True)
+    prev_version = current_version(table_dir)
+    prev_manifest: "dict | None" = None
+    if prev_version >= 1:
+        with open(_manifest_path(table_dir, prev_version)) as fh:
+            prev_manifest = json.load(fh)
+    # column mapping (snapshot_rename_column): a mapped table's FILES
+    # carry physical names forever, so new files must be written with
+    # physical names too — one global logical->physical map stays valid
+    # for every file of every version, exactly Delta's column-mapping
+    # invariant.  The manifest schema stays LOGICAL (the read authority).
+    mapping = (prev_manifest or {}).get("column_mapping") or {}
+    phys_df = df
+    if mapping:
+        phys = [mapping.get(c, c) for c in df.columns]
+        if len(set(phys)) != len(phys):
+            # e.g. cents was renamed to balance (physical stays cents)
+            # and the writer now adds a NEW logical column named cents:
+            # two columns would collide in the files.  Delta prevents
+            # this with UUID physical names; we refuse the write.
+            raise ValueError(
+                "column-mapping physical-name collision: a new logical "
+                "column reuses a mapped column's physical name "
+                f"(physical layout would be {phys})"
+            )
+        phys_df = df.withColumnsRenamed(dict(mapping))
     write_dir = os.path.join(table_dir, DATA_DIR, uuid.uuid4().hex[:12])
-    df.write.mode("error").parquet(write_dir)
+    phys_df.write.mode("error").parquet(write_dir)
     files = sorted(
         os.path.join(write_dir, f)
         for f in os.listdir(write_dir)
@@ -173,7 +198,8 @@ def snapshot_write(
     )
     if constraints and files:
         # one aggregate scan of the written files counts violations of
-        # every constraint at once (NULL check result = violation)
+        # every constraint at once (NULL check result = violation);
+        # constraints are written against LOGICAL names
         spark = df.sparkSession
         agg_cols = [
             F.sum(
@@ -181,7 +207,12 @@ def snapshot_write(
             ).alias(f"c{i}")
             for i, c in enumerate(constraints)
         ]
-        counts = spark.read.parquet(*files).agg(*agg_cols).collect()[0]
+        chk = spark.read.parquet(*files)
+        if mapping:
+            chk = chk.withColumnsRenamed(
+                {phys: logical for logical, phys in mapping.items()}
+            )
+        counts = chk.agg(*agg_cols).collect()[0]
         violated = {
             constraints[i]: int(counts[i])
             for i in range(len(constraints))
@@ -191,15 +222,12 @@ def snapshot_write(
             raise ConstraintViolation(
                 f"commit rejected, violating rows per constraint: {violated}"
             )
-    prev_version = current_version(table_dir)
     stats: dict[str, list] = {}
-    prev_manifest: "dict | None" = None
-    if prev_version >= 1:  # inherit stats of reused files
-        with open(_manifest_path(table_dir, prev_version)) as fh:
-            prev_manifest = json.load(fh)
-        # inherit ONLY if the stats describe the same column — stats on a
-        # different column must not masquerade as stats on this one
-        # (pruning against the wrong column would drop affected files)
+    if prev_manifest is not None:
+        # inherit stats of reused files — ONLY if the stats describe the
+        # same column; stats on a different column must not masquerade
+        # as stats on this one (pruning against the wrong column would
+        # drop affected files)
         if prev_manifest.get("stats_col") == stats_col and stats_col is not None:
             prev_stats = prev_manifest.get("stats", {})
             for f in reuse_files or []:
@@ -207,8 +235,9 @@ def snapshot_write(
                     stats[f] = prev_stats[f]
     # partition metadata of reused files always carries forward
     partitions, bases = _inherited_layout(prev_manifest, list(reuse_files or []))
+    phys_stats_col = mapping.get(stats_col, stats_col)
     if stats_col is not None and files:
-        footer_stats = _footer_stats(files, stats_col, df.schema)
+        footer_stats = _footer_stats(files, phys_stats_col, phys_df.schema)
         if footer_stats is not None:
             stats.update(footer_stats)
         else:
@@ -216,7 +245,10 @@ def snapshot_write(
             new_stats = (
                 spark.read.parquet(*files)
                 .groupBy(F.col("_metadata.file_path").alias("__fp"))
-                .agg(F.min(stats_col).alias("mn"), F.max(stats_col).alias("mx"))
+                .agg(
+                    F.min(phys_stats_col).alias("mn"),
+                    F.max(phys_stats_col).alias("mx"),
+                )
                 .collect()
             )
             for r in new_stats:
@@ -239,6 +271,10 @@ def snapshot_write(
     # path-keyed; entries for dropped files anti-join nothing)
     if reuse_files and prev_manifest and prev_manifest.get("dv_dirs"):
         manifest["dv_dirs"] = prev_manifest["dv_dirs"]
+    if mapping:
+        # the mapping outlives every rewrite: new files were written
+        # with physical names above, so it stays valid table-wide
+        manifest["column_mapping"] = mapping
     _commit_manifest(manifest, _manifest_path(table_dir, version))
     return version
 
@@ -333,12 +369,31 @@ def _read_manifest_subset(
     ``_metadata`` on the RETURNED frame breaks as soon as a DV join is
     present, so lineage-needing callers must use this flag instead.
 
+    Column mapping (``manifest["column_mapping"]``, logical ->
+    physical): renamed/dropped columns are METADATA-ONLY commits —
+    the files keep their original (physical) names forever, exactly
+    as Delta's column-mapping mode.  The scan therefore uses the
+    schema with PHYSICAL names (so old files resolve and pruning/
+    pushdown still hit the real parquet columns) and every part is
+    renamed back to logical names before anything else sees it.
+
     Every manifest-reading API goes through here — reading partitioned
     files through a path that skipped the bases would corrupt partition
     columns to NULL (the exact interop bug this helper closes).
     """
     from pyspark.sql import functions as F
 
+    mapping = manifest.get("column_mapping") or {}
+    phys_schema = schema
+    if schema is not None and mapping:
+        from pyspark.sql.types import StructField, StructType
+
+        phys_schema = StructType(
+            [
+                StructField(mapping.get(f.name, f.name), f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
     dv_dirs = manifest.get("dv_dirs") or []
     attach = with_meta or bool(dv_dirs)
     bases = manifest.get("bases", {})
@@ -350,9 +405,13 @@ def _read_manifest_subset(
         rd = spark.read
         if base is not None:
             rd = rd.option("basePath", base)
-        if schema is not None:
-            rd = rd.schema(schema)
+        if phys_schema is not None:
+            rd = rd.schema(phys_schema)
         p = rd.parquet(*sorted(by_base[base]))
+        if mapping:
+            p = p.withColumnsRenamed(
+                {phys: logical for logical, phys in mapping.items()}
+            )
         if attach:
             p = p.withColumns(
                 {
@@ -1533,6 +1592,114 @@ def snapshot_diff(
         "old",
         "new",
     )
+
+
+def _rename_meta_commit(table_dir: str, mutate) -> int:
+    """Commit a METADATA-ONLY schema-evolution version: same files, same
+    stats values, new logical schema / column mapping.  ``mutate`` edits
+    the manifest dict in place."""
+    v = current_version(table_dir)
+    if v < 1:
+        raise FileNotFoundError(f"no committed versions in {table_dir}")
+    with open(_manifest_path(table_dir, v)) as fh:
+        manifest = json.load(fh)
+    manifest = dict(manifest)
+    mutate(manifest)
+    manifest["version"] = v + 1
+    manifest["committed_at"] = time.time()
+    _commit_manifest(manifest, _manifest_path(table_dir, v + 1))
+    return v + 1
+
+
+def snapshot_rename_column(table_dir: str, old: str, new: str) -> int:
+    """RENAME COLUMN without touching a single data file — Delta/Iceberg
+    column mapping: the files keep the original (physical) name forever;
+    the manifest's logical schema renames, and ``column_mapping``
+    (logical -> physical) lets every read resolve old files.  Later
+    writes (MERGE survivors, compaction) write PHYSICAL names, so one
+    table-wide map stays valid across rewrites (``snapshot_write``).
+
+    Pruning metadata follows the LOGICAL name: ``stats_col``,
+    ``col_stats`` and a bloom index built on the renamed column keep
+    working under the new name (their per-file values are
+    name-independent).  Time travel to a pre-rename version sees the
+    old name — schema history is versioned like data.
+
+    Pure driver-side manifest arithmetic; returns the new version.
+    """
+    from pyspark.sql.types import StructType
+
+    def mutate(manifest: dict) -> None:
+        schema = StructType.fromJson(json.loads(manifest["schema"]))
+        names = schema.fieldNames()
+        if old not in names:
+            raise ValueError(f"rename: no column {old!r} in {names}")
+        if new in names:
+            raise ValueError(f"rename: column {new!r} already exists")
+        mapping = dict(manifest.get("column_mapping") or {})
+        phys = mapping.pop(old, old)
+        mapping[new] = phys
+        manifest["column_mapping"] = mapping
+        from pyspark.sql.types import StructField
+
+        manifest["schema"] = StructType(
+            [
+                StructField(
+                    new if f.name == old else f.name, f.dataType, f.nullable
+                )
+                for f in schema.fields
+            ]
+        ).json()
+        if manifest.get("stats_col") == old:
+            manifest["stats_col"] = new
+        if old in (manifest.get("col_stats") or {}):
+            cs = dict(manifest["col_stats"])
+            cs[new] = cs.pop(old)
+            manifest["col_stats"] = cs
+        if (manifest.get("bloom") or {}).get("col") == old:
+            manifest["bloom"] = dict(manifest["bloom"], col=new)
+
+    return _rename_meta_commit(table_dir, mutate)
+
+
+def snapshot_drop_column(table_dir: str, col: str) -> int:
+    """DROP COLUMN without rewriting data — the files keep the bytes,
+    the logical schema loses the field, and because every manifest read
+    scans with an EXPLICIT schema the dropped column is never even
+    decoded (parquet column pruning makes the drop free at read time
+    too).  Stats or bloom metadata keyed on the dropped column are
+    discarded; the physical mapping entry goes with it.  Time travel to
+    an earlier version still sees the column.  Returns the new version.
+    """
+    from pyspark.sql.types import StructType
+
+    def mutate(manifest: dict) -> None:
+        schema = StructType.fromJson(json.loads(manifest["schema"]))
+        names = schema.fieldNames()
+        if col not in names:
+            raise ValueError(f"drop: no column {col!r} in {names}")
+        if len(names) == 1:
+            raise ValueError("drop: cannot drop the only column")
+        manifest["schema"] = StructType(
+            [f for f in schema.fields if f.name != col]
+        ).json()
+        mapping = dict(manifest.get("column_mapping") or {})
+        mapping.pop(col, None)
+        if mapping:
+            manifest["column_mapping"] = mapping
+        else:
+            manifest.pop("column_mapping", None)
+        if manifest.get("stats_col") == col:
+            manifest["stats_col"] = None
+            manifest["stats"] = {}
+        if col in (manifest.get("col_stats") or {}):
+            cs = dict(manifest["col_stats"])
+            cs.pop(col)
+            manifest["col_stats"] = cs
+        if (manifest.get("bloom") or {}).get("col") == col:
+            manifest.pop("bloom", None)
+
+    return _rename_meta_commit(table_dir, mutate)
 
 
 def _dv_touched_files(spark: SparkSession, dv_dirs: "list[str]") -> "set[str]":

@@ -2200,3 +2200,140 @@ def snap_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "snap_column_mapping",
+    category="scale-pattern",
+    doc="Schema evolution via COLUMN MAPPING (operators/snapshots."
+    "snapshot_rename_column / snapshot_drop_column, VERDICT r5 #8 'new "
+    "execution shape'): a customer-balance table takes a MERGE, then "
+    "RENAME COLUMN cents -> balance_cents and DROP COLUMN name — both "
+    "METADATA-ONLY commits (the manifests' file lists are compared and "
+    "emitted as rename_files_unchanged/drop_files_unchanged, so the "
+    "zero-rewrite property is value-checked, not claimed) — then a "
+    "second MERGE under the NEW logical name.  Old files keep the "
+    "physical column name forever and reads resolve them through the "
+    "manifest's logical->physical map; post-rename MERGE survivors are "
+    "written with physical names so the one table-wide map stays valid "
+    "(exactly Delta's column-mapping invariant); stats_col follows the "
+    "rename so MERGE file pruning keeps working.  At 100 TB a rename/"
+    "drop that rewrote data would be a full-table job; this is one "
+    "manifest write.  Output: per-mktsegment live count and exact "
+    "final balance cents plus the two zero-rewrite flags.",
+    oracle="""
+        WITH u1 AS (
+            SELECT o_custkey AS k,
+                   arg_max(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                                AS BIGINT),
+                           datediff('day', DATE '1970-01-01',
+                                    CAST(o_orderdate AS DATE))
+                           * 10000000000 + o_orderkey) AS cents
+            FROM orders WHERE o_orderkey % 13 = 0
+            GROUP BY o_custkey
+        ),
+        u2 AS (
+            SELECT o_custkey AS k,
+                   arg_max(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                                AS BIGINT),
+                           datediff('day', DATE '1970-01-01',
+                                    CAST(o_orderdate AS DATE))
+                           * 10000000000 + o_orderkey) AS cents
+            FROM orders WHERE o_orderkey % 17 = 0
+            GROUP BY o_custkey
+        ),
+        final AS (
+            SELECT c.c_mktsegment AS seg,
+                   COALESCE(u2.cents, u1.cents,
+                            CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100
+                                 AS BIGINT)) AS bal
+            FROM customer c
+            LEFT JOIN u1 ON u1.k = c.c_custkey
+            LEFT JOIN u2 ON u2.k = c.c_custkey
+        )
+        SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_cust,
+               CAST(SUM(bal) AS BIGINT) AS balance_sum,
+               CAST(1 AS BIGINT) AS rename_files_unchanged,
+               CAST(1 AS BIGINT) AS drop_files_unchanged
+        FROM final GROUP BY seg ORDER BY seg
+    """,
+)
+def snap_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flow_spark.operators.snapshots import (
+        snapshot_drop_column,
+        snapshot_files,
+        snapshot_read,
+        snapshot_rename_column,
+        snapshot_upsert,
+        snapshot_write,
+    )
+    from flow_spark.queries.util import cents
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    initial = cust.select(
+        F.col("c_custkey").alias("k"),
+        cents("c_acctbal").alias("cents"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_name").alias("name"),
+    ).repartitionByRange(4, "k")
+    ord_key = (
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        * F.lit(10_000_000_000).cast("bigint")
+        + F.col("o_orderkey")
+    )
+
+    def upd(mod: int, val_name: str) -> DataFrame:
+        return (
+            orders.filter(F.col("o_orderkey") % mod == 0)
+            .groupBy(F.col("o_custkey").alias("k"))
+            .agg(F.max_by(cents("o_totalprice"), ord_key).alias(val_name))
+        )
+
+    table_dir = tempfile.mkdtemp(prefix="snap_colmap_")
+    snapshot_write(initial, table_dir, stats_col="k")
+    v2 = snapshot_upsert(
+        spark,
+        upd(13, "cents").join(
+            initial.select("k", "seg", "name"), "k", "inner"
+        ),
+        table_dir,
+        key_col="k",
+    )
+    # metadata-only evolution: rename the money column, drop the name
+    v3 = snapshot_rename_column(table_dir, "cents", "balance_cents")
+    rename_unchanged = int(
+        snapshot_files(table_dir, v2) == snapshot_files(table_dir, v3)
+    )
+    v4 = snapshot_drop_column(table_dir, "name")
+    drop_unchanged = int(
+        snapshot_files(table_dir, v3) == snapshot_files(table_dir, v4)
+    )
+    # MERGE under the NEW logical name (files keep the physical one)
+    v5 = snapshot_upsert(
+        spark,
+        upd(17, "balance_cents").join(initial.select("k", "seg"), "k", "inner"),
+        table_dir,
+        key_col="k",
+    )
+    live = snapshot_read(spark, table_dir, v5)
+    return (
+        live.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+            F.sum("balance_cents").cast("bigint").alias("balance_sum"),
+        )
+        .select(
+            "seg",
+            "n_cust",
+            "balance_sum",
+            F.lit(rename_unchanged).cast("bigint").alias(
+                "rename_files_unchanged"
+            ),
+            F.lit(drop_unchanged).cast("bigint").alias("drop_files_unchanged"),
+        )
+        .orderBy("seg")
+    )

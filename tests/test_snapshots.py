@@ -1625,3 +1625,87 @@ def test_bloom_rejects_non_integral_key_and_sink_requires_order(spark, tmp_path)
     stream = spark.readStream.format("rate").load()
     with pytest.raises(ValueError, match="op_col requires order_col"):
         upsert_sink(stream, t, "value", str(tmp_path / "ckpt"), op_col="op")
+
+
+def test_column_mapping_rename_drop_merge(spark, tmp_path):
+    """Delta-style column mapping: RENAME and DROP are metadata-only
+    commits (same files, byte for byte); reads resolve old files via
+    the logical->physical map; a MERGE after the rename writes new
+    files with PHYSICAL names so the one table-wide map stays valid;
+    stats_col follows the rename so MERGE pruning keeps working; time
+    travel sees the historical schema; and a new logical column that
+    would collide with a mapped physical name is refused."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        _manifest_path,
+        snapshot_drop_column,
+        snapshot_files,
+        snapshot_read,
+        snapshot_rename_column,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("cents"),
+        F.concat(F.lit("n"), F.col("id")).alias("note"),
+    ).repartitionByRange(3, "k")
+    v1 = snapshot_write(df, t, stats_col="k")
+
+    # rename cents -> balance: same files, new logical schema
+    v2 = snapshot_rename_column(t, "cents", "balance")
+    assert snapshot_files(t, v1) == snapshot_files(t, v2)
+    got = snapshot_read(spark, t, v2)
+    assert set(got.columns) == {"k", "balance", "note"}
+    assert got.filter("k = 7").select("balance").first()[0] == 70
+    # time travel: the pre-rename version still reads the old name
+    assert "cents" in snapshot_read(spark, t, v1).columns
+
+    # MERGE after the rename: logical batch, physical files
+    batch = spark.createDataFrame(
+        [(7, 777, "x"), (200, 2000, "y")], "k long, balance long, note string"
+    )
+    v3 = snapshot_upsert(spark, batch, t, key_col="k")
+    got3 = {r.k: r.balance for r in snapshot_read(spark, t, v3).collect()}
+    assert got3[7] == 777 and got3[200] == 2000 and got3[8] == 80
+    with open(_manifest_path(t, v3)) as fh:
+        m3 = _json.load(fh)
+    assert m3["column_mapping"] == {"balance": "cents"}
+    new_files = sorted(set(m3["files"]) - set(snapshot_files(t, v2)))
+    assert new_files
+    for f in new_files:  # physical layout: still 'cents' on disk
+        names = _pq.ParquetFile(f).schema_arrow.names
+        assert "cents" in names and "balance" not in names
+
+    # rename the MERGE key itself: stats_col follows, pruning-backed
+    # MERGE keeps working under the new name
+    v4 = snapshot_rename_column(t, "k", "id")
+    with open(_manifest_path(t, v4)) as fh:
+        assert _json.load(fh)["stats_col"] == "id"
+    v5 = snapshot_upsert(
+        spark,
+        spark.createDataFrame([(7, 7777, "z")], "id long, balance long, note string"),
+        t,
+        key_col="id",
+    )
+    got5 = {r.id: r.balance for r in snapshot_read(spark, t, v5).collect()}
+    assert got5[7] == 7777 and got5[8] == 80 and len(got5) == 101
+
+    # drop: metadata-only, historical versions keep the column
+    v6 = snapshot_drop_column(t, "note")
+    assert set(snapshot_read(spark, t, v6).columns) == {"id", "balance"}
+    assert "note" in snapshot_read(spark, t, v5).columns
+    assert snapshot_files(t, v6) == snapshot_files(t, v5)
+
+    # physical-name collision: a NEW logical 'cents' would collide with
+    # balance's physical name in the files — refused
+    clash = snapshot_read(spark, t, v6).withColumn("cents", F.lit(1))
+    with pytest.raises(ValueError, match="collision"):
+        snapshot_write(clash, t, reuse_files=None)
