@@ -977,11 +977,20 @@ def snapshot_vacuum(
                     live_files.update(json.load(fh).get("files", []))
     dropped = 0
     deleted = 0
+    own = os.path.realpath(table_dir) + os.sep
     for v in all_versions:
         if v in keep:
             continue
         for f in snapshot_files(table_dir, v):
-            if f not in live_files and os.path.exists(f):
+            # never reclaim a file OUTSIDE this table's directory: a
+            # shallow clone (snapshot_clone) references the source's
+            # files by path, and the borrower must not collect them —
+            # only the owning table's vacuum may (Delta's rule)
+            if (
+                f not in live_files
+                and os.path.realpath(f).startswith(own)
+                and os.path.exists(f)
+            ):
                 os.remove(f)
                 deleted += 1
         os.remove(_manifest_path(table_dir, v))
@@ -1592,6 +1601,41 @@ def snapshot_diff(
         "old",
         "new",
     )
+
+
+def snapshot_clone(source_dir: str, target_dir: str) -> int:
+    """SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW CLONE``): commit
+    version 1 of ``target_dir`` referencing the source's CURRENT files
+    by path — zero bytes copied, one manifest write, however large the
+    source.  The full read surface carries over: stats, col_stats,
+    bloom index, column mapping, partition bases, and deletion vectors
+    (the clone sees the post-delete view).
+
+    Divergence is free in both directions: writes to the clone land in
+    the clone's own data directory and copy-on-write rewrites detach
+    borrowed files naturally; the source never sees clone commits.
+    Vacuum safety: a table's vacuum only reclaims files under its OWN
+    directory, so the clone can never collect the source's files — but
+    (exactly Delta's documented caveat) a vacuum on the SOURCE may
+    reclaim files a clone still references; keep source retention
+    longer than clone lifetimes, or deep-copy instead.
+
+    The target must not exist as a table yet.  Returns 1.
+    """
+    if current_version(target_dir) >= 1:
+        raise FileExistsError(f"{target_dir} already has committed versions")
+    src_v = current_version(source_dir)
+    if src_v < 1:
+        raise FileNotFoundError(f"no committed versions in {source_dir}")
+    with open(_manifest_path(source_dir, src_v)) as fh:
+        manifest = json.load(fh)
+    os.makedirs(os.path.join(target_dir, MANIFEST_DIR), exist_ok=True)
+    manifest = dict(manifest)
+    manifest["version"] = 1
+    manifest["committed_at"] = time.time()
+    manifest["cloned_from"] = {"table": source_dir, "version": src_v}
+    _commit_manifest(manifest, _manifest_path(target_dir, 1))
+    return 1
 
 
 def _rename_meta_commit(table_dir: str, mutate) -> int:

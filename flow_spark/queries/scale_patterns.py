@@ -2337,3 +2337,100 @@ def snap_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+@register(
+    "snap_shallow_clone",
+    category="scale-pattern",
+    doc="Zero-copy SHALLOW CLONE (operators/snapshots.snapshot_clone — "
+    "Delta's CREATE TABLE ... SHALLOW CLONE): the clone's v1 manifest "
+    "references the source's current files BY PATH (the zero_copy flag "
+    "value-checks that the file lists are identical, i.e. no byte was "
+    "copied), then the two tables take DIFFERENT MERGEs and diverge "
+    "independently — clone writes land in the clone's own directory and "
+    "copy-on-write detaches borrowed files naturally, while each "
+    "table's vacuum may only reclaim files under its OWN directory "
+    "(runtime-proven in test_shallow_clone_divergence_and_vacuum_"
+    "safety).  At 100 TB this is how a dev/test fork or a what-if "
+    "branch of a petabyte table costs one manifest write.  Output: "
+    "per-side row count and exact balance cents after divergence.",
+    oracle="""
+        WITH u AS (
+            SELECT o_custkey AS k,
+                   arg_max(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                                AS BIGINT),
+                           datediff('day', DATE '1970-01-01',
+                                    CAST(o_orderdate AS DATE))
+                           * 10000000000 + o_orderkey) AS cents,
+                   CAST(o_custkey % 2 AS BIGINT) AS side
+            FROM orders WHERE o_orderkey % 19 = 0
+            GROUP BY o_custkey, o_custkey % 2
+        ),
+        sides AS (SELECT 'source' AS side UNION ALL SELECT 'clone'),
+        final AS (
+            SELECT s.side, c.c_custkey,
+                   COALESCE(
+                       CASE WHEN s.side = 'source' AND u.side = 0
+                                 THEN u.cents
+                            WHEN s.side = 'clone' AND u.side = 1
+                                 THEN u.cents END,
+                       CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100
+                            AS BIGINT)) AS bal
+            FROM sides s CROSS JOIN customer c
+            LEFT JOIN u ON u.k = c.c_custkey
+        )
+        SELECT side, CAST(COUNT(*) AS BIGINT) AS n_cust,
+               CAST(SUM(bal) AS BIGINT) AS balance_sum,
+               CAST(1 AS BIGINT) AS zero_copy
+        FROM final GROUP BY side ORDER BY side
+    """,
+)
+def snap_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flow_spark.operators.snapshots import (
+        snapshot_clone,
+        snapshot_files,
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_write,
+    )
+    from flow_spark.queries.util import cents
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    initial = cust.select(
+        F.col("c_custkey").alias("k"), cents("c_acctbal").alias("bal")
+    ).repartitionByRange(4, "k")
+    ord_key = (
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        * F.lit(10_000_000_000).cast("bigint")
+        + F.col("o_orderkey")
+    )
+    upd = (
+        orders.filter(F.col("o_orderkey") % 19 == 0)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.max_by(cents("o_totalprice"), ord_key).alias("bal"))
+    )
+    src = tempfile.mkdtemp(prefix="snap_clone_src_")
+    tgt = tempfile.mkdtemp(prefix="snap_clone_tgt_")
+    snapshot_write(initial, src, stats_col="k")
+    snapshot_clone(src, tgt)
+    zero_copy = int(snapshot_files(src, 1) == snapshot_files(tgt, 1))
+    # diverge: even keys update the source, odd keys update the clone
+    snapshot_upsert(spark, upd.filter(F.col("k") % 2 == 0), src, key_col="k")
+    snapshot_upsert(spark, upd.filter(F.col("k") % 2 == 1), tgt, key_col="k")
+
+    def side(table_dir: str, name: str) -> DataFrame:
+        return (
+            snapshot_read(spark, table_dir)
+            .agg(
+                F.lit(name).alias("side"),
+                F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+                F.sum("bal").cast("bigint").alias("balance_sum"),
+                F.lit(zero_copy).cast("bigint").alias("zero_copy"),
+            )
+        )
+
+    return side(src, "source").unionByName(side(tgt, "clone")).orderBy("side")

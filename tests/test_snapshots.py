@@ -1709,3 +1709,57 @@ def test_column_mapping_rename_drop_merge(spark, tmp_path):
     clash = snapshot_read(spark, t, v6).withColumn("cents", F.lit(1))
     with pytest.raises(ValueError, match="collision"):
         snapshot_write(clash, t, reuse_files=None)
+
+
+def test_shallow_clone_divergence_and_vacuum_safety(spark, tmp_path):
+    """snapshot_clone: (a) the clone's v1 is the source's current
+    content without copying a byte (identical file lists); (b) writes
+    to each side diverge independently; (c) the CLONE's vacuum never
+    reclaims borrowed source files even after the borrowing manifests
+    age out (own-directory rule), while its own rewrite files are
+    collected normally."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        snapshot_clone,
+        snapshot_files,
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_vacuum,
+        snapshot_write,
+    )
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    snapshot_write(
+        spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v")),
+        src,
+        stats_col="k",
+    )
+    assert snapshot_clone(src, tgt) == 1
+    assert snapshot_files(src, 1) == snapshot_files(tgt, 1)
+    assert snapshot_read(spark, tgt).count() == 50
+
+    # diverge both sides
+    snapshot_upsert(
+        spark, spark.createDataFrame([(7, 700)], "k long, v long"), tgt, "k"
+    )
+    snapshot_upsert(
+        spark, spark.createDataFrame([(7, 999)], "k long, v long"), src, "k"
+    )
+    tv = {r.k: r.v for r in snapshot_read(spark, tgt).collect()}
+    sv = {r.k: r.v for r in snapshot_read(spark, src).collect()}
+    assert tv[7] == 700 and sv[7] == 999 and tv[8] == sv[8] == 16
+
+    # age out every borrowing manifest on the clone; source files live
+    borrowed = set(snapshot_files(tgt, 1))
+    snapshot_upsert(
+        spark, spark.createDataFrame([(9, 900)], "k long, v long"), tgt, "k"
+    )
+    stats = snapshot_vacuum(tgt, keep_versions=1, orphan_grace_seconds=3600)
+    assert stats["versions_dropped"] >= 1
+    for f in borrowed:
+        assert _os.path.exists(f), "clone vacuum reclaimed a SOURCE file"
+    assert snapshot_read(spark, src, 1).count() == 50  # source v1 intact
