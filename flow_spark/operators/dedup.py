@@ -531,7 +531,12 @@ def prefix_filter_pairs(
     """
     from pyspark.sql import Window
 
-    tok = sets.select(F.col(id_col).alias("doc_id"), F.col(item_col).alias("tk"))
+    tok = sets.select(
+        F.col(id_col).alias("doc_id"), F.col(item_col).alias("tk")
+    ).localCheckpoint()  # consumed by BOTH the vocab build and the
+    # per-set aggregation — without this the upstream shingling runs
+    # twice (measured ~2.5 s of the sf1 wall); MEMORY_AND_DISK blocks,
+    # so at 100 TB this is a disk-backed token spill, not a memory bet
     # vocab-sized dimension build: one global rare-first DENSE RANK per
     # item.  The rank is order-preserving over (df asc, item asc), so
     # the per-set rare-first sort below is a plain ascending-int

@@ -1867,73 +1867,87 @@ def snapshot_build_bloom(
                 f"got {dt.simpleString()}"
             )
     auto = bits == "auto"
-    if auto:
-        # one exact per-file NDV scan sizes the array; exact (not
-        # approximate) so the DuckDB oracle can re-derive the same
-        # bits and replay every set bit
-        ndv_rows = (
-            _read_manifest_subset(spark, manifest, all_files, with_meta=True)
-            .groupBy("__fp")
-            .agg(F.countDistinct(col).alias("ndv"))
-            .collect()
-            if all_files
-            else []
-        )
-        bits = _auto_bloom_bits(max((r["ndv"] for r in ndv_rows), default=0))
-    # inherit filters from the most recent earlier version whose index
-    # used the same column and geometry (per-file bitmaps of immutable
-    # files never go stale; only membership of the FILE LIST changes)
-    inherited: dict[str, str] = {}
+    # the most recent earlier index on the same (col, k): its per-file
+    # ndv map is geometry-independent (reused for sizing without a
+    # scan) and its filters inherit verbatim when the resolved bit
+    # width matches (per-file bitmaps of immutable files never go
+    # stale; only membership of the FILE LIST changes)
+    prev_bloom: "dict | None" = None
     for pv in range(v - 1, 0, -1):
         try:
             with open(_manifest_path(table_dir, pv)) as fh:
                 pb = json.load(fh).get("bloom")
         except FileNotFoundError:  # vacuumed away
             break
-        if (
-            pb
-            and pb.get("col") == col
-            and pb.get("bits") == bits
-            and pb.get("k") == k
-        ):
-            allf = set(all_files)
-            inherited = {
-                f: b64 for f, b64 in pb["filters"].items() if f in allf
-            }
+        if pb and pb.get("col") == col and pb.get("k") == k:
+            prev_bloom = pb
             break
-    files = [f for f in all_files if f not in inherited]
+    allf = set(all_files)
+    known_ndv = {
+        f: n
+        for f, n in ((prev_bloom or {}).get("ndv") or {}).items()
+        if f in allf
+    }
     h = portable_hash64(F.col(col).cast("string")) % MH_P
-    pos_cols = []
-    for i in range(k):
-        a, b = mh_coeffs(i)
-        pos_cols.append(((F.lit(a) * h + F.lit(b)) % MH_P % bits).alias(f"p{i}"))
-    from functools import reduce
 
-    union_of_sets = reduce(
-        F.array_union, [F.collect_set(f"p{i}") for i in range(1, k)],
-        F.collect_set("p0"),
-    )
-    per_file = (
-        (
-            _read_manifest_subset(spark, manifest, files, with_meta=True)
-            .select("__fp", *pos_cols)
+    _H_CAP = 2_000_000  # 16 MB of hashes per file — metadata-sized
+
+    def h_scan(scan_files: "list[str]") -> "dict[str, list]":
+        """{file: sorted distinct 31-bit hashes}: ONE scan yields both
+        the exact per-file distinct count (auto sizing) and the values
+        the driver packs into whatever bit width gets resolved — no
+        separate NDV pass, no second positions pass."""
+        if not scan_files:
+            return {}
+        rows = (
+            _read_manifest_subset(spark, manifest, scan_files, with_meta=True)
+            .select("__fp", h.alias("h"))
             .groupBy("__fp")
-            .agg(F.array_sort(union_of_sets).alias("positions"))
+            .agg(
+                F.slice(
+                    F.sort_array(F.collect_set("h")), 1, _H_CAP + 1
+                ).alias("hs")
+            )
             .collect()
         )
-        if files
-        else []  # empty version: commit an index with no filters
-    )
+        out = {r["__fp"].removeprefix("file:"): list(r["hs"]) for r in rows}
+        if any(len(hs) > _H_CAP for hs in out.values()):
+            raise ValueError(
+                f"bloom build: a file exceeds {_H_CAP} distinct keys; "
+                "the filter would not be metadata-sized — repartition "
+                "the table or index a coarser column"
+            )
+        return out
+
+    hsets = h_scan([f for f in all_files if f not in known_ndv])
+    ndv = dict(known_ndv)
+    ndv.update({f: len(hs) for f, hs in hsets.items()})
+    if auto:
+        bits = _auto_bloom_bits(max(ndv.values(), default=0))
+    inherited: dict[str, str] = {}
+    if prev_bloom and prev_bloom.get("bits") == bits:
+        inherited = {
+            f: b64 for f, b64 in prev_bloom["filters"].items() if f in allf
+        }
+    files = [f for f in all_files if f not in inherited]
+    # files the previous index knew (ndv inherited, so not in the first
+    # scan) that still need filters because the bit width changed
+    hsets.update(h_scan([f for f in files if f not in hsets]))
+
+    import numpy as np
+
+    coeffs = [mh_coeffs(i) for i in range(k)]
     filters: dict[str, str] = dict(inherited)
-    by_path = {r["__fp"].removeprefix("file:"): r["positions"] for r in per_file}
     for f in files:
-        positions = by_path.get(f)
-        if positions is None:
+        hs = hsets.get(f)
+        if not hs:
             continue  # empty file: no rows, no filter — always scanned
-        bm = bytearray(bits // 8)
-        for p in positions:
-            bm[p // 8] |= 1 << (p % 8)
-        filters[f] = base64.b64encode(bytes(bm)).decode("ascii")
+        hv = np.asarray(hs, dtype=np.int64)  # a*h+b < 2^62: no overflow
+        bm = np.zeros(bits // 8, dtype=np.uint8)
+        for a, b in coeffs:
+            pos = (a * hv + b) % MH_P % bits
+            np.bitwise_or.at(bm, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+        filters[f] = base64.b64encode(bm.tobytes()).decode("ascii")
     if not auto and any(
         int.from_bytes(base64.b64decode(filters[f]), "big").bit_count() * 2
         > bits
@@ -1953,7 +1967,13 @@ def snapshot_build_bloom(
     manifest = dict(manifest)
     manifest["version"] = new_version
     manifest["committed_at"] = time.time()
-    manifest["bloom"] = {"col": col, "bits": bits, "k": k, "filters": filters}
+    manifest["bloom"] = {
+        "col": col,
+        "bits": bits,
+        "k": k,
+        "filters": filters,
+        "ndv": ndv,  # geometry-independent: future rebuilds size without a scan
+    }
     _commit_manifest(manifest, _manifest_path(table_dir, new_version))
     return new_version
 

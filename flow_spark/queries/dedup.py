@@ -1692,5 +1692,10 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_b").cast("bigint").alias("doc_b"),
             F.col("jaccard_ppm").cast("bigint").alias("jaccard_ppm"),
         )
+        # the global sort's range-partitioner SAMPLING pass would
+        # otherwise re-run the whole candidate+verify lineage a second
+        # time (measured +2.2 s at sf1 for a 2k-row result) — truncate
+        # it; the surviving pairs are output-sized
+        .localCheckpoint()
         .orderBy("doc_a", "doc_b")
     )

@@ -16,25 +16,14 @@ from flow_spark.session import get_spark, release_cached_blocks  # noqa: E402
 from tools.make_sf1 import ensure_sf1  # noqa: E402
 
 NEW = [
-    "eval_ndcg_at_k",
-    "eval_macro_f1",
-    "text_vocab_growth",
-    "ts_time_weighted_avg",
-    "graph_modularity",
-    "stream_twa",
-    "text_textrank_keywords",
-    "ts_dtw_band",
-    "ts_cross_correlation",
-    "eval_ece_calibration",
-    "eval_wilson_ctr",
-    "dq_k_anonymity",
-    "dq_referential_integrity",
-    "feat_quantile_normalize",
-    "ts_kaplan_meier",
-    "sim_mmr_rerank",
-    "emb_pca_power",
-    "graph_ktruss_peel",
-    "snap_rollback",
+    "dedup_prefix_filter_join",
+    "stream_cdc_deletes",
+    "stream_upsert_cdc",
+    "snap_bloom_pointlookup",
+    "snap_upsert_merge",
+    "stream_stream_asof_join",
+    "snap_column_mapping",
+    "snap_shallow_clone",
 ]
 
 
