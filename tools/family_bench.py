@@ -140,6 +140,8 @@ FAMILIES = {
         "snap_rollback",
         "snap_version_diff",
         "snap_bloom_pointlookup",
+        "snap_column_mapping",
+        "snap_shallow_clone",
     ],
     "ml": [
         "ml_kmeans_quantized",
@@ -178,6 +180,8 @@ FAMILIES = {
         "stream_twa",
         "stream_upsert_cdc",
         "stream_quantile_monitor",
+        "stream_cdc_deletes",
+        "stream_stream_asof_join",
     ],
 }
 
