@@ -433,6 +433,33 @@ def _read_manifest_subset(
     return df
 
 
+def _physicalize(df: DataFrame, manifest: "dict | None") -> DataFrame:
+    """Rename logical -> physical column names before writing DATA FILES
+    into a mapped table (column mapping, see snapshot_write): every
+    file of a mapped table must carry physical names or later reads —
+    which scan with the physical-name schema — NULL-fill the renamed
+    columns.  Identity when the table is unmapped."""
+    mapping = (manifest or {}).get("column_mapping") or {}
+    return df.withColumnsRenamed(dict(mapping)) if mapping else df
+
+
+def _logicalize(df: DataFrame, manifest: "dict | None") -> DataFrame:
+    """Rename physical -> logical names on a frame read OUTSIDE
+    _read_manifest_subset (e.g. staged files read by footer)."""
+    mapping = (manifest or {}).get("column_mapping") or {}
+    if not mapping:
+        return df
+    return df.withColumnsRenamed({p: l for l, p in mapping.items()})
+
+
+def _current_manifest(table_dir: str) -> "dict | None":
+    v = current_version(table_dir)
+    if v < 1:
+        return None
+    with open(_manifest_path(table_dir, v)) as fh:
+        return json.load(fh)
+
+
 def _inherited_layout(
     manifest: "dict | None", reuse_files: "list[str]"
 ) -> "tuple[dict, dict]":
@@ -882,8 +909,9 @@ def snapshot_compact(
 
     cur_schema = StructType.fromJson(json.loads(cur_manifest["schema"]))
     for gi, gfiles in sorted(groups.items()):
-        _read_manifest_subset(
-            spark, cur_manifest, sorted(gfiles), cur_schema
+        _physicalize(
+            _read_manifest_subset(spark, cur_manifest, sorted(gfiles), cur_schema),
+            cur_manifest,
         ).coalesce(1).write.mode("append").parquet(write_dir)
     new_files = sorted(
         os.path.join(write_dir, f)
@@ -904,10 +932,11 @@ def snapshot_compact(
     if stats_col is not None and new_files:
         from pyspark.sql import functions as F
 
+        phys_col = (prev.get("column_mapping") or {}).get(stats_col, stats_col)
         for r in (
             spark.read.parquet(*new_files)
             .groupBy(F.col("_metadata.file_path").alias("__fp"))
-            .agg(F.min(stats_col).alias("mn"), F.max(stats_col).alias("mx"))
+            .agg(F.min(phys_col).alias("mn"), F.max(phys_col).alias("mx"))
             .collect()
         ):
             if all(isinstance(x, (int, float, str)) for x in (r[1], r[2])):
@@ -923,6 +952,11 @@ def snapshot_compact(
         "partitions": partitions,
         "bases": bases,
     }
+    if prev.get("column_mapping"):
+        # compaction is a PARTIAL rewrite: kept files still carry
+        # physical names, and the rewritten groups were re-written
+        # physicalized above — the mapping must survive the commit
+        manifest["column_mapping"] = prev["column_mapping"]
     # kept (uncompacted) files still need their deletion vectors; the
     # rewritten groups were read DV-filtered, so their new files are
     # clean and no DV path can match them
@@ -1066,7 +1100,13 @@ def snapshot_stage(df: DataFrame, table_dir: str, branch: str = "audit") -> list
     """
     os.makedirs(os.path.join(table_dir, STAGED_DIR), exist_ok=True)
     write_dir = os.path.join(table_dir, DATA_DIR, uuid.uuid4().hex[:12])
-    df.write.mode("error").parquet(write_dir)
+    # staged files must already carry the table's PHYSICAL names — the
+    # publish commit lists them next to the mapped files, and every
+    # read scans with the physical-name schema; the marker schema stays
+    # LOGICAL (it becomes the published manifest's schema)
+    _physicalize(df, _current_manifest(table_dir)).write.mode(
+        "error"
+    ).parquet(write_dir)
     files = sorted(
         os.path.join(write_dir, f)
         for f in os.listdir(write_dir)
@@ -1089,10 +1129,11 @@ def snapshot_stage(df: DataFrame, table_dir: str, branch: str = "audit") -> list
 def snapshot_staged_read(
     spark: SparkSession, table_dir: str, branch: str = "audit"
 ) -> DataFrame:
-    """WAP step 2 (AUDIT): read ONLY the staged candidate files."""
+    """WAP step 2 (AUDIT): read ONLY the staged candidate files (under
+    LOGICAL column names — auditors never see physical mapping)."""
     with open(_staged_marker(table_dir, branch)) as fh:
         files = json.load(fh)["files"]
-    return spark.read.parquet(*files)
+    return _logicalize(spark.read.parquet(*files), _current_manifest(table_dir))
 
 
 def snapshot_publish(table_dir: str, branch: str = "audit") -> int:
@@ -1131,6 +1172,10 @@ def snapshot_publish(table_dir: str, branch: str = "audit") -> int:
     # here would resurrect merge-on-read-deleted rows on publish
     if prev_files and prev_manifest and prev_manifest.get("dv_dirs"):
         manifest["dv_dirs"] = prev_manifest["dv_dirs"]
+    # mapped prev files stay physical-named; staged files were
+    # physicalized at stage time — the mapping must survive the publish
+    if prev_manifest and prev_manifest.get("column_mapping"):
+        manifest["column_mapping"] = prev_manifest["column_mapping"]
     _commit_manifest(manifest, _manifest_path(table_dir, version))
     os.unlink(marker_path)
     return version
@@ -1220,6 +1265,11 @@ def snapshot_optimize_zorder(
     ({col: {file: [min, max]}}); ``snapshot_read`` consults it for
     pruning alongside the single-column ``stats``/``stats_col`` pair.
     Returns the new version.
+
+    On a column-mapped table this is a FULL rewrite from the logical
+    read, so the committed version comes out UNMAPPED (physical ==
+    logical, no ``column_mapping`` key) — the same way Delta's REORG
+    physically materializes metadata-only evolution.
 
     Inputs are first RANGE-BUCKETED into 16-bit space by driver-computed
     [min, max] (``(v - mn) div ceil(span / 65536)``, pure bigint — no
@@ -1467,6 +1517,17 @@ def snapshot_write_partitioned(
     from pyspark.sql import functions as F
 
     os.makedirs(os.path.join(table_dir, MANIFEST_DIR), exist_ok=True)
+    if ((_current_manifest(table_dir) or {}).get("column_mapping")):
+        # partition values live in PATHS under the spec column's name;
+        # mixing logical-named paths with physical-named payloads would
+        # corrupt basePath reconstruction — evolve the spec only on
+        # unmapped tables (snapshot_optimize_zorder's FULL rewrite
+        # produces one: every file comes out physical==logical)
+        raise ValueError(
+            "snapshot_write_partitioned: table has column mapping active; "
+            "full-rewrite it first (snapshot_optimize_zorder) before "
+            "evolving the partition spec"
+        )
     write_dir = os.path.join(table_dir, DATA_DIR, uuid.uuid4().hex[:12])
     df.repartition(*[F.col(c) for c in spec]).write.partitionBy(*spec).mode(
         "error"
@@ -2153,7 +2214,7 @@ def snapshot_purge_deletes(spark: SparkSession, table_dir: str) -> int:
     # the committed manifest must drop them; strip after the commit via
     # a manifest rewrite would break immutability, so commit manually.
     write_dir = os.path.join(table_dir, DATA_DIR, uuid.uuid4().hex[:12])
-    survivors.write.mode("error").parquet(write_dir)
+    _physicalize(survivors, manifest).write.mode("error").parquet(write_dir)
     new_files = sorted(
         os.path.join(write_dir, f)
         for f in os.listdir(write_dir)
@@ -2171,10 +2232,13 @@ def snapshot_purge_deletes(spark: SparkSession, table_dir: str) -> int:
         if f in set(untouched)
     }
     if stats_col is not None and new_files:
+        phys_col = (manifest.get("column_mapping") or {}).get(
+            stats_col, stats_col
+        )
         for r in (
             spark.read.parquet(*new_files)
             .groupBy(F.col("_metadata.file_path").alias("__fp"))
-            .agg(F.min(stats_col).alias("mn"), F.max(stats_col).alias("mx"))
+            .agg(F.min(phys_col).alias("mn"), F.max(phys_col).alias("mx"))
             .collect()
         ):
             if all(isinstance(x, (int, float, str)) for x in (r[1], r[2])):
@@ -2195,5 +2259,10 @@ def snapshot_purge_deletes(spark: SparkSession, table_dir: str) -> int:
     }
     if col_stats:
         new_manifest["col_stats"] = col_stats
+    # a purge is a PARTIAL rewrite (untouched files reused by
+    # reference): the mapping must survive; the rewritten survivors
+    # were physicalized above, so one table-wide map stays valid
+    if manifest.get("column_mapping"):
+        new_manifest["column_mapping"] = manifest["column_mapping"]
     _commit_manifest(new_manifest, _manifest_path(table_dir, v + 1))
     return v + 1

@@ -1763,3 +1763,84 @@ def test_shallow_clone_divergence_and_vacuum_safety(spark, tmp_path):
     for f in borrowed:
         assert _os.path.exists(f), "clone vacuum reclaimed a SOURCE file"
     assert snapshot_read(spark, src, 1).count() == 50  # source v1 intact
+
+
+def test_column_mapping_survives_every_write_path(spark, tmp_path):
+    """Every path that writes data files into a mapped table must write
+    PHYSICAL names and carry the mapping through its commit, or reads
+    NULL-fill the renamed column: compaction (partial rewrite), DV
+    purge (partial rewrite), WAP stage/audit/publish, and streaming
+    delete via DV.  snapshot_optimize_zorder is the designated way OUT
+    of mapping (full rewrite -> unmapped), and partition-spec evolution
+    refuses a mapped table."""
+    import json as _json
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        _manifest_path,
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_optimize_zorder,
+        snapshot_publish,
+        snapshot_purge_deletes,
+        snapshot_read,
+        snapshot_rename_column,
+        snapshot_stage,
+        snapshot_staged_read,
+        snapshot_write,
+        snapshot_write_partitioned,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("cents")
+    ).repartition(6)
+    snapshot_write(df, t, stats_col="k")
+    snapshot_rename_column(t, "cents", "bal")
+
+    def total(v=None):
+        return snapshot_read(spark, t, v).agg(F.sum("bal")).first()[0]
+
+    base_sum = sum(i * 3 for i in range(200))
+    assert total() == base_sum
+
+    # compaction: partial rewrite keeps the mapping, values intact
+    v_c = snapshot_compact(spark, t, target_bytes=10**9, stats_col="k")
+    with open(_manifest_path(t, v_c)) as fh:
+        assert _json.load(fh)["column_mapping"] == {"bal": "cents"}
+    assert total(v_c) == base_sum
+
+    # merge-on-read delete + purge: DV anti-join and the purge rewrite
+    # both see the mapped column correctly
+    snapshot_delete(spark, t, F.col("bal") > 3 * 150)
+    kept = sum(i * 3 for i in range(151))
+    assert total() == kept
+    v_p = snapshot_purge_deletes(spark, t)
+    assert total(v_p) == kept
+    with open(_manifest_path(t, v_p)) as fh:
+        assert _json.load(fh)["column_mapping"] == {"bal": "cents"}
+
+    # WAP: stage logical rows, audit sees logical names, publish keeps
+    # the mapping and the appended rows read back correctly
+    extra = spark.createDataFrame([(1000, 123), (1001, 456)], "k long, bal long")
+    snapshot_stage(extra, t)
+    audited = snapshot_staged_read(spark, t)
+    assert set(audited.columns) == {"k", "bal"}
+    assert audited.agg(F.sum("bal")).first()[0] == 579
+    v_w = snapshot_publish(t)
+    assert total(v_w) == kept + 579
+
+    # partition-spec evolution refuses a mapped table...
+    with pytest.raises(ValueError, match="column mapping"):
+        snapshot_write_partitioned(
+            snapshot_read(spark, t).withColumn("b", F.col("k") % 2),
+            t,
+            spec=["b"],
+        )
+    # ...and zorder is the way out: full rewrite -> unmapped
+    v_z = snapshot_optimize_zorder(spark, t, "k", "bal")
+    with open(_manifest_path(t, v_z)) as fh:
+        assert "column_mapping" not in _json.load(fh)
+    assert total(v_z) == kept + 579
