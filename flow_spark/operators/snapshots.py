@@ -817,8 +817,21 @@ def snapshot_changes(
     empty = spark.createDataFrame(
         [], spark.createDataFrame([], to_schema).select(*cols).schema
     )
+    # rename-proof across versions: PHYSICAL names are the stable
+    # column identity (snapshot_rename_column never rewrites files), so
+    # the from-side read — which uses the TO version's LOGICAL schema —
+    # must resolve those logical names through the TO version's
+    # mapping; the from side keeps its own dv_dirs/bases.  A column
+    # whose physical name is absent from the old files (added later, or
+    # re-identified by a full-rewrite unmap) NULL-fills, the same
+    # evolved-column semantics as snapshot_read.
+    from_read = dict(from_manifest)
+    if to_manifest.get("column_mapping"):
+        from_read["column_mapping"] = to_manifest["column_mapping"]
+    else:
+        from_read.pop("column_mapping", None)
     old_df = (
-        _read_manifest_subset(spark, from_manifest, old_only, to_schema)
+        _read_manifest_subset(spark, from_read, old_only, to_schema)
         .select(*cols)
         if old_only
         else empty

@@ -1844,3 +1844,43 @@ def test_column_mapping_survives_every_write_path(spark, tmp_path):
     with open(_manifest_path(t, v_z)) as fh:
         assert "column_mapping" not in _json.load(fh)
     assert total(v_z) == kept + 579
+
+
+def test_changefeed_across_rename_boundary(spark, tmp_path):
+    """snapshot_changes between a pre-rename and a post-rename version:
+    physical names are the stable column identity, so the diff comes
+    back under the TO version's logical names with real old values —
+    not NULLs (the from-side read resolves the renamed column through
+    the TO mapping)."""
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        snapshot_changes,
+        snapshot_rename_column,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    v1 = snapshot_write(
+        spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 5).alias("cents")),
+        t,
+        stats_col="k",
+    )
+    snapshot_rename_column(t, "cents", "bal")
+    v3 = snapshot_upsert(
+        spark,
+        spark.createDataFrame([(3, 999), (100, 1)], "k long, bal long"),
+        t,
+        key_col="k",
+    )
+    rows = {
+        r.k: (r.change_type, r.bal, r.old_bal)
+        for r in snapshot_changes(
+            spark, t, v1, v3, key_col="k", value_cols=["bal"], include_old=True
+        ).collect()
+    }
+    assert rows == {
+        3: ("update", 999, 15),  # old value REAL, under the new name
+        100: ("insert", 1, None),
+    }
