@@ -1654,10 +1654,30 @@ def snapshot_diff(
     struct).
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
 
-    a = snapshot_read(spark, table_dir, v_from)
+    # the diff speaks the TO version's vocabulary: the from side reads
+    # under the TO logical schema resolved through the TO mapping
+    # (physical names are the stable identity across renames — same
+    # treatment as snapshot_changes), so a diff spanning a RENAME
+    # compares real values instead of failing on the old name.  Columns
+    # dropped by v_to leave the comparison; columns added NULL-fill on
+    # the old side and surface as updates.
+    with open(_manifest_path(table_dir, v_from)) as fh:
+        from_manifest = json.load(fh)
+    with open(_manifest_path(table_dir, v_to)) as fh:
+        to_manifest = json.load(fh)
+    to_schema = StructType.fromJson(json.loads(to_manifest["schema"]))
+    from_read = dict(from_manifest)
+    if to_manifest.get("column_mapping"):
+        from_read["column_mapping"] = to_manifest["column_mapping"]
+    else:
+        from_read.pop("column_mapping", None)
+    a = _read_manifest_subset(
+        spark, from_read, from_manifest["files"], to_schema
+    )
     b = snapshot_read(spark, table_dir, v_to)
-    value_cols = [c for c in a.columns if c != key_col]
+    value_cols = [c for c in b.columns if c != key_col]
     af = a.select(
         F.col(key_col).alias("__k"), F.struct(*value_cols).alias("old")
     )

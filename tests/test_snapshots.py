@@ -1884,3 +1884,34 @@ def test_changefeed_across_rename_boundary(spark, tmp_path):
         3: ("update", 999, 15),  # old value REAL, under the new name
         100: ("insert", 1, None),
     }
+
+
+def test_version_diff_across_rename_boundary(spark, tmp_path):
+    """snapshot_diff spanning a RENAME compares real values in the TO
+    version's vocabulary (physical identity), instead of failing on
+    the old logical name."""
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        snapshot_diff,
+        snapshot_rename_column,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    v1 = snapshot_write(
+        spark.range(5).select(F.col("id").alias("k"), (F.col("id") * 5).alias("cents")),
+        t,
+        stats_col="k",
+    )
+    snapshot_rename_column(t, "cents", "bal")
+    v3 = snapshot_upsert(
+        spark, spark.createDataFrame([(2, 777)], "k long, bal long"), t, "k"
+    )
+    got = {
+        r.k: (r.change, r.old["bal"] if r.old else None, r.new["bal"] if r.new else None)
+        for r in snapshot_diff(spark, t, v1, v3, "k").collect()
+    }
+    assert got[2] == ("update", 10, 777)
+    assert got[0] == ("unchanged", 0, 0)
