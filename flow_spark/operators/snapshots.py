@@ -175,6 +175,13 @@ def snapshot_write(
     # for every file of every version, exactly Delta's column-mapping
     # invariant.  The manifest schema stays LOGICAL (the read authority).
     mapping = (prev_manifest or {}).get("column_mapping") or {}
+    # prune entries whose logical column this commit's schema no longer
+    # carries: the manifest schema becomes df.schema, so a stale entry
+    # could only hijack a LATER column that reuses the retired physical
+    # name (read-side inverse rename would mis-name it); with
+    # reuse_files, reused files' extra physical columns are simply
+    # never read under the narrower schema
+    mapping = {l: p for l, p in mapping.items() if l in df.columns}
     phys_df = df
     if mapping:
         phys = [mapping.get(c, c) for c in df.columns]
@@ -450,6 +457,22 @@ def _logicalize(df: DataFrame, manifest: "dict | None") -> DataFrame:
     if not mapping:
         return df
     return df.withColumnsRenamed({p: l for l, p in mapping.items()})
+
+
+def _from_read_under_to_mapping(
+    from_manifest: dict, to_manifest: dict
+) -> dict:
+    """A read-manifest for the FROM version under the TO version's
+    logical vocabulary: physical names are the stable column identity
+    across renames, so cross-version readers (changefeed, version
+    diff) swap in the TO mapping while keeping the FROM side's files,
+    deletion vectors and partition bases."""
+    out = dict(from_manifest)
+    if to_manifest.get("column_mapping"):
+        out["column_mapping"] = to_manifest["column_mapping"]
+    else:
+        out.pop("column_mapping", None)
+    return out
 
 
 def _current_manifest(table_dir: str) -> "dict | None":
@@ -825,11 +848,7 @@ def snapshot_changes(
     # whose physical name is absent from the old files (added later, or
     # re-identified by a full-rewrite unmap) NULL-fills, the same
     # evolved-column semantics as snapshot_read.
-    from_read = dict(from_manifest)
-    if to_manifest.get("column_mapping"):
-        from_read["column_mapping"] = to_manifest["column_mapping"]
-    else:
-        from_read.pop("column_mapping", None)
+    from_read = _from_read_under_to_mapping(from_manifest, to_manifest)
     old_df = (
         _read_manifest_subset(spark, from_read, old_only, to_schema)
         .select(*cols)
@@ -1668,13 +1687,11 @@ def snapshot_diff(
     with open(_manifest_path(table_dir, v_to)) as fh:
         to_manifest = json.load(fh)
     to_schema = StructType.fromJson(json.loads(to_manifest["schema"]))
-    from_read = dict(from_manifest)
-    if to_manifest.get("column_mapping"):
-        from_read["column_mapping"] = to_manifest["column_mapping"]
-    else:
-        from_read.pop("column_mapping", None)
     a = _read_manifest_subset(
-        spark, from_read, from_manifest["files"], to_schema
+        spark,
+        _from_read_under_to_mapping(from_manifest, to_manifest),
+        from_manifest["files"],
+        to_schema,
     )
     b = snapshot_read(spark, table_dir, v_to)
     value_cols = [c for c in b.columns if c != key_col]
@@ -1775,8 +1792,26 @@ def snapshot_rename_column(table_dir: str, old: str, new: str) -> int:
         if new in names:
             raise ValueError(f"rename: column {new!r} already exists")
         mapping = dict(manifest.get("column_mapping") or {})
+        # the new logical name must not collide with any OTHER column's
+        # PHYSICAL name either: {bal: cents, cents: seg} is a CHAINED
+        # map, and withColumnsRenamed applies entries sequentially —
+        # verified live, a chain cascades into duplicate columns on the
+        # next write.  Refusing here keeps logical and physical
+        # vocabularies disjoint, which makes every dict-rename in the
+        # engine cascade-free.
+        other_phys = {
+            mapping.get(l, l) for l in names if l != old
+        }
+        if new in other_phys:
+            raise ValueError(
+                f"rename: {new!r} is another column's physical (on-disk) "
+                f"name; pick a different name or full-rewrite first "
+                f"(snapshot_optimize_zorder)"
+            )
         phys = mapping.pop(old, old)
-        mapping[new] = phys
+        if new != phys:
+            mapping[new] = phys
+        # (renaming BACK to the physical name just drops the entry)
         manifest["column_mapping"] = mapping
         from pyspark.sql.types import StructField
 
@@ -1869,6 +1904,10 @@ def _bloom_admits(bitmap: bytes, probes: "list[int]") -> bool:
 
 _BLOOM_POW2 = [1 << e for e in range(6, 31)]
 
+#: per-file distinct-hash collection cap (16 MB of hashes) — files past
+#: it fall back to the executor-side positions aggregation (O(bits))
+_BLOOM_H_CAP = 2_000_000
+
 
 def _auto_bloom_bits(max_ndv: int) -> int:
     """Smallest power of two >= 10 x the largest per-file distinct-key
@@ -1917,11 +1956,15 @@ def snapshot_build_bloom(
     >= 10 x the largest per-file count (:func:`_auto_bloom_bits`,
     ~1.7% FPP at k=3).  A fixed default can silently saturate — 4k
     keys against 8192 bits sets ~78% of them and prunes nothing — so
-    an EXPLICIT ``bits`` is checked after packing: any filter more
-    than half full triggers a rebuild of the whole index at the auto
-    size (auto-sized filters stay under ~26% full by construction,
-    terminating the recursion).  The manifest always records the
-    RESOLVED integer, so probes and inheritance never see "auto".
+    an EXPLICIT ``bits`` is checked after packing: any NEWLY BUILT
+    filter more than half full triggers a rebuild of the whole index
+    at the auto size (auto-sized filters stay under ~26% full by
+    construction, terminating the recursion).  Inherited filters are
+    trusted verbatim — every filter this code commits passed the gate
+    at its own build, so a saturated inherited filter can only come
+    from a pre-gate index generation (rebuild with ``bits="auto"`` to
+    replace one).  The manifest always records the RESOLVED integer,
+    so probes and inheritance never see "auto".
     """
     import base64
 
@@ -1984,38 +2027,39 @@ def snapshot_build_bloom(
     }
     h = portable_hash64(F.col(col).cast("string")) % MH_P
 
-    _H_CAP = 2_000_000  # 16 MB of hashes per file — metadata-sized
+    _H_CAP = _BLOOM_H_CAP
 
-    def h_scan(scan_files: "list[str]") -> "dict[str, list]":
-        """{file: sorted distinct 31-bit hashes}: ONE scan yields both
-        the exact per-file distinct count (auto sizing) and the values
-        the driver packs into whatever bit width gets resolved — no
-        separate NDV pass, no second positions pass."""
+    def h_scan(scan_files: "list[str]") -> "tuple[dict, dict]":
+        """({file: sorted distinct 31-bit hashes}, {file: exact NDV}):
+        ONE scan yields both the exact per-file distinct-KEY count (the
+        auto-sizing input — counted on the column, not the hashes, so
+        a hash collision can never make the engine and the oracle
+        resolve different bit widths) and the hash values the driver
+        packs into whatever width gets resolved.  A file past _H_CAP
+        returns a truncated hash list (its ndv stays exact) — the
+        caller falls back to an executor-side positions scan for it,
+        whose aggregation state is O(bits), not O(ndv)."""
         if not scan_files:
-            return {}
+            return {}, {}
         rows = (
             _read_manifest_subset(spark, manifest, scan_files, with_meta=True)
-            .select("__fp", h.alias("h"))
+            .select("__fp", F.col(col).alias("__v"), h.alias("h"))
             .groupBy("__fp")
             .agg(
                 F.slice(
                     F.sort_array(F.collect_set("h")), 1, _H_CAP + 1
-                ).alias("hs")
+                ).alias("hs"),
+                F.countDistinct("__v").alias("ndv"),
             )
             .collect()
         )
-        out = {r["__fp"].removeprefix("file:"): list(r["hs"]) for r in rows}
-        if any(len(hs) > _H_CAP for hs in out.values()):
-            raise ValueError(
-                f"bloom build: a file exceeds {_H_CAP} distinct keys; "
-                "the filter would not be metadata-sized — repartition "
-                "the table or index a coarser column"
-            )
-        return out
+        hs = {r["__fp"].removeprefix("file:"): list(r["hs"]) for r in rows}
+        nd = {r["__fp"].removeprefix("file:"): r["ndv"] for r in rows}
+        return hs, nd
 
-    hsets = h_scan([f for f in all_files if f not in known_ndv])
+    hsets, scanned_ndv = h_scan([f for f in all_files if f not in known_ndv])
     ndv = dict(known_ndv)
-    ndv.update({f: len(hs) for f, hs in hsets.items()})
+    ndv.update(scanned_ndv)
     if auto:
         bits = _auto_bloom_bits(max(ndv.values(), default=0))
     inherited: dict[str, str] = {}
@@ -2026,12 +2070,51 @@ def snapshot_build_bloom(
     files = [f for f in all_files if f not in inherited]
     # files the previous index knew (ndv inherited, so not in the first
     # scan) that still need filters because the bit width changed
-    hsets.update(h_scan([f for f in files if f not in hsets]))
+    late_hs, late_nd = h_scan([f for f in files if f not in hsets])
+    hsets.update(late_hs)
+    # hash lists truncated at the cap can't be packed driver-side; fall
+    # back to the executor-side positions aggregation for exactly those
+    # files (state bounded by bits, the pre-fused design)
+    oversized = sorted(
+        f for f in files if len(hsets.get(f) or ()) > _H_CAP
+    )
+    oversized_filters: dict[str, str] = {}
+    if oversized:
+        from functools import reduce
 
+        pos_cols = []
+        for i in range(k):
+            a, b = mh_coeffs(i)
+            pos_cols.append(
+                ((F.lit(a) * h + F.lit(b)) % MH_P % bits).alias(f"p{i}")
+            )
+        union_of_sets = reduce(
+            F.array_union,
+            [F.collect_set(f"p{i}") for i in range(1, k)],
+            F.collect_set("p0"),
+        )
+        for r in (
+            _read_manifest_subset(spark, manifest, oversized, with_meta=True)
+            .select("__fp", *pos_cols)
+            .groupBy("__fp")
+            .agg(F.array_sort(union_of_sets).alias("positions"))
+            .collect()
+        ):
+            fpath = r["__fp"].removeprefix("file:")
+            hsets[fpath] = None  # skip in the driver-side packing loop
+            bm0 = bytearray(bits // 8)
+            for p_ in r["positions"]:
+                bm0[p_ // 8] |= 1 << (p_ % 8)
+            oversized_filters[fpath] = base64.b64encode(bytes(bm0)).decode(
+                "ascii"
+            )
+
+    import numpy as np
     import numpy as np
 
     coeffs = [mh_coeffs(i) for i in range(k)]
     filters: dict[str, str] = dict(inherited)
+    filters.update(oversized_filters)
     for f in files:
         hs = hsets.get(f)
         if not hs:

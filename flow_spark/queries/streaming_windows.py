@@ -21,6 +21,52 @@ from flow_spark.queries.registry import register
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
+def _segment_spool(
+    df: DataFrame,
+    prefix: str,
+    n_segments: int = 3,
+    fill_empty: bool = False,
+) -> str:
+    """ONE write job lands every ascending time segment (the caller
+    attaches an integer ``seg`` column in 0..n_segments-1), then driver
+    renames lay them out as ``b0``..``b{n-1}`` with explicit mtimes one
+    second apart — the file source drains micro-batches in
+    modification-time order, so batch order is pinned without
+    per-segment write jobs or sleeps.  ``fill_empty`` writes an (empty)
+    parquet file for a rowless segment, keeping multi-source streams in
+    lockstep (their watermark contract needs aligned batches); without
+    it an empty segment simply contributes no micro-batch.  Returns the
+    spool directory (read it with ``spool/b*`` + maxFilesPerTrigger=1).
+    """
+    import glob as _glob
+    import os as _os
+    import tempfile
+    import time as _time
+
+    staging = tempfile.mkdtemp(prefix=prefix + "stage_")
+    spool_dir = tempfile.mkdtemp(prefix=prefix)
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("seg")
+        .parquet(staging)
+    )
+    base = _time.time() - 60
+    for i in range(n_segments):
+        _os.makedirs(f"{spool_dir}/b{i}", exist_ok=True)
+        parts = sorted(_glob.glob(f"{staging}/seg={i}/*.parquet"))
+        if not parts and fill_empty:
+            df.drop("seg").limit(0).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{staging}/seg={i}")
+            parts = sorted(_glob.glob(f"{staging}/seg={i}/*.parquet"))
+        for j, part in enumerate(parts):
+            dst = f"{spool_dir}/b{i}/part-{j}.parquet"
+            _os.replace(part, dst)
+            _os.utime(dst, (base + i, base + i))
+    return spool_dir
+
+
 @register(
     "stream_window_tumbling",
     category="streaming",
@@ -1080,7 +1126,6 @@ def stream_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
-    import time as _time
 
     from flow_spark.operators.snapshots import snapshot_read, snapshot_write
     from flow_spark.streaming.sinks import upsert_sink
@@ -1107,38 +1152,15 @@ def stream_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table_dir = tempfile.mkdtemp(prefix="stream_cdc_del_tbl_")
     snapshot_write(initial, table_dir, stats_col="k")
-    spool = tempfile.mkdtemp(prefix="stream_cdc_del_spool_")
-    # ONE write job produces all three date segments (partitionBy), then
-    # driver-side renames lay them out as b0/b1/b2 with explicit mtimes
-    # one second apart — the file source orders batches by modification
-    # time, so this pins micro-batch order without per-segment write
-    # jobs or sleeps
-    import glob as _glob
-    import os as _os
-
-    staging = tempfile.mkdtemp(prefix="stream_cdc_del_stage_")
-    (
+    spool = _segment_spool(
         ev.withColumn(
             "seg",
             F.when(F.col("odate") < F.lit("1994-01-01").cast("date"), 0)
             .when(F.col("odate") < F.lit("1996-01-01").cast("date"), 1)
             .otherwise(2),
-        )
-        .select("k", "cents", "ord", "op", "seg")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .partitionBy("seg")
-        .parquet(staging)
+        ).select("k", "cents", "ord", "op", "seg"),
+        prefix="stream_cdc_del_spool_",
     )
-    base = _time.time() - 60
-    for i in range(3):
-        _os.makedirs(f"{spool}/b{i}", exist_ok=True)
-        for j, part in enumerate(
-            sorted(_glob.glob(f"{staging}/seg={i}/*.parquet"))
-        ):
-            dst = f"{spool}/b{i}/part-{j}.parquet"
-            _os.replace(part, dst)
-            _os.utime(dst, (base + i, base + i))
     stream = (
         spark.readStream.schema("k long, cents long, ord long, op string")
         .option("pathGlobFilter", "*.parquet")
@@ -1232,10 +1254,7 @@ def stream_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob as _glob
-    import os as _os
     import tempfile
-    import time as _time
 
     from flow_spark.streaming.stateful import asof_join_stream
 
@@ -1247,40 +1266,19 @@ def stream_stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t2 = lo + 2 * (hi - lo) // 3
 
     def spool(df: DataFrame, prefix: str) -> str:
-        """One write job -> three ascending time segments b0/b1/b2 with
-        explicit mtimes (the file source drains them in order).  BOTH
-        spools cut at the same boundaries, so the two sources advance
-        through time in lockstep and no row is ever late vs the shared
-        watermark — the contract the oracle's final-watermark replay
-        depends on.  A side's empty segment still gets an (empty)
-        parquet file to keep the sources aligned."""
-        staging = tempfile.mkdtemp(prefix=prefix + "stage_")
-        spool_dir = tempfile.mkdtemp(prefix=prefix)
+        """BOTH spools cut at the same boundaries (shared _segment_spool
+        machinery), so the two sources advance through time in lockstep
+        and no row is ever late vs the shared watermark — the contract
+        the oracle's final-watermark replay depends on; fill_empty
+        keeps a side with a rowless segment aligned."""
         us = F.unix_micros("ts")
-        (
+        return _segment_spool(
             df.withColumn(
-                "seg",
-                F.when(us < t1, 0).when(us < t2, 1).otherwise(2),
-            )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .partitionBy("seg")
-            .parquet(staging)
+                "seg", F.when(us < t1, 0).when(us < t2, 1).otherwise(2)
+            ),
+            prefix=prefix,
+            fill_empty=True,
         )
-        base = _time.time() - 60
-        for i in range(3):
-            _os.makedirs(f"{spool_dir}/b{i}", exist_ok=True)
-            parts = sorted(_glob.glob(f"{staging}/seg={i}/*.parquet"))
-            if not parts:
-                df.limit(0).coalesce(1).write.mode("overwrite").parquet(
-                    f"{staging}/seg={i}"
-                )
-                parts = sorted(_glob.glob(f"{staging}/seg={i}/*.parquet"))
-            for j, part in enumerate(parts):
-                dst = f"{spool_dir}/b{i}/part-{j}.parquet"
-                _os.replace(part, dst)
-                _os.utime(dst, (base + i, base + i))
-        return spool_dir
 
     lspool = spool(
         ev.filter(

@@ -245,8 +245,13 @@ def upsert_sink(
                     F.sort_array(
                         F.collect_set(F.when(is_del, F.col(key_col)))
                     ).alias("dk"),
-                    F.sort_array(
-                        F.collect_set(F.when(is_up, F.col(key_col)))
+                    F.slice(
+                        F.sort_array(
+                            F.collect_set(F.when(is_up, F.col(key_col)))
+                        ),
+                        1,
+                        1_000_001,  # past the MERGE key cap the list is
+                        # only a signal to fall back (below)
                     ).alias("uk"),
                     F.max(
                         F.when(is_up & F.col(key_col).isNull(), F.lit(1))
@@ -281,12 +286,18 @@ def upsert_sink(
                 # anyway, so folding the delete into the same rewrite
                 # halves the per-batch scan/commit count vs a DV
                 # version followed by an upsert version
+                # past the 1M-key cap, hand key discovery back to
+                # snapshot_upsert (capped collect -> full-scan MERGE)
+                # instead of building a multi-million-row local literal
+                # key frame — the same robustness contract the MERGE
+                # key collect has always had
+                uk = list(summary["uk"])
                 version = snapshot_upsert(
                     batch.sparkSession,
                     b,
                     table_dir,
                     key_col,
-                    batch_keys=list(summary["uk"]),
+                    batch_keys=uk if len(uk) <= 1_000_000 else None,
                     delete_keys=del_keys if table_live else None,
                 )
         else:

@@ -659,10 +659,20 @@ def asof_join_stream(
         if keep_ts or hist_ts:
             state.update((keep_ts, keep_id, hist_ts, hist_val, hist_id))
             if keep_ts:
-                # the timeout must sit strictly above the watermark;
-                # fire as soon as it can seal the oldest pending left
+                # timeouts fire when the watermark STRICTLY exceeds the
+                # set timestamp, and a left at ms L is sealed once
+                # wm > L — so arm at L itself (wm > L fires exactly at
+                # the seal point; L+1 would silently drop a left whose
+                # seal equals the final watermark).  The API requires a
+                # timestamp strictly above the current watermark: when
+                # wm == L already (the left seals at the very next
+                # advance), wm+1 is the closest legal arm point; the
+                # only gap left is a stream whose watermark ends
+                # EXACTLY one ms past such a left — vanishingly narrow
+                # and batching-dependent, unlike the +1 bug this
+                # replaces, which dropped at every exact-boundary seal.
                 state.setTimeoutTimestamp(
-                    max(wm_ms + 1, min(keep_ts) // 1000 + 1)
+                    max(wm_ms + 1, min(keep_ts) // 1000)
                 )
         else:
             state.remove()
