@@ -1910,10 +1910,12 @@ _BLOOM_H_CAP = 2_000_000
 
 
 def _auto_bloom_bits(max_ndv: int) -> int:
-    """Smallest power of two >= 10 x the largest per-file distinct-key
-    count — ~10 bits/key at k=3 gives ~1.7% false-positive rate, the
-    standard 1%-class sizing.  Floor 64, cap 2^30 (a 128 MB bitmap is
-    past the point where a filter belongs in a manifest)."""
+    """Smallest power of two >= 10 x the largest per-file distinct-HASH
+    count (the quantity that determines filter fill; the oracle counts
+    the same md5 hashes) — ~10 bits/key at k=3 gives ~1.7%
+    false-positive rate, the standard 1%-class sizing.  Floor 64, cap
+    2^30 (a 128 MB bitmap is past the point where a filter belongs in
+    a manifest)."""
     need = max_ndv * 10
     for p in _BLOOM_POW2:
         if p >= need:
@@ -2029,37 +2031,48 @@ def snapshot_build_bloom(
 
     _H_CAP = _BLOOM_H_CAP
 
-    def h_scan(scan_files: "list[str]") -> "tuple[dict, dict]":
-        """({file: sorted distinct 31-bit hashes}, {file: exact NDV}):
-        ONE scan yields both the exact per-file distinct-KEY count (the
-        auto-sizing input — counted on the column, not the hashes, so
-        a hash collision can never make the engine and the oracle
-        resolve different bit widths) and the hash values the driver
-        packs into whatever width gets resolved.  A file past _H_CAP
-        returns a truncated hash list (its ndv stays exact) — the
-        caller falls back to an executor-side positions scan for it,
-        whose aggregation state is O(bits), not O(ndv)."""
+    def h_scan(scan_files: "list[str]") -> "dict[str, list]":
+        """{file: sorted distinct 31-bit hashes}: ONE map-side-
+        combinable agg yields both the sizing input and the values the
+        driver packs into whatever width gets resolved.  Sizing counts
+        distinct HASHES — the quantity that actually determines filter
+        fill — and the ORACLE counts the same md5 hashes, so the two
+        sides always resolve the same bit width (an exact per-KEY count
+        would need a second (file, key)-distinct shuffle for no filter-
+        quality gain).  A file past _H_CAP returns a truncated list —
+        the caller falls back to an executor-side positions scan for
+        it, whose aggregation state is O(bits), not O(ndv)."""
         if not scan_files:
-            return {}, {}
+            return {}
         rows = (
             _read_manifest_subset(spark, manifest, scan_files, with_meta=True)
-            .select("__fp", F.col(col).alias("__v"), h.alias("h"))
+            .select("__fp", h.alias("h"))
             .groupBy("__fp")
             .agg(
                 F.slice(
                     F.sort_array(F.collect_set("h")), 1, _H_CAP + 1
-                ).alias("hs"),
-                F.countDistinct("__v").alias("ndv"),
+                ).alias("hs")
             )
             .collect()
         )
-        hs = {r["__fp"].removeprefix("file:"): list(r["hs"]) for r in rows}
-        nd = {r["__fp"].removeprefix("file:"): r["ndv"] for r in rows}
-        return hs, nd
+        return {r["__fp"].removeprefix("file:"): list(r["hs"]) for r in rows}
 
-    hsets, scanned_ndv = h_scan([f for f in all_files if f not in known_ndv])
+    hsets = h_scan([f for f in all_files if f not in known_ndv])
     ndv = dict(known_ndv)
-    ndv.update(scanned_ndv)
+    ndv.update({f: len(hs) for f, hs in hsets.items()})
+    if auto and any(n > _H_CAP for n in ndv.values()):
+        # an over-cap file's hash list is truncated, so its true
+        # distinct-hash count — which the auto size must cover — needs
+        # one exact count pass over just those files (rare path)
+        big = sorted(f for f, n in ndv.items() if n > _H_CAP and f in allf)
+        for r in (
+            _read_manifest_subset(spark, manifest, big, with_meta=True)
+            .select("__fp", h.alias("h"))
+            .groupBy("__fp")
+            .agg(F.countDistinct("h").alias("n"))
+            .collect()
+        ):
+            ndv[r["__fp"].removeprefix("file:")] = r["n"]
     if auto:
         bits = _auto_bloom_bits(max(ndv.values(), default=0))
     inherited: dict[str, str] = {}
@@ -2070,8 +2083,7 @@ def snapshot_build_bloom(
     files = [f for f in all_files if f not in inherited]
     # files the previous index knew (ndv inherited, so not in the first
     # scan) that still need filters because the bit width changed
-    late_hs, late_nd = h_scan([f for f in files if f not in hsets])
-    hsets.update(late_hs)
+    hsets.update(h_scan([f for f in files if f not in hsets]))
     # hash lists truncated at the cap can't be packed driver-side; fall
     # back to the executor-side positions aggregation for exactly those
     # files (state bounded by bits, the pre-fused design)

@@ -1994,9 +1994,11 @@ def _bloom_oracle_sql() -> str:
     from flow_spark.operators.dedup import MH_P, mh_coeffs
 
     # bit-array size replays snapshot_build_bloom's AUTO sizing: the
-    # smallest power of two >= 10 x the largest per-file distinct-key
-    # count (exact integer selection from a value table — no log2
-    # floating point that could flip at an exact power of two)
+    # smallest power of two >= 10 x the largest per-file distinct-HASH
+    # count — the same md5 hashes on both sides, so engine and oracle
+    # always resolve the same width (exact integer selection from a
+    # value table — no log2 floating point that could flip at an exact
+    # power of two)
     pow2 = ", ".join(f"({1 << e})" for e in range(6, 31))
     probes = ",\n                ".join(
         f"(({a} * h + {b}) % {MH_P}) % (SELECT bits FROM bsel)"
@@ -2009,22 +2011,22 @@ def _bloom_oracle_sql() -> str:
                        AS cents
             FROM orders
         ),
+        hs AS (
+            SELECT okb, o_custkey,
+                   CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                        AS BIGINT) % {MH_P} AS h
+            FROM o
+        ),
         need AS (
             SELECT MAX(cnt) * 10 AS need FROM (
-                SELECT okb, COUNT(DISTINCT o_custkey) AS cnt
-                FROM o GROUP BY okb)
+                SELECT okb, COUNT(DISTINCT h) AS cnt
+                FROM hs GROUP BY okb)
         ),
         bsel AS (
             SELECT COALESCE(
                 MIN(b), {1 << 30}) AS bits
             FROM (VALUES {pow2}) t(b)
             WHERE b >= (SELECT need FROM need)
-        ),
-        hs AS (
-            SELECT okb, o_custkey,
-                   CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
-                        AS BIGINT) % {MH_P} AS h
-            FROM o
         ),
         filebits AS MATERIALIZED (
             SELECT DISTINCT okb, unnest([{probes}]) AS pos FROM hs

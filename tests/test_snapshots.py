@@ -2007,3 +2007,13 @@ def test_bloom_oversized_file_falls_back_to_positions_scan(spark, tmp_path, monk
         for k in range(10_000_000, 10_000_005)
     )
     assert pruned_any
+    # AUTO sizing with over-cap files: the truncated hash lists force
+    # one exact distinct-hash count pass; bits resolve from the TRUE
+    # counts (200/file -> 2048), not the truncation boundary
+    import json as _json2
+
+    v2 = S.snapshot_build_bloom(spark, t, "u", bits="auto", k=3, version=v)
+    with open(S._manifest_path(t, v2)) as fh:
+        assert _json2.load(fh)["bloom"]["bits"] == 2048
+    for key in (0, 399):
+        assert S.snapshot_read_point(spark, t, key, v2).count() == 1
