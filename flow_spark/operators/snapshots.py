@@ -181,7 +181,19 @@ def snapshot_write(
     # name (read-side inverse rename would mis-name it); with
     # reuse_files, reused files' extra physical columns are simply
     # never read under the narrower schema
+    pruned_phys = {p for l, p in mapping.items() if l not in df.columns}
     mapping = {l: p for l, p in mapping.items() if l in df.columns}
+    # retired physical names (ADVICE r6): reused files may still
+    # physically carry a column whose logical owner was renamed away and
+    # then dropped/narrowed out.  Without a tombstone, a LATER commit
+    # that introduces a new logical column equal to that physical name
+    # would silently resolve the old files' stale bytes as the new
+    # column.  Track the names for as long as pre-retirement files can
+    # be referenced; a full overwrite (no reuse_files) references none,
+    # so the set resets.  Delta avoids the problem with UUID physical
+    # names — the tombstone set is the refusal-based equivalent.
+    retired: set = set((prev_manifest or {}).get("retired_physical") or [])
+    retired = (retired | pruned_phys) if reuse_files else set()
     phys_df = df
     if mapping:
         phys = [mapping.get(c, c) for c in df.columns]
@@ -196,6 +208,18 @@ def snapshot_write(
                 f"(physical layout would be {phys})"
             )
         phys_df = df.withColumnsRenamed(dict(mapping))
+    if retired:
+        hijack = sorted(
+            c for c in df.columns if mapping.get(c, c) in retired
+        )
+        if hijack:
+            raise ValueError(
+                f"columns {hijack} match the physical (on-disk) name of a "
+                "retired column still present in reused files — reads "
+                "would resolve stale bytes as the new column.  Rename the "
+                "new column, or full-rewrite first (reuse_files=None or "
+                "snapshot_optimize_zorder)"
+            )
     write_dir = os.path.join(table_dir, DATA_DIR, uuid.uuid4().hex[:12])
     phys_df.write.mode("error").parquet(write_dir)
     files = sorted(
@@ -282,6 +306,8 @@ def snapshot_write(
         # the mapping outlives every rewrite: new files were written
         # with physical names above, so it stays valid table-wide
         manifest["column_mapping"] = mapping
+    if retired:
+        manifest["retired_physical"] = sorted(retired)
     _commit_manifest(manifest, _manifest_path(table_dir, version))
     return version
 
@@ -989,6 +1015,9 @@ def snapshot_compact(
         # physical names, and the rewritten groups were re-written
         # physicalized above — the mapping must survive the commit
         manifest["column_mapping"] = prev["column_mapping"]
+    if keep and prev.get("retired_physical"):
+        # kept files may still carry retired physical columns
+        manifest["retired_physical"] = prev["retired_physical"]
     # kept (uncompacted) files still need their deletion vectors; the
     # rewritten groups were read DV-filtered, so their new files are
     # clean and no DV path can match them
@@ -1208,6 +1237,8 @@ def snapshot_publish(table_dir: str, branch: str = "audit") -> int:
     # physicalized at stage time — the mapping must survive the publish
     if prev_manifest and prev_manifest.get("column_mapping"):
         manifest["column_mapping"] = prev_manifest["column_mapping"]
+    if prev_files and prev_manifest and prev_manifest.get("retired_physical"):
+        manifest["retired_physical"] = prev_manifest["retired_physical"]
     _commit_manifest(manifest, _manifest_path(table_dir, version))
     os.unlink(marker_path)
     return version
@@ -1581,12 +1612,23 @@ def snapshot_write_partitioned(
         bases[f] = write_dir
     prev_version = current_version(table_dir)
     dv_dirs = None
+    retired: list = []
     if prev_version >= 1 and reuse_files:
         with open(_manifest_path(table_dir, prev_version)) as fh:
             prev_manifest = json.load(fh)
         prev_parts = prev_manifest.get("partitions", {})
         prev_bases = prev_manifest.get("bases", {})
         dv_dirs = prev_manifest.get("dv_dirs")
+        retired = prev_manifest.get("retired_physical") or []
+        hijack = sorted(c for c in df.columns if c in retired)
+        if hijack:  # same refusal as snapshot_write (table is unmapped
+            # here, so logical == physical for every df column)
+            raise ValueError(
+                f"columns {hijack} match the physical (on-disk) name of a "
+                "retired column still present in reused files — reads "
+                "would resolve stale bytes as the new column.  Rename the "
+                "new column or full-rewrite first"
+            )
         for f in reuse_files:
             partitions.setdefault(f, prev_parts.get(f, {}))
             if f in prev_bases:
@@ -1604,6 +1646,8 @@ def snapshot_write_partitioned(
     }
     if dv_dirs:  # reused files keep needing their deletion vectors
         manifest["dv_dirs"] = dv_dirs
+    if retired:  # reused files may still carry retired physical columns
+        manifest["retired_physical"] = retired
     _commit_manifest(manifest, _manifest_path(table_dir, version))
     return version
 
@@ -1857,11 +1901,19 @@ def snapshot_drop_column(table_dir: str, col: str) -> int:
             [f for f in schema.fields if f.name != col]
         ).json()
         mapping = dict(manifest.get("column_mapping") or {})
-        mapping.pop(col, None)
+        phys = mapping.pop(col, col)
         if mapping:
             manifest["column_mapping"] = mapping
         else:
             manifest.pop("column_mapping", None)
+        # the files still physically carry the dropped column's bytes —
+        # retire its physical name so a later write can't introduce a
+        # new logical column that resolves those stale bytes
+        # (snapshot_write refuses; a full overwrite clears the set)
+        if manifest.get("files"):
+            manifest["retired_physical"] = sorted(
+                set(manifest.get("retired_physical") or []) | {phys}
+            )
         if manifest.get("stats_col") == col:
             manifest["stats_col"] = None
             manifest["stats"] = {}
@@ -2121,7 +2173,6 @@ def snapshot_build_bloom(
                 "ascii"
             )
 
-    import numpy as np
     import numpy as np
 
     coeffs = [mh_coeffs(i) for i in range(k)]
@@ -2392,5 +2443,7 @@ def snapshot_purge_deletes(spark: SparkSession, table_dir: str) -> int:
     # were physicalized above, so one table-wide map stays valid
     if manifest.get("column_mapping"):
         new_manifest["column_mapping"] = manifest["column_mapping"]
+    if untouched and manifest.get("retired_physical"):
+        new_manifest["retired_physical"] = manifest["retired_physical"]
     _commit_manifest(new_manifest, _manifest_path(table_dir, v + 1))
     return v + 1

@@ -254,15 +254,17 @@ def upsert_sink(
                         # only a signal to fall back (below)
                     ).alias("uk"),
                     F.max(
-                        F.when(is_up & F.col(key_col).isNull(), F.lit(1))
-                    ).alias("null_up"),
+                        F.when(F.col(key_col).isNull(), F.lit(1))
+                    ).alias("null_key"),
                     F.max(F.when(is_up, F.lit(1))).alias("has_up"),
                 )
                 .collect()[0]
             )
-            if summary["null_up"] is not None:
+            if summary["null_key"] is not None:
                 # collect_set silently drops NULLs — surface the same
-                # error snapshot_upsert's own key collect would raise
+                # error snapshot_upsert's own key collect would raise.
+                # Covers BOTH row kinds: a NULL-key delete is a malformed
+                # tombstone (it could never match a row), not a no-op.
                 raise ValueError("MERGE key must be non-null in the batch")
             del_keys = list(summary["dk"])
             has_up = summary["has_up"] is not None

@@ -614,8 +614,13 @@ def asof_join_stream(
             )
         else:
             pend_ts, pend_id, hist_ts, hist_val, hist_id = [], [], [], [], []
-        if not state.hasTimedOut:
-            pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "eid"])
+        chunks = (
+            [] if state.hasTimedOut else [c for c in pdfs if len(c)]
+        )
+        if chunks:
+            pdf = (
+                chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+            ).sort_values(["ts_us", "eid"])
             for ts_us, eid, val, side in zip(
                 pdf["ts_us"], pdf["eid"], pdf["val"], pdf["side"]
             ):
@@ -676,9 +681,11 @@ def asof_join_stream(
                 )
         else:
             state.remove()
-        yield pd.DataFrame(
-            out, columns=["left_id", "akey", "ts_us", "asof_val"]
-        )
+        if out:  # constructing an empty DataFrame per silent key costs
+            # more than the whole emission path at 1000s of keys/batch
+            yield pd.DataFrame(
+                out, columns=["left_id", "akey", "ts_us", "asof_val"]
+            )
 
     return prepared.groupBy("akey").applyInPandasWithState(
         fn,

@@ -1521,6 +1521,37 @@ def test_streaming_cdc_with_deletes(spark, tmp_path):
     assert again == final
 
 
+def test_streaming_cdc_null_key_tombstone_rejected(spark, tmp_path):
+    """A delete row with a NULL merge key is a malformed tombstone (it can
+    never match a row) and must raise the same error as a NULL upsert key
+    — not be silently dropped by collect_set (ADVICE r6)."""
+    import json as _json
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from flow_spark.streaming.sinks import upsert_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "b0.jsonl", "w") as fh:
+        fh.write(_json.dumps({"k": 1, "v": 10, "seq": 1, "op": "U"}) + "\n")
+        fh.write(_json.dumps({"k": None, "v": 0, "seq": 2, "op": "D"}) + "\n")
+    stream = spark.readStream.schema("k int, v int, seq int, op string").json(
+        str(src)
+    )
+    q = (
+        upsert_sink(
+            stream, str(tmp_path / "tbl"), "k", str(tmp_path / "ckpt"),
+            order_col="seq", op_col="op",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="non-null"):
+        q.awaitTermination(120)
+
+
 def test_timestamp_time_travel_and_dv_vacuum(spark, tmp_path):
     """snapshot_version_at resolves TIMESTAMP AS OF between commits;
     vacuum reclaims DV sidecars once no kept manifest references them
@@ -1970,6 +2001,84 @@ def test_column_mapping_rejects_chained_names_and_prunes_stale(spark, tmp_path):
     got = snapshot_read(spark, t)
     assert set(got.columns) == {"k", "cents"}
     assert got.filter("k = 2").first()["cents"] == 18
+
+
+def test_retired_physical_name_cannot_be_reintroduced(spark, tmp_path):
+    """ADVICE r6 (medium): after rename(cents->balance) + drop(balance),
+    reused files still physically carry 'cents' bytes.  A later commit
+    introducing a NEW logical column named 'cents' while those files are
+    referenced must be REFUSED (it would silently resolve the stale
+    bytes as the new column); a full overwrite clears the tombstone and
+    the name becomes usable again."""
+    import json as _json
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        _manifest_path,
+        current_version,
+        snapshot_drop_column,
+        snapshot_files,
+        snapshot_read,
+        snapshot_rename_column,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.range(5).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("cents")
+        ),
+        t,
+    )
+    snapshot_rename_column(t, "cents", "balance")
+    snapshot_drop_column(t, "balance")
+    with open(_manifest_path(t, current_version(t))) as fh:
+        assert _json.load(fh)["retired_physical"] == ["cents"]
+
+    # appending a new logical 'cents' over the old files: refused
+    old_files = snapshot_files(t, current_version(t))
+    new = spark.range(5, 8).select(
+        F.col("id").alias("k"), F.lit(7).alias("cents")
+    )
+    with pytest.raises(ValueError, match="retired"):
+        snapshot_write(new, t, reuse_files=old_files)
+    # MERGE widening to 'cents' hits the same gate (upsert routes
+    # through snapshot_write with reuse_files)
+    with pytest.raises(ValueError):
+        snapshot_upsert(spark, new, t, "k")
+
+    # the narrowing-overwrite prune path retires too: remap, then
+    # overwrite-with-reuse dropping the logical column
+    t2 = str(tmp_path / "tbl2")
+    snapshot_write(
+        spark.range(4).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("cents")
+        ),
+        t2,
+    )
+    snapshot_rename_column(t2, "cents", "balance")
+    snapshot_write(  # narrows to k only, reusing the balance-carrying files
+        spark.range(4, 6).select(F.col("id").alias("k")),
+        t2,
+        reuse_files=snapshot_files(t2, current_version(t2)),
+    )
+    with open(_manifest_path(t2, current_version(t2))) as fh:
+        assert _json.load(fh)["retired_physical"] == ["cents"]
+
+    # full overwrite references no old file: tombstone clears, the name
+    # is safe again and reads see only the new bytes
+    v = snapshot_write(
+        spark.range(3).select(
+            F.col("id").alias("k"), (F.col("id") * 100).alias("cents")
+        ),
+        t,
+    )
+    with open(_manifest_path(t, v)) as fh:
+        assert "retired_physical" not in _json.load(fh)
+    assert snapshot_read(spark, t).filter("k = 2").first()["cents"] == 200
 
 
 def test_bloom_oversized_file_falls_back_to_positions_scan(spark, tmp_path, monkeypatch):

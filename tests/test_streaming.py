@@ -2286,3 +2286,45 @@ def test_stream_stream_asof_join_semantics(spark, tmp_path):
         3: (1, 200_000_000, 20),  # match from a later batch than... the
         # right (t=150, batch 1) lands before the left flushes (wm=300)
     }  # left id 4 (t=300) == final watermark: sealed only strictly below
+
+
+def test_ssaj_fixture_avoids_timeout_arm_corner(spark):
+    """ADVICE r6: asof_join_stream's one residual corner — a pending
+    left whose event-time ms L satisfies final_watermark == L + 1 can
+    miss its timeout on an idle key when it was armed while wm == L
+    (the API floors the arm point at wm+1, which fires only when
+    wm' > L+1).  The corner is batching-dependent, so the exact
+    contract the DuckDB oracle replays holds only when NO left sits
+    exactly 1 ms under the final watermark.  Assert that for every
+    fixture SF the stream_stream_asof_join query feeds — if a fixture
+    regeneration ever trips this, the parity gate would flake and this
+    test names the cause first."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flow_spark.catalog import load_table
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_dir = f"/root/testdata/{sf}"
+        if not os.path.isdir(sf_dir):
+            continue
+        ev = load_table(spark, sf_dir, "events")
+        lefts = ev.filter(
+            (F.col("event_type") == "click") & (F.col("event_id") % 7 == 3)
+        )
+        rights = ev.filter(F.col("event_type") == "purchase")
+        hi_ms = (
+            lefts.select("ts").unionAll(rights.select("ts"))
+            .agg(F.max(F.unix_micros("ts") / 1000).cast("long"))
+            .first()[0]
+        )
+        wm_final = hi_ms - 300_000  # 5-minute delay
+        on_corner = lefts.filter(
+            (F.unix_micros("ts") / 1000).cast("long") == wm_final - 1
+        ).count()
+        assert on_corner == 0, (
+            f"{sf}: {on_corner} left(s) exactly 1 ms under the final "
+            "watermark — stream_stream_asof_join's oracle contract is "
+            "at risk (see asof_join_stream timeout-arm comment)"
+        )
