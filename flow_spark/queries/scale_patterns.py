@@ -1324,8 +1324,8 @@ def funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="scale-pattern",
     doc="Partition-spec EVOLUTION at the manifest layer (operators/"
     "snapshots.py:snapshot_write_partitioned): v1 commits pre-1997 "
-    "orders hive-partitioned by month; the table's strategy then "
-    "changes and v2 appends 1997+ orders partitioned by (month, "
+    "orders hive-partitioned by year; the table's strategy then "
+    "changes and v2 appends 1997+ orders partitioned by (year, "
     "status) while REUSING v1's files untouched — Iceberg's headline "
     "trick, old data is never rewritten when partitioning evolves.  "
     "The reader prunes EACH FILE by the columns its own spec recorded "
@@ -1335,41 +1335,45 @@ def funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle value-checks them as distinct-value counts — the pruning "
     "effectiveness itself is correctness-gated, not just the rows.  "
     "At 100 TB this is the difference between rewriting a petabyte "
-    "table to re-partition it and committing a manifest.",
+    "table to re-partition it and committing a manifest.  (The spec "
+    "is YEAR granularity: partitioning this table by month produced "
+    "228 sub-MB files — the small-file anti-pattern — and the write "
+    "fan-out, not the evolution machinery, dominated the family "
+    "bench; VERDICT r6 #3.)",
     oracle="""
         WITH o AS (
             SELECT o_orderdate, o_orderstatus,
-                   strftime(o_orderdate, '%Y-%m') AS om,
+                   strftime(o_orderdate, '%Y') AS oy,
                    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
                        AS cents
             FROM orders
         ),
-        f1 AS (SELECT DISTINCT om FROM o
+        f1 AS (SELECT DISTINCT oy FROM o
                WHERE o_orderdate < TIMESTAMP '1997-01-01'),
-        f2 AS (SELECT DISTINCT om, o_orderstatus FROM o
+        f2 AS (SELECT DISTINCT oy, o_orderstatus FROM o
                WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
         tot AS (SELECT (SELECT COUNT(*) FROM f1)
                      + (SELECT COUNT(*) FROM f2) AS n_files_total)
-        SELECT 'month_new' AS scenario,
-               CAST((SELECT COUNT(*) FROM f1 WHERE om = '1997-03')
-                  + (SELECT COUNT(*) FROM f2 WHERE om = '1997-03')
+        SELECT 'year_new' AS scenario,
+               CAST((SELECT COUNT(*) FROM f1 WHERE oy = '1998')
+                  + (SELECT COUNT(*) FROM f2 WHERE oy = '1998')
                     AS BIGINT) AS n_files_read,
                CAST(tot.n_files_total AS BIGINT) AS n_files_total,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM o
-                WHERE om = '1997-03') AS n_rows,
+                WHERE oy = '1998') AS n_rows,
                (SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) FROM o
-                WHERE om = '1997-03') AS cents_sum
+                WHERE oy = '1998') AS cents_sum
         FROM tot
         UNION ALL
-        SELECT 'month_old',
-               CAST((SELECT COUNT(*) FROM f1 WHERE om = '1996-06')
-                  + (SELECT COUNT(*) FROM f2 WHERE om = '1996-06')
+        SELECT 'year_old',
+               CAST((SELECT COUNT(*) FROM f1 WHERE oy = '1996')
+                  + (SELECT COUNT(*) FROM f2 WHERE oy = '1996')
                     AS BIGINT),
                CAST(tot.n_files_total AS BIGINT),
                (SELECT CAST(COUNT(*) AS BIGINT) FROM o
-                WHERE om = '1996-06'),
+                WHERE oy = '1996'),
                (SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) FROM o
-                WHERE om = '1996-06')
+                WHERE oy = '1996')
         FROM tot
         UNION ALL
         SELECT 'status_all',
@@ -1396,22 +1400,22 @@ def snap_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flow_spark.queries.util import cents
 
     orders = load_table(spark, sf_dir, "orders").withColumn(
-        "om", F.date_format("o_orderdate", "yyyy-MM")
+        "oy", F.date_format("o_orderdate", "yyyy")
     )
     cutoff = F.lit("1997-01-01").cast("timestamp")
     table_dir = tempfile.mkdtemp(prefix="snap_evo_")
     v1 = snapshot_write_partitioned(
-        orders.filter(F.col("o_orderdate") < cutoff), table_dir, spec=["om"]
+        orders.filter(F.col("o_orderdate") < cutoff), table_dir, spec=["oy"]
     )
     v2 = snapshot_write_partitioned(
         orders.filter(F.col("o_orderdate") >= cutoff),
         table_dir,
-        spec=["om", "o_orderstatus"],
+        spec=["oy", "o_orderstatus"],
         reuse_files=snapshot_files(table_dir, v1),
     )
     scenarios = [
-        ("month_new", {"om": "1997-03"}),
-        ("month_old", {"om": "1996-06"}),
+        ("year_new", {"oy": "1998"}),
+        ("year_old", {"oy": "1996"}),
         ("status_all", {"o_orderstatus": "F"}),
     ]
     parts = []

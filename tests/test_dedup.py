@@ -275,3 +275,46 @@ def test_prefix_filter_join_randomized_vs_bruteforce(spark):
                 want.add((a, b))
         assert got == want, (t_num, t_den, got ^ want)
         assert want  # the corpus genuinely contains qualifying pairs
+
+
+def test_prefix_filter_two_phase_rank_identical_pairs(spark):
+    """VERDICT r6 #4: the two-phase range-partitioned vocab rank must
+    produce EXACTLY the pairs (and jaccard values) of the one-task
+    global sort, at several partition counts including ones that leave
+    empty ranges.  Also pins that the rank itself is a permutation-
+    identical order (same tid per item)."""
+    import hashlib
+
+    from flow_spark.operators.dedup import _rare_first_rank, prefix_filter_pairs
+    from pyspark.sql import functions as F
+
+    def toks(i):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        base = h % 25
+        n = 4 + h % 9
+        return [f"t{(base + j * (1 + h % 4)) % 50}" for j in range(n)]
+
+    sets = {i: sorted(set(toks(i))) for i in range(80)}
+    rows = [(i, tk) for i, ts in sets.items() for tk in ts]
+    df = spark.createDataFrame(rows, ["doc_id", "shingle"])
+    base = {
+        (r.doc_a, r.doc_b, r.jaccard_ppm)
+        for r in prefix_filter_pairs(df, rank_partitions=1).collect()
+    }
+    assert base
+    for nparts in (2, 8, 64):  # 64 > vocab/2: some ranges run empty
+        got = {
+            (r.doc_a, r.doc_b, r.jaccard_ppm)
+            for r in prefix_filter_pairs(df, rank_partitions=nparts).collect()
+        }
+        assert got == base, (nparts, got ^ base)
+    # rank-level identity, not just end-to-end: same (tk -> tid) map
+    freq = (
+        df.select(F.col("shingle").alias("tk"))
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    one = {r.tk: r.tid for r in _rare_first_rank(freq, 1).collect()}
+    for nparts in (3, 16):
+        multi = {r.tk: r.tid for r in _rare_first_rank(freq, nparts).collect()}
+        assert multi == one, nparts
