@@ -222,6 +222,83 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_variant_semistructured",
+    category="json-fn",
+    doc="Spark 4 VARIANT type (open-schema semi-structured columns): "
+    "each event builds a nested JSON document with a POLYMORPHIC field "
+    "(string / number / absent by event_id % 3 — the shape from_json's "
+    "fixed schema cannot express), parses it to VARIANT (parse_json), "
+    "and extracts typed paths: variant_get into long for object and "
+    "array paths, try_variant_get for the polymorphic field (NULL on "
+    "type mismatch instead of failing), plus schema_of_variant proving "
+    "per-row schema inference — all three inferred schema shapes are "
+    "VALUE-checked against literals the oracle derives from the same "
+    "event_id rule.  The real props column round-trips through VARIANT "
+    "too.  Oracle: DuckDB computes every extraction directly from the "
+    "source columns — the JSON+VARIANT round trip is engine-internal, "
+    "so any binary-encoding or path bug surfaces as a value mismatch.",
+    oracle="""
+        SELECT event_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+               CAST(event_id % 13 AS BIGINT) AS arr2,
+               CASE WHEN event_id % 3 = 1
+                    THEN CAST(user_id % 100 AS BIGINT) END AS poly_num,
+               CASE WHEN event_id % 3 = 0
+                    THEN 'u' || CAST(user_id % 100 AS VARCHAR)
+                    WHEN event_id % 3 = 1
+                    THEN CAST(user_id % 100 AS VARCHAR) END AS poly_str,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+               CASE event_id % 3
+                 WHEN 0 THEN 'OBJECT<arr: ARRAY<BIGINT>, meta: OBJECT<cents: BIGINT, poly: STRING, type: STRING>>'
+                 WHEN 1 THEN 'OBJECT<arr: ARRAY<BIGINT>, meta: OBJECT<cents: BIGINT, poly: BIGINT, type: STRING>>'
+                 ELSE 'OBJECT<arr: ARRAY<BIGINT>, meta: OBJECT<cents: BIGINT, type: STRING>>'
+               END AS vschema
+        FROM events
+        WHERE event_id % 20 = 0
+        ORDER BY event_id
+    """,
+)
+def fn_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    # polymorphic field: string ("uNN"), bare number, or absent
+    poly = F.when(
+        F.col("event_id") % 3 == 0,
+        F.concat(
+            F.lit('"u'), (F.col("user_id") % 100).cast("string"), F.lit('"')
+        ),
+    ).when(F.col("event_id") % 3 == 1, (F.col("user_id") % 100).cast("string"))
+    j = F.concat(
+        F.lit('{"meta": {"cents": '),
+        cents.cast("string"),
+        F.lit(', "type": "'),
+        F.col("event_type"),
+        F.lit('"'),
+        F.coalesce(F.concat(F.lit(', "poly": '), poly), F.lit("")),
+        F.lit('}, "arr": ['),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit(", "),
+        (F.col("event_id") % 11).cast("string"),
+        F.lit(", "),
+        (F.col("event_id") % 13).cast("string"),
+        F.lit("]}"),
+    )
+    return (
+        ev.select("event_id", "props", F.parse_json(j).alias("v"))
+        .select(
+            "event_id",
+            F.variant_get("v", "$.meta.cents", "long").alias("cents"),
+            F.variant_get("v", "$.arr[2]", "long").alias("arr2"),
+            F.try_variant_get("v", "$.meta.poly", "long").alias("poly_num"),
+            F.try_variant_get("v", "$.meta.poly", "string").alias("poly_str"),
+            F.variant_get(F.parse_json("props"), "$.k", "long").alias("k_val"),
+            F.schema_of_variant(F.col("v")).alias("vschema"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
     "fn_map_ops",
     category="map-fn",
     doc="map construction / map_keys / element access / explode to rows.",

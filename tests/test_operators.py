@@ -293,3 +293,43 @@ def test_bpe_train_matches_python_reference(spark):
             for r in text_bpe_train(spark, td).collect()
         ]
     assert got == py_bpe(words, 3)
+
+
+def test_variant_survives_parquet_roundtrip(spark, tmp_path):
+    """Spark 4 VARIANT columns persist to parquet (binary-encoded) and
+    read back with identical extraction results — the storage half of
+    the open-schema story fn_variant_semistructured gates at the query
+    layer."""
+    from pyspark.sql import functions as F
+
+    src = spark.range(50).select(
+        F.col("id"),
+        F.parse_json(
+            F.concat(
+                F.lit('{"a": '),
+                (F.col("id") * 3).cast("string"),
+                F.lit(', "tags": ["x", "y"], "nested": {"b": '),
+                (F.col("id") % 7).cast("string"),
+                F.lit("}}"),
+            )
+        ).alias("v"),
+    )
+    path = str(tmp_path / "var_tbl")
+    src.write.parquet(path)
+    back = spark.read.parquet(path)
+    assert dict(back.dtypes)["v"] == "variant"
+    want = {(i, i * 3, i % 7) for i in range(50)}
+    got = {
+        (r.id, r.a, r.b)
+        for r in back.select(
+            "id",
+            F.variant_get("v", "$.a", "long").alias("a"),
+            F.variant_get("v", "$.nested.b", "long").alias("b"),
+        ).collect()
+    }
+    assert got == want
+    # array path + string coercion survive too
+    assert (
+        back.filter(F.variant_get("v", "$.tags[1]", "string") != "y").count()
+        == 0
+    )

@@ -2328,3 +2328,77 @@ def test_ssaj_fixture_avoids_timeout_arm_corner(spark):
             "watermark — stream_stream_asof_join's oracle contract is "
             "at risk (see asof_join_stream timeout-arm comment)"
         )
+
+
+def test_stateful_op_identical_under_rocksdb_state_store(spark, tmp_path):
+    """The RocksDB state store provider (the disk-backed backend a
+    100 TB deployment runs — state no longer bounded by executor heap)
+    must produce byte-identical results to the default HDFS-backed
+    provider for an applyInPandasWithState operator, and the checkpoint
+    must show RocksDB actually engaged (.zip snapshot uploads in the
+    state dir)."""
+    import glob
+    import json as _json
+
+    from flow_spark.streaming.stateful import throttle_stream
+
+    rows = [
+        (u * 100 + i, f"u{u}", "2024-01-01 00:00:00.%03d" % (i * 50))
+        for u in range(3)
+        for i in range(12)
+    ]
+    src_dir = tmp_path / "src"
+    spark.createDataFrame(
+        rows, "event_id long, user string, ts string"
+    ).selectExpr(
+        "event_id",
+        "CAST(ts AS TIMESTAMP) AS ingest_ts",
+        "CAST('x' AS BINARY) AS body",
+        "'x' AS body_str",
+        "map('user', user) AS meta",
+    ).write.parquet(str(src_dir))
+    static = spark.read.parquet(str(src_dir))
+
+    def drain(tag: str, provider: "str | None") -> dict:
+        conf = spark.conf
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = conf.get(key, None)
+        if provider:
+            conf.set(key, provider)
+        try:
+            msgs = spark.readStream.schema(static.schema).parquet(str(src_dir))
+            q = (
+                throttle_stream(msgs, rps=2, key_col="user")
+                .writeStream.outputMode("append")
+                .format("memory")
+                .queryName(f"thr_{tag}")
+                .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        finally:
+            if provider:
+                if prev:
+                    conf.set(key, prev)
+                else:
+                    conf.unset(key)
+        return {
+            r.event_id: r.throttle_status
+            for r in spark.table(f"thr_{tag}").collect()
+        }
+
+    base = drain("hdfs", None)
+    rdb = drain(
+        "rocksdb",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    assert rdb == base and len(base) == 36
+    # the provider really ran: RocksDB leaves zip snapshots / sst-dir
+    # layout under state/, absent in the HDFS-backed layout
+    rdb_files = glob.glob(
+        str(tmp_path / "ckpt_rocksdb" / "state" / "**" / "*.zip"),
+        recursive=True,
+    )
+    assert rdb_files, "no RocksDB snapshot zips under the checkpoint"
