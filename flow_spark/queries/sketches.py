@@ -1017,3 +1017,134 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div GREATEST(n_exact, 1) AS BIGINT)"
         ).alias("err_ppm"),
     )
+
+
+@register(
+    "sketch_theta_set_algebra",
+    category="sketch",
+    doc="Spark 4.1 native DataSketches THETA sketches with full set "
+    "algebra: per-priority customer-key sketches (theta_sketch_agg), "
+    "then union / intersection / A-not-B across two priorities computed "
+    "ON THE SKETCHES (theta_union / theta_intersection / "
+    "theta_difference) — the mergeable-summary algebra that answers "
+    "'how many users did A but not B' at 100 TB without ever shuffling "
+    "raw keys twice.  The key space is folded to o_custkey % 2048, "
+    "below the sketch's k=4096 retention threshold, so every sketch "
+    "stays in EXACT mode and each estimate is value-checked against the "
+    "true distinct count (the same below-k-exactness contract real "
+    "DataSketches deployments lean on for small sets); above k the same "
+    "plan degrades gracefully to ~2% RSE estimates.",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderpriority AS pri, o_custkey % 2048 AS k FROM orders
+        )
+        SELECT 'set:' || pri AS measure,
+               CAST(COUNT(DISTINCT k) AS BIGINT) AS est
+        FROM o GROUP BY pri
+        UNION ALL
+        SELECT 'union:urgent|high',
+               CAST(COUNT(DISTINCT k) AS BIGINT)
+        FROM o WHERE pri IN ('1-URGENT', '2-HIGH')
+        UNION ALL
+        SELECT 'intersect:urgent&high', CAST(COUNT(*) AS BIGINT) FROM (
+            SELECT k FROM o WHERE pri = '1-URGENT'
+            INTERSECT
+            SELECT k FROM o WHERE pri = '2-HIGH')
+        UNION ALL
+        SELECT 'diff:urgent-high', CAST(COUNT(*) AS BIGINT) FROM (
+            SELECT k FROM o WHERE pri = '1-URGENT'
+            EXCEPT
+            SELECT k FROM o WHERE pri = '2-HIGH')
+        ORDER BY measure
+    """,
+)
+def sketch_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        (F.col("o_custkey") % 2048).cast("long").alias("k"),
+    )
+    sk = o.groupBy("pri").agg(F.theta_sketch_agg("k").alias("s"))
+    per_set = sk.select(
+        F.concat(F.lit("set:"), F.col("pri")).alias("measure"),
+        F.theta_sketch_estimate("s").alias("est"),
+    )
+    # the two operand sketches as a single row (tiny: 5 sketch rows)
+    ab = sk.groupBy().agg(
+        F.first(F.when(F.col("pri") == "1-URGENT", F.col("s")), True).alias("a"),
+        F.first(F.when(F.col("pri") == "2-HIGH", F.col("s")), True).alias("b"),
+    )
+    algebra = ab.select(
+        F.explode(
+            F.create_map(
+                F.lit("union:urgent|high"),
+                F.theta_sketch_estimate(F.theta_union("a", "b")),
+                F.lit("intersect:urgent&high"),
+                F.theta_sketch_estimate(F.theta_intersection("a", "b")),
+                F.lit("diff:urgent-high"),
+                F.theta_sketch_estimate(F.theta_difference("a", "b")),
+            )
+        ).alias("measure", "est")
+    )
+    return per_set.unionByName(algebra).orderBy("measure")
+
+
+@register(
+    "sketch_kll_quantiles",
+    category="sketch",
+    doc="Spark 4.1 native DataSketches KLL quantile sketches: per-type "
+    "sketches of event value-cents (kll_sketch_agg_bigint, k=4096), "
+    "rank queries (p25/p50/p75) straight off the sketch, and a two-"
+    "sketch MERGE (kll_sketch_merge_bigint) proving merged(click,view) "
+    "answers quantiles over the combined rows — the mergeable-quantile "
+    "path that replaces a full sort at 100 TB.  The input is capped at "
+    "an absolute row set (event_id < 3000) so every sketch holds fewer "
+    "than k items and stays in EXACT mode: each rank query returns the "
+    "true order statistic, which DuckDB's quantile_disc replays "
+    "bit-for-bit (verified: identical rank convention).",
+    oracle="""
+        WITH d AS (
+            SELECT event_type AS t, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+            FROM events WHERE event_id < 3000
+        )
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+               quantile_disc(c, 0.25) AS q25,
+               quantile_disc(c, 0.50) AS med,
+               quantile_disc(c, 0.75) AS q75
+        FROM d GROUP BY t
+        UNION ALL
+        SELECT 'click+view', CAST(COUNT(*) AS BIGINT),
+               quantile_disc(c, 0.25), quantile_disc(c, 0.50),
+               quantile_disc(c, 0.75)
+        FROM d WHERE t IN ('click', 'view')
+        ORDER BY t
+    """,
+)
+def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    d = ev.select(
+        F.col("event_type").alias("t"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    sk = d.groupBy("t").agg(F.kll_sketch_agg_bigint("c", F.lit(4096)).alias("s"))
+
+    def rank_cols(s):
+        return [
+            F.kll_sketch_get_n_bigint(s).alias("n"),
+            F.kll_sketch_get_quantile_bigint(s, F.lit(0.25)).alias("q25"),
+            F.kll_sketch_get_quantile_bigint(s, F.lit(0.5)).alias("med"),
+            F.kll_sketch_get_quantile_bigint(s, F.lit(0.75)).alias("q75"),
+        ]
+
+    per_type = sk.select("t", *rank_cols(F.col("s")))
+    merged = (
+        sk.groupBy()
+        .agg(
+            F.first(F.when(F.col("t") == "click", F.col("s")), True).alias("a"),
+            F.first(F.when(F.col("t") == "view", F.col("s")), True).alias("b"),
+        )
+        .select(
+            F.lit("click+view").alias("t"),
+            *rank_cols(F.kll_sketch_merge_bigint("a", "b")),
+        )
+    )
+    return per_type.unionByName(merged).orderBy("t")
