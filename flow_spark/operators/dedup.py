@@ -556,6 +556,10 @@ def _rare_first_rank(freq: DataFrame, nparts: int) -> DataFrame:
     return (
         pid.withColumn("tid", (F.row_number().over(w) + off).cast("int"))
         .drop("_pid")
+        # like the nparts<=1 branch: vocab feeds TWO consumers (the
+        # df==1 count and the broadcast-join build) — without this the
+        # per-range rank sort runs twice (review finding)
+        .localCheckpoint()
     )
 
 

@@ -181,17 +181,31 @@ def snapshot_write(
     # name (read-side inverse rename would mis-name it); with
     # reuse_files, reused files' extra physical columns are simply
     # never read under the narrower schema
-    pruned_phys = {p for l, p in mapping.items() if l not in df.columns}
+    # every column narrowed out of the schema this commit — mapped or
+    # not — leaves its PHYSICAL name behind in reused files
+    prev_schema_cols: "list[str]" = []
+    if prev_manifest is not None:
+        from pyspark.sql.types import StructType as _ST
+
+        prev_schema_cols = _ST.fromJson(
+            json.loads(prev_manifest["schema"])
+        ).fieldNames()
+    pruned_phys = {
+        mapping.get(c, c) for c in prev_schema_cols if c not in df.columns
+    }
     mapping = {l: p for l, p in mapping.items() if l in df.columns}
     # retired physical names (ADVICE r6): reused files may still
-    # physically carry a column whose logical owner was renamed away and
-    # then dropped/narrowed out.  Without a tombstone, a LATER commit
-    # that introduces a new logical column equal to that physical name
-    # would silently resolve the old files' stale bytes as the new
-    # column.  Track the names for as long as pre-retirement files can
-    # be referenced; a full overwrite (no reuse_files) references none,
-    # so the set resets.  Delta avoids the problem with UUID physical
-    # names — the tombstone set is the refusal-based equivalent.
+    # physically carry a column whose logical owner was renamed away
+    # and/or dropped/narrowed out (review: the unmapped case hijacks
+    # identically — reads resolve parquet columns by NAME, so a never-
+    # renamed dropped column's stale bytes also resurface).  Without a
+    # tombstone, a LATER commit that introduces a new logical column
+    # equal to that physical name would silently resolve the old files'
+    # stale bytes as the new column.  Track the names for as long as
+    # pre-retirement files can be referenced; a full overwrite (no
+    # reuse_files) references none, so the set resets.  Delta avoids
+    # the problem with UUID physical names — the tombstone set is the
+    # refusal-based equivalent.
     retired: set = set((prev_manifest or {}).get("retired_physical") or [])
     retired = (retired | pruned_phys) if reuse_files else set()
     phys_df = df
@@ -1233,12 +1247,40 @@ def snapshot_publish(table_dir: str, branch: str = "audit") -> int:
     # here would resurrect merge-on-read-deleted rows on publish
     if prev_files and prev_manifest and prev_manifest.get("dv_dirs"):
         manifest["dv_dirs"] = prev_manifest["dv_dirs"]
-    # mapped prev files stay physical-named; staged files were
-    # physicalized at stage time — the mapping must survive the publish
-    if prev_manifest and prev_manifest.get("column_mapping"):
-        manifest["column_mapping"] = prev_manifest["column_mapping"]
-    if prev_files and prev_manifest and prev_manifest.get("retired_physical"):
-        manifest["retired_physical"] = prev_manifest["retired_physical"]
+    # the same retirement/hijack discipline as snapshot_write (review:
+    # publish was a bypass): a staged column matching a retired physical
+    # name still present in inherited files would resolve stale bytes,
+    # and a publish that narrows the schema while keeping prev files
+    # retires the narrowed-out physical names.
+    if prev_manifest is not None:
+        from pyspark.sql.types import StructType as _ST
+
+        new_cols = _ST.fromJson(json.loads(marker["schema"])).fieldNames()
+        mapping = dict(prev_manifest.get("column_mapping") or {})
+        prev_cols = _ST.fromJson(
+            json.loads(prev_manifest["schema"])
+        ).fieldNames()
+        retired: set = set()
+        if prev_files:  # no inherited files -> no stale bytes to guard
+            retired = set(prev_manifest.get("retired_physical") or []) | {
+                mapping.get(c, c) for c in prev_cols if c not in new_cols
+            }
+        mapping = {l: p for l, p in mapping.items() if l in new_cols}
+        hijack = sorted(c for c in new_cols if mapping.get(c, c) in retired)
+        if hijack:
+            raise ValueError(
+                f"staged columns {hijack} match the physical (on-disk) "
+                "name of a retired column still present in inherited "
+                "files — publish refused (stage under another name or "
+                "full-rewrite first)"
+            )
+        # mapped prev files stay physical-named; staged files were
+        # physicalized at stage time — the (pruned) mapping survives
+        # whether or not prev files were inherited
+        if mapping:
+            manifest["column_mapping"] = mapping
+        if retired:
+            manifest["retired_physical"] = sorted(retired)
     _commit_manifest(manifest, _manifest_path(table_dir, version))
     os.unlink(marker_path)
     return version
@@ -1619,7 +1661,15 @@ def snapshot_write_partitioned(
         prev_parts = prev_manifest.get("partitions", {})
         prev_bases = prev_manifest.get("bases", {})
         dv_dirs = prev_manifest.get("dv_dirs")
-        retired = prev_manifest.get("retired_physical") or []
+        from pyspark.sql.types import StructType as _ST
+
+        prev_cols = _ST.fromJson(
+            json.loads(prev_manifest["schema"])
+        ).fieldNames()
+        retired = sorted(
+            set(prev_manifest.get("retired_physical") or [])
+            | {c for c in prev_cols if c not in df.columns}
+        )  # narrowed-out columns leave their bytes in reused files too
         hijack = sorted(c for c in df.columns if c in retired)
         if hijack:  # same refusal as snapshot_write (table is unmapped
             # here, so logical == physical for every df column)

@@ -1208,7 +1208,7 @@ _SSAJ_SPOOL_CACHE: dict = {}
     category="streaming",
     doc="STREAM-STREAM as-of join (streaming/stateful.asof_join_stream, "
     "VERDICT r5 #8 'new execution shape'): clicks AND purchases both "
-    "arrive as live file-source streams (three ascending time segments "
+    "arrive as live file-source streams (two ascending time segments "
     "each, availableNow, lockstep batches); the union shares one "
     "watermark and a per-key stateful operator buffers pending clicks "
     "plus the purchase history, emitting a click ONLY once the "

@@ -2081,6 +2081,87 @@ def test_retired_physical_name_cannot_be_reintroduced(spark, tmp_path):
     assert snapshot_read(spark, t).filter("k = 2").first()["cents"] == 200
 
 
+def test_retired_physical_covers_unmapped_and_wap_paths(spark, tmp_path):
+    """Review findings: (a) a NEVER-RENAMED column narrowed out with
+    reuse_files hijacks identically (reads resolve parquet columns by
+    name) — the tombstone must not depend on a mapping entry existing;
+    (b) WAP publish inherits prev files and must apply the same
+    refusal, not bypass it."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        current_version,
+        snapshot_drop_column,
+        snapshot_files,
+        snapshot_publish,
+        snapshot_read,
+        snapshot_rename_column,
+        snapshot_stage,
+        snapshot_write,
+    )
+
+    # (a) unmapped narrowing
+    t = str(tmp_path / "t_unmapped")
+    snapshot_write(
+        spark.range(4).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("extra")
+        ),
+        t,
+    )
+    snapshot_write(  # narrow to k only, reusing the extra-carrying files
+        spark.range(4, 6).select(F.col("id").alias("k")),
+        t,
+        reuse_files=snapshot_files(t, current_version(t)),
+    )
+    with pytest.raises(ValueError, match="retired"):
+        snapshot_write(
+            spark.range(6, 8).select(
+                F.col("id").alias("k"), F.lit(9).alias("extra")
+            ),
+            t,
+            reuse_files=snapshot_files(t, current_version(t)),
+        )
+
+    # (b) WAP publish bypass
+    t2 = str(tmp_path / "t_wap")
+    snapshot_write(
+        spark.range(4).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("cents")
+        ),
+        t2,
+    )
+    snapshot_rename_column(t2, "cents", "balance")
+    snapshot_drop_column(t2, "balance")  # retired: cents
+    snapshot_stage(
+        spark.range(4, 6).select(
+            F.col("id").alias("k"), F.lit(7).alias("cents")
+        ),
+        t2,
+    )
+    with pytest.raises(ValueError, match="retired"):
+        snapshot_publish(t2)
+    # a clean-named stage still publishes, and the tombstone carries
+    snapshot_stage(
+        spark.range(4, 6).select(
+            F.col("id").alias("k"), F.lit(7).alias("cents2")
+        ),
+        t2,
+    )
+    v = snapshot_publish(t2)
+    got = {
+        (r.k, r.cents2)
+        for r in snapshot_read(spark, t2, version=v).collect()
+    }
+    assert (4, 7) in got and (5, 7) in got
+    import json as _json
+
+    from flow_spark.operators.snapshots import _manifest_path
+
+    with open(_manifest_path(t2, v)) as fh:
+        assert _json.load(fh)["retired_physical"] == ["cents"]
+
+
 def test_bloom_oversized_file_falls_back_to_positions_scan(spark, tmp_path, monkeypatch):
     """A file past the distinct-hash collection cap must not fail the
     build (review finding): it falls back to the executor-side
