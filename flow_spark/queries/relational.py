@@ -581,7 +581,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT COALESCE(o_orderstatus, '<all>')   AS orderstatus,
                COALESCE(o_orderpriority, '<all>') AS orderpriority,
                COUNT(*) AS n,
-               ROUND(SUM(o_totalprice), 2) AS total
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY orderstatus, orderpriority
@@ -594,7 +594,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT COALESCE(o_orderstatus, '<all>')   AS orderstatus,
                COALESCE(o_orderpriority, '<all>') AS orderpriority,
                COUNT(*) AS n,
-               ROUND(SUM(o_totalprice), 2) AS total
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY orderstatus, orderpriority

@@ -16,14 +16,13 @@ from flow_spark.session import get_spark, release_cached_blocks  # noqa: E402
 from tools.make_sf1 import ensure_sf1  # noqa: E402
 
 NEW = [
+    "fn_variant_semistructured",
+    "sketch_theta_set_algebra",
+    "sketch_kll_quantiles",
+    "dedup_minhash_lsh",
     "dedup_prefix_filter_join",
-    "stream_cdc_deletes",
-    "stream_upsert_cdc",
-    "snap_bloom_pointlookup",
-    "snap_upsert_merge",
     "stream_stream_asof_join",
-    "snap_column_mapping",
-    "snap_shallow_clone",
+    "snap_partition_evolution",
 ]
 
 
