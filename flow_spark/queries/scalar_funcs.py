@@ -1888,6 +1888,8 @@ def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="string-fn",
     doc="Formatting/bit battery: overlay (string splice), to_char with a "
     "grouping picture ('9,999,999' — right-aligned, comma only between "
+    "digits; a value WIDER than the picture prints the overflow fill "
+    "'# ### ###', pinned by the oracle since sf1-scale keys exceed 7 "
     "digits), getbit/bit_count over the key, array_repeat join.  DuckDB "
     "lacks overlay/to_char/getbit, so the oracle reconstructs each from "
     "primitives (substr splice, format('{:>7}', format('{:,}', x)), "
@@ -1897,6 +1899,7 @@ def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
                substr(o_orderpriority, 1, 2) || 'XX'
                    || substr(o_orderpriority, 5) AS spliced,
                CASE WHEN o_orderkey = 0 THEN '         '  -- '9' blanks zero
+                    WHEN o_orderkey > 9999999 THEN '# ### ###'  -- overflow
                     ELSE format('{:>9}', format('{:,}', o_orderkey)) END
                    AS key_pic,
                CAST((o_orderkey >> 3) & 1 AS INT) AS bit3,
@@ -2039,22 +2042,32 @@ def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Array set algebra battery: except/intersect/union (order-"
     "normalized via array_sort for cross-engine equality), overlap "
     "test, position, insert/remove/compact, zip of two slices.  Arrays "
-    "built from each embedding's leading integer-cents slices so every "
+    "built from each embedding's leading slices scaled to integers via "
+    "FLOOR (floor of the same IEEE double is bit-identical in both "
+    "engines for ANY value; decimal ROUND disagrees on midpoint-looking "
+    "shortest-reprs — surfaced by the sf1 rotated embeddings) so every "
     "element is exact.  Emitted as joined strings (the driver compares "
     "primitives).",
     oracle="""
         WITH v AS (
+            -- cast float32 -> DOUBLE BEFORE arithmetic (both engines),
+            -- like every other embedding oracle: a float multiply on one
+            -- side vs a double multiply on the other flips floor() at
+            -- representation boundaries
             SELECT vec_id,
-                   list_transform(embedding[1:6],
-                                  x -> CAST(ROUND(x * 100, 0) AS BIGINT)) AS a,
-                   list_transform(embedding[4:9],
-                                  x -> CAST(ROUND(x * 100, 0) AS BIGINT)) AS b
+                   list_transform(CAST(embedding[1:6] AS DOUBLE[]),
+                                  x -> CAST(FLOOR(x * 100) AS BIGINT)) AS a,
+                   list_transform(CAST(embedding[4:9] AS DOUBLE[]),
+                                  x -> CAST(FLOOR(x * 100) AS BIGINT)) AS b
             FROM embeddings WHERE vec_id % 23 = 0
         )
         SELECT vec_id,
-               -- Spark's array_except/array_intersect dedupe their output
-               array_to_string(list_sort(list_distinct(
-                   list_filter(a, x -> NOT list_contains(b, x)))), ',')
+               -- Spark's array_except/array_intersect dedupe their output.
+               -- COALESCE: when a is fully contained in b the filtered
+               -- list is empty and DuckDB's sort/distinct chain yields
+               -- NULL where Spark's array_join gives '' (sf1 surfaced it)
+               COALESCE(array_to_string(list_sort(list_distinct(
+                   list_filter(a, x -> NOT list_contains(b, x)))), ','), '')
                    AS a_except_b,
                array_to_string(list_sort(list_distinct(
                    list_filter(a, x -> list_contains(b, x)))), ',')
@@ -2071,7 +2084,7 @@ def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 23 == 0)
-    cents = lambda c: F.transform(c, lambda x: F.round(x * 100, 0).cast("long"))  # noqa: E731
+    cents = lambda c: F.transform(c, lambda x: F.floor(x.cast("double") * 100).cast("long"))  # noqa: E731
     v = emb.select(
         "vec_id",
         cents(F.slice("embedding", 1, 6)).alias("a"),
