@@ -2253,9 +2253,16 @@ def fn_string_repr(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT vec_id,
                CAST(i AS INT) AS pos,
-               CAST(ROUND(embedding[i] * 100, 0) AS BIGINT) AS cents,
-               CAST(ROUND(embedding[i] * 100, 0) AS BIGINT)
-                   * CAST(ROUND(embedding[i] * 100, 0) AS BIGINT) AS sq
+               -- FLOOR(double*100 + 0.5): pure double arithmetic, exact
+               -- and engine-identical for every input (decimal ROUND on
+               -- a float32 product is the midpoint class sf1 surfaced
+               -- in fn_array_setops)
+               CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 100 + 0.5)
+                    AS BIGINT) AS cents,
+               CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 100 + 0.5)
+                    AS BIGINT)
+                   * CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 100 + 0.5)
+                          AS BIGINT) AS sq
         FROM embeddings, range(1, 5) t(i)
         WHERE vec_id % 29 = 0
         ORDER BY vec_id, pos
@@ -2267,7 +2274,10 @@ def fn_inline_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.lit(4)),
         lambda i: F.struct(
             i.cast("int").alias("pos"),
-            F.round(F.element_at("embedding", i.cast("int")) * 100, 0)
+            F.floor(
+                F.element_at("embedding", i.cast("int")).cast("double") * 100
+                + F.lit(0.5)
+            )
             .cast("long")
             .alias("cents"),
         ),
