@@ -402,11 +402,15 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    # pairs travel as ONE bigint (s1 << 20 | s2, keys < 2^20) rather than a
-    # struct: cheaper explode + hash-agg on a primitive key (~20% measured)
+    # pairs travel as ONE bigint (s1 << 32 | s2) rather than a struct:
+    # cheaper explode + hash-agg on a primitive key (~20% measured).
+    # Bound: keys must fit 32 bits unsigned and s1 < 2^31 (product stays
+    # under 2^63) — the original 2^20 shift silently corrupted pairs the
+    # moment sf1's replicated supplier keys passed 1,048,576 (caught by
+    # the full sf1 oracle sweep).  Beyond 2^31 keys, drop to a struct key.
     within = F.expr(
         "flatten(transform(ss, (x, i) -> "
-        "transform(slice(ss, i + 2, size(ss)), y -> x * 1048576L + y)))"
+        "transform(slice(ss, i + 2, size(ss)), y -> x * 4294967296L + y)))"
     )
     pairs = (
         grouped.filter(F.size("ss") >= 2)
@@ -414,8 +418,8 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("common"))
         .select(
-            F.expr("pk div 1048576L").alias("s1"),
-            F.expr("pk % 1048576L").alias("s2"),
+            F.expr("pk div 4294967296L").alias("s1"),
+            F.expr("pk % 4294967296L").alias("s2"),
             "common",
         )
     )

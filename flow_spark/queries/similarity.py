@@ -2206,7 +2206,7 @@ def eval_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS BIGINT) AS md
             FROM v a JOIN v c ON c.vec_id = (SELECT c FROM c1)
         ),
-        c2 AS (SELECT arg_max(vec_id, md * 1048576 - vec_id) AS c FROM m1),
+        c2 AS (SELECT arg_max(vec_id, md * 4294967296 - vec_id) AS c FROM m1),
         m2 AS (
             SELECT a.vec_id, a.qv,
                    LEAST(a.md, CAST(list_sum(list_transform(
@@ -2215,7 +2215,7 @@ def eval_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS BIGINT)) AS md
             FROM m1 a JOIN v c ON c.vec_id = (SELECT c FROM c2)
         ),
-        c3 AS (SELECT arg_max(vec_id, md * 1048576 - vec_id) AS c FROM m2),
+        c3 AS (SELECT arg_max(vec_id, md * 4294967296 - vec_id) AS c FROM m2),
         m3 AS (
             SELECT a.vec_id, a.qv,
                    LEAST(a.md, CAST(list_sum(list_transform(
@@ -2224,7 +2224,7 @@ def eval_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS BIGINT)) AS md
             FROM m2 a JOIN v c ON c.vec_id = (SELECT c FROM c3)
         ),
-        c4 AS (SELECT arg_max(vec_id, md * 1048576 - vec_id) AS c FROM m3),
+        c4 AS (SELECT arg_max(vec_id, md * 4294967296 - vec_id) AS c FROM m3),
         m4 AS (
             SELECT a.vec_id,
                    LEAST(a.md, CAST(list_sum(list_transform(
@@ -2280,7 +2280,7 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         md = True
         stat = cur.agg(
             F.max("md").alias("radius2"),
-            F.expr("max_by(vec_id, md * 1048576 - vec_id)").alias("next_c"),
+            F.expr("max_by(vec_id, md * 4294967296 - vec_id)").alias("next_c"),
         )
         rows.append(
             stat.crossJoin(F.broadcast(center)).select(

@@ -1041,8 +1041,12 @@ def seq_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         firsts AS (
             SELECT user_id, sess, event_type,
                    MIN(us) AS us,
+                   -- 2^32 shift: the packed key must order exactly like
+                   -- Spark's lexicographic min(struct(us, event_id)) —
+                   -- a 2^20 shift flips once event ids exceed 1M (sf1
+                   -- audit); bound: event_id < 2^32
                    arg_min(event_id,
-                           CAST(us AS HUGEINT) * 1048576 + event_id) AS eid
+                           CAST(us AS HUGEINT) * 4294967296 + event_id) AS eid
             FROM tagged GROUP BY user_id, sess, event_type
         ),
         tot AS (SELECT COUNT(*) AS ns FROM
