@@ -2497,3 +2497,349 @@ def snapshot_purge_deletes(spark: SparkSession, table_dir: str) -> int:
         new_manifest["retired_physical"] = manifest["retired_physical"]
     _commit_manifest(new_manifest, _manifest_path(table_dir, v + 1))
     return v + 1
+
+
+# ---- optimistic transactions: append rebase + conflict classification ------
+#
+# _commit_manifest is a compare-and-swap (os.link fails if the version
+# exists), which gives LOST-UPDATE safety but makes every loser replay
+# its whole write.  Delta/Iceberg layer a transaction protocol on top:
+# a commit that lost the race re-reads the log, checks that the
+# intervening commits do not CONFLICT with what it did, and re-commits
+# at the next version without redoing the data work.  The two pieces
+# below are that protocol:
+#
+# - snapshot_append: blind appends commute with each other and with any
+#   commit that keeps the table's metadata stable, so a losing appender
+#   can always rebase — the data files written once stay valid, only
+#   the manifest is rebuilt against the new head (reference:
+#   delta-io/delta PROTOCOL.md "Transaction Identifiers" / Iceberg's
+#   fast-append commit.retry).
+# - snapshot_rebase_info: classifies the commits between a reader's
+#   snapshot and the current head so a REWRITING op (upsert / compact /
+#   delete) that lost a race can decide: pure intervening appends never
+#   invalidate a rewrite plan (the rewritten files still exist and are
+#   byte-identical); an intervening commit that REMOVED one of the
+#   files the op rewrote means the op read stale rows -> conflict,
+#   replay from the new head (Delta's write-serializable check).
+
+
+class SnapshotConflict(Exception):
+    """A concurrent commit invalidated this transaction's plan — the
+    table's metadata changed (schema / column mapping / retired names)
+    or a file this transaction rewrote was removed by another writer.
+    The exception message names the offending versions; replay the
+    operation from the current head."""
+
+
+def snapshot_append(
+    df: DataFrame,
+    table_dir: str,
+    stats_col: "str | None" = None,
+    constraints: "list[str] | None" = None,
+    max_retries: int = 10,
+) -> int:
+    """Append `df`'s rows as the next version, auto-rebasing on races.
+
+    The data files are written ONCE; if another writer commits first,
+    only the manifest is rebuilt against the new head and the commit is
+    retried (appends commute).  The rebase is refused with
+    :class:`SnapshotConflict` when an intervening commit changed what
+    the written files depend on — the schema (field names/types), the
+    column mapping (files already carry this plan's physical names), or
+    the retired-physical tombstones (a new tombstone could make these
+    columns hijack stale bytes).  Constraints and per-file stats are
+    computed once, against this append's files only.
+
+    N concurrent appenders therefore produce exactly N new versions in
+    some serial order, every row exactly once — the Iceberg fast-append
+    guarantee — at the cost of one manifest re-read per lost race
+    instead of one table rewrite.
+    """
+    from pyspark.sql import functions as F
+
+    os.makedirs(os.path.join(table_dir, MANIFEST_DIR), exist_ok=True)
+
+    def _head() -> "tuple[int, dict | None]":
+        v = current_version(table_dir)
+        if v < 1:
+            return 0, None
+        with open(_manifest_path(table_dir, v)) as fh:
+            return v, json.load(fh)
+
+    base_version, base = _head()
+    mapping = (base or {}).get("column_mapping") or {}
+    mapping = {l: p for l, p in mapping.items() if l in df.columns}
+    retired = set((base or {}).get("retired_physical") or [])
+
+    def _schema_sig(schema_json: str) -> "list[tuple[str, str]]":
+        from pyspark.sql.types import StructType as _ST
+
+        st = _ST.fromJson(json.loads(schema_json))
+        return [(f.name, f.dataType.simpleString()) for f in st.fields]
+
+    if base is not None and _schema_sig(base["schema"]) != _schema_sig(
+        df.schema.json()
+    ):
+        raise ValueError(
+            "snapshot_append requires the exact table schema "
+            f"(table: {_schema_sig(base['schema'])}, "
+            f"append: {_schema_sig(df.schema.json())}); evolve the "
+            "schema with snapshot_write instead"
+        )
+    hijack = sorted(c for c in df.columns if mapping.get(c, c) in retired)
+    if hijack:
+        raise ValueError(
+            f"columns {hijack} match the physical (on-disk) name of a "
+            "retired column still present in table files — rename or "
+            "full-rewrite first"
+        )
+
+    # -- the write happens exactly once ----------------------------------
+    phys_df = df.withColumnsRenamed(dict(mapping)) if mapping else df
+    write_dir = os.path.join(table_dir, DATA_DIR, uuid.uuid4().hex[:12])
+    phys_df.write.mode("error").parquet(write_dir)
+    files = sorted(
+        os.path.join(write_dir, f)
+        for f in os.listdir(write_dir)
+        if f.endswith(".parquet")
+    )
+    if constraints and files:
+        spark = df.sparkSession
+        chk = spark.read.parquet(*files)
+        if mapping:
+            chk = chk.withColumnsRenamed(
+                {phys: logical for logical, phys in mapping.items()}
+            )
+        counts = chk.agg(
+            *[
+                F.sum(
+                    F.when(F.expr(c).eqNullSafe(F.lit(True)), 0).otherwise(1)
+                ).alias(f"c{i}")
+                for i, c in enumerate(constraints)
+            ]
+        ).collect()[0]
+        violated = {
+            constraints[i]: int(counts[i])
+            for i in range(len(constraints))
+            if counts[i]
+        }
+        if violated:
+            raise ConstraintViolation(
+                f"append rejected, violating rows per constraint: {violated}"
+            )
+    own_stats: "dict[str, list]" = {}
+    phys_stats_col = mapping.get(stats_col, stats_col)
+    if stats_col is not None and files:
+        footer = _footer_stats(files, phys_stats_col, phys_df.schema)
+        if footer is not None:
+            own_stats = footer
+        else:
+            spark = df.sparkSession
+            for r in (
+                spark.read.parquet(*files)
+                .groupBy(F.col("_metadata.file_path").alias("__fp"))
+                .agg(
+                    F.min(phys_stats_col).alias("mn"),
+                    F.max(phys_stats_col).alias("mx"),
+                )
+                .collect()
+            ):
+                if all(isinstance(v, (int, float, str)) for v in (r[1], r[2])):
+                    own_stats[r[0].removeprefix("file:")] = [r[1], r[2]]
+
+    # -- commit loop: rebuild the manifest against the current head ------
+    for _ in range(max(1, max_retries)):
+        head_version, head = _head()
+        if head is not None:
+            if _schema_sig(head["schema"]) != _schema_sig(df.schema.json()):
+                raise SnapshotConflict(
+                    f"concurrent commit v{head_version} changed the table "
+                    "schema under this append — replay from the new head"
+                )
+            if (head.get("column_mapping") or {}) != (
+                (base or {}).get("column_mapping") or {}
+            ):
+                raise SnapshotConflict(
+                    f"concurrent commit v{head_version} changed the column "
+                    "mapping; this append's files carry the old physical "
+                    "names — replay from the new head"
+                )
+            head_retired = set(head.get("retired_physical") or [])
+            hijack = sorted(
+                c for c in df.columns if mapping.get(c, c) in head_retired
+            )
+            if hijack:
+                raise SnapshotConflict(
+                    f"concurrent commit v{head_version} retired physical "
+                    f"names {hijack} that this append's columns would "
+                    "hijack — replay from the new head"
+                )
+        head_files = list((head or {}).get("files") or [])
+        stats: "dict[str, list]" = {}
+        head_stats_col = (head or {}).get("stats_col")
+        if stats_col is not None and head_stats_col == stats_col:
+            # same index column: head files keep their pruning entries
+            stats.update((head or {}).get("stats") or {})
+        stats.update(own_stats)
+        partitions, bases = _inherited_layout(head, head_files)
+        manifest = {
+            "version": head_version + 1,
+            "committed_at": time.time(),
+            "files": head_files + files,
+            "schema": df.schema.json(),
+            "stats": stats,
+            "stats_col": stats_col,
+            "partitions": partitions,
+            "bases": bases,
+        }
+        if head and head.get("dv_dirs"):
+            manifest["dv_dirs"] = head["dv_dirs"]
+        if head and head.get("col_stats"):
+            # secondary per-column indexes survive for head files only —
+            # this append's files have no entries and stay candidates
+            manifest["col_stats"] = head["col_stats"]
+        if mapping:
+            manifest["column_mapping"] = mapping
+        if head and head.get("retired_physical"):
+            manifest["retired_physical"] = head["retired_physical"]
+        try:
+            _commit_manifest(
+                manifest, _manifest_path(table_dir, head_version + 1)
+            )
+            return head_version + 1
+        except ConcurrentSnapshotWrite:
+            continue
+    raise ConcurrentSnapshotWrite(
+        f"append to {table_dir} lost {max_retries} commit races — raise "
+        "max_retries or reduce writer contention"
+    )
+
+
+def snapshot_rebase_info(
+    table_dir: str,
+    read_version: int,
+    touched_files: "list[str] | None" = None,
+) -> "dict":
+    """Classify the commits between ``read_version`` and the head.
+
+    For a rewriting transaction (upsert / compact / delete) that planned
+    against ``read_version`` and found the head has moved:
+
+    - ``pure_appends`` True means every intervening commit only ADDED
+      files — the files this transaction read (and rewrote) are intact,
+      so its output is still correct; it may rebase by unioning the
+      intervening commits' ``added_files`` into its new manifest.
+    - ``removed_overlap`` non-empty means an intervening commit removed
+      a file in ``touched_files`` — the transaction read stale rows and
+      MUST replay from the head (this is the check Delta's
+      write-serializable isolation performs on losing a commit race).
+
+    Returns ``{"head_version", "intervening", "pure_appends",
+    "added_files", "removed_files", "removed_overlap"}``.
+    """
+    head_version = current_version(table_dir)
+    added: "list[str]" = []
+    removed: "list[str]" = []
+    intervening: "list[int]" = []
+    prev_files = set(snapshot_files(table_dir, read_version))
+    for v in range(read_version + 1, head_version + 1):
+        cur_files = set(snapshot_files(table_dir, v))
+        intervening.append(v)
+        added.extend(sorted(cur_files - prev_files))
+        removed.extend(sorted(prev_files - cur_files))
+        prev_files = cur_files
+    overlap = sorted(set(removed) & set(touched_files or []))
+    return {
+        "head_version": head_version,
+        "intervening": intervening,
+        "pure_appends": not removed,
+        "added_files": added,
+        "removed_files": removed,
+        "removed_overlap": overlap,
+    }
+
+
+def snapshot_stats_agg(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    version: "int | None" = None,
+) -> DataFrame:
+    """COUNT(*)/MIN/MAX of ``col`` answered from file METADATA alone.
+
+    The lakehouse shortcut Delta/Iceberg expose as metadata-only query
+    answering: a manifest lists the version's files, each parquet
+    footer carries exact row counts and (for integer columns) exact
+    min/max — so the three aggregates over 100 TB are a driver-side
+    walk of footers, zero data bytes read, no Spark job.
+
+    Falls back to the real scan (``snapshot_read`` + aggregate, still
+    one job with full pushdown) whenever metadata cannot PROVE the
+    answer: deletion vectors in force (footer counts ignore deletes),
+    a non-integer column (string footer stats may be truncated, float
+    stats lie under NaN), or any file with missing statistics.  The
+    fast path and the fallback return identical values by construction;
+    ``tests/test_snapshots.py`` asserts both the equality and that the
+    fast path runs zero Spark jobs.
+
+    Returns a 1-row DataFrame ``(n_rows BIGINT, mn BIGINT, mx BIGINT)``.
+    """
+    from pyspark.sql import functions as F
+
+    if version is None:
+        version = current_version(table_dir)
+    with open(_manifest_path(table_dir, version)) as fh:
+        manifest = json.load(fh)
+    files = manifest.get("files") or []
+    mapping = manifest.get("column_mapping") or {}
+    phys_col = mapping.get(col, col)
+
+    def _fallback() -> DataFrame:
+        df = snapshot_read(spark, table_dir, version)
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(col).cast("long").alias("mn"),
+            F.max(col).cast("long").alias("mx"),
+        )
+
+    from pyspark.sql.types import StructType as _ST
+
+    schema = _ST.fromJson(json.loads(manifest["schema"]))
+    logical_type = next(
+        (f.dataType.typeName() for f in schema.fields if f.name == col), None
+    )
+    if manifest.get("dv_dirs") or logical_type not in (
+        "byte",
+        "short",
+        "integer",
+        "long",
+    ):
+        return _fallback()
+
+    import pyarrow.parquet as pq
+
+    n_rows = 0
+    mn = mx = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        n_rows += md.num_rows
+        if phys_col not in md.schema.names:
+            return _fallback()  # physical layout drifted: let Spark prove it
+        idx = md.schema.names.index(phys_col)
+        for rg in range(md.num_row_groups):
+            rg_md = md.row_group(rg)
+            if rg_md.num_rows == 0:
+                continue
+            st = rg_md.column(idx).statistics
+            if st is None or st.null_count is None:
+                return _fallback()
+            if st.null_count == rg_md.num_rows:
+                continue  # all-null group: contributes rows, no min/max
+            if not st.has_min_max:
+                return _fallback()
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+    return spark.createDataFrame(
+        [(n_rows, mn, mx)], "n_rows long, mn long, mx long"
+    )

@@ -2440,3 +2440,47 @@ def snap_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return side(src, "source").unionByName(side(tgt, "clone")).orderBy("side")
+
+
+@register(
+    "snap_stats_agg",
+    category="scale-pattern",
+    doc="Metadata-only aggregate (Delta/Iceberg's stats-based query "
+    "answering): COUNT(*)/MIN/MAX of the key over a 3-commit snapshot "
+    "table — v1 written plain, v2 and v3 via snapshot_append (the "
+    "write-once rebase-retry transactional append) — answered from "
+    "parquet FOOTERS alone, zero data bytes read, no Spark job on the "
+    "fast path.  At 100 TB these three aggregates are a driver-side "
+    "manifest walk instead of a full scan.  The fast path proves "
+    "exactness or falls back (deletion vectors, non-integer column, "
+    "missing footer stats); tests/test_snapshots.py asserts fast==scan "
+    "and zero jobs.  Oracle: the same aggregates straight off orders.",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT)      AS n_rows,
+               CAST(MIN(o_orderkey) AS BIGINT) AS mn,
+               CAST(MAX(o_orderkey) AS BIGINT) AS mx
+        FROM orders
+    """,
+)
+def snap_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flow_spark.operators.snapshots import (
+        snapshot_append,
+        snapshot_stats_agg,
+        snapshot_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1996-01-01").cast("timestamp")
+    later = F.lit("1997-06-01").cast("timestamp")
+    table_dir = tempfile.mkdtemp(prefix="snap_statsagg_")
+    snapshot_write(orders.filter(F.col("o_orderdate") < cutoff), table_dir)
+    snapshot_append(
+        orders.filter(
+            (F.col("o_orderdate") >= cutoff) & (F.col("o_orderdate") < later)
+        ),
+        table_dir,
+    )
+    snapshot_append(orders.filter(F.col("o_orderdate") >= later), table_dir)
+    return snapshot_stats_agg(spark, table_dir, "o_orderkey")

@@ -2207,3 +2207,204 @@ def test_bloom_oversized_file_falls_back_to_positions_scan(spark, tmp_path, monk
         assert _json2.load(fh)["bloom"]["bits"] == 2048
     for key in (0, 399):
         assert S.snapshot_read_point(spark, t, key, v2).count() == 1
+
+
+# ---- optimistic transactions: append rebase + conflict classification ------
+
+
+def test_snapshot_append_happy_path(spark, tmp_path):
+    """Appends stack file-sharing versions with the exact-schema contract."""
+    from flow_spark.operators.snapshots import snapshot_append
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(5).selectExpr("id AS k"), t)
+    v2 = snapshot_append(spark.range(5, 9).selectExpr("id AS k"), t)
+    assert v2 == 2
+    assert sorted(r.k for r in snapshot_read(spark, t).collect()) == list(
+        range(9)
+    )
+    # v1's files are shared by reference, not copied
+    assert set(snapshot_files(t, 1)) < set(snapshot_files(t, 2))
+    import pytest
+
+    with pytest.raises(ValueError, match="exact table schema"):
+        snapshot_append(spark.range(3).selectExpr("id AS other"), t)
+
+
+def test_snapshot_append_rebases_after_lost_race(spark, tmp_path, monkeypatch):
+    """A competing commit between the append's plan and its commit must
+    cost one manifest rebuild, not a data rewrite: the loser rebases on
+    the winner's head and both versions' rows survive exactly once."""
+    import flow_spark.operators.snapshots as snap
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(10).selectExpr("id AS k"), t)
+    real_commit = snap._commit_manifest
+    competitor_fired = {"n": 0}
+
+    def racing_commit(manifest, final):
+        # on the appender's FIRST commit attempt, sneak a competitor in
+        if not competitor_fired["n"]:
+            competitor_fired["n"] += 1
+            monkeypatch.setattr(snap, "_commit_manifest", real_commit)
+            snapshot_write(
+                spark.range(100, 105).selectExpr("id AS k"),
+                t,
+                reuse_files=snapshot_files(t, 1),
+            )
+            monkeypatch.setattr(snap, "_commit_manifest", racing_commit)
+        return real_commit(manifest, final)
+
+    monkeypatch.setattr(snap, "_commit_manifest", racing_commit)
+    v = snap.snapshot_append(spark.range(50, 53).selectExpr("id AS k"), t)
+    monkeypatch.setattr(snap, "_commit_manifest", real_commit)
+    assert v == 3  # competitor took v2; the append rebased to v3
+    assert competitor_fired["n"] == 1
+    got = sorted(r.k for r in snapshot_read(spark, t).collect())
+    assert got == list(range(10)) + [50, 51, 52] + list(range(100, 105))
+
+
+def test_snapshot_append_concurrent_threads(spark, tmp_path):
+    """N true-concurrent appenders all succeed in some serial order:
+    N new versions, every row exactly once (the fast-append guarantee)."""
+    import threading
+
+    from flow_spark.operators.snapshots import snapshot_append
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(0).selectExpr("id AS k"), t)
+    n, rows_each = 6, 20
+    errs: list = []
+
+    def appender(i: int) -> None:
+        try:
+            lo = 1000 * (i + 1)
+            snapshot_append(
+                spark.range(lo, lo + rows_each).selectExpr("id AS k"), t
+            )
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    threads = [threading.Thread(target=appender, args=(i,)) for i in range(n)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert current_version(t) == 1 + n
+    got = sorted(r.k for r in snapshot_read(spark, t).collect())
+    want = sorted(
+        k for i in range(n) for k in range(1000 * (i + 1), 1000 * (i + 1) + rows_each)
+    )
+    assert got == want  # exactly once, no lost update
+
+
+def test_snapshot_append_conflicts_on_metadata_change(
+    spark, tmp_path, monkeypatch
+):
+    """If the race winner changed the SCHEMA, the loser's written files
+    no longer match the table — rebase must refuse with SnapshotConflict
+    instead of committing silently-wrong files."""
+    import pytest
+
+    import flow_spark.operators.snapshots as snap
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(4).selectExpr("id AS k"), t)
+    real_commit = snap._commit_manifest
+    fired = {"n": 0}
+
+    def racing_commit(manifest, final):
+        if not fired["n"]:
+            fired["n"] += 1
+            monkeypatch.setattr(snap, "_commit_manifest", real_commit)
+            snapshot_write(  # schema change: k widens with a new column
+                spark.range(4).selectExpr("id AS k", "id * 2 AS extra"), t
+            )
+            monkeypatch.setattr(snap, "_commit_manifest", racing_commit)
+        return real_commit(manifest, final)
+
+    monkeypatch.setattr(snap, "_commit_manifest", racing_commit)
+    with pytest.raises(snap.SnapshotConflict, match="changed the table schema"):
+        snap.snapshot_append(spark.range(9, 12).selectExpr("id AS k"), t)
+    monkeypatch.setattr(snap, "_commit_manifest", real_commit)
+    # the conflicting append left no committed version behind
+    assert current_version(t) == 2
+
+
+def test_snapshot_rebase_info_classifies_races(spark, tmp_path):
+    """Pure intervening appends never invalidate a rewrite plan; an
+    intervening commit that removed a rewritten file must force replay."""
+    from flow_spark.operators.snapshots import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_rebase_info,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(10).repartition(3).selectExpr("id AS k"), t)
+    v1_files = snapshot_files(t, 1)
+    snapshot_append(spark.range(100, 110).selectExpr("id AS k"), t)
+
+    info = snapshot_rebase_info(t, 1, touched_files=v1_files)
+    assert info["pure_appends"] and not info["removed_overlap"]
+    assert info["intervening"] == [2]
+    assert set(info["added_files"]) == set(snapshot_files(t, 2)) - set(v1_files)
+
+    # a compaction rewrites (removes) v1's small files
+    snapshot_compact(spark, t, target_bytes=256 * 1024 * 1024)
+    info = snapshot_rebase_info(t, 1, touched_files=v1_files)
+    assert not info["pure_appends"]
+    assert set(info["removed_overlap"]) == set(v1_files)
+    # the compaction rewrote v2's small files too — a reader of those is
+    # equally invalidated, and the classification names exactly its files
+    v2_only = sorted(set(snapshot_files(t, 2)) - set(v1_files))
+    info2 = snapshot_rebase_info(t, 2, touched_files=v2_only)
+    assert not info2["pure_appends"]
+    assert info2["removed_overlap"] == v2_only
+    # a transaction planned against the head has nothing intervening
+    head = current_version(t)
+    info3 = snapshot_rebase_info(t, head, touched_files=snapshot_files(t, head))
+    assert info3["intervening"] == [] and info3["pure_appends"]
+    assert info3["removed_overlap"] == []
+
+
+def test_snapshot_stats_agg_metadata_only(spark, tmp_path):
+    """The fast path answers COUNT/MIN/MAX from footers with ZERO Spark
+    jobs, and matches the real scan exactly."""
+    from flow_spark.operators.snapshots import (
+        snapshot_append,
+        snapshot_stats_agg,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.range(10, 50).repartition(4).selectExpr("id AS k"), t
+    )
+    snapshot_append(spark.range(500, 540).selectExpr("id AS k"), t)
+
+    sc = spark.sparkContext
+    sc.setJobGroup("statsagg_fast", "metadata-only probe")
+    df = snapshot_stats_agg(spark, t, "k")
+    sc.setJobGroup("statsagg_other", "collect")
+    row = df.collect()[0]
+    # building the answer launched no job in the probe group
+    assert list(sc.statusTracker().getJobIdsForGroup("statsagg_fast")) == []
+    assert (row.n_rows, row.mn, row.mx) == (80, 10, 539)
+
+
+def test_snapshot_stats_agg_falls_back_under_deletes(spark, tmp_path):
+    """Deletion vectors make footer counts wrong — the op must fall back
+    to the scan and return the post-delete truth."""
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        snapshot_delete,
+        snapshot_stats_agg,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(100).selectExpr("id AS k"), t)
+    snapshot_delete(spark, t, F.col("k") >= 90)
+    row = snapshot_stats_agg(spark, t, "k").collect()[0]
+    assert (row.n_rows, row.mn, row.mx) == (90, 0, 89)
