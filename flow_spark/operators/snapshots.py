@@ -65,6 +65,24 @@ def _commit_manifest(manifest: dict, final: str) -> None:
     :class:`ConcurrentSnapshotWrite` and should recompute against the
     new current version and retry; the winner's version is untouched.
     """
+    # transaction identifiers ride IN the manifest (Delta's txn action):
+    # every commit inherits the head's {app: last_version} map and merges
+    # its own markers, so an idempotence check survives interleaved
+    # upserts/compactions/appends from other writers.  Centralized here
+    # because every commit path funnels through this function.
+    version = int(os.path.basename(final)[1:-5])
+    if version > 1:
+        prev_path = _manifest_path(
+            os.path.dirname(os.path.dirname(final)), version - 1
+        )
+        try:
+            with open(prev_path) as fh:
+                prev_txns = json.load(fh).get("txns") or {}
+        except FileNotFoundError:  # vacuumed-away parent: markers lapse
+            prev_txns = {}
+        merged = {**prev_txns, **(manifest.get("txns") or {})}
+        if merged:
+            manifest["txns"] = merged
     tmp = f"{final}.{uuid.uuid4().hex[:12]}.tmp"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -2538,6 +2556,8 @@ def snapshot_append(
     stats_col: "str | None" = None,
     constraints: "list[str] | None" = None,
     max_retries: int = 10,
+    txn_app: "str | None" = None,
+    txn_version: "int | None" = None,
 ) -> int:
     """Append `df`'s rows as the next version, auto-rebasing on races.
 
@@ -2555,10 +2575,23 @@ def snapshot_append(
     some serial order, every row exactly once — the Iceberg fast-append
     guarantee — at the cost of one manifest re-read per lost race
     instead of one table rewrite.
+
+    ``txn_app``/``txn_version``: idempotent writes (Delta's transaction
+    identifiers).  The manifest records, per application id, the highest
+    committed transaction version; an append whose ``txn_version`` is
+    <= the recorded one is a REPLAY and returns the current version
+    without writing anything.  Because the marker commits in the SAME
+    atomic manifest link as the data, there is no marker-vs-data crash
+    window — a streaming foreachBatch that passes its batchId here is
+    exactly-once end to end (:func:`flow_spark.streaming.sinks
+    .append_sink`).  The check re-runs on every commit attempt, so a
+    race between two replays of the same batch admits exactly one.
     """
     from pyspark.sql import functions as F
 
     os.makedirs(os.path.join(table_dir, MANIFEST_DIR), exist_ok=True)
+    if (txn_app is None) != (txn_version is None):
+        raise ValueError("txn_app and txn_version must be set together")
 
     def _head() -> "tuple[int, dict | None]":
         v = current_version(table_dir)
@@ -2567,7 +2600,15 @@ def snapshot_append(
         with open(_manifest_path(table_dir, v)) as fh:
             return v, json.load(fh)
 
+    def _is_replay(head: "dict | None") -> bool:
+        if txn_app is None or head is None:
+            return False
+        last = (head.get("txns") or {}).get(txn_app)
+        return last is not None and int(last) >= int(txn_version)
+
     base_version, base = _head()
+    if _is_replay(base):
+        return base_version
     mapping = (base or {}).get("column_mapping") or {}
     mapping = {l: p for l, p in mapping.items() if l in df.columns}
     retired = set((base or {}).get("retired_physical") or [])
@@ -2651,6 +2692,11 @@ def snapshot_append(
     # -- commit loop: rebuild the manifest against the current head ------
     for _ in range(max(1, max_retries)):
         head_version, head = _head()
+        if _is_replay(head):
+            # another writer committed this same transaction while we
+            # were writing: our files are unreferenced orphans (vacuum
+            # sweeps them), the table already has the rows exactly once
+            return head_version
         if head is not None:
             if _schema_sig(head["schema"]) != _schema_sig(df.schema.json()):
                 raise SnapshotConflict(
@@ -2693,6 +2739,8 @@ def snapshot_append(
             "partitions": partitions,
             "bases": bases,
         }
+        if txn_app is not None:
+            manifest["txns"] = {txn_app: int(txn_version)}
         if head and head.get("dv_dirs"):
             manifest["dv_dirs"] = head["dv_dirs"]
         if head and head.get("col_stats"):

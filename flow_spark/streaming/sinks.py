@@ -137,6 +137,50 @@ def idempotent_sink(
     )
 
 
+def append_sink_batch(table_dir: str, txn_app: str = "append_sink"):
+    """The foreachBatch handler behind :func:`append_sink`, exposed so
+    tests (and callers composing their own writer) can drive replay
+    semantics directly — the convention of file_sink_batch /
+    socket_sink_batch."""
+    from flow_spark.operators.snapshots import snapshot_append
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        snapshot_append(
+            batch, table_dir, txn_app=txn_app, txn_version=int(batch_id)
+        )
+
+    return handle
+
+
+def append_sink(
+    df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    txn_app: str = "append_sink",
+):
+    """Streaming ingest -> snapshot table, exactly-once with NO side-
+    channel marker: each micro-batch commits via
+    :func:`~flow_spark.operators.snapshots.snapshot_append` with
+    ``txn_version=batch_id``, so the idempotence marker rides in the
+    same atomic manifest link as the data files.  A replayed batch id
+    (crash between the table commit and the source checkpoint advance)
+    is detected from the manifest itself and skipped before any data
+    is written — unlike the ``_streaming_commits`` marker protocol of
+    :func:`upsert_sink`, there is no commit-vs-marker crash window at
+    all.  Concurrent batch writers (or a zombie executor replaying an
+    old epoch) race safely: the replay check re-runs on every commit
+    attempt, so exactly one copy of each batch lands.
+
+    This is the plain-event ingest half of the lakehouse write path
+    (appends, monotone batch ids); CDC upserts stay on
+    :func:`upsert_sink`.  Returns the DataStreamWriter (caller picks
+    trigger and starts).
+    """
+    return df.writeStream.foreachBatch(
+        append_sink_batch(table_dir, txn_app)
+    ).option("checkpointLocation", checkpoint_dir)
+
+
 def upsert_sink(
     df: DataFrame,
     table_dir: str,
