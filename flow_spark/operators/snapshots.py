@@ -2891,3 +2891,33 @@ def snapshot_stats_agg(
     return spark.createDataFrame(
         [(n_rows, mn, mx)], "n_rows long, mn long, mx long"
     )
+
+
+def snapshot_upsert_retry(
+    spark: SparkSession,
+    batch: DataFrame,
+    table_dir: str,
+    key_col: str,
+    max_retries: int = 5,
+    **kwargs,
+) -> int:
+    """MERGE with serializable-by-re-execution retry.
+
+    A rewriting transaction cannot blindly rebase like an append — its
+    output depends on the rows it read (``snapshot_rebase_info``
+    explains the classification).  The always-correct retry is to
+    REPLAY the merge from the new head: each attempt re-prunes, re-reads
+    and re-writes against the then-current version, so whichever serial
+    order the CAS commit admits, the result equals that serial history
+    (Delta retries its transactions the same way).  Failed attempts'
+    files are unreferenced orphans for vacuum.
+    """
+    for _ in range(max(1, max_retries)):
+        try:
+            return snapshot_upsert(spark, batch, table_dir, key_col, **kwargs)
+        except ConcurrentSnapshotWrite:
+            continue
+    raise ConcurrentSnapshotWrite(
+        f"merge into {table_dir} lost {max_retries} commit races — raise "
+        "max_retries or reduce writer contention"
+    )

@@ -2479,3 +2479,40 @@ def test_append_sink_exactly_once_replay(spark, tmp_path):
     handle(b1, 1)
     got = sorted(r.k for r in snapshot_read(spark, t).collect())
     assert got == [100, 101, 102, 103, 104, 200, 201, 202]
+
+
+def test_snapshot_upsert_retry_replays_after_race(spark, tmp_path, monkeypatch):
+    """A merge that loses its commit race replays against the winner's
+    head: the final table contains BOTH the competitor's appended rows
+    and the merge's updates — the serial history in commit order."""
+    import flow_spark.operators.snapshots as snap
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(10).selectExpr("id AS k", "id AS val"), t)
+    real_commit = snap._commit_manifest
+    fired = {"n": 0}
+
+    def racing_commit(manifest, final):
+        if not fired["n"]:
+            fired["n"] += 1
+            monkeypatch.setattr(snap, "_commit_manifest", real_commit)
+            snap.snapshot_append(
+                spark.range(100, 103).selectExpr("id AS k", "id AS val"), t
+            )
+            monkeypatch.setattr(snap, "_commit_manifest", racing_commit)
+        return real_commit(manifest, final)
+
+    monkeypatch.setattr(snap, "_commit_manifest", racing_commit)
+    v = snap.snapshot_upsert_retry(
+        spark,
+        spark.range(3).selectExpr("id AS k", "id + 900 AS val"),
+        t,
+        "k",
+    )
+    monkeypatch.setattr(snap, "_commit_manifest", real_commit)
+    assert fired["n"] == 1
+    assert v == current_version(t)
+    rows = {r.k: r.val for r in snapshot_read(spark, t).collect()}
+    assert {k: rows[k] for k in range(3)} == {0: 900, 1: 901, 2: 902}
+    assert all(rows[k] == k for k in (100, 101, 102))  # competitor kept
+    assert len(rows) == 13
