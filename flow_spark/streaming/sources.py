@@ -36,3 +36,114 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flow_spark.catalog import normalize_events_ts
 
     return events_to_messages(normalize_events_ts(raw))
+
+
+def changefeed_drain(
+    spark: SparkSession,
+    table_dir: str,
+    spool_dir: str,
+    key_col: str,
+    value_cols: "list[str]",
+) -> int:
+    """Materialize each UNDRAINED commit's row-level changes into the
+    spool — the driver half of a streaming changefeed (Delta's
+    ``readChangeFeed`` in streaming mode), built the way this repo's
+    network bridges are: a driver-side tailer spools complete batches,
+    ``readStream`` consumes them.
+
+    Per new version N, the changes (N-1 -> N) from
+    :func:`~flow_spark.operators.snapshots.snapshot_changes` — which
+    prunes to each side's exclusive files, so the drain cost is
+    proportional to the CHANGED data, never the table — are written to
+    a temp dir and atomically ``os.rename``d to ``spool/v{N}``.  The
+    file-stream source therefore only ever lists COMPLETE batch dirs
+    (a crash mid-write leaves an invisible temp), and a re-drain of an
+    existing version is a no-op: the version dirs themselves are the
+    offsets, no side-channel state file.  Each row carries
+    ``_commit_version`` so downstream consumers (e.g. a replica via
+    ``upsert_sink``) can order and de-duplicate.
+
+    Returns the number of versions drained this call.
+    """
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        current_version,
+        snapshot_changes,
+    )
+
+    os.makedirs(spool_dir, exist_ok=True)
+    head = current_version(table_dir)
+    drained = 0
+    for v in range(1, head + 1):
+        final = os.path.join(spool_dir, f"v{v}")
+        if os.path.isdir(final):
+            continue
+        if v == 1:
+            # no v0 manifest to diff against: the first commit is all
+            # inserts by definition
+            from flow_spark.operators.snapshots import snapshot_read
+
+            changes = snapshot_read(spark, table_dir, 1).select(
+                F.col(key_col),
+                F.lit("insert").alias("change_type"),
+                *[F.col(c) for c in value_cols],
+            )
+        else:
+            changes = snapshot_changes(
+                spark, table_dir, v - 1, v, key_col, value_cols
+            )
+        changes = changes.withColumn(
+            "_commit_version", F.lit(v).cast("long")
+        )
+        # the "_" prefix keeps the in-flight dir invisible to Spark's
+        # file listing (the same hidden-path rule FileOutputCommitter's
+        # _temporary relies on); the rename publishes it all-or-nothing
+        tmp = os.path.join(spool_dir, f"_tmp.{_uuid.uuid4().hex[:12]}")
+        changes.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent drainer won
+            continue
+        drained += 1
+    return drained
+
+
+def changefeed_stream(
+    spark: SparkSession,
+    table_dir: str,
+    spool_dir: str,
+    key_col: str,
+    value_cols: "list[str]",
+) -> DataFrame:
+    """Unbounded stream of a snapshot table's row-level changes.
+
+    Consumes the spool :func:`changefeed_drain` maintains; call the
+    drain whenever commits may have landed (a production deployment
+    runs it on a timer or a commit hook).  The schema is taken from the
+    changefeed's own shape, so evolved tables stream their current
+    logical columns.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from flow_spark.operators.snapshots import snapshot_read
+
+    base = snapshot_read(spark, table_dir).select(key_col, *value_cols).schema
+    schema = StructType(
+        [
+            base.fields[0],
+            StructField("change_type", StringType()),
+            *base.fields[1:],
+            StructField("_commit_version", LongType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(spool_dir)
+    )

@@ -2402,3 +2402,111 @@ def test_stateful_op_identical_under_rocksdb_state_store(spark, tmp_path):
         recursive=True,
     )
     assert rdb_files, "no RocksDB snapshot zips under the checkpoint"
+
+
+# ---- streaming changefeed (CDF source) --------------------------------------
+
+
+def test_changefeed_stream_emits_rowlevel_changes(spark, tmp_path):
+    """Each commit becomes one spooled change batch; the stream delivers
+    insert/update/delete rows stamped with their commit version, equal
+    to the batch changefeed's verdict per version."""
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        snapshot_append,
+        snapshot_upsert,
+        snapshot_write,
+    )
+    from flow_spark.streaming.sources import (
+        changefeed_drain,
+        changefeed_stream,
+    )
+
+    t = str(tmp_path / "tbl")
+    spool = str(tmp_path / "spool")
+    snapshot_write(spark.range(5).selectExpr("id AS k", "id AS val"), t)
+    snapshot_append(spark.range(10, 12).selectExpr("id AS k", "id AS val"), t)
+    snapshot_upsert(
+        spark, spark.range(2).selectExpr("id AS k", "id + 700 AS val"), t, "k"
+    )
+    assert changefeed_drain(spark, t, spool, "k", ["val"]) == 3
+    # idempotent: nothing new to drain
+    assert changefeed_drain(spark, t, spool, "k", ["val"]) == 0
+
+    out = str(tmp_path / "out")
+    (
+        changefeed_stream(spark, t, spool, "k", ["val"])
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {
+        (r.k, r.change_type, r.val, r._commit_version)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {(k, "insert", k, 1) for k in range(5)}
+    want |= {(10, "insert", 10, 2), (11, "insert", 11, 2)}
+    want |= {(0, "update", 700, 3), (1, "update", 701, 3)}
+    assert got == want
+
+
+def test_changefeed_replicates_table_via_upsert_sink(spark, tmp_path):
+    """The lakehouse round trip: source table -> changefeed stream ->
+    CDC MERGE sink -> replica table converges to the source's rows."""
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        snapshot_append,
+        snapshot_delete,
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_write,
+    )
+    from flow_spark.streaming.sinks import upsert_sink
+    from flow_spark.streaming.sources import (
+        changefeed_drain,
+        changefeed_stream,
+    )
+
+    src_t = str(tmp_path / "src")
+    spool = str(tmp_path / "spool")
+    snapshot_write(spark.range(8).selectExpr("id AS k", "id AS val"), src_t)
+    snapshot_upsert(
+        spark, spark.range(3).selectExpr("id AS k", "id + 100 AS val"), src_t, "k"
+    )
+    snapshot_delete(spark, src_t, F.col("k") == 7)
+    snapshot_append(
+        spark.range(50, 53).selectExpr("id AS k", "id AS val"), src_t
+    )
+    changefeed_drain(spark, src_t, spool, "k", ["val"])
+
+    replica = str(tmp_path / "replica")
+    snapshot_write(
+        spark.range(0).selectExpr("id AS k", "id AS val"), replica
+    )
+    stream = changefeed_stream(spark, src_t, spool, "k", ["val"]).withColumn(
+        "op",
+        F.when(F.col("change_type") == "delete", F.lit("D")).otherwise(
+            F.lit("U")
+        ),
+    )
+    upsert_sink(
+        stream,
+        replica,
+        "k",
+        str(tmp_path / "ckpt"),
+        order_col="_commit_version",
+        op_col="op",
+    ).trigger(availableNow=True).start().awaitTermination(180)
+
+    src_rows = {
+        (r.k, r.val) for r in snapshot_read(spark, src_t).collect()
+    }
+    rep_rows = {
+        (r.k, r.val) for r in snapshot_read(spark, replica).collect()
+    }
+    assert rep_rows == src_rows
