@@ -1373,3 +1373,110 @@ def stream_stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("left_id")
     )
+
+
+@register(
+    "stream_changefeed_replication",
+    category="streaming",
+    doc="Streaming changefeed -> replica, the full lakehouse CDC round "
+    "trip (streaming/sources.changefeed_drain+changefeed_stream -> "
+    "streaming/sinks.upsert_sink): an orders-keyed table evolves "
+    "through write/upsert/DV-delete/append commits; each commit's "
+    "row-level changes are drained into atomically-published spool "
+    "batches (the version dirs are the offsets), streamed with "
+    "_commit_version stamps, and MERGEd into an initially-empty "
+    "replica with last-writer-wins ordering and delete ops.  The "
+    "replica must converge to exactly the source's final rows — which "
+    "is what the oracle computes directly.  Output: per (key mod 10) "
+    "bucket, row count and value sum of the REPLICA.",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey AS k,
+                   CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+                   CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                        THEN 1 ELSE 0 END AS early
+            FROM orders
+        ),
+        final AS (
+            SELECT k,
+                   CASE WHEN early = 1 AND k % 13 = 0 THEN cents + 11
+                        ELSE cents END AS val
+            FROM base
+            WHERE NOT (early = 1 AND k % 29 = 0)
+        )
+        SELECT CAST(k % 10 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(val) AS BIGINT) AS val_sum
+        FROM final GROUP BY bucket ORDER BY bucket
+    """,
+)
+def stream_changefeed_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flow_spark.operators.snapshots import (
+        snapshot_append,
+        snapshot_delete,
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_write,
+    )
+    from flow_spark.streaming.sinks import upsert_sink
+    from flow_spark.streaming.sources import changefeed_drain, changefeed_stream
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias("val"),
+        (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")).alias(
+            "early"
+        ),
+    )
+    src = tempfile.mkdtemp(prefix="cfrep_src_")
+    snapshot_write(
+        base.filter("early").select("k", "val"), src, stats_col="k"
+    )
+    snapshot_upsert(
+        spark,
+        base.filter("early and k % 13 = 0").select(
+            "k", (F.col("val") + F.lit(11)).alias("val")
+        ),
+        src,
+        "k",
+    )
+    snapshot_delete(spark, src, F.expr("k % 29 = 0"))
+    snapshot_append(base.filter("not early").select("k", "val"), src)
+
+    spool = tempfile.mkdtemp(prefix="cfrep_spool_")
+    changefeed_drain(spark, src, spool, "k", ["val"])
+    replica = tempfile.mkdtemp(prefix="cfrep_replica_")
+    snapshot_write(
+        spark.createDataFrame([], "k long, val long"), replica
+    )
+    stream = changefeed_stream(spark, src, spool, "k", ["val"]).withColumn(
+        "op",
+        F.when(F.col("change_type") == "delete", F.lit("D")).otherwise(
+            F.lit("U")
+        ),
+    )
+    q = (
+        upsert_sink(
+            stream,
+            replica,
+            key_col="k",
+            checkpoint_dir=tempfile.mkdtemp(prefix="cfrep_ckpt_"),
+            order_col="_commit_version",
+            op_col="op",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        snapshot_read(spark, replica)
+        .groupBy((F.col("k") % 10).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("val").cast("bigint").alias("val_sum"),
+        )
+        .orderBy("bucket")
+    )
