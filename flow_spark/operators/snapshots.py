@@ -77,12 +77,21 @@ def _commit_manifest(manifest: dict, final: str) -> None:
         )
         try:
             with open(prev_path) as fh:
-                prev_txns = json.load(fh).get("txns") or {}
+                prev_manifest = json.load(fh)
         except FileNotFoundError:  # vacuumed-away parent: markers lapse
-            prev_txns = {}
-        merged = {**prev_txns, **(manifest.get("txns") or {})}
+            prev_manifest = {}
+        merged = {**(prev_manifest.get("txns") or {}), **(manifest.get("txns") or {})}
         if merged:
             manifest["txns"] = merged
+        # persistent CHECK constraints (Delta's table constraints) ride
+        # in the manifest the same way: inherited from the head unless
+        # the committing op explicitly sets the key
+        # (snapshot_set_constraints / snapshot_drop_constraints).
+        # Enforcement happens at the write sites; inheritance here keeps
+        # the declaration alive across compactions, upserts and every
+        # other commit path.
+        if "constraints" not in manifest and prev_manifest.get("constraints"):
+            manifest["constraints"] = prev_manifest["constraints"]
     tmp = f"{final}.{uuid.uuid4().hex[:12]}.tmp"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -259,6 +268,13 @@ def snapshot_write(
         for f in os.listdir(write_dir)
         if f.endswith(".parquet")
     )
+    # persistent table constraints declared via snapshot_set_constraints
+    # are enforced on every write alongside the per-call ones; a column
+    # a constraint references that this commit's schema no longer
+    # carries cannot be evaluated — refuse the narrowing instead of
+    # silently un-enforcing (Delta refuses the DROP COLUMN instead)
+    persistent = (prev_manifest or {}).get("constraints") or []
+    constraints = list(dict.fromkeys([*persistent, *(constraints or [])]))
     if constraints and files:
         # one aggregate scan of the written files counts violations of
         # every constraint at once (NULL check result = violation);
@@ -2645,6 +2661,12 @@ def snapshot_append(
         for f in os.listdir(write_dir)
         if f.endswith(".parquet")
     )
+    # persistent table constraints enforce on appends too
+    constraints = list(
+        dict.fromkeys(
+            [*((base or {}).get("constraints") or []), *(constraints or [])]
+        )
+    )
     if constraints and files:
         spark = df.sparkSession
         chk = spark.read.parquet(*files)
@@ -2720,6 +2742,17 @@ def snapshot_append(
                     f"concurrent commit v{head_version} retired physical "
                     f"names {hijack} that this append's columns would "
                     "hijack — replay from the new head"
+                )
+            unchecked = [
+                c
+                for c in (head.get("constraints") or [])
+                if c not in constraints
+            ]
+            if unchecked:
+                raise SnapshotConflict(
+                    f"concurrent commit v{head_version} declared "
+                    f"constraints {unchecked} this append's rows were "
+                    "never validated against — replay from the new head"
                 )
         head_files = list((head or {}).get("files") or [])
         stats: "dict[str, list]" = {}
@@ -2921,3 +2954,82 @@ def snapshot_upsert_retry(
         f"merge into {table_dir} lost {max_retries} commit races — raise "
         "max_retries or reduce writer contention"
     )
+
+
+def snapshot_set_constraints(
+    spark: SparkSession,
+    table_dir: str,
+    constraints: "list[str]",
+) -> int:
+    """Declare persistent CHECK constraints on the table (Delta's
+    ``ALTER TABLE ADD CONSTRAINT``).
+
+    The EXISTING rows are validated first — one multi-constraint
+    aggregate scan of the current version, NULL results counting as
+    violations like every other constraint check here — so a declared
+    constraint is an invariant of the whole table, not just of future
+    writes.  On success a metadata-only commit (same files, new
+    manifest) records the constraint list; :func:`_commit_manifest`
+    inherits it into every later commit and ``snapshot_write`` /
+    ``snapshot_append`` enforce it on all new rows.  Raises
+    :class:`ConstraintViolation` (no commit) if current rows violate.
+    """
+    from pyspark.sql import functions as F
+
+    if not constraints:
+        raise ValueError("constraints must be a non-empty list")
+    version = current_version(table_dir)
+    if version < 1:
+        raise ValueError("cannot declare constraints on an empty table")
+    with open(_manifest_path(table_dir, version)) as fh:
+        manifest = json.load(fh)
+    merged = list(
+        dict.fromkeys([*(manifest.get("constraints") or []), *constraints])
+    )
+    cur = snapshot_read(spark, table_dir, version)
+    counts = cur.agg(
+        *[
+            F.sum(
+                F.when(F.expr(c).eqNullSafe(F.lit(True)), 0).otherwise(1)
+            ).alias(f"c{i}")
+            for i, c in enumerate(merged)
+        ]
+    ).collect()[0]
+    violated = {
+        merged[i]: int(counts[i]) for i in range(len(merged)) if counts[i]
+    }
+    if violated:
+        raise ConstraintViolation(
+            f"constraint declaration rejected, violating rows: {violated}"
+        )
+    manifest = dict(manifest)
+    manifest["version"] = version + 1
+    manifest["committed_at"] = time.time()
+    manifest["constraints"] = merged
+    _commit_manifest(manifest, _manifest_path(table_dir, version + 1))
+    return version + 1
+
+
+def snapshot_drop_constraints(
+    table_dir: str,
+    constraints: "list[str] | None" = None,
+) -> int:
+    """Remove persistent constraints (all of them, or just the listed
+    ones) via a metadata-only commit.  The explicit empty list in the
+    new manifest overrides the inheritance in :func:`_commit_manifest`,
+    so later commits stop enforcing."""
+    version = current_version(table_dir)
+    if version < 1:
+        raise ValueError("empty table")
+    with open(_manifest_path(table_dir, version)) as fh:
+        manifest = json.load(fh)
+    have = manifest.get("constraints") or []
+    keep = (
+        [] if constraints is None else [c for c in have if c not in constraints]
+    )
+    manifest = dict(manifest)
+    manifest["version"] = version + 1
+    manifest["committed_at"] = time.time()
+    manifest["constraints"] = keep
+    _commit_manifest(manifest, _manifest_path(table_dir, version + 1))
+    return version + 1

@@ -2516,3 +2516,78 @@ def test_snapshot_upsert_retry_replays_after_race(spark, tmp_path, monkeypatch):
     assert {k: rows[k] for k in range(3)} == {0: 900, 1: 901, 2: 902}
     assert all(rows[k] == k for k in (100, 101, 102))  # competitor kept
     assert len(rows) == 13
+
+
+def test_persistent_constraints_enforced_on_all_writes(spark, tmp_path):
+    """snapshot_set_constraints validates existing rows, then every
+    later write path enforces the declaration (manifest inheritance)."""
+    import pytest
+
+    from flow_spark.operators.snapshots import (
+        ConstraintViolation,
+        snapshot_append,
+        snapshot_compact,
+        snapshot_set_constraints,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(1, 10).selectExpr("id AS k", "id AS val"), t)
+    v = snapshot_set_constraints(spark, t, ["val > 0", "k IS NOT NULL"])
+    assert v == 2
+    # violating append refused, nothing committed
+    with pytest.raises(ConstraintViolation):
+        snapshot_append(
+            spark.range(2).selectExpr("id AS k", "id - 5 AS val"), t
+        )
+    assert current_version(t) == 2
+    # compact + upsert keep the declaration alive (inheritance)…
+    snapshot_upsert(
+        spark, spark.range(1, 3).selectExpr("id AS k", "id + 50 AS val"), t, "k"
+    )
+    snapshot_compact(spark, t, target_bytes=256 * 1024 * 1024)
+    # …so a violating write AFTER them is still refused
+    with pytest.raises(ConstraintViolation):
+        snapshot_write(
+            spark.range(1).selectExpr("id AS k", "id - 9 AS val"),
+            t,
+            reuse_files=snapshot_files(t, current_version(t)),
+        )
+    # a valid append passes
+    snapshot_append(spark.range(20, 23).selectExpr("id AS k", "id AS val"), t)
+    assert sorted(
+        r.k for r in snapshot_read(spark, t).collect()
+    ) == [1, 2, 3, 4, 5, 6, 7, 8, 9, 20, 21, 22]
+
+
+def test_set_constraints_rejects_violating_table(spark, tmp_path):
+    import pytest
+
+    from flow_spark.operators.snapshots import (
+        ConstraintViolation,
+        snapshot_set_constraints,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(5).selectExpr("id AS k", "id - 2 AS val"), t)
+    with pytest.raises(ConstraintViolation, match="val > 0"):
+        snapshot_set_constraints(spark, t, ["val > 0"])
+    assert current_version(t) == 1  # no metadata commit happened
+
+
+def test_drop_constraints_stops_enforcement(spark, tmp_path):
+    from flow_spark.operators.snapshots import (
+        snapshot_append,
+        snapshot_drop_constraints,
+        snapshot_set_constraints,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(1, 4).selectExpr("id AS k", "id AS val"), t)
+    snapshot_set_constraints(spark, t, ["val > 0"])
+    snapshot_drop_constraints(t)
+    v = snapshot_append(
+        spark.range(1).selectExpr("id AS k", "id - 7 AS val"), t
+    )
+    assert v == current_version(t)  # negative val now admitted
