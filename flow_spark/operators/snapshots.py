@@ -275,6 +275,15 @@ def snapshot_write(
     # silently un-enforcing (Delta refuses the DROP COLUMN instead)
     persistent = (prev_manifest or {}).get("constraints") or []
     constraints = list(dict.fromkeys([*persistent, *(constraints or [])]))
+    for c in prev_schema_cols:
+        if c not in df.columns and prev_manifest is not None:
+            refs = _constraints_referencing(prev_manifest, c)
+            if refs:
+                raise ValueError(
+                    f"schema narrows out column {c!r} still referenced by "
+                    f"persistent constraints {refs}; drop them first "
+                    "(snapshot_drop_constraints)"
+                )
     if constraints and files:
         # one aggregate scan of the written files counts violations of
         # every constraint at once (NULL check result = violation);
@@ -1677,6 +1686,33 @@ def snapshot_write_partitioned(
             os.path.join(root, n) for n in names if n.endswith(".parquet")
         )
     files.sort()
+    # persistent constraints enforce on partitioned writes too (the
+    # basePath read recovers the spec columns a constraint may mention)
+    persistent = (
+        (_current_manifest(table_dir) or {}).get("constraints") or []
+    )
+    if persistent and files:
+        chk = (
+            df.sparkSession.read.option("basePath", write_dir)
+            .parquet(write_dir)
+        )
+        counts = chk.agg(
+            *[
+                F.sum(
+                    F.when(F.expr(c).eqNullSafe(F.lit(True)), 0).otherwise(1)
+                ).alias(f"c{i}")
+                for i, c in enumerate(persistent)
+            ]
+        ).collect()[0]
+        violated = {
+            persistent[i]: int(counts[i])
+            for i in range(len(persistent))
+            if counts[i]
+        }
+        if violated:
+            raise ConstraintViolation(
+                f"commit rejected, violating rows per constraint: {violated}"
+            )
     partitions: dict[str, dict] = {}
     bases: dict[str, str] = {}
     for f in files:
@@ -1894,6 +1930,21 @@ def _rename_meta_commit(table_dir: str, mutate) -> int:
     return v + 1
 
 
+def _constraints_referencing(manifest: dict, col: str) -> "list[str]":
+    """Persistent constraints whose expression references ``col`` as an
+    identifier (bare or backticked).  Conservative word-boundary match —
+    a false positive refuses a rename that would have worked, a false
+    negative would WEDGE the table (every later write fails evaluating
+    the stale expression), so erring toward refusal is the safe side;
+    Delta refuses renames/drops of constrained columns the same way."""
+    import re
+
+    pat = re.compile(
+        rf"(?<![\w`]){re.escape(col)}(?!\w)|`{re.escape(col)}`"
+    )
+    return [c for c in (manifest.get("constraints") or []) if pat.search(c)]
+
+
 def snapshot_rename_column(table_dir: str, old: str, new: str) -> int:
     """RENAME COLUMN without touching a single data file — Delta/Iceberg
     column mapping: the files keep the original (physical) name forever;
@@ -1919,6 +1970,14 @@ def snapshot_rename_column(table_dir: str, old: str, new: str) -> int:
             raise ValueError(f"rename: no column {old!r} in {names}")
         if new in names:
             raise ValueError(f"rename: column {new!r} already exists")
+        refs = _constraints_referencing(manifest, old)
+        if refs:
+            raise ValueError(
+                f"rename: column {old!r} is referenced by persistent "
+                f"constraints {refs}; drop them first "
+                "(snapshot_drop_constraints) or the table would wedge — "
+                "every later write fails evaluating the stale expression"
+            )
         mapping = dict(manifest.get("column_mapping") or {})
         # the new logical name must not collide with any OTHER column's
         # PHYSICAL name either: {bal: cents, cents: seg} is a CHAINED
@@ -1981,6 +2040,13 @@ def snapshot_drop_column(table_dir: str, col: str) -> int:
             raise ValueError(f"drop: no column {col!r} in {names}")
         if len(names) == 1:
             raise ValueError("drop: cannot drop the only column")
+        refs = _constraints_referencing(manifest, col)
+        if refs:
+            raise ValueError(
+                f"drop: column {col!r} is referenced by persistent "
+                f"constraints {refs}; drop them first "
+                "(snapshot_drop_constraints)"
+            )
         manifest["schema"] = StructType(
             [f for f in schema.fields if f.name != col]
         ).json()

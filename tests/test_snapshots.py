@@ -2591,3 +2591,62 @@ def test_drop_constraints_stops_enforcement(spark, tmp_path):
         spark.range(1).selectExpr("id AS k", "id - 7 AS val"), t
     )
     assert v == current_version(t)  # negative val now admitted
+
+
+def test_constraints_block_rename_drop_and_narrow(spark, tmp_path):
+    """A rename/drop/narrow of a constrained column would wedge the
+    table (every later write fails evaluating the stale expression) —
+    all three are refused until the constraint is dropped."""
+    import pytest
+
+    from flow_spark.operators.snapshots import (
+        snapshot_drop_column,
+        snapshot_drop_constraints,
+        snapshot_rename_column,
+        snapshot_set_constraints,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(1, 6).selectExpr("id AS k", "id AS val"), t)
+    snapshot_set_constraints(spark, t, ["val > 0"])
+    with pytest.raises(ValueError, match="referenced by persistent"):
+        snapshot_rename_column(t, "val", "balance")
+    with pytest.raises(ValueError, match="referenced by persistent"):
+        snapshot_drop_column(t, "val")
+    with pytest.raises(ValueError, match="narrows out"):
+        snapshot_write(
+            spark.range(9, 11).selectExpr("id AS k"),
+            t,
+            reuse_files=snapshot_files(t, current_version(t)),
+        )
+    # unconstrained column stays renameable
+    snapshot_rename_column(t, "k", "key")
+    # after dropping the constraint, the rename goes through
+    snapshot_drop_constraints(t)
+    snapshot_rename_column(t, "val", "balance")
+
+
+def test_constraints_enforced_on_partitioned_writes(spark, tmp_path):
+    import pytest
+
+    from flow_spark.operators.snapshots import (
+        ConstraintViolation,
+        snapshot_set_constraints,
+        snapshot_write_partitioned,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.range(1, 9).selectExpr("id AS k", "id % 3 AS part"), t
+    )
+    snapshot_set_constraints(spark, t, ["k > 0"])
+    with pytest.raises(ConstraintViolation):
+        snapshot_write_partitioned(
+            spark.range(-2, 2).selectExpr("id AS k", "id % 3 AS part"),
+            t,
+            ["part"],
+        )
+    v = snapshot_write_partitioned(
+        spark.range(30, 34).selectExpr("id AS k", "id % 3 AS part"), t, ["part"]
+    )
+    assert v == current_version(t)
