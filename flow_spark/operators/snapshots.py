@@ -588,11 +588,14 @@ def _inherited_layout(
 def snapshot_read(
     spark: SparkSession,
     table_dir: str,
-    version: int | None = None,
+    version: "int | str | None" = None,
     key_range: "tuple | None" = None,
     key_col: "str | None" = None,
 ) -> DataFrame:
     """Read exactly one committed version (default: latest).
+
+    ``version`` also accepts a TAG NAME (:func:`snapshot_tag`) — the
+    named-ref form of time travel.
 
     The manifest's file list becomes the scan's input set — a normal
     parallel parquet read with pushdown/pruning; files written by later
@@ -615,6 +618,7 @@ def snapshot_read(
     """
     from pyspark.sql.types import StructType
 
+    version = snapshot_resolve(table_dir, version)
     v = version if version is not None else current_version(table_dir)
     if v < 1:
         raise FileNotFoundError(f"no committed versions in {table_dir}")
@@ -1110,6 +1114,10 @@ def snapshot_vacuum(
     if cur < 1:
         return {"versions_dropped": 0, "files_deleted": 0}
     keep = set(range(max(1, cur - keep_versions + 1), cur + 1))
+    # tagged versions are pinned refs (Iceberg tags): retention never
+    # collects a version a tag still names — "the model trained on tag
+    # X" must stay re-readable until the tag itself is dropped
+    keep |= set(snapshot_tags(table_dir).values())
     mdir = os.path.join(table_dir, MANIFEST_DIR)
     all_versions = sorted(
         int(f[1:-5])
@@ -3099,3 +3107,85 @@ def snapshot_drop_constraints(
     manifest["constraints"] = keep
     _commit_manifest(manifest, _manifest_path(table_dir, version + 1))
     return version + 1
+
+
+# ---- named refs (Iceberg tags) ----------------------------------------------
+
+TAGS_DIR = "_tags"
+
+
+def snapshot_tag(table_dir: str, name: str, version: "int | None" = None) -> int:
+    """Pin a named, immutable ref to a version (Iceberg's tags).
+
+    ``snapshot_read(..., version="train-2026-08")`` resolves the tag,
+    and :func:`snapshot_vacuum` never collects a tagged version — the
+    durable form of "the model was trained on dataset v3".  Creation is
+    an atomic create-if-absent (the manifest-commit trick), so two
+    racers cannot silently repoint a ref; re-tagging requires an
+    explicit :func:`snapshot_drop_tag` first.  Returns the pinned
+    version.
+    """
+    if "/" in name or name.startswith("."):
+        raise ValueError(f"invalid tag name: {name!r}")
+    if version is None:
+        version = current_version(table_dir)
+    if version < 1 or not os.path.exists(_manifest_path(table_dir, version)):
+        raise ValueError(f"no committed version {version} to tag")
+    tdir = os.path.join(table_dir, TAGS_DIR)
+    os.makedirs(tdir, exist_ok=True)
+    final = os.path.join(tdir, f"{name}.json")
+    tmp = f"{final}.{uuid.uuid4().hex[:12]}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "created_at": time.time()}, fh)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        os.unlink(tmp)
+        with open(final) as fh:
+            held = json.load(fh)["version"]
+        raise ValueError(
+            f"tag {name!r} already pins v{held}; drop it first "
+            "(snapshot_drop_tag)"
+        ) from None
+    os.unlink(tmp)
+    return version
+
+
+def snapshot_tags(table_dir: str) -> "dict[str, int]":
+    """All tags as {name: version}."""
+    tdir = os.path.join(table_dir, TAGS_DIR)
+    if not os.path.isdir(tdir):
+        return {}
+    out: "dict[str, int]" = {}
+    for f in os.listdir(tdir):
+        if f.endswith(".json"):
+            with open(os.path.join(tdir, f)) as fh:
+                out[f[:-5]] = int(json.load(fh)["version"])
+    return out
+
+
+def snapshot_drop_tag(table_dir: str, name: str) -> int:
+    """Remove a tag; the version it pinned becomes collectible by the
+    next vacuum (if outside the retention window).  Returns the version
+    the tag held."""
+    final = os.path.join(table_dir, TAGS_DIR, f"{name}.json")
+    try:
+        with open(final) as fh:
+            held = int(json.load(fh)["version"])
+    except FileNotFoundError:
+        raise ValueError(f"no tag {name!r}") from None
+    os.unlink(final)
+    return held
+
+
+def snapshot_resolve(table_dir: str, version: "int | str | None") -> "int | None":
+    """Resolve a version spec: int passes through, a string resolves as
+    a tag name, None stays None (latest)."""
+    if isinstance(version, str):
+        tags = snapshot_tags(table_dir)
+        if version not in tags:
+            raise ValueError(
+                f"no tag {version!r} on {table_dir} (tags: {sorted(tags)})"
+            )
+        return tags[version]
+    return version

@@ -2650,3 +2650,46 @@ def test_constraints_enforced_on_partitioned_writes(spark, tmp_path):
         spark.range(30, 34).selectExpr("id AS k", "id % 3 AS part"), t, ["part"]
     )
     assert v == current_version(t)
+
+
+def test_tags_pin_versions_and_survive_vacuum(spark, tmp_path):
+    """A tag is an immutable named ref: reads resolve it, vacuum never
+    collects the version it pins, and dropping it releases the pin."""
+    import pytest
+
+    from flow_spark.operators.snapshots import (
+        snapshot_drop_tag,
+        snapshot_tag,
+        snapshot_tags,
+        snapshot_vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(5).selectExpr("id AS k"), t)
+    assert snapshot_tag(t, "train-v1") == 1
+    snapshot_write(spark.range(100, 103).selectExpr("id AS k"), t)
+    snapshot_write(spark.range(200, 204).selectExpr("id AS k"), t)
+    # the tag still reads the PINNED version, not the head
+    assert sorted(
+        r.k for r in snapshot_read(spark, t, version="train-v1").collect()
+    ) == list(range(5))
+    # immutable: re-tagging requires an explicit drop
+    with pytest.raises(ValueError, match="already pins"):
+        snapshot_tag(t, "train-v1", 2)
+    # vacuum with retention=1 keeps the tagged v1 alive (v2 goes)
+    res = snapshot_vacuum(t, keep_versions=1, orphan_grace_seconds=0)
+    assert res["versions_dropped"] >= 1
+    assert sorted(
+        r.k for r in snapshot_read(spark, t, version="train-v1").collect()
+    ) == list(range(5))
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        open(os.path.join(t, "_manifests", "v2.json"))
+    # dropping the tag releases the pin; the next vacuum reclaims v1
+    assert snapshot_drop_tag(t, "train-v1") == 1
+    snapshot_vacuum(t, keep_versions=1, orphan_grace_seconds=0)
+    assert not os.path.exists(os.path.join(t, "_manifests", "v1.json"))
+    assert snapshot_tags(t) == {}
+    with pytest.raises(ValueError, match="no tag"):
+        snapshot_read(spark, t, version="train-v1")
