@@ -49,3 +49,13 @@ def portable_hash_expr(sql_expr: str, salt: str = "") -> str:
 def minhash_band_key(minhash_cols: list[Column], band: int) -> Column:
     """Concatenate one band's minhash values into an LSH bucket key."""
     return F.concat_ws(":", F.lit(str(band)), *[c.cast("string") for c in minhash_cols])
+
+
+def portable_hash64_py(s: str, salt: str = "") -> int:
+    """Driver-side Python twin of :func:`portable_hash64` — bit-identical
+    (same md5-prefix construction), so manifest arithmetic (e.g. hidden-
+    partition bucket pruning) can compute the bucket a value lands in
+    without a Spark job."""
+    import hashlib
+
+    return int(hashlib.md5((salt + s).encode()).hexdigest()[:_HEX_DIGITS], 16)

@@ -509,6 +509,16 @@ def _read_manifest_subset(
                     "__ri": F.col("_metadata.row_index"),
                 }
             )
+        if schema is not None:
+            # project to the DECLARED schema: Spark appends path-derived
+            # partition columns even under an explicit schema (verified
+            # live), so hidden-partition transform columns
+            # (snapshot_write_partitioned's year()/bucket() specs) would
+            # otherwise leak into every read and MERGE survivor scan
+            keep = [f.name for f in schema.fields]
+            if attach:
+                keep += ["__fp", "__ri"]
+            p = p.select(*keep)
         parts.append(p)
     df = parts[0]
     for p in parts[1:]:
@@ -1648,6 +1658,108 @@ def snapshot_read_catalog(
     }
 
 
+def _parse_partition_spec(spec: "list[str]") -> "list[dict]":
+    """Parse a partition spec of raw columns and Iceberg-style transform
+    entries: ``year(col)``, ``month(col)``, ``day(col)``,
+    ``bucket(N, col)``, ``truncate(N, col)``.
+
+    Returns [{"name": derived_dir_name, "source": col, "kind": ...,
+    "n": ...}]; raw columns get kind None and name == source.
+    """
+    import re
+
+    out = []
+    for entry in spec:
+        m = re.fullmatch(r"(year|month|day)\((\w+)\)", entry.strip())
+        if m:
+            kind, src = m.groups()
+            out.append(
+                {"name": f"{src}_{kind}", "source": src, "kind": kind, "n": None}
+            )
+            continue
+        m = re.fullmatch(
+            r"(bucket|truncate)\((\d+)\s*,\s*(\w+)\)", entry.strip()
+        )
+        if m:
+            kind, n, src = m.groups()
+            if int(n) < 1:
+                raise ValueError(f"partition spec {entry!r}: N must be >= 1")
+            out.append(
+                {
+                    "name": f"{src}_{kind}",
+                    "source": src,
+                    "kind": kind,
+                    "n": int(n),
+                }
+            )
+            continue
+        if not re.fullmatch(r"\w+", entry.strip()):
+            raise ValueError(
+                f"unparseable partition spec entry {entry!r} (raw column or "
+                "year/month/day/bucket/truncate transform)"
+            )
+        out.append(
+            {"name": entry.strip(), "source": entry.strip(), "kind": None, "n": None}
+        )
+    return out
+
+
+def _transform_column(df: DataFrame, ent: dict):
+    """The Spark column computing a transform entry's partition value —
+    each paired with a driver-side twin in :func:`_transform_value` that
+    must produce the IDENTICAL string for pruning to be sound."""
+    from pyspark.sql import functions as F
+
+    from flow_spark.functions.hashing import portable_hash64
+
+    src, kind, n = ent["source"], ent["kind"], ent["n"]
+    dtype = dict(zip(df.columns, [f.dataType.typeName() for f in df.schema.fields]))[src]
+    if kind == "year":
+        return F.year(src).cast("string")
+    if kind == "month":
+        return F.date_format(src, "yyyy-MM")
+    if kind == "day":
+        return F.date_format(src, "yyyy-MM-dd")
+    if kind == "bucket":
+        if dtype not in ("byte", "short", "integer", "long", "string"):
+            raise ValueError(
+                f"bucket() partition source must be integer or string, "
+                f"got {dtype} for {src!r} (a timestamp's string form is "
+                "engine-ambiguous)"
+            )
+        return F.pmod(portable_hash64(F.col(src).cast("string")), F.lit(n)).cast(
+            "string"
+        )
+    if kind == "truncate":
+        if dtype == "string":
+            return F.substring(src, 1, n)
+        if dtype in ("byte", "short", "integer", "long"):
+            # floor-mod truncation (Iceberg): negatives bin downward
+            return (F.col(src) - F.pmod(F.col(src), F.lit(n))).cast("string")
+        raise ValueError(
+            f"truncate() partition source must be integer or string, got {dtype}"
+        )
+    raise AssertionError(kind)
+
+
+def _transform_value(ent: dict, value) -> str:
+    """Driver-side twin of :func:`_transform_column`: the partition-dir
+    string a source VALUE lands in, for predicate->partition pruning."""
+    from flow_spark.functions.hashing import portable_hash64_py
+
+    kind, n = ent["kind"], ent["n"]
+    if kind in ("year", "month", "day"):
+        s = str(value)
+        return {"year": s[:4], "month": s[:7], "day": s[:10]}[kind]
+    if kind == "bucket":
+        return str(portable_hash64_py(str(value)) % n)
+    if kind == "truncate":
+        if isinstance(value, str):
+            return value[:n]
+        return str(int(value) - (int(value) % n))  # python % is floor-mod
+    return str(value)  # raw column
+
+
 def snapshot_write_partitioned(
     df: DataFrame,
     table_dir: str,
@@ -1667,13 +1779,47 @@ def snapshot_write_partitioned(
     partition value lands in exactly one task -> exactly one file per
     hive directory (deterministic file counts, and the 100 TB layout:
     one writer per partition, no small-file spray).
+
+    Spec entries may be TRANSFORMS — ``year(col)`` / ``month(col)`` /
+    ``day(col)`` / ``bucket(N, col)`` / ``truncate(N, col)`` — Iceberg's
+    hidden partitioning: the derived value lives only in the path (the
+    logical schema never shows it), the manifest records the transform,
+    and :func:`snapshot_read_hidden` translates predicates on the SOURCE
+    column into partition pruning.  Users never filter on a derived
+    column, so the layout can evolve without breaking a single query.
     """
     from urllib.parse import unquote
 
     from pyspark.sql import functions as F
 
     os.makedirs(os.path.join(table_dir, MANIFEST_DIR), exist_ok=True)
-    if ((_current_manifest(table_dir) or {}).get("column_mapping")):
+    head_manifest = _current_manifest(table_dir) or {}
+    ents = _parse_partition_spec(spec)
+    for e in ents:
+        if e["source"] not in df.columns:
+            raise ValueError(
+                f"partition spec source {e['source']!r} not in {df.columns}"
+            )
+        if e["kind"] and e["name"] in df.columns:
+            raise ValueError(
+                f"derived partition name {e['name']!r} collides with a "
+                "real column"
+            )
+    transforms = {
+        e["name"]: {"kind": e["kind"], "n": e["n"], "source": e["source"]}
+        for e in ents
+        if e["kind"]
+    }
+    prev_tf = head_manifest.get("partition_transforms") or {}
+    for name, spec_def in transforms.items():
+        if name in prev_tf and prev_tf[name] != spec_def:
+            raise ValueError(
+                f"partition transform {name!r} already defined as "
+                f"{prev_tf[name]} — a conflicting redefinition would make "
+                "old files prune under the wrong rule"
+            )
+    transforms = {**prev_tf, **transforms}
+    if (head_manifest.get("column_mapping")):
         # partition values live in PATHS under the spec column's name;
         # mixing logical-named paths with physical-named payloads would
         # corrupt basePath reconstruction — evolve the spec only on
@@ -1685,9 +1831,16 @@ def snapshot_write_partitioned(
             "evolving the partition spec"
         )
     write_dir = os.path.join(table_dir, DATA_DIR, uuid.uuid4().hex[:12])
-    df.repartition(*[F.col(c) for c in spec]).write.partitionBy(*spec).mode(
-        "error"
-    ).parquet(write_dir)
+    names = [e["name"] for e in ents]
+    wdf = df
+    derived_cols = {
+        e["name"]: _transform_column(df, e) for e in ents if e["kind"]
+    }
+    if derived_cols:
+        wdf = wdf.withColumns(derived_cols)
+    wdf.repartition(*[F.col(c) for c in names]).write.partitionBy(
+        *names
+    ).mode("error").parquet(write_dir)
     files: list[str] = []
     for root, _dirs, names in os.walk(write_dir):
         files.extend(
@@ -1772,6 +1925,8 @@ def snapshot_write_partitioned(
         "partitions": partitions,
         "bases": bases,
     }
+    if transforms:
+        manifest["partition_transforms"] = transforms
     if dv_dirs:  # reused files keep needing their deletion vectors
         manifest["dv_dirs"] = dv_dirs
     if retired:  # reused files may still carry retired physical columns
@@ -3189,3 +3344,66 @@ def snapshot_resolve(table_dir: str, version: "int | str | None") -> "int | None
             )
         return tags[version]
     return version
+
+
+def snapshot_read_hidden(
+    spark: SparkSession,
+    table_dir: str,
+    equals: "dict[str, object]",
+    version: "int | str | None" = None,
+) -> "tuple[DataFrame, int, int]":
+    """Point-read with HIDDEN-partition pruning: predicates on SOURCE
+    columns, pruning on the transform-derived partition values.
+
+    For each ``(source_col, value)``, every transform the manifest
+    records over that source contributes a partition predicate
+    (``o_orderdate = '1996-05-14'`` prunes on ``o_orderdate_year =
+    '1996'``; ``o_custkey = 371`` prunes on ``o_custkey_bucket =
+    pmod(hash('371'), N)`` — the driver-side hash twin is bit-identical
+    to the write-side column).  Raw-column spec entries prune directly.
+    Files written under a spec that lacks the column stay candidates
+    (partition evolution semantics, as in :func:`snapshot_read_pruned`),
+    and the exact row filter ALWAYS applies afterwards — pruning only
+    shrinks the input split set, it never decides membership.
+
+    Raw-column (untransformed) spec entries prune by the EXACT
+    path-string form of the value — ``str(value)`` must equal the hive
+    dir value, the same contract as :func:`snapshot_read_pruned`; pass
+    ints/strings, not timestamps, for raw entries.
+
+    Returns (df, n_files_selected, n_files_total).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    version = snapshot_resolve(table_dir, version)
+    if version is None:
+        version = current_version(table_dir)
+    with open(_manifest_path(table_dir, version)) as fh:
+        manifest = json.load(fh)
+    transforms = manifest.get("partition_transforms") or {}
+    parts = manifest.get("partitions", {})
+    # source predicate -> derived partition predicates
+    derived_equals: "dict[str, str]" = {}
+    for src, value in equals.items():
+        for name, tdef in transforms.items():
+            if tdef["source"] == src:
+                ent = {"kind": tdef["kind"], "n": tdef["n"], "source": src}
+                derived_equals[name] = _transform_value(ent, value)
+        # a raw spec entry prunes on the source column itself
+        derived_equals.setdefault(src, str(value))
+    selected = [
+        f
+        for f in manifest["files"]
+        if all(
+            parts.get(f, {}).get(k, v) == v for k, v in derived_equals.items()
+        )
+    ]
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    if selected:
+        df = _read_manifest_subset(spark, manifest, selected, schema)
+    else:
+        df = spark.createDataFrame([], schema)
+    for src, value in equals.items():
+        df = df.filter(F.col(src) == F.lit(value))
+    return df, len(selected), len(manifest["files"])

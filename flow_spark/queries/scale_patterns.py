@@ -2484,3 +2484,61 @@ def snap_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     snapshot_append(orders.filter(F.col("o_orderdate") >= later), table_dir)
     return snapshot_stats_agg(spark, table_dir, "o_orderkey")
+
+
+@register(
+    "snap_hidden_partitioning",
+    category="scale-pattern",
+    doc="Hidden partitioning (Iceberg transforms): orders commit "
+    "partitioned by year(o_orderdate) x bucket(8, o_custkey) — derived "
+    "values live only in paths, the logical schema never shows them — "
+    "then a point lookup on the minimum custkey prunes through the "
+    "recorded transforms (driver-side md5 bucket twin, bit-identical "
+    "to the write-side column).  The oracle replays the pruning "
+    "arithmetic exactly: total files = distinct (year, bucket) pairs, "
+    "selected = distinct years within the probed bucket (one file per "
+    "hive dir by construction: rows repartition by the derived "
+    "columns).  Output: matched rows, their key sum, and the two file "
+    "counts.",
+    oracle=f"""
+        WITH tgt AS (SELECT MIN(o_custkey) AS k FROM orders),
+        b AS (
+            SELECT o_orderkey, o_custkey, year(o_orderdate) AS y,
+                   {portable_hash_expr("CAST(o_custkey AS VARCHAR)")} % 8
+                       AS bkt
+            FROM orders
+        )
+        SELECT CAST((SELECT COUNT(*) FROM b, tgt WHERE o_custkey = tgt.k)
+                   AS BIGINT) AS n_rows,
+               CAST((SELECT SUM(o_orderkey) FROM b, tgt
+                     WHERE o_custkey = tgt.k) AS BIGINT) AS key_sum,
+               CAST((SELECT COUNT(DISTINCT y) FROM b, tgt
+                     WHERE bkt = {portable_hash_expr("CAST(tgt.k AS VARCHAR)")} % 8)
+                   AS BIGINT) AS n_sel,
+               CAST((SELECT COUNT(DISTINCT (y, bkt)) FROM b) AS BIGINT)
+                   AS n_tot
+    """,
+)
+def snap_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flow_spark.operators.snapshots import (
+        snapshot_read_hidden,
+        snapshot_write_partitioned,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    table_dir = tempfile.mkdtemp(prefix="snap_hidden_")
+    snapshot_write_partitioned(
+        orders, table_dir, ["year(o_orderdate)", "bucket(8, o_custkey)"]
+    )
+    k = orders.agg(F.min("o_custkey")).collect()[0][0]
+    df, n_sel, n_tot = snapshot_read_hidden(spark, table_dir, {"o_custkey": k})
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.lit(n_sel).cast("bigint").alias("n_sel"),
+        F.lit(n_tot).cast("bigint").alias("n_tot"),
+    )

@@ -2693,3 +2693,109 @@ def test_tags_pin_versions_and_survive_vacuum(spark, tmp_path):
     assert snapshot_tags(t) == {}
     with pytest.raises(ValueError, match="no tag"):
         snapshot_read(spark, t, version="train-v1")
+
+
+# ---- hidden partitioning (Iceberg transforms) -------------------------------
+
+
+def test_hidden_partitioning_prunes_and_hides(spark, tmp_path):
+    """year()/bucket() transform specs: the derived columns live only in
+    paths (reads never show them), and predicates on the SOURCE columns
+    prune files through the recorded transforms."""
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        snapshot_read_hidden,
+        snapshot_write_partitioned,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(1000).selectExpr(
+        "id AS k",
+        "cast(date_add(date '1995-01-01', cast(id % 1100 AS int)) AS "
+        "timestamp) AS ts",
+        "id * 7 AS val",
+    )
+    snapshot_write_partitioned(df, t, ["year(ts)", "bucket(4, k)"])
+    # the table's logical schema has NO derived columns
+    got = snapshot_read(spark, t)
+    assert set(got.columns) == {"k", "ts", "val"}
+    assert got.count() == 1000
+    # point predicate on the SOURCES prunes to one (year, bucket) file
+    k = 371
+    ts = df.filter(F.col("k") == k).collect()[0].ts
+    res, n_sel, n_tot = snapshot_read_hidden(
+        spark, t, {"k": k, "ts": ts}
+    )
+    rows = res.collect()
+    assert [(r.k, r.val) for r in rows] == [(k, k * 7)]
+    # 1995..1998 years x 4 buckets = up to 16 dirs; the lookup reads 1
+    assert n_sel == 1 and n_tot > 4
+    # pruning is sound for EVERY key (no false file drops)
+    import random
+
+    rng = random.Random(7)
+    for k in rng.sample(range(1000), 25):
+        ts = df.filter(F.col("k") == k).collect()[0].ts
+        res, n_sel, _ = snapshot_read_hidden(spark, t, {"k": k, "ts": ts})
+        assert [r.k for r in res.collect()] == [k]
+        assert n_sel == 1
+
+
+def test_hidden_partitioning_spec_evolution(spark, tmp_path):
+    """v1 partitions by year(ts); v2 evolves to (year, bucket) while
+    reusing v1's files — v1 files prune on year only, v2 files on both,
+    and a conflicting transform redefinition is refused."""
+    import pytest
+
+    from flow_spark.operators.snapshots import (
+        snapshot_files,
+        snapshot_read_hidden,
+        snapshot_write_partitioned,
+    )
+
+    t = str(tmp_path / "tbl")
+    early = spark.range(100).selectExpr(
+        "id AS k",
+        "cast(date_add(date '1995-06-01', cast(id % 300 AS int)) AS "
+        "timestamp) AS ts",
+    )
+    late = spark.range(100, 200).selectExpr(
+        "id AS k",
+        "cast(date_add(date '1999-06-01', cast(id % 300 AS int)) AS "
+        "timestamp) AS ts",
+    )
+    snapshot_write_partitioned(early, t, ["year(ts)"])
+    snapshot_write_partitioned(
+        late, t, ["year(ts)", "bucket(8, k)"], reuse_files=snapshot_files(t, 1)
+    )
+    res, n_sel, n_tot = snapshot_read_hidden(spark, t, {"k": 150})
+    assert sorted(r.k for r in res.collect()) == [150]
+    # v1's year files can't prune on k; v2's bucket files can
+    assert 0 < n_sel < n_tot
+    with pytest.raises(ValueError, match="already defined"):
+        snapshot_write_partitioned(
+            late, t, ["bucket(16, k)"], reuse_files=snapshot_files(t, 2)
+        )
+
+
+def test_truncate_transform_and_collisions(spark, tmp_path):
+    import pytest
+
+    from flow_spark.operators.snapshots import (
+        snapshot_read_hidden,
+        snapshot_write_partitioned,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(-50, 50).selectExpr("id AS k", "id * 3 AS val")
+    snapshot_write_partitioned(df, t, ["truncate(20, k)"])
+    res, n_sel, n_tot = snapshot_read_hidden(spark, t, {"k": -37})
+    assert [r.val for r in res.collect()] == [-111]
+    # floor-mod bins over [-50,50): -60,-40,-20,0,20,40 -> up to 6 dirs
+    assert n_sel == 1 and 5 <= n_tot <= 6
+    # a derived name colliding with a real column is refused
+    bad = spark.range(5).selectExpr("id AS k", "id AS k_bucket")
+    t2 = str(tmp_path / "tbl2")
+    with pytest.raises(ValueError, match="collides"):
+        snapshot_write_partitioned(bad, t2, ["bucket(4, k)"])
