@@ -3407,3 +3407,44 @@ def snapshot_read_hidden(
     for src, value in equals.items():
         df = df.filter(F.col(src) == F.lit(value))
     return df, len(selected), len(manifest["files"])
+
+
+def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per committed version, from manifests
+    alone (driver-side walk, no data read) — version, commit time,
+    file counts, added/removed vs parent, schema width, and which
+    features were in force (mapping, DVs, constraints, txn markers).
+    The operational view a 100 TB table's operator reads first.
+    """
+    rows = []
+    prev_files: "set[str]" = set()
+    for v in range(1, current_version(table_dir) + 1):
+        path = _manifest_path(table_dir, v)
+        if not os.path.exists(path):  # vacuumed away
+            prev_files = set()
+            continue
+        with open(path) as fh:
+            m = json.load(fh)
+        files = set(m.get("files") or [])
+        schema_fields = len(json.loads(m["schema"]).get("fields", []))
+        rows.append(
+            (
+                v,
+                float(m.get("committed_at") or 0.0),
+                len(files),
+                len(files - prev_files),
+                len(prev_files - files),
+                schema_fields,
+                bool(m.get("column_mapping")),
+                bool(m.get("dv_dirs")),
+                len(m.get("constraints") or []),
+                json.dumps(m.get("txns") or {}, sort_keys=True),
+            )
+        )
+        prev_files = files
+    return spark.createDataFrame(
+        rows,
+        "version int, committed_at double, n_files int, n_added int, "
+        "n_removed int, n_columns int, column_mapping boolean, "
+        "has_dv boolean, n_constraints int, txns string",
+    )

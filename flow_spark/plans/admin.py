@@ -33,7 +33,7 @@ from typing import TYPE_CHECKING
 if TYPE_CHECKING:  # pragma: no cover
     from flow_spark.plans.builder import Pipeline
 
-_ENDPOINTS = ("/", "/config", "/pipeline/describe", "/expvar")
+_ENDPOINTS = ("/", "/config", "/pipeline/describe", "/expvar", "/streams")
 
 
 class AdminServer:
@@ -84,6 +84,30 @@ class AdminServer:
                     "actor_metrics": self.pipeline.metrics(),
                 }
             )
+        if path == "/streams":
+            # per-query streaming progress — the operator's first stop
+            # when a pipeline stalls: rates, batch duration, state size
+            # (fields straight from StreamingQuery.lastProgress)
+            spark = self.pipeline.spark
+            out = []
+            for q in spark.streams.active:
+                p = q.lastProgress or {}
+                out.append(
+                    {
+                        "id": str(q.id),
+                        "name": q.name,
+                        "active": q.isActive,
+                        "batch_id": p.get("batchId"),
+                        "input_rows_per_sec": p.get("inputRowsPerSecond"),
+                        "processed_rows_per_sec": p.get(
+                            "processedRowsPerSecond"
+                        ),
+                        "num_input_rows": p.get("numInputRows"),
+                        "duration_ms": p.get("durationMs"),
+                        "state": p.get("stateOperators"),
+                    }
+                )
+            return 200, "application/json", json.dumps({"streams": out})
         if path.startswith("/pprof"):
             return 501, "application/json", json.dumps(
                 {

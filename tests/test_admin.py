@@ -119,3 +119,32 @@ def test_expvar_actor_metrics_after_run(spark, sf_dir):
         assert all(m["rows"] >= n for m in got.values())
     finally:
         pipe.stop()
+
+
+def test_streams_reports_live_query_progress(admin, spark, tmp_path):
+    """/streams lists active streaming queries with their lastProgress
+    rates — the console's observability hook for a stalled pipeline."""
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "50")
+        .load()
+        .writeStream.format("memory")
+        .queryName("admin_probe_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        seen = None
+        while time.time() < deadline:
+            body = json.load(_get(admin, "/streams"))
+            seen = [s for s in body["streams"] if s["name"] == "admin_probe_stream"]
+            if seen and seen[0]["batch_id"] is not None:
+                break
+            time.sleep(0.5)
+        assert seen and seen[0]["active"]
+        assert seen[0]["batch_id"] is not None  # progress is live
+    finally:
+        q.stop()

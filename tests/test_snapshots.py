@@ -2799,3 +2799,29 @@ def test_truncate_transform_and_collisions(spark, tmp_path):
     t2 = str(tmp_path / "tbl2")
     with pytest.raises(ValueError, match="collides"):
         snapshot_write_partitioned(bad, t2, ["bucket(4, k)"])
+
+
+def test_snapshot_history_describes_commits(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from flow_spark.operators.snapshots import (
+        snapshot_append,
+        snapshot_delete,
+        snapshot_history,
+        snapshot_set_constraints,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(10).repartition(2).selectExpr("id AS k"), t)
+    snapshot_append(
+        spark.range(20, 25).selectExpr("id AS k"), t, txn_app="ing", txn_version=4
+    )
+    snapshot_set_constraints(spark, t, ["k >= 0"])
+    snapshot_delete(spark, t, F.col("k") == 3)
+    h = {r.version: r for r in snapshot_history(spark, t).collect()}
+    assert set(h) == {1, 2, 3, 4}
+    assert h[1].n_added == h[1].n_files >= 1 and h[1].n_removed == 0
+    assert h[2].n_removed == 0 and h[2].n_added >= 1  # append shares files
+    assert '"ing": 4' in h[2].txns
+    assert h[3].n_constraints == 1 and h[3].n_added == 0  # metadata-only
+    assert h[4].has_dv and h[4].n_removed == 0  # DV delete keeps files
