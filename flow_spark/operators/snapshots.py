@@ -92,6 +92,13 @@ def _commit_manifest(manifest: dict, final: str) -> None:
         # other commit path.
         if "constraints" not in manifest and prev_manifest.get("constraints"):
             manifest["constraints"] = prev_manifest["constraints"]
+        # the clustering marker (incremental OPTIMIZE ZORDER) inherits
+        # too: per-file clustered-ness survives appends/upserts, and the
+        # reader intersects the marker with the live file list, so a
+        # commit that rewrote clustered files simply sheds them from
+        # the clustered set
+        if "clustered" not in manifest and prev_manifest.get("clustered"):
+            manifest["clustered"] = prev_manifest["clustered"]
     tmp = f"{final}.{uuid.uuid4().hex[:12]}.tmp"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -1407,6 +1414,7 @@ def snapshot_optimize_zorder(
     ycol: str,
     shift: int = 20,
     target_rows_per_file: int = 100_000,
+    incremental: bool = False,
 ) -> int:
     """OPTIMIZE ZORDER: rewrite the latest version clustered on the
     Morton curve of (xcol, ycol), committed as a new version with
@@ -1448,6 +1456,16 @@ def snapshot_optimize_zorder(
     real buckets (Morton of NULL is NULL, which would otherwise crash
     the driver-side bucket sort and be dropped by the assignment join),
     so they cluster into the first file(s) and are kept.
+
+    ``incremental=True`` (Delta's incremental OPTIMIZE / liquid-style
+    maintenance): files the LAST clustering pass produced on the same
+    (xcol, ycol) are reused by reference and only the files appended
+    since are rewritten — the manifest's ``clustered`` marker records
+    which files are already laid out.  At 100 TB this turns the nightly
+    maintenance job from a table rewrite into a rewrite of the day's
+    ingest.  Reused files keep their deletion vectors and col_stats;
+    requires an unmapped table (reused and new files must agree on
+    physical names) — full-rewrite first on mapped tables.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
@@ -1462,7 +1480,23 @@ def snapshot_optimize_zorder(
             f"snapshot_optimize_zorder: version {v} of {table_dir} is empty"
         )
     schema = StructType.fromJson(json.loads(cur_manifest["schema"]))
-    df = _read_manifest_subset(spark, cur_manifest, cur_manifest["files"], schema)
+    reuse: "list[str]" = []
+    if incremental:
+        if cur_manifest.get("column_mapping"):
+            raise ValueError(
+                "incremental zorder needs an unmapped table (reused and "
+                "new files must agree on physical names); run a full "
+                "rewrite first"
+            )
+        marker = cur_manifest.get("clustered") or {}
+        if marker.get("cols") == [xcol, ycol]:
+            reuse = sorted(
+                set(marker.get("files") or []) & set(cur_manifest["files"])
+            )
+    rewrite = sorted(set(cur_manifest["files"]) - set(reuse))
+    if incremental and not rewrite:
+        return v  # everything is already clustered on (xcol, ycol)
+    df = _read_manifest_subset(spark, cur_manifest, rewrite, schema)
     # driver-computed ranges: scale each column into 0..65535 so the
     # 16-bit Morton interleave sees the full key distribution
     rng = df.agg(
@@ -1496,6 +1530,33 @@ def snapshot_optimize_zorder(
         (r["__zb"], r["n"])
         for r in with_bucket.groupBy("__zb").agg(F.count(F.lit(1)).alias("n")).collect()
     )
+    if not counts and incremental and reuse:
+        # the unclustered files hold no live rows (e.g. fully DV-deleted)
+        # — commit the clustered set alone, which both compacts them
+        # away and completes the pass
+        prev_cs = cur_manifest.get("col_stats") or {}
+        partitions, bases = _inherited_layout(cur_manifest, reuse)
+        manifest = {
+            "version": v + 1,
+            "committed_at": time.time(),
+            "files": reuse,
+            "schema": cur_manifest["schema"],
+            "stats": {},
+            "stats_col": None,
+            "col_stats": {
+                c: {f: st for f, st in (prev_cs.get(c) or {}).items() if f in set(reuse)}
+                for c in (xcol, ycol)
+            },
+            "partitions": partitions,
+            "bases": bases,
+            "clustered": {"cols": [xcol, ycol], "files": reuse},
+        }
+        if cur_manifest.get("dv_dirs"):
+            manifest["dv_dirs"] = cur_manifest["dv_dirs"]
+        if cur_manifest.get("retired_physical"):
+            manifest["retired_physical"] = cur_manifest["retired_physical"]
+        _commit_manifest(manifest, _manifest_path(table_dir, v + 1))
+        return v + 1
     if not counts:
         raise ValueError(
             f"snapshot_optimize_zorder: version {v} of {table_dir} has no rows"
@@ -1541,18 +1602,35 @@ def snapshot_optimize_zorder(
             col_stats[xcol][fp] = [r["x_mn"], r["x_mx"]]
         if all(isinstance(v_, (int, float, str)) for v_ in (r["y_mn"], r["y_mx"])):
             col_stats[ycol][fp] = [r["y_mn"], r["y_mx"]]
+    if reuse:
+        # reused (already-clustered) files keep their recorded spans so
+        # pruning on either column still skips them
+        prev_cs = cur_manifest.get("col_stats") or {}
+        for c in (xcol, ycol):
+            for f in reuse:
+                if f in (prev_cs.get(c) or {}):
+                    col_stats[c][f] = prev_cs[c][f]
+    partitions, bases = _inherited_layout(cur_manifest, reuse)
     version = v + 1
     manifest = {
         "version": version,
         "committed_at": time.time(),
-        "files": files,
+        "files": reuse + files,
         "schema": cur_manifest["schema"],
         "stats": {},
         "stats_col": None,
         "col_stats": col_stats,
-        "partitions": {},
-        "bases": {},
+        "partitions": partitions,
+        "bases": bases,
+        "clustered": {"cols": [xcol, ycol], "files": reuse + files},
     }
+    if reuse and cur_manifest.get("dv_dirs"):
+        # reused files still need their deletion vectors (the rewritten
+        # subset materialized its deletes; stale path entries anti-join
+        # nothing)
+        manifest["dv_dirs"] = cur_manifest["dv_dirs"]
+    if reuse and cur_manifest.get("retired_physical"):
+        manifest["retired_physical"] = cur_manifest["retired_physical"]
     _commit_manifest(manifest, _manifest_path(table_dir, version))
     return version
 

@@ -2825,3 +2825,50 @@ def test_snapshot_history_describes_commits(spark, tmp_path):
     assert '"ing": 4' in h[2].txns
     assert h[3].n_constraints == 1 and h[3].n_added == 0  # metadata-only
     assert h[4].has_dv and h[4].n_removed == 0  # DV delete keeps files
+
+
+def test_incremental_zorder_rewrites_only_new_files(spark, tmp_path):
+    """After a full clustering pass, an incremental pass rewrites ONLY
+    the files appended since — clustered files are reused byte-
+    identically — and a fully-clustered table is a no-op."""
+    from flow_spark.operators.snapshots import (
+        snapshot_append,
+        snapshot_optimize_zorder,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.range(2000)
+        .selectExpr("id AS x", "(id * 37) % 2000 AS y")
+        .repartition(4),
+        t,
+    )
+    v2 = snapshot_optimize_zorder(spark, t, "x", "y", target_rows_per_file=500)
+    clustered = set(snapshot_files(t, v2))
+    # append unclustered data
+    snapshot_append(
+        spark.range(5000, 5400).selectExpr("id AS x", "id % 2000 AS y"), t
+    )
+    v4 = snapshot_optimize_zorder(
+        spark, t, "x", "y", target_rows_per_file=500, incremental=True
+    )
+    files4 = set(snapshot_files(t, v4))
+    assert clustered < files4  # every clustered file reused verbatim
+    assert len(files4 - clustered) >= 1  # the append got its own layout
+    got = sorted(r.x for r in snapshot_read(spark, t, v4).collect())
+    assert got == list(range(2000)) + list(range(5000, 5400))
+    # fully clustered -> no-op (no new version)
+    assert (
+        snapshot_optimize_zorder(
+            spark, t, "x", "y", target_rows_per_file=500, incremental=True
+        )
+        == v4
+    )
+    # col_stats cover reused AND new files (pruning keeps working)
+    from flow_spark.operators.snapshots import _manifest_path
+    import json as _json
+
+    with open(_manifest_path(t, v4)) as fh:
+        m = _json.load(fh)
+    assert set(m["col_stats"]["x"]) == files4
+    assert set(m["clustered"]["files"]) == files4
