@@ -142,6 +142,9 @@ FAMILIES = {
         "snap_bloom_pointlookup",
         "snap_column_mapping",
         "snap_shallow_clone",
+        "snap_stats_agg",
+        "snap_hidden_partitioning",
+        "stream_changefeed_replication",
     ],
     "ml": [
         "ml_kmeans_quantized",
