@@ -3526,3 +3526,42 @@ def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
         "n_removed int, n_columns int, column_mapping boolean, "
         "has_dv boolean, n_constraints int, txns string",
     )
+
+
+def snapshot_maintenance(
+    spark: SparkSession,
+    table_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    keep_versions: int = 2,
+    orphan_grace_seconds: float = 3600,
+) -> "dict":
+    """One-call table upkeep — the nightly job a 100 TB deployment runs:
+
+    1. incremental re-cluster, IF the table has a clustering marker
+       (only files appended since the last pass are rewritten);
+    2. otherwise bin-pack small files (``snapshot_compact``);
+    3. vacuum manifests/files past retention (tags always survive).
+
+    Clustering subsumes compaction for the files it rewrites, so the
+    two never both run in one pass.  Returns the actions taken:
+    ``{"clustered": bool, "compacted": bool, "versions_dropped": n,
+    "files_deleted": m, "version": head}``.
+    """
+    m = _current_manifest(table_dir) or {}
+    out: "dict" = {"clustered": False, "compacted": False}
+    marker = m.get("clustered") or {}
+    live = set(m.get("files") or [])
+    if marker.get("cols") and (live - set(marker.get("files") or [])):
+        xcol, ycol = marker["cols"]
+        snapshot_optimize_zorder(
+            spark, table_dir, xcol, ycol, incremental=True
+        )
+        out["clustered"] = True
+    elif not marker:
+        before = current_version(table_dir)
+        if snapshot_compact(spark, table_dir, target_bytes) != before:
+            out["compacted"] = True
+    res = snapshot_vacuum(table_dir, keep_versions, orphan_grace_seconds)
+    out.update(res)
+    out["version"] = current_version(table_dir)
+    return out

@@ -2872,3 +2872,34 @@ def test_incremental_zorder_rewrites_only_new_files(spark, tmp_path):
         m = _json.load(fh)
     assert set(m["col_stats"]["x"]) == files4
     assert set(m["clustered"]["files"]) == files4
+
+
+def test_snapshot_maintenance_runs_the_right_job(spark, tmp_path):
+    """Unclustered tables bin-pack; clustered tables re-cluster
+    incrementally; vacuum reclaims past retention either way."""
+    from flow_spark.operators.snapshots import (
+        snapshot_append,
+        snapshot_maintenance,
+        snapshot_optimize_zorder,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.range(500).repartition(6).selectExpr("id AS x", "id % 7 AS y"), t
+    )
+    snapshot_append(spark.range(500, 600).selectExpr("id AS x", "id % 7 AS y"), t)
+    res = snapshot_maintenance(spark, t, keep_versions=1, orphan_grace_seconds=0)
+    assert res["compacted"] and not res["clustered"]
+    assert res["versions_dropped"] >= 1
+    n1 = snapshot_read(spark, t).count()
+    assert n1 == 600
+    # now cluster it once; maintenance after an append re-clusters
+    snapshot_optimize_zorder(spark, t, "x", "y", target_rows_per_file=400)
+    snapshot_append(spark.range(900, 950).selectExpr("id AS x", "id % 7 AS y"), t)
+    res = snapshot_maintenance(spark, t, keep_versions=1, orphan_grace_seconds=0)
+    assert res["clustered"] and not res["compacted"]
+    assert snapshot_read(spark, t).count() == 650
+    # fully maintained table: a second pass does nothing destructive
+    res = snapshot_maintenance(spark, t, keep_versions=1, orphan_grace_seconds=0)
+    assert not res["clustered"] and not res["compacted"]
+    assert snapshot_read(spark, t).count() == 650
