@@ -70,24 +70,31 @@ def changefeed_drain(
 
     from pyspark.sql import functions as F
 
-    from flow_spark.operators.snapshots import (
-        current_version,
-        snapshot_changes,
-    )
+    from flow_spark.operators.snapshots import snapshot_changes
 
     os.makedirs(spool_dir, exist_ok=True)
-    head = current_version(table_dir)
+    # vacuum may have dropped old manifests: drain what still exists,
+    # emitting the OLDEST surviving version as full inserts (the same
+    # "initial snapshot" semantics Delta's streaming CDF applies when
+    # the change history doesn't reach back to version 0)
+    mdir = os.path.join(table_dir, "_manifests")
+    existing = sorted(
+        int(f[1:-5])
+        for f in (os.listdir(mdir) if os.path.isdir(mdir) else [])
+        if f.startswith("v") and f.endswith(".json")
+    )
     drained = 0
-    for v in range(1, head + 1):
+    for v in existing:
         final = os.path.join(spool_dir, f"v{v}")
         if os.path.isdir(final):
             continue
-        if v == 1:
-            # no v0 manifest to diff against: the first commit is all
-            # inserts by definition
+        if v == existing[0]:
+            # first drainable version: no parent manifest to diff
+            # against (v0 never exists; earlier ones may be vacuumed) —
+            # the whole version is the insert set
             from flow_spark.operators.snapshots import snapshot_read
 
-            changes = snapshot_read(spark, table_dir, 1).select(
+            changes = snapshot_read(spark, table_dir, v).select(
                 F.col(key_col),
                 F.lit("insert").alias("change_type"),
                 *[F.col(c) for c in value_cols],

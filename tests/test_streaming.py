@@ -2510,3 +2510,30 @@ def test_changefeed_replicates_table_via_upsert_sink(spark, tmp_path):
         (r.k, r.val) for r in snapshot_read(spark, replica).collect()
     }
     assert rep_rows == src_rows
+
+
+def test_changefeed_drain_survives_vacuum(spark, tmp_path):
+    """A fresh spool on a vacuumed table emits the oldest surviving
+    version as full inserts (Delta streaming-CDF initial-snapshot
+    semantics) instead of failing on missing manifests."""
+    from flow_spark.operators.snapshots import (
+        snapshot_append,
+        snapshot_vacuum,
+        snapshot_write,
+    )
+    from flow_spark.streaming.sources import changefeed_drain
+
+    t = str(tmp_path / "tbl")
+    spool = str(tmp_path / "spool")
+    snapshot_write(spark.range(4).selectExpr("id AS k", "id AS val"), t)
+    snapshot_append(spark.range(10, 13).selectExpr("id AS k", "id AS val"), t)
+    snapshot_append(spark.range(20, 22).selectExpr("id AS k", "id AS val"), t)
+    snapshot_vacuum(t, keep_versions=2, orphan_grace_seconds=0)  # v1 gone
+    assert changefeed_drain(spark, t, spool, "k", ["val"]) == 2
+    import os as _os
+
+    v2 = spark.read.parquet(_os.path.join(spool, "v2"))
+    assert {r.change_type for r in v2.collect()} == {"insert"}
+    assert v2.count() == 7  # full state at the oldest survivor
+    v3 = spark.read.parquet(_os.path.join(spool, "v3"))
+    assert sorted(r.k for r in v3.collect()) == [20, 21]
