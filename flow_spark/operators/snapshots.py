@@ -2932,6 +2932,11 @@ def snapshot_append(
     base_version, base = _head()
     if _is_replay(base):
         return base_version
+    if stats_col is None:
+        # inherit the table's pruning index by default: a streaming
+        # ingest that never passes stats_col must not silently strip
+        # the per-file [min,max] entries MERGE pruning depends on
+        stats_col = (base or {}).get("stats_col")
     mapping = (base or {}).get("column_mapping") or {}
     mapping = {l: p for l, p in mapping.items() if l in df.columns}
     retired = set((base or {}).get("retired_physical") or [])

@@ -2903,3 +2903,29 @@ def test_snapshot_maintenance_runs_the_right_job(spark, tmp_path):
     res = snapshot_maintenance(spark, t, keep_versions=1, orphan_grace_seconds=0)
     assert not res["clustered"] and not res["compacted"]
     assert snapshot_read(spark, t).count() == 650
+
+
+def test_append_inherits_stats_col(spark, tmp_path):
+    """An append without stats_col keeps the table's pruning index:
+    the new manifest retains stats_col and gains entries for the
+    appended files."""
+    import json as _json
+
+    from flow_spark.operators.snapshots import (
+        _manifest_path,
+        snapshot_append,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(100).selectExpr("id AS k"), t, stats_col="k")
+    v = snapshot_append(
+        spark.range(500, 520).coalesce(1).selectExpr("id AS k"), t
+    )
+    with open(_manifest_path(t, v)) as fh:
+        m = _json.load(fh)
+    assert m["stats_col"] == "k"
+    new_files = sorted(set(m["files"]) - set(snapshot_files(t, 1)))
+    assert len(new_files) == 1
+    assert m["stats"][new_files[0]] == [500, 519]
+    # v1's entries survived the append untouched
+    assert all(f in m["stats"] for f in snapshot_files(t, 1))
