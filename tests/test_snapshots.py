@@ -2929,3 +2929,26 @@ def test_append_inherits_stats_col(spark, tmp_path):
     assert m["stats"][new_files[0]] == [500, 519]
     # v1's entries survived the append untouched
     assert all(f in m["stats"] for f in snapshot_files(t, 1))
+
+
+def test_snapshot_append_under_column_mapping(spark, tmp_path):
+    """Appends to a renamed table write PHYSICAL names into the new
+    files (the table-wide mapping invariant), and reads come back
+    logical."""
+    from flow_spark.operators.snapshots import (
+        snapshot_append,
+        snapshot_rename_column,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(3).selectExpr("id AS k", "id * 10 AS cents"), t)
+    snapshot_rename_column(t, "cents", "balance")
+    v = snapshot_append(
+        spark.range(7, 9).selectExpr("id AS k", "id * 10 AS balance"), t
+    )
+    got = {r.k: r.balance for r in snapshot_read(spark, t, v).collect()}
+    assert got == {0: 0, 1: 10, 2: 20, 7: 70, 8: 80}
+    # the appended files physically carry the ORIGINAL name
+    new_files = sorted(set(snapshot_files(t, v)) - set(snapshot_files(t, 2)))
+    raw = spark.read.parquet(*new_files)
+    assert "cents" in raw.columns and "balance" not in raw.columns
