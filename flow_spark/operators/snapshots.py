@@ -99,6 +99,15 @@ def _commit_manifest(manifest: dict, final: str) -> None:
         # the clustered set
         if "clustered" not in manifest and prev_manifest.get("clustered"):
             manifest["clustered"] = prev_manifest["clustered"]
+        # hidden-partition transform definitions inherit too — without
+        # this, any append would silently strip snapshot_read_hidden's
+        # pruning map (reads stay correct, files just stop pruning)
+        if "partition_transforms" not in manifest and prev_manifest.get(
+            "partition_transforms"
+        ):
+            manifest["partition_transforms"] = prev_manifest[
+                "partition_transforms"
+            ]
     tmp = f"{final}.{uuid.uuid4().hex[:12]}.tmp"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)

@@ -2952,3 +2952,27 @@ def test_snapshot_append_under_column_mapping(spark, tmp_path):
     new_files = sorted(set(snapshot_files(t, v)) - set(snapshot_files(t, 2)))
     raw = spark.read.parquet(*new_files)
     assert "cents" in raw.columns and "balance" not in raw.columns
+
+
+def test_hidden_pruning_survives_appends(spark, tmp_path):
+    """The transform map inherits through appends: partitioned files
+    still prune after a plain append lands on top (appended flat files
+    simply stay candidates)."""
+    from flow_spark.operators.snapshots import (
+        snapshot_append,
+        snapshot_read_hidden,
+        snapshot_write_partitioned,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(400).selectExpr("id AS k", "id * 3 AS val")
+    snapshot_write_partitioned(df, t, ["bucket(4, k)"])
+    snapshot_append(
+        spark.range(1000, 1010).coalesce(1).selectExpr("id AS k", "id * 3 AS val"),
+        t,
+    )
+    res, n_sel, n_tot = snapshot_read_hidden(spark, t, {"k": 123})
+    assert [r.val for r in res.collect()] == [369]
+    # 4 bucket files + 1 flat append file; pruning kept 1 bucket + the
+    # unprunable flat file
+    assert n_tot == 5 and n_sel == 2
