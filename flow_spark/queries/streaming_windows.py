@@ -18,6 +18,20 @@ from pyspark.sql import functions as F
 from flow_spark.catalog import load_table
 from flow_spark.queries.registry import register
 
+
+def _drain(q, timeout: int = 1800) -> None:
+    """Wait for an availableNow drain; RAISE if it outlives ``timeout``
+    seconds instead of silently reading a partial sink table (a 300 s
+    cap returned False under heavy-load sf1 sweeps and the query kept
+    running -> empty memory table -> bogus row-count mismatch)."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise RuntimeError(
+            f"streaming drain exceeded {timeout}s - aborted rather than "
+            "reading a partial sink"
+        )
+
+
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
@@ -255,7 +269,7 @@ def stream_gcra_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return (
         spark.table(name)
         .groupBy("throttle_status")
@@ -424,7 +438,7 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.table(name).orderBy("skey", "start_us")
 
 
@@ -504,7 +518,7 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return (
         spark.read.parquet(out_dir)
         .select(
@@ -607,7 +621,7 @@ def stream_funnel_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.table(name).agg(
         F.count("*").cast("bigint").alias("n_funnels"),
         F.countDistinct("fkey").cast("bigint").alias("n_users"),
@@ -677,7 +691,7 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     from pyspark.sql.window import Window as W
 
     res = spark.table(name)
@@ -858,7 +872,7 @@ def stream_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.table(name).orderBy("tkey")
 
 
@@ -965,7 +979,7 @@ def stream_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     final = snapshot_read(spark, table_dir)
     return (
         final.join(
@@ -1072,7 +1086,7 @@ def stream_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.table(name).orderBy("qkey")
 
 
@@ -1179,7 +1193,7 @@ def stream_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     live = snapshot_read(spark, table_dir)
     nations = cust.select(
         F.col("c_custkey").alias("k"), F.col("c_nationkey").alias("nation")
@@ -1362,7 +1376,7 @@ def stream_stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         conf.set("spark.sql.shuffle.partitions", prev_parts)
-    q.awaitTermination(300)
+    _drain(q)
     return (
         spark.table(name)
         .select(
@@ -1470,7 +1484,7 @@ def stream_changefeed_replication(spark: SparkSession, sf_dir: str) -> DataFrame
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return (
         snapshot_read(spark, replica)
         .groupBy((F.col("k") % 10).cast("bigint").alias("bucket"))
