@@ -582,11 +582,11 @@ def _sql_kcore_rounds() -> str:
     for i in range(1, _KCORE_ROUNDS + 1):
         steps.append(
             f"""
-        keep{i - 1} AS (
+        keep{i - 1} AS MATERIALIZED (
             SELECT src AS node FROM g{i - 1}
             GROUP BY src HAVING COUNT(*) >= {_KCORE_K}
         ),
-        g{i} AS (
+        g{i} AS MATERIALIZED (
             SELECT e.src, e.dst FROM g{i - 1} e
             JOIN keep{i - 1} a ON a.node = e.src
             JOIN keep{i - 1} b ON b.node = e.dst
@@ -610,10 +610,14 @@ def _sql_kcore_rounds() -> str:
     "is the per-round (nodes, directed edges) census — the convergence "
     "curve — all exact integers.",
     oracle=f"""
-        WITH ps AS (
+        -- MATERIALIZED: the census reads every g{{i}} while g{{i+1}} also
+        -- reads g{{i}} — without the hint DuckDB re-evaluates the whole
+        -- chain per census branch (exponential re-evaluation; observed
+        -- >90 GB of temp spill at sf1 before the hint)
+        WITH ps AS MATERIALIZED (
             SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
         ),
-        g0 AS (
+        g0 AS MATERIALIZED (
             SELECT s * 2 + 1 AS src, p * 2 AS dst FROM ps
             UNION ALL
             SELECT p * 2 AS src, s * 2 + 1 AS dst FROM ps

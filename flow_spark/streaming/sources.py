@@ -21,7 +21,14 @@ from flow_spark.operators.message import events_to_messages
 
 def _as_stream_dir(file_path: str) -> str:
     """Spark's file-stream source monitors a DIRECTORY; the fixtures are
-    single parquet files, so expose each through a symlink dir (no copy)."""
+    single parquet files, so expose each through a symlink dir (no copy).
+
+    The target must be ABSOLUTE: a relative ``sf_dir`` (legal for batch
+    reads, which resolve against the driver cwd) would otherwise produce
+    a symlink that resolves relative to the TEMP dir — dangling, so the
+    stream source lists zero files and the query silently emits nothing
+    (bit us as a bogus sf1 parity failure)."""
+    file_path = os.path.abspath(file_path)
     d = tempfile.mkdtemp(prefix="flow_spark_stream_")
     os.symlink(file_path, os.path.join(d, os.path.basename(file_path)))
     return d
