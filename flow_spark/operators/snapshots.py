@@ -1202,6 +1202,22 @@ def snapshot_vacuum(
             for root, _dirs, names in os.walk(subdir):
                 entries.extend(os.path.join(root, n) for n in names)
             if any(p in live_files for p in entries):
+                # PARTIALLY-referenced dir: a history rewrite
+                # (snapshot_purge_key) strips individual files out of
+                # every manifest while their siblings stay live, so the
+                # all-or-nothing dir invariant no longer holds for
+                # purged tables — reclaim the stripped files one by
+                # one, same grace window (this is what completes the
+                # right-to-be-forgotten: purge rewrites the references,
+                # vacuum erases the bytes)
+                for p in entries:
+                    if (
+                        p.endswith(".parquet")
+                        and p not in live_files
+                        and now - os.path.getmtime(p) > orphan_grace_seconds
+                    ):
+                        os.remove(p)
+                        deleted += 1
                 continue
             mtimes = [os.path.getmtime(p) for p in entries] or [
                 os.path.getmtime(subdir)  # crashed before any file landed
@@ -2847,6 +2863,295 @@ def snapshot_purge_deletes(spark: SparkSession, table_dir: str) -> int:
         new_manifest["retired_physical"] = manifest["retired_physical"]
     _commit_manifest(new_manifest, _manifest_path(table_dir, v + 1))
     return v + 1
+
+
+def snapshot_purge_key(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    values: "list",
+) -> dict:
+    """Right-to-be-forgotten purge ACROSS HISTORY: physically remove every
+    row whose ``key_col`` is in ``values`` from EVERY committed version.
+
+    Neither Delta nor Iceberg has this as one operation — DELETE only
+    affects the new head, and old versions keep serving the subject's
+    rows until retention expires.  GDPR/CCPA erasure needs the rows gone
+    from time travel too, so this rewrites history in place:
+
+    1. **Detect** — one column-pruned scan over the union of every
+       version's data files (each file read once even when shared by many
+       versions) finds the files that physically contain a hit.  Files
+       whose schema never had the column NULL-fill and can't match.
+    2. **Rewrite** — each affected file is rewritten once (content
+       shared across versions stays shared): purged rows drop, every
+       OTHER physical row survives in its original order, and the full
+       PHYSICAL footer schema is preserved — so versions that declared
+       more columns than the head (later drops/narrowings are
+       metadata-only) still resolve every column they need.  Rows a
+       deletion vector hides in SOME versions are kept in the file (the
+       DV owns that visibility, per version).
+    3. **Remap** — per-version deletion vectors referencing a rewritten
+       file are re-pointed at the new (file, row_index) pairs; DV
+       entries for purged rows vanish (the row no longer exists
+       anywhere).  Row indexes shift by the number of purged rows before
+       them, computed from the rewrite's own ordering.
+    4. **Republish** — every manifest whose file list or DVs changed is
+       atomically replaced IN PLACE (same version numbers, so tags,
+       clones and history stay addressable).  Data-skipping metadata for
+       rewritten files is recomputed for ``stats_col`` and dropped
+       elsewhere (col_stats / bloom / partition entries — every consumer
+       treats a missing entry as "must scan", so pruning only weakens,
+       never lies).  A ``purged`` audit note is appended to each
+       rewritten manifest.
+
+    The old file bytes stay on disk until :func:`snapshot_vacuum` — run
+    one after the purge to complete physical erasure.  Shallow clones
+    hold their own manifests referencing the shared files; purge each
+    clone too, then vacuum (documented clone-ownership rule).
+
+    Single-admin operation: refuses to run with unpublished WAP branches
+    staged, and raises :class:`SnapshotConflict` if any writer commits
+    while the purge is running (re-run after quiescing).  Returns a
+    summary dict: files_rewritten, rows_purged, versions_rewritten.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.window import Window
+
+    if not values:
+        raise ValueError("values must be non-empty")
+    head = current_version(table_dir)
+    if head < 1:
+        raise FileNotFoundError(f"no committed versions in {table_dir}")
+    staged_dir = os.path.join(table_dir, STAGED_DIR)
+    if os.path.isdir(staged_dir) and any(
+        f.endswith(".json") for f in os.listdir(staged_dir)
+    ):
+        raise ValueError(
+            "unpublished WAP branches staged: publish or abort them "
+            "before purging (staged files would keep the subject's rows)"
+        )
+
+    manifests: "dict[int, dict]" = {}
+    for v in range(1, head + 1):
+        p = _manifest_path(table_dir, v)
+        if not os.path.exists(p):  # vacuumed-away version
+            continue
+        with open(p) as fh:
+            manifests[v] = json.load(fh)
+
+    # resolve the key's declared type and its PHYSICAL name(s): physical
+    # names are the stable column identity across renames (rename/drop
+    # are metadata-only), so only manifests whose SCHEMA declares the
+    # logical name can name the physical column — and that name then
+    # applies to every file of the table, including files referenced
+    # solely by manifests that predate the rename
+    key_type = None
+    phys_names: "set[str]" = set()
+    base_by_file: "dict[str, str]" = {}
+    all_files: "set[str]" = set()
+    for v in sorted(manifests, reverse=True):
+        m = manifests[v]
+        sch = StructType.fromJson(json.loads(m["schema"]))
+        for fld in sch.fields:
+            if fld.name == key_col:
+                if key_type is None:
+                    key_type = fld.dataType
+                phys_names.add(
+                    (m.get("column_mapping") or {}).get(key_col, key_col)
+                )
+                break
+        all_files.update(m["files"])
+        for f, b in (m.get("bases") or {}).items():
+            base_by_file.setdefault(f, b)
+    if key_type is None:
+        raise ValueError(
+            f"column {key_col!r} not found in any version's schema of {table_dir}"
+        )
+
+    # ---- 1. detect: one single-column scan per physical name ----------
+    # (files whose footer lacks the column NULL-fill and cannot match)
+    pnames_of: "dict[str, list[str]]" = {}
+    for pname in sorted(phys_names):
+        hits = (
+            spark.read.schema(StructType([StructField(pname, key_type, True)]))
+            .parquet(*sorted(all_files))
+            .select(
+                F.col("_metadata.file_path").alias("__fp"),
+                F.col(pname).alias("__k"),
+            )
+            .filter(F.col("__k").isin(values))
+            .select("__fp")
+            .distinct()
+            .collect()
+        )
+        for r in hits:
+            pnames_of.setdefault(r[0].removeprefix("file:"), []).append(pname)
+    affected = sorted(pnames_of)
+    if not affected:
+        return {
+            "files_rewritten": 0,
+            "rows_purged": 0,
+            "versions_rewritten": [],
+        }
+
+    # ---- 2. rewrite each affected file once (full physical schema) ----
+    rows_purged = 0
+    new_path_of: "dict[str, str]" = {}
+    remap_frames = []
+    for f in affected:
+        rd = spark.read
+        base = base_by_file.get(f)
+        if base is not None:
+            # partition values live in the PATH: basePath materializes
+            # them as columns, and the rewritten file carries them in
+            # the payload instead (its manifest entries lose the base,
+            # so readers take the payload route)
+            rd = rd.option("basePath", base)
+        full = rd.parquet(f).withColumn("__ri", F.col("_metadata.row_index"))
+        is_purged = F.lit(False)
+        for pname in pnames_of[f]:
+            is_purged = is_purged | F.coalesce(
+                F.col(pname).isin(values), F.lit(False)
+            )
+        keep = full.filter(~is_purged)
+        # file-sized single-partition window: position after purge =
+        # rank by original row index (files are <= one task's worth of
+        # rows by construction of the write paths)
+        keep = keep.withColumn(
+            "__new_ri", F.row_number().over(Window.orderBy("__ri")) - 1
+        ).localCheckpoint()
+        out_dir = os.path.join(
+            table_dir, DATA_DIR, "purge-" + uuid.uuid4().hex[:12]
+        )
+        (
+            keep.coalesce(1)
+            .sortWithinPartitions("__ri")
+            .drop("__ri", "__new_ri")
+            .write.mode("error")
+            .parquet(out_dir)
+        )
+        new_files = [
+            os.path.join(out_dir, x)
+            for x in os.listdir(out_dir)
+            if x.endswith(".parquet")
+        ]
+        if len(new_files) != 1:  # pragma: no cover - coalesce(1) contract
+            raise RuntimeError(f"expected one rewritten file in {out_dir}")
+        new_path_of[f] = new_files[0]
+        n_before = full.count()
+        n_after = keep.count()
+        rows_purged += n_before - n_after
+        remap_frames.append(
+            keep.select(
+                F.lit("file:" + f).alias("__fp"),
+                F.col("__ri"),
+                F.lit("file:" + new_files[0]).alias("__new_fp"),
+                F.col("__new_ri"),
+            )
+        )
+    remap = remap_frames[0]
+    for fr in remap_frames[1:]:
+        remap = remap.unionByName(fr)
+    affected_uris = ["file:" + f for f in affected]
+
+    # ---- 3. remap per-version deletion vectors -------------------------
+    new_dv_of: "dict[int, list[str]]" = {}
+    for v in sorted(manifests):
+        dv_dirs = manifests[v].get("dv_dirs") or []
+        if not dv_dirs:
+            continue
+        dv = spark.read.parquet(*dv_dirs).select("__fp", "__ri").distinct()
+        touched = dv.filter(F.col("__fp").isin(affected_uris))
+        if touched.limit(1).count() == 0:
+            continue
+        untouched_dv = dv.filter(~F.col("__fp").isin(affected_uris))
+        moved = touched.join(remap, ["__fp", "__ri"], "inner").select(
+            F.col("__new_fp").alias("__fp"), F.col("__new_ri").alias("__ri")
+        )
+        new_dv_dir = os.path.join(
+            table_dir, "_dv", "purge-" + uuid.uuid4().hex[:12]
+        )
+        untouched_dv.unionByName(moved).write.mode("error").parquet(new_dv_dir)
+        new_dv_of[v] = [new_dv_dir]
+
+    # ---- 4. republish manifests in place -------------------------------
+    stats_cache: "dict[tuple[str, str], list | None]" = {}
+
+    def _minmax(path: str, phys_col: str) -> "list | None":
+        key = (path, phys_col)
+        if key not in stats_cache:
+            r = (
+                spark.read.parquet(path)
+                .agg(F.min(phys_col), F.max(phys_col))
+                .collect()[0]
+            )
+            ok = all(isinstance(x, (int, float, str)) for x in (r[0], r[1]))
+            stats_cache[key] = [r[0], r[1]] if ok else None
+        return stats_cache[key]
+
+    affected_set = set(affected)
+    versions_rewritten = []
+    for v in sorted(manifests):
+        m = manifests[v]
+        file_hit = bool(set(m["files"]) & affected_set)
+        if not file_hit and v not in new_dv_of:
+            continue
+        if file_hit:
+            m["files"] = [new_path_of.get(f, f) for f in m["files"]]
+            stats = m.get("stats") or {}
+            stats_col = m.get("stats_col")
+            for f in affected_set & set(stats):
+                stats.pop(f)
+                if stats_col is not None:
+                    phys_col = (m.get("column_mapping") or {}).get(
+                        stats_col, stats_col
+                    )
+                    st = _minmax(new_path_of[f], phys_col)
+                    if st is not None:
+                        stats[new_path_of[f]] = st
+            # conservative drops: every consumer treats a missing entry
+            # as "must scan", so pruning only weakens
+            for key in ("partitions", "bases"):
+                d = m.get(key)
+                if d:
+                    for f in affected_set & set(d):
+                        d.pop(f)
+            cs = m.get("col_stats")
+            if cs:
+                for col, per in cs.items():
+                    for f in affected_set & set(per):
+                        per.pop(f)
+            bloom = m.get("bloom")
+            if bloom:
+                for f in affected_set & set(bloom.get("filters", {})):
+                    bloom["filters"].pop(f)
+            cl = m.get("clustered")
+            if cl and cl.get("files"):
+                cl["files"] = [f for f in cl["files"] if f not in affected_set]
+        if v in new_dv_of:
+            m["dv_dirs"] = new_dv_of[v]
+        m["purged"] = (m.get("purged") or []) + [
+            {"key_col": key_col, "n_values": len(values), "at": time.time()}
+        ]
+        final = _manifest_path(table_dir, v)
+        tmp = f"{final}.{uuid.uuid4().hex[:12]}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(m, fh)
+        os.replace(tmp, final)  # in-place history rewrite, intentional
+        versions_rewritten.append(v)
+
+    if current_version(table_dir) != head:
+        raise SnapshotConflict(
+            f"writer committed past v{head} during the purge of {table_dir}; "
+            "quiesce writers and re-run (completed rewrites are consistent)"
+        )
+    return {
+        "files_rewritten": len(affected),
+        "rows_purged": rows_purged,
+        "versions_rewritten": versions_rewritten,
+    }
 
 
 # ---- optimistic transactions: append rebase + conflict classification ------

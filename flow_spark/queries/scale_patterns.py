@@ -2209,6 +2209,87 @@ def snap_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snap_purge_key",
+    category="scale-pattern",
+    doc="Right-to-be-forgotten purge ACROSS HISTORY (operators/snapshots."
+    "snapshot_purge_key): a customer table takes a merge-on-read DELETE "
+    "(deletion vectors), then a GDPR erasure of the c_custkey % 97 = 11 "
+    "subjects — unlike DELETE, the purge rewrites ONLY the affected "
+    "files once (shared content stays shared), re-points every "
+    "version's deletion vectors at the shifted row indexes, and "
+    "republishes the manifests in place, so TIME TRAVEL TO v1 no "
+    "longer serves the erased subjects either (Delta/Iceberg cannot "
+    "express this as one operation — old versions keep the rows until "
+    "retention expires).  Output: per-version live counts and exact "
+    "cents totals (v1 = all minus purged; v2 = v1 minus the DV'd "
+    "rows), value-checking both the erasure and the vector remap.  "
+    "At 100 TB the cost is one column-pruned detection scan plus a "
+    "rewrite of just the files that contain the subjects.",
+    oracle="""
+        WITH v1 AS (
+            SELECT CAST(1 AS BIGINT) AS version,
+                   CAST(COUNT(*) AS BIGINT) AS n_live,
+                   CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS cents_live
+            FROM customer
+            WHERE c_custkey % 97 <> 11
+        ),
+        v2 AS (
+            SELECT CAST(2 AS BIGINT) AS version,
+                   CAST(COUNT(*) AS BIGINT) AS n_live,
+                   CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS cents_live
+            FROM customer
+            WHERE c_custkey % 97 <> 11 AND c_custkey % 7 <> 3
+        )
+        SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY version
+    """,
+)
+def snap_purge_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flow_spark.operators.snapshots import (
+        snapshot_delete,
+        snapshot_purge_key,
+        snapshot_read,
+        snapshot_write,
+    )
+    from flow_spark.queries.util import cents
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    table_dir = tempfile.mkdtemp(prefix="snap_purge_")
+    v1 = snapshot_write(
+        cust.repartition(8), table_dir, stats_col="c_custkey"
+    )
+    v2 = snapshot_delete(spark, table_dir, "c_custkey % 7 = 3")
+    subjects = [
+        r[0]
+        for r in cust.filter(F.col("c_custkey") % 97 == 11)
+        .select("c_custkey")
+        .collect()
+    ]
+    snapshot_purge_key(spark, table_dir, "c_custkey", subjects)
+
+    def _summary(version: int) -> DataFrame:
+        return (
+            snapshot_read(spark, table_dir, version)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_live"),
+                F.sum(cents("c_acctbal")).cast("bigint").alias("cents_live"),
+            )
+            .select(
+                F.lit(version).cast("bigint").alias("version"),
+                "n_live",
+                "cents_live",
+            )
+        )
+
+    return _summary(v1).unionByName(_summary(v2)).orderBy("version")
+
+
+@register(
     "snap_column_mapping",
     category="scale-pattern",
     doc="Schema evolution via COLUMN MAPPING (operators/snapshots."

@@ -2976,3 +2976,135 @@ def test_hidden_pruning_survives_appends(spark, tmp_path):
     # 4 bucket files + 1 flat append file; pruning kept 1 bucket + the
     # unprunable flat file
     assert n_tot == 5 and n_sel == 2
+
+
+# ---- right-to-be-forgotten purge (snapshot_purge_key) ----------------------
+
+
+def test_purge_key_erases_across_all_versions(spark, tmp_path):
+    """Purged keys disappear from EVERY committed version (time travel
+    included); untouched rows, shared files, and the audit note survive;
+    a second purge of the same keys is a no-op."""
+    from flow_spark.operators.snapshots import snapshot_purge_key
+
+    t = str(tmp_path / "tbl")
+    v1 = snapshot_write(
+        spark.range(20).selectExpr("id AS k", "id * 10 AS val"), t
+    )
+    v2 = snapshot_write(
+        spark.range(20, 30).selectExpr("id AS k", "id * 10 AS val"),
+        t,
+        reuse_files=snapshot_files(t, v1),
+    )
+    res = snapshot_purge_key(spark, t, "k", [3, 7, 25])
+    assert res["rows_purged"] == 3
+    assert res["files_rewritten"] >= 1
+    assert sorted(res["versions_rewritten"]) == [v1, v2]
+    got_v1 = sorted(r.k for r in snapshot_read(spark, t, v1).collect())
+    assert got_v1 == [k for k in range(20) if k not in (3, 7)]
+    got_v2 = {r.k: r.val for r in snapshot_read(spark, t, v2).collect()}
+    assert sorted(got_v2) == [k for k in range(30) if k not in (3, 7, 25)]
+    assert all(got_v2[k] == k * 10 for k in got_v2)
+    with open(os.path.join(t, "_manifests", f"v{v1}.json")) as fh:
+        m = json.load(fh)
+    assert m["purged"][0]["key_col"] == "k"
+    res2 = snapshot_purge_key(spark, t, "k", [3, 7, 25])
+    assert res2["files_rewritten"] == 0 and res2["rows_purged"] == 0
+
+
+def test_purge_key_remaps_deletion_vectors(spark, tmp_path):
+    """A purge BEFORE a DV'd row shifts row indexes: the per-version
+    vector must be re-pointed, so the DV'd row stays hidden at its
+    version and visible before it."""
+    from flow_spark.operators.snapshots import (
+        snapshot_delete,
+        snapshot_purge_key,
+    )
+
+    t = str(tmp_path / "tbl")
+    v1 = snapshot_write(
+        spark.range(10).repartition(1).selectExpr("id AS k", "id * 2 AS val"),
+        t,
+    )
+    v2 = snapshot_delete(spark, t, "k IN (2, 5)")
+    res = snapshot_purge_key(spark, t, "k", [0, 8])
+    assert res["rows_purged"] == 2
+    # v1 never had the DV: only the purge applies
+    assert sorted(r.k for r in snapshot_read(spark, t, v1).collect()) == [
+        1, 2, 3, 4, 5, 6, 7, 9,
+    ]
+    # v2 hides the DV'd rows too — indexes shifted by the purge of k=0
+    assert sorted(r.k for r in snapshot_read(spark, t, v2).collect()) == [
+        1, 3, 4, 6, 7, 9,
+    ]
+
+
+def test_purge_key_through_rename_and_vacuum_erases_bytes(spark, tmp_path):
+    """Purging by the NEW logical name reaches pre-rename files through
+    the column mapping, and purge + vacuum physically deletes the old
+    bytes even though siblings in the same write dir stay live."""
+    from flow_spark.operators.snapshots import (
+        snapshot_purge_key,
+        snapshot_rename_column,
+        snapshot_vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    v1 = snapshot_write(
+        spark.range(8).repartition(2, "id").selectExpr(
+            "id AS k", "id * 100 AS val"
+        ),
+        t,
+    )
+    snapshot_rename_column(t, "k", "user_id")
+    v3 = snapshot_write(
+        spark.range(100, 104).selectExpr("id AS user_id", "id * 100 AS val"),
+        t,
+        reuse_files=snapshot_files(t, current_version(t)),
+    )
+    old_files = set(snapshot_files(t, v1))
+    res = snapshot_purge_key(spark, t, "user_id", [5])
+    assert res["rows_purged"] == 1
+    # v1 predates the rename: its declared name is still k
+    assert sorted(r.k for r in snapshot_read(spark, t, v1).collect()) == [
+        0, 1, 2, 3, 4, 6, 7,
+    ]
+    assert sorted(
+        r.user_id for r in snapshot_read(spark, t, v3).collect()
+    ) == [0, 1, 2, 3, 4, 6, 7, 100, 101, 102, 103]
+    rewritten = old_files - set(snapshot_files(t, v1))
+    assert len(rewritten) == 1
+    old_path = next(iter(rewritten))
+    assert os.path.exists(old_path)  # bytes linger until vacuum
+    out = snapshot_vacuum(
+        t, keep_versions=current_version(t), orphan_grace_seconds=0
+    )
+    assert not os.path.exists(old_path)
+    assert out["files_deleted"] >= 1
+    # every version still reads clean after the sweep
+    assert sorted(r.k for r in snapshot_read(spark, t, v1).collect()) == [
+        0, 1, 2, 3, 4, 6, 7,
+    ]
+
+
+def test_purge_key_partitioned_files_keep_partition_columns(spark, tmp_path):
+    """Rewriting a hive-partitioned file moves its path-borne partition
+    values into the payload; reads of every version keep the column."""
+    from flow_spark.operators.snapshots import (
+        snapshot_purge_key,
+        snapshot_write_partitioned,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(12).selectExpr(
+        "id AS k", "CAST(id % 3 AS INT) AS bucket3", "id * 7 AS val"
+    )
+    v1 = snapshot_write_partitioned(df, t, ["bucket3"])
+    res = snapshot_purge_key(spark, t, "k", [4, 9])
+    assert res["rows_purged"] == 2
+    got = {
+        r.k: (r.bucket3, r.val)
+        for r in snapshot_read(spark, t, v1).collect()
+    }
+    assert sorted(got) == [k for k in range(12) if k not in (4, 9)]
+    assert all(got[k] == (k % 3, k * 7) for k in got)
