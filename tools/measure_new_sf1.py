@@ -16,13 +16,9 @@ from flow_spark.session import get_spark, release_cached_blocks  # noqa: E402
 from tools.make_sf1 import ensure_sf1  # noqa: E402
 
 NEW = [
-    "fn_variant_semistructured",
-    "sketch_theta_set_algebra",
-    "sketch_kll_quantiles",
-    "dedup_minhash_lsh",
-    "dedup_prefix_filter_join",
-    "stream_stream_asof_join",
-    "snap_partition_evolution",
+    "snap_stats_agg",
+    "snap_hidden_partitioning",
+    "stream_changefeed_replication",
 ]
 
 
