@@ -2913,7 +2913,10 @@ def snapshot_purge_key(
     Single-admin operation: refuses to run with unpublished WAP branches
     staged, and raises :class:`SnapshotConflict` if any writer commits
     while the purge is running (re-run after quiescing).  Returns a
-    summary dict: files_rewritten, rows_purged, versions_rewritten.
+    summary dict: files_rewritten, rows_purged, versions_rewritten —
+    ``rows_purged`` counts PHYSICAL row occurrences (a subject row
+    compacted/re-clustered into several generations of files counts
+    once per file that held it).
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructField, StructType

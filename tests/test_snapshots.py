@@ -3108,3 +3108,51 @@ def test_purge_key_partitioned_files_keep_partition_columns(spark, tmp_path):
     }
     assert sorted(got) == [k for k in range(12) if k not in (4, 9)]
     assert all(got[k] == (k % 3, k * 7) for k in got)
+
+
+def test_purge_key_keeps_bloom_and_zorder_metadata_safe(spark, tmp_path):
+    """Purging a file indexed by bloom/col_stats/clustered markers drops
+    only THAT file's entries (missing entry = always-candidate), so
+    point lookups stay correct and untouched files keep pruning."""
+    from flow_spark.operators.snapshots import (
+        snapshot_bloom_candidates,
+        snapshot_build_bloom,
+        snapshot_optimize_zorder,
+        snapshot_purge_key,
+        snapshot_read_point,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(2000).selectExpr(
+        "CAST(id % 50 AS BIGINT) AS x", "CAST(id DIV 50 AS BIGINT) AS y",
+        "id AS k",
+    )
+    snapshot_write(df, t)
+    # shift=0: the small x/y domains occupy only the low Morton bits,
+    # so the default shift would collapse everything into one bucket
+    snapshot_optimize_zorder(spark, t, "x", "y", shift=0, target_rows_per_file=500)
+    v_bloom = snapshot_build_bloom(spark, t, "k")
+    res = snapshot_purge_key(spark, t, "k", [7, 1333])
+    # 2 subjects x 2 physical copies (v1's original files + the zorder
+    # rewrite's clustered files): rows_purged counts physical rows
+    assert res["rows_purged"] == 4
+    head = current_version(t)
+    with open(os.path.join(t, "_manifests", f"v{head}.json")) as fh:
+        m = json.load(fh)
+    live = set(m["files"])
+    # bloom filters reference only live files; rewritten files have no
+    # entry (always-candidate), untouched files keep theirs
+    assert set(m["bloom"]["filters"]) <= live
+    for col, per in (m.get("col_stats") or {}).items():
+        assert set(per) <= live
+    assert set((m.get("clustered") or {}).get("files", [])) <= live
+    # point lookup through the weakened index still exact
+    got = snapshot_read_point(spark, t, 1333, v_bloom)
+    assert got.collect() == []
+    got2 = snapshot_read_point(spark, t, 55, v_bloom)
+    assert [r.k for r in got2.collect()] == [55]
+    # untouched files still prune: some file is skippable for a key
+    # that lives in a rewritten file's range
+    cands, total = snapshot_bloom_candidates(t, 55, v_bloom)
+    assert total > 2  # several clustered files, not all rewritten
+    assert len(cands) < total
