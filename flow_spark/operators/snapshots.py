@@ -2999,67 +2999,109 @@ def snapshot_purge_key(
             "versions_rewritten": [],
         }
 
-    # ---- 2. rewrite each affected file once (full physical schema) ----
-    rows_purged = 0
-    new_path_of: "dict[str, str]" = {}
-    remap_frames = []
-    for f in affected:
+    # ---- 2. rewrite the affected files: ONE job per (footer schema,
+    # basePath) group, not one per file — at 100 TB a subject can touch
+    # hundreds of files, and a driver loop of per-file jobs would
+    # serialize them.  partitionBy on a per-source-file id writes each
+    # input file's survivors to its own output file in the same task
+    # (the repartition hashes on __fp, so a file's rows never split),
+    # preserving original row order via the in-partition sort.
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    def _group_read(base: "str | None", files: "list[str]"):
         rd = spark.read
-        base = base_by_file.get(f)
         if base is not None:
             # partition values live in the PATH: basePath materializes
             # them as columns, and the rewritten file carries them in
             # the payload instead (its manifest entries lose the base,
             # so readers take the payload route)
             rd = rd.option("basePath", base)
-        full = rd.parquet(f).withColumn("__ri", F.col("_metadata.row_index"))
-        is_purged = F.lit(False)
-        for pname in pnames_of[f]:
-            is_purged = is_purged | F.coalesce(
-                F.col(pname).isin(values), F.lit(False)
-            )
-        keep = full.filter(~is_purged)
-        # file-sized single-partition window: position after purge =
-        # rank by original row index (files are <= one task's worth of
-        # rows by construction of the write paths)
-        keep = keep.withColumn(
-            "__new_ri", F.row_number().over(Window.orderBy("__ri")) - 1
-        ).localCheckpoint()
-        out_dir = os.path.join(
-            table_dir, DATA_DIR, "purge-" + uuid.uuid4().hex[:12]
+        full = rd.parquet(*sorted(files)).withColumns(
+            {
+                "__fp": F.col("_metadata.file_path"),
+                "__ri": F.col("_metadata.row_index"),
+            }
         )
+        cond = F.lit(False)
+        # groups share a footer schema, so every file's physical key
+        # name(s) resolve in every group member
+        for pname in sorted({p for f in files for p in pnames_of[f]}):
+            cond = cond | F.coalesce(F.col(pname).isin(values), F.lit(False))
+        return full.filter(~cond)
+
+    groups: "dict[tuple, list[str]]" = {}
+    rows_before = 0
+    for f in affected:
+        footer = str(pq.read_schema(f))
+        groups.setdefault((base_by_file.get(f), footer), []).append(f)
+        rows_before += pq.ParquetFile(f).metadata.num_rows
+    group_items = sorted(groups.items(), key=lambda kv: (kv[0][0] or "", kv[0][1]))
+    out_dir = os.path.join(table_dir, DATA_DIR, "purge-" + uuid.uuid4().hex[:12])
+    for (base, _footer), files in group_items:
         (
-            keep.coalesce(1)
-            .sortWithinPartitions("__ri")
-            .drop("__ri", "__new_ri")
-            .write.mode("error")
+            _group_read(base, files)
+            .repartition(F.col("__fp"))
+            .sortWithinPartitions("__fp", "__ri")
+            .withColumn("__pf", F.substring(F.md5(F.col("__fp")), 1, 16))
+            .drop("__fp", "__ri")
+            .write.mode("append")
+            .partitionBy("__pf")
             .parquet(out_dir)
         )
-        new_files = [
-            os.path.join(out_dir, x)
-            for x in os.listdir(out_dir)
-            if x.endswith(".parquet")
-        ]
-        if len(new_files) != 1:  # pragma: no cover - coalesce(1) contract
-            raise RuntimeError(f"expected one rewritten file in {out_dir}")
-        new_path_of[f] = new_files[0]
-        n_before = full.count()
-        n_after = keep.count()
-        rows_purged += n_before - n_after
-        remap_frames.append(
-            keep.select(
-                F.lit("file:" + f).alias("__fp"),
-                F.col("__ri"),
-                F.lit("file:" + new_files[0]).alias("__new_fp"),
-                F.col("__new_ri"),
-            )
+    # map each source file to its rewritten output (absent = every row
+    # of the file was purged: the file drops out of the manifests)
+    new_path_of: "dict[str, str]" = {}
+    rows_after = 0
+    for f in affected:
+        pf_dir = os.path.join(
+            out_dir,
+            "__pf=" + hashlib.md5(("file:" + f).encode()).hexdigest()[:16],
         )
-    remap = remap_frames[0]
-    for fr in remap_frames[1:]:
-        remap = remap.unionByName(fr)
+        if not os.path.isdir(pf_dir):
+            continue
+        parts = [x for x in os.listdir(pf_dir) if x.endswith(".parquet")]
+        if len(parts) != 1:  # pragma: no cover - one task per __fp contract
+            raise RuntimeError(f"expected one rewritten file in {pf_dir}")
+        new_path_of[f] = os.path.join(pf_dir, parts[0])
+        rows_after += pq.ParquetFile(new_path_of[f]).metadata.num_rows
+    rows_purged = rows_before - rows_after
     affected_uris = ["file:" + f for f in affected]
 
     # ---- 3. remap per-version deletion vectors -------------------------
+    # the remap table (old (file, row_index) -> new) is built lazily,
+    # only when some version's vectors actually reference an affected
+    # file: one distributed window over a second pass of the survivors
+    remap = None
+
+    def _remap():
+        nonlocal remap
+        if remap is None:
+            parts = []
+            for (base, _footer), files in group_items:
+                parts.append(
+                    _group_read(base, files).select(
+                        "__fp",
+                        "__ri",
+                        (
+                            F.row_number().over(
+                                Window.partitionBy("__fp").orderBy("__ri")
+                            )
+                            - 1
+                        ).alias("__new_ri"),
+                    )
+                )
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            uri_map = spark.createDataFrame(
+                [("file:" + f, "file:" + nf) for f, nf in new_path_of.items()],
+                ["__fp", "__new_fp"],
+            )
+            remap = df.join(F.broadcast(uri_map), "__fp", "inner")
+        return remap
+
     new_dv_of: "dict[int, list[str]]" = {}
     for v in sorted(manifests):
         dv_dirs = manifests[v].get("dv_dirs") or []
@@ -3070,7 +3112,7 @@ def snapshot_purge_key(
         if touched.limit(1).count() == 0:
             continue
         untouched_dv = dv.filter(~F.col("__fp").isin(affected_uris))
-        moved = touched.join(remap, ["__fp", "__ri"], "inner").select(
+        moved = touched.join(_remap(), ["__fp", "__ri"], "inner").select(
             F.col("__new_fp").alias("__fp"), F.col("__new_ri").alias("__ri")
         )
         new_dv_dir = os.path.join(
@@ -3080,21 +3122,45 @@ def snapshot_purge_key(
         new_dv_of[v] = [new_dv_dir]
 
     # ---- 4. republish manifests in place -------------------------------
-    stats_cache: "dict[tuple[str, str], list | None]" = {}
-
-    def _minmax(path: str, phys_col: str) -> "list | None":
-        key = (path, phys_col)
-        if key not in stats_cache:
-            r = (
-                spark.read.parquet(path)
-                .agg(F.min(phys_col), F.max(phys_col))
-                .collect()[0]
-            )
-            ok = all(isinstance(x, (int, float, str)) for x in (r[0], r[1]))
-            stats_cache[key] = [r[0], r[1]] if ok else None
-        return stats_cache[key]
-
     affected_set = set(affected)
+
+    # data-skipping stats for the rewritten files: ONE batched per-file
+    # min/max scan per needed physical column (explicit single-column
+    # schema, so heterogeneous footers can share the scan)
+    stats_needs: "dict[tuple[str, str], set[str]]" = {}
+    stats_types: "dict[tuple[str, str], object]" = {}
+    for v in sorted(manifests):
+        m = manifests[v]
+        stats_col = m.get("stats_col")
+        if stats_col is None or not (set(m["files"]) & affected_set):
+            continue
+        phys_col = (m.get("column_mapping") or {}).get(stats_col, stats_col)
+        sch = StructType.fromJson(json.loads(m["schema"]))
+        ftype = next(
+            (fl.dataType for fl in sch.fields if fl.name == stats_col), None
+        )
+        if ftype is None:
+            continue
+        for f in affected_set & set(m.get("stats") or {}):
+            if f in new_path_of:
+                gkey = (phys_col, ftype.json())
+                stats_needs.setdefault(gkey, set()).add(new_path_of[f])
+                stats_types[gkey] = ftype
+    stats_cache: "dict[tuple[str, str], list | None]" = {}
+    for gkey, paths in sorted(stats_needs.items()):
+        phys_col = gkey[0]
+        one_col = StructType([StructField(phys_col, stats_types[gkey], True)])
+        for r in (
+            spark.read.schema(one_col)
+            .parquet(*sorted(paths))
+            .groupBy(F.col("_metadata.file_path").alias("__fp"))
+            .agg(F.min(phys_col).alias("mn"), F.max(phys_col).alias("mx"))
+            .collect()
+        ):
+            p = r["__fp"].removeprefix("file:")
+            ok = all(isinstance(x, (int, float, str)) for x in (r["mn"], r["mx"]))
+            stats_cache[(p, phys_col)] = [r["mn"], r["mx"]] if ok else None
+
     versions_rewritten = []
     for v in sorted(manifests):
         m = manifests[v]
@@ -3102,16 +3168,22 @@ def snapshot_purge_key(
         if not file_hit and v not in new_dv_of:
             continue
         if file_hit:
-            m["files"] = [new_path_of.get(f, f) for f in m["files"]]
+            # replaced 1:1 where survivors exist; a fully-purged file
+            # simply drops out of the version
+            m["files"] = [
+                new_path_of[f] if f in new_path_of else f
+                for f in m["files"]
+                if f not in affected_set or f in new_path_of
+            ]
             stats = m.get("stats") or {}
             stats_col = m.get("stats_col")
             for f in affected_set & set(stats):
                 stats.pop(f)
-                if stats_col is not None:
+                if stats_col is not None and f in new_path_of:
                     phys_col = (m.get("column_mapping") or {}).get(
                         stats_col, stats_col
                     )
-                    st = _minmax(new_path_of[f], phys_col)
+                    st = stats_cache.get((new_path_of[f], phys_col))
                     if st is not None:
                         stats[new_path_of[f]] = st
             # conservative drops: every consumer treats a missing entry

@@ -3156,3 +3156,30 @@ def test_purge_key_keeps_bloom_and_zorder_metadata_safe(spark, tmp_path):
     cands, total = snapshot_bloom_candidates(t, 55, v_bloom)
     assert total > 2  # several clustered files, not all rewritten
     assert len(cands) < total
+
+
+def test_purge_key_drops_fully_purged_files(spark, tmp_path):
+    """A file whose EVERY row is a purged subject drops out of each
+    version's manifest (no empty file left behind) and reads stay
+    consistent."""
+    from flow_spark.operators.snapshots import snapshot_files, snapshot_purge_key
+
+    t = str(tmp_path / "tbl")
+    v1 = snapshot_write(
+        spark.range(10).repartition(2, "id").selectExpr("id AS k"), t
+    )
+    by_file = {}
+    import pyarrow.parquet as pq
+
+    for f in snapshot_files(t, v1):
+        by_file[f] = sorted(
+            pq.read_table(f, columns=["k"]).column("k").to_pylist()
+        )
+    victim, victim_keys = next(iter(sorted(by_file.items())))
+    res = snapshot_purge_key(spark, t, "k", victim_keys)
+    assert res["rows_purged"] == len(victim_keys)
+    files_now = snapshot_files(t, v1)
+    assert victim not in files_now
+    assert len(files_now) == len(by_file) - 1
+    survivors = sorted(r.k for r in snapshot_read(spark, t, v1).collect())
+    assert survivors == sorted(set(range(10)) - set(victim_keys))
