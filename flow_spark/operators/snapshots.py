@@ -3911,6 +3911,7 @@ def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
                 bool(m.get("dv_dirs")),
                 len(m.get("constraints") or []),
                 json.dumps(m.get("txns") or {}, sort_keys=True),
+                len(m.get("purged") or []),
             )
         )
         prev_files = files
@@ -3918,7 +3919,7 @@ def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
         rows,
         "version int, committed_at double, n_files int, n_added int, "
         "n_removed int, n_columns int, column_mapping boolean, "
-        "has_dv boolean, n_constraints int, txns string",
+        "has_dv boolean, n_constraints int, txns string, n_purges int",
     )
 
 

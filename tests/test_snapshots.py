@@ -3183,3 +3183,40 @@ def test_purge_key_drops_fully_purged_files(spark, tmp_path):
     assert len(files_now) == len(by_file) - 1
     survivors = sorted(r.k for r in snapshot_read(spark, t, v1).collect())
     assert survivors == sorted(set(range(10)) - set(victim_keys))
+
+
+def test_purge_of_clone_leaves_source_untouched(spark, tmp_path):
+    """A shallow clone purges independently: rewritten survivors land
+    under the CLONE's directory, the clone's manifests stop referencing
+    the shared source files, and the source table still serves every
+    row (each table owns its own erasure)."""
+    from flow_spark.operators.snapshots import (
+        snapshot_clone,
+        snapshot_files,
+        snapshot_history,
+        snapshot_purge_key,
+    )
+
+    src = str(tmp_path / "src")
+    clone = str(tmp_path / "clone")
+    snapshot_write(spark.range(12).selectExpr("id AS k", "id * 5 AS val"), src)
+    snapshot_clone(src, clone)
+    res = snapshot_purge_key(spark, clone, "k", [4, 9])
+    assert res["rows_purged"] == 2
+    # clone no longer serves the subjects; source still does
+    assert sorted(r.k for r in snapshot_read(spark, clone).collect()) == [
+        k for k in range(12) if k not in (4, 9)
+    ]
+    assert sorted(r.k for r in snapshot_read(spark, src).collect()) == list(
+        range(12)
+    )
+    # the clone's rewritten files live under the clone, not the source
+    for f in snapshot_files(clone, current_version(clone)):
+        assert not os.path.realpath(f).startswith(os.path.realpath(src) + os.sep) or (
+            f in set(snapshot_files(src, current_version(src)))
+        )
+    # DESCRIBE HISTORY surfaces the purge on the clone only
+    h_clone = {r.version: r.n_purges for r in snapshot_history(spark, clone).collect()}
+    h_src = {r.version: r.n_purges for r in snapshot_history(spark, src).collect()}
+    assert any(n > 0 for n in h_clone.values())
+    assert all(n == 0 for n in h_src.values())

@@ -144,6 +144,7 @@ FAMILIES = {
         "snap_shallow_clone",
         "snap_stats_agg",
         "snap_hidden_partitioning",
+        "snap_purge_key",
         "stream_changefeed_replication",
     ],
     "ml": [
