@@ -3042,9 +3042,15 @@ def snapshot_purge_key(
     for (base, _footer), files in group_items:
         (
             _group_read(base, files)
+            .withColumn("__pf", F.md5(F.col("__fp")))
             .repartition(F.col("__fp"))
-            .sortWithinPartitions("__fp", "__ri")
-            .withColumn("__pf", F.substring(F.md5(F.col("__fp")), 1, 16))
+            # sort ON the partition id (not __fp): the dynamic-partition
+            # writer requires ordering by __pf and would otherwise
+            # insert its OWN sort, whose tie order within a file is not
+            # guaranteed — scrambling physical row order and breaking
+            # the DV remap.  (__pf, __ri) satisfies the requirement, so
+            # no extra sort lands and file order stays = __ri order.
+            .sortWithinPartitions("__pf", "__ri")
             .drop("__fp", "__ri")
             .write.mode("append")
             .partitionBy("__pf")
@@ -3057,7 +3063,7 @@ def snapshot_purge_key(
     for f in affected:
         pf_dir = os.path.join(
             out_dir,
-            "__pf=" + hashlib.md5(("file:" + f).encode()).hexdigest()[:16],
+            "__pf=" + hashlib.md5(("file:" + f).encode()).hexdigest(),
         )
         if not os.path.isdir(pf_dir):
             continue

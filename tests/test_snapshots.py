@@ -3220,3 +3220,26 @@ def test_purge_of_clone_leaves_source_untouched(spark, tmp_path):
     h_src = {r.version: r.n_purges for r in snapshot_history(spark, src).collect()}
     assert any(n > 0 for n in h_clone.values())
     assert all(n == 0 for n in h_src.values())
+
+
+def test_purge_key_dv_remap_multi_file_order(spark, tmp_path):
+    """Many files, scattered DV deletes, scattered purge subjects: the
+    remapped vectors must hit exactly the original deleted rows — this
+    breaks if the rewrite perturbs physical row order in ANY file."""
+    from flow_spark.operators.snapshots import (
+        snapshot_delete,
+        snapshot_purge_key,
+    )
+
+    t = str(tmp_path / "tbl")
+    v1 = snapshot_write(
+        spark.range(1000).repartition(4, "id").selectExpr("id AS k"), t
+    )
+    v2 = snapshot_delete(spark, t, "k % 17 = 3")
+    purged = [k for k in range(1000) if k % 13 == 7]
+    res = snapshot_purge_key(spark, t, "k", purged)
+    assert res["rows_purged"] == len(purged)
+    expect_v1 = sorted(set(range(1000)) - set(purged))
+    expect_v2 = [k for k in expect_v1 if k % 17 != 3]
+    assert sorted(r.k for r in snapshot_read(spark, t, v1).collect()) == expect_v1
+    assert sorted(r.k for r in snapshot_read(spark, t, v2).collect()) == expect_v2
