@@ -3243,3 +3243,26 @@ def test_purge_key_dv_remap_multi_file_order(spark, tmp_path):
     expect_v2 = [k for k in expect_v1 if k % 17 != 3]
     assert sorted(r.k for r in snapshot_read(spark, t, v1).collect()) == expect_v1
     assert sorted(r.k for r in snapshot_read(spark, t, v2).collect()) == expect_v2
+
+
+def test_purge_key_detects_concurrent_commit(spark, tmp_path, monkeypatch):
+    """A writer landing a version while the purge runs must surface as
+    SnapshotConflict after the (still-consistent) republish."""
+    from flow_spark.operators import snapshots as S
+
+    t = str(tmp_path / "tbl")
+    S.snapshot_write(spark.range(10).selectExpr("id AS k"), t)
+    real = S.current_version
+    calls = {"n": 0}
+
+    def racing(table_dir):
+        calls["n"] += 1
+        v = real(table_dir)
+        # second call is the post-republish check: simulate a racer
+        return v + 1 if calls["n"] > 1 else v
+
+    monkeypatch.setattr(S, "current_version", racing)
+    import pytest as _pytest
+
+    with _pytest.raises(S.SnapshotConflict):
+        S.snapshot_purge_key(spark, t, "k", [3])
