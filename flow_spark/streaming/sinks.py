@@ -181,6 +181,58 @@ def append_sink(
     ).option("checkpointLocation", checkpoint_dir)
 
 
+def enrich_sink_batch(
+    dim_dir: str,
+    table_dir: str,
+    on: "str | list[str]",
+    txn_app: str = "enrich_sink",
+):
+    """foreachBatch handler: left-join each micro-batch against the
+    CURRENT head of a snapshot dimension table, then append exactly-once.
+
+    The dimension is RE-RESOLVED on every batch — Delta's stream-static
+    join semantics, where the static side is not frozen at query start:
+    a MERGE/append landing on the dimension mid-stream applies to every
+    later micro-batch (the standard slowly-changing-dimension enrichment
+    contract).  Spark's native stream-static join pins the static plan
+    at query start for plain parquet; going through the manifest read
+    here gives the Delta behavior on top of raw parquet files.
+
+    Exactly-once rides on :func:`append_sink`'s manifest-native txn
+    marker (batch_id in the same atomic commit as the data).  At 100 TB
+    the dimension read is one manifest resolve + a broadcast-or-shuffle
+    join per batch, with the usual stats/bloom pruning intact.
+    """
+    from flow_spark.operators.snapshots import snapshot_append, snapshot_read
+
+    keys = [on] if isinstance(on, str) else list(on)
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        dim = snapshot_read(spark, dim_dir)  # current head, per batch
+        enriched = batch.join(dim, keys, "left")
+        snapshot_append(
+            enriched, table_dir, txn_app=txn_app, txn_version=int(batch_id)
+        )
+
+    return handle
+
+
+def enrich_sink(
+    df: DataFrame,
+    dim_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    on: "str | list[str]",
+    txn_app: str = "enrich_sink",
+):
+    """Streaming enrichment against a LIVE snapshot dimension — see
+    :func:`enrich_sink_batch`.  Returns the DataStreamWriter."""
+    return df.writeStream.foreachBatch(
+        enrich_sink_batch(dim_dir, table_dir, on, txn_app)
+    ).option("checkpointLocation", checkpoint_dir)
+
+
 def upsert_sink(
     df: DataFrame,
     table_dir: str,

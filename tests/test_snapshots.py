@@ -3266,3 +3266,42 @@ def test_purge_key_detects_concurrent_commit(spark, tmp_path, monkeypatch):
 
     with _pytest.raises(S.SnapshotConflict):
         S.snapshot_purge_key(spark, t, "k", [3])
+
+
+def test_enrich_sink_sees_dimension_updates_between_batches(spark, tmp_path):
+    """Stream-static enrichment with Delta semantics: the snapshot
+    dimension is re-resolved EVERY batch, so an update landing between
+    micro-batches applies to later batches (Spark's native stream-static
+    join over plain parquet would pin the file list at query start)."""
+    from flow_spark.streaming.sinks import enrich_sink_batch
+
+    dim = str(tmp_path / "dim")
+    out = str(tmp_path / "out")
+    snapshot_write(
+        spark.createDataFrame([(1, "bronze"), (2, "silver")], ["cust", "tier"]),
+        dim,
+    )
+    snapshot_write(
+        spark.createDataFrame([], "cust long, evt string, tier string"), out
+    )
+    handle = enrich_sink_batch(dim, out, on="cust")
+    handle(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["cust", "evt"]), 0)
+    # dimension changes mid-stream: tier 2 upgraded, cust 3 appears
+    snapshot_write(
+        spark.createDataFrame(
+            [(1, "bronze"), (2, "gold"), (3, "steel")], ["cust", "tier"]
+        ),
+        dim,
+    )
+    handle(spark.createDataFrame([(1, "d"), (3, "e")], ["cust", "evt"]), 1)
+    handle(spark.createDataFrame([(1, "d"), (3, "e")], ["cust", "evt"]), 1)  # replay
+    got = sorted(
+        (r.cust, r.evt, r.tier) for r in snapshot_read(spark, out).collect()
+    )
+    assert got == [
+        (1, "a", "bronze"),
+        (1, "d", "bronze"),
+        (2, "b", "silver"),   # batch 0 saw the OLD tier
+        (3, "c", None),       # cust 3 unknown at batch 0
+        (3, "e", "steel"),    # batch 1 sees the update
+    ]
