@@ -3305,3 +3305,50 @@ def test_enrich_sink_sees_dimension_updates_between_batches(spark, tmp_path):
         (3, "c", None),       # cust 3 unknown at batch 0
         (3, "e", "steel"),    # batch 1 sees the update
     ]
+
+
+def test_enrich_sink_live_stream_checkpoint_resume(spark, tmp_path):
+    """Live writeStream integration: availableNow run 1 enriches the
+    first spool file, the dimension is updated, and the checkpoint-
+    resumed run 2 processes ONLY the new file — against the new head."""
+    from flow_spark.streaming.sinks import enrich_sink
+
+    dim = str(tmp_path / "dim")
+    out = str(tmp_path / "out")
+    spool = tmp_path / "spool"
+    ckpt = str(tmp_path / "ckpt")
+    spool.mkdir()
+    snapshot_write(
+        spark.createDataFrame([(1, "bronze"), (2, "silver")], ["cust", "tier"]),
+        dim,
+    )
+    snapshot_write(
+        spark.createDataFrame([], "cust long, evt string, tier string"), out
+    )
+    schema = "cust long, evt string"
+    spark.createDataFrame([(1, "a"), (2, "b")], ["cust", "evt"]).coalesce(
+        1
+    ).write.parquet(str(spool / "f1"))
+
+    def run_once():
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(spool))
+        q = enrich_sink(stream, dim, out, ckpt, on="cust").trigger(
+            availableNow=True
+        ).start()
+        q.awaitTermination(120)
+
+    run_once()
+    snapshot_write(
+        spark.createDataFrame([(1, "bronze"), (2, "gold")], ["cust", "tier"]),
+        dim,
+    )
+    spark.createDataFrame([(2, "c")], ["cust", "evt"]).coalesce(1).write.parquet(
+        str(spool / "f2")
+    )
+    run_once()
+    got = sorted(
+        (r.cust, r.evt, r.tier) for r in snapshot_read(spark, out).collect()
+    )
+    assert got == [(1, "a", "bronze"), (2, "b", "silver"), (2, "c", "gold")]
