@@ -876,6 +876,75 @@ def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_epoch_shuffle",
+    category="text-analysis",
+    doc="Deterministic EPOCH RESHUFFLE for training-data delivery: each "
+    "epoch assigns every doc a shard (hash % 8, epoch-salted) and an "
+    "intra-shard position (rank of the salted hash within the shard) — "
+    "a fresh pseudo-random permutation per epoch that is reproducible "
+    "under retries/re-plans and needs NO GLOBAL SORT: the shard "
+    "assignment is one hash, the position a per-shard window over "
+    "hash-partitioned data, so at 100 TB every shard ranks "
+    "independently (vs. a rank over the whole corpus, which would "
+    "funnel through a range-partitioned global sort per epoch).  The "
+    "oracle replays both epochs' placements bit-for-bit.",
+    oracle=f"""
+        WITH e AS (SELECT 0 AS epoch UNION ALL SELECT 1),
+        salted AS (
+            SELECT d.doc_id, e.epoch,
+                   {portable_hash_expr(
+                       "concat('ep', CAST(e.epoch AS VARCHAR), ':',"
+                       " CAST(d.doc_id AS VARCHAR))")} AS h
+            FROM documents d CROSS JOIN e
+        ),
+        placed AS (
+            SELECT doc_id, epoch, h % 8 AS shard,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY epoch, h % 8 ORDER BY h, doc_id
+                   ) - 1 AS pos
+            FROM salted
+        )
+        SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+               CAST(shard AS BIGINT) AS shard, CAST(pos AS BIGINT) AS pos
+        FROM placed
+        ORDER BY epoch, shard, pos
+    """,
+)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flow_spark.functions.hashing import portable_hash64
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+    salted = docs.crossJoin(epochs).select(
+        "doc_id",
+        "epoch",
+        portable_hash64(
+            F.concat(
+                F.lit("ep"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("h"),
+    )
+    # h is a non-negative 60-bit value: plain % == pmod in both engines
+    placed = salted.withColumn("shard", F.col("h") % F.lit(8)).withColumn(
+        "pos",
+        F.row_number().over(
+            W.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+        )
+        - 1,
+    )
+    return placed.select(
+        "doc_id",
+        F.col("epoch").cast("bigint").alias("epoch"),
+        F.col("shard").cast("bigint").alias("shard"),
+        F.col("pos").cast("bigint").alias("pos"),
+    ).orderBy("epoch", "shard", "pos")
+
+
+@register(
     "sample_source_rebalance",
     category="text-analysis",
     doc="Deterministic source-mix rebalancing: every source is downsampled "
