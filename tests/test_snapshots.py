@@ -3352,3 +3352,30 @@ def test_enrich_sink_live_stream_checkpoint_resume(spark, tmp_path):
         (r.cust, r.evt, r.tier) for r in snapshot_read(spark, out).collect()
     )
     assert got == [(1, "a", "bronze"), (2, "b", "silver"), (2, "c", "gold")]
+
+
+def test_purge_key_changefeed_stays_consistent(spark, tmp_path):
+    """After a purge, the changefeed between two rewritten versions
+    shows exactly the non-purged inserts — the shared-file pruning
+    (only exclusive files are diffed) still holds because the purge
+    replaces a shared file with the SAME new path in both manifests."""
+    from flow_spark.operators.snapshots import (
+        snapshot_changes,
+        snapshot_purge_key,
+    )
+
+    t = str(tmp_path / "tbl")
+    v1 = snapshot_write(
+        spark.range(10).repartition(1).selectExpr("id AS k", "id * 2 AS val"),
+        t,
+    )
+    v2 = snapshot_write(
+        spark.range(10, 16).repartition(1).selectExpr("id AS k", "id * 2 AS val"),
+        t,
+        reuse_files=snapshot_files(t, v1),
+    )
+    snapshot_purge_key(spark, t, "k", [3, 12])
+    ch = snapshot_changes(spark, t, v1, v2, "k", ["val"]).collect()
+    assert sorted((r.k, r.change_type) for r in ch) == [
+        (k, "insert") for k in (10, 11, 13, 14, 15)
+    ]
