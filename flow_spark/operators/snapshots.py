@@ -2991,10 +2991,26 @@ def snapshot_purge_key(
         )
         for r in hits:
             pnames_of.setdefault(r[0].removeprefix("file:"), []).append(pname)
+    # a table hive-partitioned ON the key stores it in the PATH, not the
+    # payload — the scan above cannot see it.  Those files are detected
+    # driver-side from the manifests' recorded partition values, and
+    # since every row of such a file shares the key value, the file
+    # DROPS ENTIRELY (no rewrite; its DV entries vanish with it).  The
+    # match uses str(value) — the exact path-string contract of
+    # snapshot_read_pruned.
+    str_values = {str(v) for v in values}
+    dropped_whole: "set[str]" = set()
+    for v in sorted(manifests):
+        parts_map = manifests[v].get("partitions") or {}
+        for f, pv in parts_map.items():
+            for pname in phys_names | {key_col}:
+                if pv.get(pname) in str_values and f not in pnames_of:
+                    dropped_whole.add(f)
     affected = sorted(pnames_of)
-    if not affected:
+    if not affected and not dropped_whole:
         return {
             "files_rewritten": 0,
+            "files_dropped": 0,
             "rows_purged": 0,
             "versions_rewritten": [],
         }
@@ -3072,8 +3088,10 @@ def snapshot_purge_key(
             raise RuntimeError(f"expected one rewritten file in {pf_dir}")
         new_path_of[f] = os.path.join(pf_dir, parts[0])
         rows_after += pq.ParquetFile(new_path_of[f]).metadata.num_rows
+    for f in dropped_whole:  # whole-file drops: every row is a subject
+        rows_before += pq.ParquetFile(f).metadata.num_rows
     rows_purged = rows_before - rows_after
-    affected_uris = ["file:" + f for f in affected]
+    affected_uris = ["file:" + f for f in sorted(set(affected) | dropped_whole)]
 
     # ---- 3. remap per-version deletion vectors -------------------------
     # the remap table (old (file, row_index) -> new) is built lazily,
@@ -3084,6 +3102,11 @@ def snapshot_purge_key(
     def _remap():
         nonlocal remap
         if remap is None:
+            if not group_items:  # only whole-file drops: nothing remaps
+                remap = spark.createDataFrame(
+                    [], "__fp string, __ri bigint, __new_ri bigint, __new_fp string"
+                )
+                return remap
             parts = []
             for (base, _footer), files in group_items:
                 parts.append(
@@ -3128,7 +3151,7 @@ def snapshot_purge_key(
         new_dv_of[v] = [new_dv_dir]
 
     # ---- 4. republish manifests in place -------------------------------
-    affected_set = set(affected)
+    affected_set = set(affected) | dropped_whole
 
     # data-skipping stats for the rewritten files: ONE batched per-file
     # min/max scan per needed physical column (explicit single-column
@@ -3230,6 +3253,7 @@ def snapshot_purge_key(
         )
     return {
         "files_rewritten": len(affected),
+        "files_dropped": len(dropped_whole) + (len(affected) - len(new_path_of)),
         "rows_purged": rows_purged,
         "versions_rewritten": versions_rewritten,
     }

@@ -3379,3 +3379,22 @@ def test_purge_key_changefeed_stays_consistent(spark, tmp_path):
     assert sorted((r.k, r.change_type) for r in ch) == [
         (k, "insert") for k in (10, 11, 13, 14, 15)
     ]
+
+
+def test_purge_key_partitioned_on_the_key_itself(spark, tmp_path):
+    """A table hive-partitioned ON the purge key stores it in the PATH
+    — the payload scan can't see it; the driver-side partition-value
+    check must catch those files and drop them whole."""
+    from flow_spark.operators.snapshots import (
+        snapshot_purge_key,
+        snapshot_write_partitioned,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(40).selectExpr("CAST(id % 4 AS INT) AS region", "id AS k")
+    v1 = snapshot_write_partitioned(df, t, ["region"])
+    res = snapshot_purge_key(spark, t, "region", [2])
+    assert res["rows_purged"] == 10
+    assert res["files_dropped"] == 1 and res["files_rewritten"] == 0
+    got = sorted((r.region, r.k) for r in snapshot_read(spark, t, v1).collect())
+    assert got == sorted((k % 4, k) for k in range(40) if k % 4 != 2)
