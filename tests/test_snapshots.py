@@ -3398,3 +3398,51 @@ def test_purge_key_partitioned_on_the_key_itself(spark, tmp_path):
     assert res["files_dropped"] == 1 and res["files_rewritten"] == 0
     got = sorted((r.region, r.k) for r in snapshot_read(spark, t, v1).collect())
     assert got == sorted((k % 4, k) for k in range(40) if k % 4 != 2)
+
+
+def test_purge_key_crash_mid_republish_rerun_completes(spark, tmp_path, monkeypatch):
+    """A crash after SOME manifests republished leaves every version
+    readable (old or new, both consistent); re-running the purge
+    finishes the rest — the documented resume contract."""
+    import flow_spark.operators.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    v1 = S.snapshot_write(
+        spark.range(10).repartition(1).selectExpr("id AS k"), t
+    )
+    v2 = S.snapshot_write(
+        spark.range(10, 20).repartition(1).selectExpr("id AS k"),
+        t,
+        reuse_files=S.snapshot_files(t, v1),
+    )
+    real_replace = os.replace
+    calls = {"n": 0}
+
+    def crashing_replace(src, dst):
+        # let the v1 manifest republish land, then crash before v2's
+        if dst.endswith("v2.json"):
+            calls["n"] += 1
+            raise OSError("simulated crash mid-republish")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(S.os, "replace", crashing_replace)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="simulated crash"):
+        S.snapshot_purge_key(spark, t, "k", [3, 12])
+    # partial state: v1 purged, v2 not — both still read consistently
+    assert sorted(r.k for r in S.snapshot_read(spark, t, v1).collect()) == [
+        k for k in range(10) if k != 3
+    ]
+    assert sorted(r.k for r in S.snapshot_read(spark, t, v2).collect()) == list(
+        range(20)
+    )
+    monkeypatch.setattr(S.os, "replace", real_replace)
+    res = S.snapshot_purge_key(spark, t, "k", [3, 12])
+    assert res["rows_purged"] >= 1  # finishes the unreached versions
+    assert sorted(r.k for r in S.snapshot_read(spark, t, v1).collect()) == [
+        k for k in range(10) if k != 3
+    ]
+    assert sorted(r.k for r in S.snapshot_read(spark, t, v2).collect()) == [
+        k for k in range(20) if k not in (3, 12)
+    ]
