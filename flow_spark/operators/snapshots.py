@@ -1118,6 +1118,7 @@ def snapshot_vacuum(
     table_dir: str,
     keep_versions: int = 2,
     orphan_grace_seconds: float = 3600,
+    dry_run: bool = False,
 ) -> "dict[str, int]":
     """Garbage-collect versions and data files past the retention window.
 
@@ -1131,6 +1132,10 @@ def snapshot_vacuum(
     they are older than ``orphan_grace_seconds`` — the grace window
     protects a commit that is in flight right now.  Driver-side file
     ops only; returns {'versions_dropped': n, 'files_deleted': m}.
+
+    ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``) computes the same
+    counts and touches NOTHING — the pre-flight an operator runs before
+    an irreversible retention sweep.
     """
     if keep_versions < 1:
         raise ValueError(
@@ -1163,6 +1168,7 @@ def snapshot_vacuum(
                     live_files.update(json.load(fh).get("files", []))
     dropped = 0
     deleted = 0
+    counted: set[str] = set()  # dry-run double-count guard
     own = os.path.realpath(table_dir) + os.sep
     for v in all_versions:
         if v in keep:
@@ -1174,12 +1180,16 @@ def snapshot_vacuum(
             # only the owning table's vacuum may (Delta's rule)
             if (
                 f not in live_files
+                and f not in counted
                 and os.path.realpath(f).startswith(own)
                 and os.path.exists(f)
             ):
-                os.remove(f)
+                if not dry_run:
+                    os.remove(f)
+                counted.add(f)
                 deleted += 1
-        os.remove(_manifest_path(table_dir, v))
+        if not dry_run:
+            os.remove(_manifest_path(table_dir, v))
         dropped += 1
     # orphan sweep: uuid write dirs referenced by NO remaining manifest
     # (a commit that crashed before its manifest rename), past the grace
@@ -1214,17 +1224,25 @@ def snapshot_vacuum(
                     if (
                         p.endswith(".parquet")
                         and p not in live_files
+                        and p not in counted
                         and now - os.path.getmtime(p) > orphan_grace_seconds
                     ):
-                        os.remove(p)
+                        if not dry_run:
+                            os.remove(p)
+                        counted.add(p)
                         deleted += 1
                 continue
             mtimes = [os.path.getmtime(p) for p in entries] or [
                 os.path.getmtime(subdir)  # crashed before any file landed
             ]
             if all(now - m > orphan_grace_seconds for m in mtimes):
-                deleted += sum(1 for p in entries if p.endswith(".parquet"))
-                shutil.rmtree(subdir)
+                deleted += sum(
+                    1
+                    for p in entries
+                    if p.endswith(".parquet") and p not in counted
+                )
+                if not dry_run:
+                    shutil.rmtree(subdir)
     # deletion-vector sidecars referenced by NO remaining manifest are
     # reclaimed the same way (a DV dir outlives its manifests only while
     # some kept version still lists it in dv_dirs); same grace window
@@ -1242,7 +1260,8 @@ def snapshot_vacuum(
             if subdir in live_dv or not os.path.isdir(subdir):
                 continue
             if now - os.path.getmtime(subdir) > orphan_grace_seconds:
-                shutil.rmtree(subdir)
+                if not dry_run:
+                    shutil.rmtree(subdir)
     return {"versions_dropped": dropped, "files_deleted": deleted}
 
 
@@ -3950,6 +3969,88 @@ def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
         "version int, committed_at double, n_files int, n_added int, "
         "n_removed int, n_columns int, column_mapping boolean, "
         "has_dv boolean, n_constraints int, txns string, n_purges int",
+    )
+
+
+def snapshot_detail(spark: SparkSession, table_dir: str) -> DataFrame:
+    """DESCRIBE DETAIL: one row for the CURRENT version — location,
+    version, file count, total bytes/rows (parquet footers, no data
+    read), schema width, and which features are in force.  The
+    companion to :func:`snapshot_history` (one row per version)."""
+    import pyarrow.parquet as pq
+
+    v = current_version(table_dir)
+    if v < 1:
+        raise FileNotFoundError(f"no committed versions in {table_dir}")
+    with open(_manifest_path(table_dir, v)) as fh:
+        m = json.load(fh)
+    n_bytes = 0
+    n_rows = 0
+    for f in m["files"]:
+        n_bytes += os.path.getsize(f)
+        n_rows += pq.ParquetFile(f).metadata.num_rows
+    row = (
+        table_dir,
+        v,
+        len(m["files"]),
+        n_bytes,
+        n_rows,
+        len(json.loads(m["schema"]).get("fields", [])),
+        m.get("stats_col"),
+        bool(m.get("column_mapping")),
+        bool(m.get("dv_dirs")),
+        bool(m.get("bloom")),
+        bool(m.get("partition_transforms")),
+        len(m.get("constraints") or []),
+        len(snapshot_tags(table_dir)),
+    )
+    return spark.createDataFrame(
+        [row],
+        "location string, version int, n_files int, size_bytes long, "
+        "n_rows long, n_columns int, stats_col string, "
+        "column_mapping boolean, has_dv boolean, has_bloom boolean, "
+        "hidden_partitioning boolean, n_constraints int, n_tags int",
+    )
+
+
+def snapshot_files_table(
+    spark: SparkSession, table_dir: str, version: "int | str | None" = None
+) -> DataFrame:
+    """Iceberg's ``.files`` metadata table: one row per live data file
+    of a version — path, size, footer row count, the manifest's
+    data-skipping [min, max] for ``stats_col``, recorded partition
+    values, and whether the file sits in the clustered (Z-ordered) set.
+    Driver-side manifest walk + parquet footers, zero data read; at
+    100 TB this is the table an operator samples before deciding
+    whether to compact, re-cluster, or re-stat."""
+    import pyarrow.parquet as pq
+
+    v = snapshot_resolve(table_dir, version)
+    if v is None:
+        v = current_version(table_dir)
+    with open(_manifest_path(table_dir, v)) as fh:
+        m = json.load(fh)
+    stats = m.get("stats") or {}
+    parts = m.get("partitions") or {}
+    clustered = set((m.get("clustered") or {}).get("files") or [])
+    rows = []
+    for f in m["files"]:
+        st = stats.get(f)
+        rows.append(
+            (
+                f,
+                os.path.getsize(f),
+                pq.ParquetFile(f).metadata.num_rows,
+                None if st is None else str(st[0]),
+                None if st is None else str(st[1]),
+                json.dumps(parts.get(f) or {}, sort_keys=True),
+                f in clustered,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "path string, size_bytes long, n_rows long, stats_min string, "
+        "stats_max string, partition_values string, clustered boolean",
     )
 
 

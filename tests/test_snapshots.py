@@ -3446,3 +3446,54 @@ def test_purge_key_crash_mid_republish_rerun_completes(spark, tmp_path, monkeypa
     assert sorted(r.k for r in S.snapshot_read(spark, t, v2).collect()) == [
         k for k in range(20) if k not in (3, 12)
     ]
+
+
+def test_vacuum_dry_run_touches_nothing(spark, tmp_path):
+    """dry_run computes the same counts as the real sweep and leaves
+    every byte in place."""
+    from flow_spark.operators.snapshots import snapshot_vacuum
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(5).repartition(1).selectExpr("id AS k"), t)
+    snapshot_write(spark.range(5, 9).repartition(1).selectExpr("id AS k"), t)
+    snapshot_write(spark.range(9, 12).repartition(1).selectExpr("id AS k"), t)
+    preview = snapshot_vacuum(
+        t, keep_versions=1, orphan_grace_seconds=0, dry_run=True
+    )
+    # nothing moved: all versions still readable
+    assert current_version(t) == 3
+    assert sorted(r.k for r in snapshot_read(spark, t, 1).collect()) == list(
+        range(5)
+    )
+    real = snapshot_vacuum(t, keep_versions=1, orphan_grace_seconds=0)
+    assert preview == real
+    assert sorted(r.k for r in snapshot_read(spark, t, 3).collect()) == [
+        9, 10, 11,
+    ]
+
+
+def test_detail_and_files_metadata_tables(spark, tmp_path):
+    """DESCRIBE DETAIL + the .files metadata table agree with the
+    manifests and footers."""
+    from flow_spark.operators.snapshots import (
+        snapshot_detail,
+        snapshot_files_table,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.range(100).repartition(4, "id").selectExpr("id AS k"),
+        t,
+        stats_col="k",
+    )
+    d = snapshot_detail(spark, t).collect()[0]
+    assert (d.version, d.n_files, d.n_rows, d.n_columns) == (1, 4, 100, 1)
+    assert d.stats_col == "k" and not d.has_dv
+    ft = snapshot_files_table(spark, t).collect()
+    assert len(ft) == 4
+    assert sum(r.n_rows for r in ft) == 100
+    # the data-skipping stats surface per file and cover the domain
+    lows = [int(r.stats_min) for r in ft]
+    highs = [int(r.stats_max) for r in ft]
+    assert min(lows) == 0 and max(highs) == 99
+    assert all(not r.clustered for r in ft)
