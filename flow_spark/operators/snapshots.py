@@ -1872,7 +1872,13 @@ def _transform_value(ent: dict, value) -> str:
     kind, n = ent["kind"], ent["n"]
     if kind in ("year", "month", "day"):
         s = str(value)
-        return {"year": s[:4], "month": s[:7], "day": s[:10]}[kind]
+        if kind == "year":
+            # the write side is F.year(...) — an UNPADDED int string
+            # ('987' for year 987) — while str(date) zero-pads to 4
+            # digits; strip the padding or pruning silently drops
+            # matching files for years < 1000
+            return str(int(s[:4]))
+        return {"month": s[:7], "day": s[:10]}[kind]
     if kind == "bucket":
         return str(portable_hash64_py(str(value)) % n)
     if kind == "truncate":
@@ -1964,16 +1970,18 @@ def snapshot_write_partitioned(
         *names
     ).mode("error").parquet(write_dir)
     files: list[str] = []
-    for root, _dirs, names in os.walk(write_dir):
+    for root, _dirs, walk_names in os.walk(write_dir):
         files.extend(
-            os.path.join(root, n) for n in names if n.endswith(".parquet")
+            os.path.join(root, n) for n in walk_names if n.endswith(".parquet")
         )
     files.sort()
     # persistent constraints enforce on partitioned writes too (the
-    # basePath read recovers the spec columns a constraint may mention)
-    persistent = (
-        (_current_manifest(table_dir) or {}).get("constraints") or []
-    )
+    # basePath read recovers the spec columns a constraint may mention);
+    # read them from the SAME head manifest the transform/mapping checks
+    # used — a second _current_manifest read here would race a
+    # concurrent commit into checking constraints from a different
+    # version than the one validated above
+    persistent = head_manifest.get("constraints") or []
     if persistent and files:
         chk = (
             df.sparkSession.read.option("basePath", write_dir)
@@ -3045,7 +3053,21 @@ def snapshot_purge_key(
 
     import pyarrow.parquet as pq
 
-    def _group_read(base: "str | None", files: "list[str]"):
+    # declared type of every physical column across versions: a
+    # path-derived partition column must be CAST to it before the
+    # rewrite, because basePath reads type-INFER partition values
+    # (string year '1996' would land in the payload as INT32 and
+    # every later declared-schema read of the file would fail)
+    declared_phys_types: "dict[str, object]" = {}
+    for v in sorted(manifests, reverse=True):
+        m = manifests[v]
+        mapping = m.get("column_mapping") or {}
+        for fld in StructType.fromJson(json.loads(m["schema"])).fields:
+            declared_phys_types.setdefault(
+                mapping.get(fld.name, fld.name), fld.dataType
+            )
+
+    def _group_read(base: "str | None", files: "list[str]", footer_names):
         rd = spark.read
         if base is not None:
             # partition values live in the PATH: basePath materializes
@@ -3053,7 +3075,16 @@ def snapshot_purge_key(
             # the payload instead (its manifest entries lose the base,
             # so readers take the payload route)
             rd = rd.option("basePath", base)
-        full = rd.parquet(*sorted(files)).withColumns(
+        full = rd.parquet(*sorted(files))
+        path_cols = [c for c in full.columns if c not in footer_names]
+        casts = {
+            c: F.col(c).cast(declared_phys_types[c])
+            for c in path_cols
+            if c in declared_phys_types
+        }
+        if casts:
+            full = full.withColumns(casts)
+        full = full.withColumns(
             {
                 "__fp": F.col("_metadata.file_path"),
                 "__ri": F.col("_metadata.row_index"),
@@ -3067,16 +3098,19 @@ def snapshot_purge_key(
         return full.filter(~cond)
 
     groups: "dict[tuple, list[str]]" = {}
+    footer_names_of: "dict[tuple, set]" = {}
     rows_before = 0
     for f in affected:
-        footer = str(pq.read_schema(f))
-        groups.setdefault((base_by_file.get(f), footer), []).append(f)
+        schema_arrow = pq.read_schema(f)
+        gkey = (base_by_file.get(f), str(schema_arrow))
+        groups.setdefault(gkey, []).append(f)
+        footer_names_of[gkey] = set(schema_arrow.names)
         rows_before += pq.ParquetFile(f).metadata.num_rows
     group_items = sorted(groups.items(), key=lambda kv: (kv[0][0] or "", kv[0][1]))
     out_dir = os.path.join(table_dir, DATA_DIR, "purge-" + uuid.uuid4().hex[:12])
-    for (base, _footer), files in group_items:
+    for gkey, files in group_items:
         (
-            _group_read(base, files)
+            _group_read(gkey[0], files, footer_names_of[gkey])
             .withColumn("__pf", F.md5(F.col("__fp")))
             .repartition(F.col("__fp"))
             # sort ON the partition id (not __fp): the dynamic-partition
@@ -3127,9 +3161,9 @@ def snapshot_purge_key(
                 )
                 return remap
             parts = []
-            for (base, _footer), files in group_items:
+            for gkey, files in group_items:
                 parts.append(
-                    _group_read(base, files).select(
+                    _group_read(gkey[0], files, footer_names_of[gkey]).select(
                         "__fp",
                         "__ri",
                         (
@@ -3573,13 +3607,24 @@ def snapshot_rebase_info(
     added: "list[str]" = []
     removed: "list[str]" = []
     intervening: "list[int]" = []
-    prev_files = set(snapshot_files(table_dir, read_version))
-    for v in range(read_version + 1, head_version + 1):
-        cur_files = set(snapshot_files(table_dir, v))
-        intervening.append(v)
-        added.extend(sorted(cur_files - prev_files))
-        removed.extend(sorted(prev_files - cur_files))
-        prev_files = cur_files
+    try:
+        prev_files = set(snapshot_files(table_dir, read_version))
+        for v in range(read_version + 1, head_version + 1):
+            cur_files = set(snapshot_files(table_dir, v))
+            intervening.append(v)
+            added.extend(sorted(cur_files - prev_files))
+            removed.extend(sorted(prev_files - cur_files))
+            prev_files = cur_files
+    except FileNotFoundError as e:
+        # the reader's snapshot (or an intervening manifest) was
+        # vacuumed away mid-race: the classification is impossible, so
+        # answer with the conflict the caller is asking about rather
+        # than crashing the conflict classifier
+        raise SnapshotConflict(
+            f"manifest vacuumed during rebase classification of "
+            f"{table_dir} (read_version={read_version}): {e}; "
+            "replay the operation from the current head"
+        ) from None
     overlap = sorted(set(removed) & set(touched_files or []))
     return {
         "head_version": head_version,
@@ -4077,7 +4122,15 @@ def snapshot_maintenance(
     out: "dict" = {"clustered": False, "compacted": False}
     marker = m.get("clustered") or {}
     live = set(m.get("files") or [])
-    if marker.get("cols") and (live - set(marker.get("files") or [])):
+    if (
+        marker.get("cols")
+        and (live - set(marker.get("files") or []))
+        # incremental zorder refuses mapped tables (physical-name
+        # resolution of the cluster cols is ambiguous); the nightly job
+        # must keep vacuuming rather than crash — skip the re-cluster
+        # and leave the marker for a manual full OPTIMIZE
+        and not m.get("column_mapping")
+    ):
         xcol, ycol = marker["cols"]
         snapshot_optimize_zorder(
             spark, table_dir, xcol, ycol, incremental=True

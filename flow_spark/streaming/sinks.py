@@ -175,6 +175,11 @@ def append_sink(
     (appends, monotone batch ids); CDC upserts stay on
     :func:`upsert_sink`.  Returns the DataStreamWriter (caller picks
     trigger and starts).
+
+    ``txn_app`` MUST be unique per logical stream (Delta's txnAppId
+    contract): two independent streams sharing the default name on one
+    table share one batch-id watermark, and the later-starting stream's
+    low batch ids would be silently skipped as replays of the other's.
     """
     return df.writeStream.foreachBatch(
         append_sink_batch(table_dir, txn_app)
@@ -199,9 +204,11 @@ def enrich_sink_batch(
     here gives the Delta behavior on top of raw parquet files.
 
     Exactly-once rides on :func:`append_sink`'s manifest-native txn
-    marker (batch_id in the same atomic commit as the data).  At 100 TB
-    the dimension read is one manifest resolve + a broadcast-or-shuffle
-    join per batch, with the usual stats/bloom pruning intact.
+    marker (batch_id in the same atomic commit as the data); like
+    there, ``txn_app`` must be unique per logical stream writing to
+    the same table.  At 100 TB the dimension read is one manifest
+    resolve + a broadcast-or-shuffle join per batch, with the usual
+    stats/bloom pruning intact.
     """
     from flow_spark.operators.snapshots import snapshot_append, snapshot_read
 

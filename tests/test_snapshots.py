@@ -3497,3 +3497,101 @@ def test_detail_and_files_metadata_tables(spark, tmp_path):
     highs = [int(r.stats_max) for r in ft]
     assert min(lows) == 0 and max(highs) == 99
     assert all(not r.clustered for r in ft)
+
+
+def test_purge_key_preserves_string_partition_column_type(spark, tmp_path):
+    """A numeric-looking STRING partition value ('1996') must stay a
+    string through the purge rewrite: basePath reads type-INFER path
+    columns, and writing the inferred int would break every later
+    declared-schema read of the file."""
+    from flow_spark.operators.snapshots import (
+        snapshot_purge_key,
+        snapshot_write_partitioned,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(20).selectExpr(
+        "CAST(1990 + id % 2 AS STRING) AS oy", "id AS k"
+    )
+    v1 = snapshot_write_partitioned(df, t, ["oy"])
+    res = snapshot_purge_key(spark, t, "k", [3, 8])
+    assert res["rows_purged"] == 2
+    got = snapshot_read(spark, t, v1)
+    assert dict(got.dtypes)["oy"] == "string"
+    rows = sorted((r.k, r.oy) for r in got.collect())
+    assert rows == sorted(
+        (k, str(1990 + k % 2)) for k in range(20) if k not in (3, 8)
+    )
+
+
+def test_hidden_year_pruning_before_year_1000(spark, tmp_path):
+    """F.year() writes UNPADDED years ('987'); the driver-side pruning
+    twin must match or the file is silently skipped."""
+    import datetime
+
+    from flow_spark.operators.snapshots import (
+        snapshot_read_hidden,
+        snapshot_write_partitioned,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.sql(
+        "SELECT DATE'0987-06-01' AS d, 1 AS k "
+        "UNION ALL SELECT DATE'1987-06-01', 2"
+    )
+    snapshot_write_partitioned(df, t, ["year(d)"])
+    # a pre-1000 java.sql.Date cannot even cross py4j: pass the ISO
+    # string (the residual filter casts; the pruning twin sees the
+    # same zero-padded '0987-...' form a date value would produce)
+    res, n_sel, n_tot = snapshot_read_hidden(spark, t, {"d": "0987-06-01"})
+    assert [r.k for r in res.collect()] == [1]
+    assert n_sel == 1 and n_tot == 2
+
+
+def test_maintenance_skips_recluster_on_mapped_table(spark, tmp_path):
+    """The nightly one-call job must not crash when a clustering marker
+    coexists with column mapping — it skips the re-cluster and still
+    compact/vacuums."""
+    from flow_spark.operators.snapshots import (
+        snapshot_append,
+        snapshot_maintenance,
+        snapshot_optimize_zorder,
+        snapshot_rename_column,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.range(100).selectExpr("id AS x", "id % 7 AS y", "id AS k"), t
+    )
+    snapshot_optimize_zorder(spark, t, "x", "y", shift=0, target_rows_per_file=50)
+    snapshot_rename_column(t, "k", "key")
+    snapshot_append(
+        spark.range(100, 110).selectExpr("id AS x", "id % 7 AS y", "id AS key"),
+        t,
+    )
+    out = snapshot_maintenance(spark, t, keep_versions=10)
+    assert out["clustered"] is False  # skipped, not crashed
+    assert sorted(r.key for r in snapshot_read(spark, t).collect()) == list(
+        range(110)
+    )
+
+
+def test_rebase_info_conflict_on_vacuumed_manifest(spark, tmp_path):
+    """Classifying a race against a vacuumed-away snapshot answers
+    SnapshotConflict, not a raw FileNotFoundError."""
+    from flow_spark.operators.snapshots import (
+        SnapshotConflict,
+        snapshot_rebase_info,
+        snapshot_vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    for lo in (0, 10, 20, 30):
+        snapshot_write(
+            spark.range(lo, lo + 10).repartition(1).selectExpr("id AS k"), t
+        )
+    snapshot_vacuum(t, keep_versions=1, orphan_grace_seconds=0)
+    import pytest as _pytest
+
+    with _pytest.raises(SnapshotConflict, match="vacuumed"):
+        snapshot_rebase_info(t, 1, None)
