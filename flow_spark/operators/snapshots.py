@@ -2203,7 +2203,35 @@ def snapshot_clone(source_dir: str, target_dir: str) -> int:
     manifest["committed_at"] = time.time()
     manifest["cloned_from"] = {"table": source_dir, "version": src_v}
     _commit_manifest(manifest, _manifest_path(target_dir, 1))
+    # back-reference so the SOURCE knows its borrowers: an erasure on
+    # the source must reach every copy, and without this record the
+    # source has no way to even name them (best-effort local registry;
+    # a dropped clone leaves a stale entry that readers tolerate)
+    reg = os.path.join(source_dir, "_clones.json")
+    try:
+        with open(reg) as fh:
+            clones = json.load(fh)
+    except FileNotFoundError:
+        clones = []
+    if target_dir not in clones:
+        clones.append(target_dir)
+        tmp = f"{reg}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(clones, fh)
+        os.replace(tmp, reg)
     return 1
+
+
+def snapshot_clones(source_dir: str) -> "list[str]":
+    """Known shallow clones of ``source_dir`` (registered at clone
+    time), filtered to those that still exist as tables."""
+    reg = os.path.join(source_dir, "_clones.json")
+    try:
+        with open(reg) as fh:
+            clones = json.load(fh)
+    except FileNotFoundError:
+        return []
+    return [c for c in clones if current_version(c) >= 1]
 
 
 def _rename_meta_commit(table_dir: str, mutate) -> int:
@@ -2897,6 +2925,7 @@ def snapshot_purge_key(
     table_dir: str,
     key_col: str,
     values: "list",
+    acknowledge_clones: bool = False,
 ) -> dict:
     """Right-to-be-forgotten purge ACROSS HISTORY: physically remove every
     row whose ``key_col`` is in ``values`` from EVERY committed version.
@@ -2934,8 +2963,10 @@ def snapshot_purge_key(
 
     The old file bytes stay on disk until :func:`snapshot_vacuum` — run
     one after the purge to complete physical erasure.  Shallow clones
-    hold their own manifests referencing the shared files; purge each
-    clone too, then vacuum (documented clone-ownership rule).
+    hold their own manifests referencing the shared files, so a source
+    purge alone would leave them serving the subjects: the purge
+    REFUSES while registered clones exist (naming them), until each is
+    purged and the caller passes ``acknowledge_clones=True``.
 
     Single-admin operation: refuses to run with unpublished WAP branches
     staged, and raises :class:`SnapshotConflict` if any writer commits
@@ -2962,6 +2993,18 @@ def snapshot_purge_key(
             "unpublished WAP branches staged: publish or abort them "
             "before purging (staged files would keep the subject's rows)"
         )
+    # erasure must reach every copy: shallow clones borrow this table's
+    # files and would keep serving the subjects after a source purge.
+    # Refuse by default, NAMING the borrowers (registered at clone
+    # time), so the operator purges each clone too — then acknowledge.
+    if not acknowledge_clones:
+        live_clones = snapshot_clones(table_dir)
+        if live_clones:
+            raise ValueError(
+                "shallow clones reference this table's files and retain "
+                f"the subjects: {live_clones}; purge each clone, then "
+                "re-run with acknowledge_clones=True"
+            )
 
     manifests: "dict[int, dict]" = {}
     for v in range(1, head + 1):

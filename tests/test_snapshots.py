@@ -3595,3 +3595,33 @@ def test_rebase_info_conflict_on_vacuumed_manifest(spark, tmp_path):
 
     with _pytest.raises(SnapshotConflict, match="vacuumed"):
         snapshot_rebase_info(t, 1, None)
+
+
+def test_purge_source_refuses_while_clones_exist(spark, tmp_path):
+    """Erasure must reach every copy: a source purge names its
+    registered clones and refuses until acknowledged."""
+    from flow_spark.operators.snapshots import (
+        snapshot_clone,
+        snapshot_clones,
+        snapshot_purge_key,
+    )
+
+    src = str(tmp_path / "src")
+    clone = str(tmp_path / "clone")
+    snapshot_write(spark.range(10).selectExpr("id AS k"), src)
+    snapshot_clone(src, clone)
+    assert snapshot_clones(src) == [clone]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="clone"):
+        snapshot_purge_key(spark, src, "k", [4])
+    # purge the clone first, then acknowledge on the source
+    snapshot_purge_key(spark, clone, "k", [4])
+    res = snapshot_purge_key(spark, src, "k", [4], acknowledge_clones=True)
+    assert res["rows_purged"] == 1
+    assert sorted(r.k for r in snapshot_read(spark, src).collect()) == [
+        k for k in range(10) if k != 4
+    ]
+    assert sorted(r.k for r in snapshot_read(spark, clone).collect()) == [
+        k for k in range(10) if k != 4
+    ]
