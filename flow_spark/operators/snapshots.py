@@ -108,6 +108,13 @@ def _commit_manifest(manifest: dict, final: str) -> None:
             manifest["partition_transforms"] = prev_manifest[
                 "partition_transforms"
             ]
+        # ADD COLUMN initial defaults inherit the same way: a commit
+        # that drops them would silently turn pre-add rows' defaults
+        # into NULLs on every later read
+        if "initial_defaults" not in manifest and prev_manifest.get(
+            "initial_defaults"
+        ):
+            manifest["initial_defaults"] = prev_manifest["initial_defaults"]
     tmp = f"{final}.{uuid.uuid4().hex[:12]}.tmp"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -488,6 +495,7 @@ def _read_manifest_subset(
     columns to NULL (the exact interop bug this helper closes).
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
 
     mapping = manifest.get("column_mapping") or {}
     phys_schema = schema
@@ -503,20 +511,52 @@ def _read_manifest_subset(
     dv_dirs = manifest.get("dv_dirs") or []
     attach = with_meta or bool(dv_dirs)
     bases = manifest.get("bases", {})
-    by_base: "dict[str | None, list[str]]" = {}
+    # ADD COLUMN initial defaults (snapshot_add_column): files that
+    # predate the column are read WITHOUT it and get the recorded
+    # literal — reading them through the full schema instead would
+    # NULL-fill (losing the default) or, worse, resolve stale bytes of
+    # a previously-dropped same-name physical column.  Rows written
+    # after the add carry the column physically (including real NULLs),
+    # so the fill never touches them.
+    defaults = manifest.get("initial_defaults") or {}
+    d_sets = {c: set(e["files"]) for c, e in defaults.items()}
+    decl_fields = (
+        {
+            f.name: f.dataType
+            for f in StructType.fromJson(
+                json.loads(manifest["schema"])
+            ).fields
+        }
+        if defaults
+        else {}
+    )
+    by_grp: "dict[tuple, list[str]]" = {}
     for f in files:
-        by_base.setdefault(bases.get(f), []).append(f)
+        fills = tuple(sorted(c for c, s in d_sets.items() if f in s))
+        by_grp.setdefault((bases.get(f), fills), []).append(f)
     parts = []
-    for base in sorted(by_base, key=lambda b: (b is not None, b or "")):
+    for base, fills in sorted(
+        by_grp, key=lambda k: (k[0] is not None, k[0] or "", k[1])
+    ):
         rd = spark.read
         if base is not None:
             rd = rd.option("basePath", base)
-        if phys_schema is not None:
-            rd = rd.schema(phys_schema)
-        p = rd.parquet(*sorted(by_base[base]))
+        eff_schema = phys_schema
+        if phys_schema is not None and fills:
+            fill_phys = {mapping.get(c, c) for c in fills}
+            eff_schema = StructType(
+                [fl for fl in phys_schema.fields if fl.name not in fill_phys]
+            )
+        if eff_schema is not None:
+            rd = rd.schema(eff_schema)
+        p = rd.parquet(*sorted(by_grp[(base, fills)]))
         if mapping:
             p = p.withColumnsRenamed(
                 {phys: logical for logical, phys in mapping.items()}
+            )
+        for c in fills:
+            p = p.withColumn(
+                c, F.lit(defaults[c]["value"]).cast(decl_fields[c])
             )
         if attach:
             p = p.withColumns(
@@ -2339,6 +2379,11 @@ def snapshot_rename_column(table_dir: str, old: str, new: str) -> int:
             manifest["col_stats"] = cs
         if (manifest.get("bloom") or {}).get("col") == old:
             manifest["bloom"] = dict(manifest["bloom"], col=new)
+        # ADD COLUMN initial defaults are keyed by LOGICAL name: follow
+        if old in (manifest.get("initial_defaults") or {}):
+            d = dict(manifest["initial_defaults"])
+            d[new] = d.pop(old)
+            manifest["initial_defaults"] = d
 
     return _rename_meta_commit(table_dir, mutate)
 
@@ -2394,6 +2439,81 @@ def snapshot_drop_column(table_dir: str, col: str) -> int:
             manifest["col_stats"] = cs
         if (manifest.get("bloom") or {}).get("col") == col:
             manifest.pop("bloom", None)
+        if col in (manifest.get("initial_defaults") or {}):
+            d = dict(manifest["initial_defaults"])
+            d.pop(col)
+            # keep the (possibly empty) key PRESENT: _commit_manifest
+            # inherits a missing initial_defaults from the parent, which
+            # would resurrect the dropped column's fill entry
+            manifest["initial_defaults"] = d
+
+    return _rename_meta_commit(table_dir, mutate)
+
+
+def snapshot_add_column(
+    table_dir: str,
+    name: str,
+    dtype,
+    default=None,
+) -> int:
+    """ADD COLUMN without rewriting data — with an INITIAL DEFAULT
+    (Iceberg v3 initial-default / Delta ALTER TABLE ADD COLUMN): one
+    manifest write adds the field to the logical schema and records
+    ``{default, current files}``; every read fills the default for
+    exactly those pre-existing files (they are scanned WITHOUT the
+    column, so stale bytes of a previously-dropped same-name physical
+    column can never resurface either — though adding a retired name is
+    refused outright for consistency with the write-side guard).  Rows
+    written AFTER the add carry the column physically, including real
+    NULLs — the default never touches them; rewrites (compaction,
+    MERGE survivors) physicalize the default naturally because they
+    read through the manifest.  Time travel to a pre-add version sees
+    the old schema.
+
+    ``dtype``: a ``pyspark.sql.types.DataType`` or one of the common
+    DDL names (string/int/bigint/double/float/boolean/date/timestamp).
+    Returns the new version.
+    """
+    from pyspark.sql import types as T
+
+    ddl = {
+        "string": T.StringType(),
+        "int": T.IntegerType(),
+        "integer": T.IntegerType(),
+        "bigint": T.LongType(),
+        "long": T.LongType(),
+        "double": T.DoubleType(),
+        "float": T.FloatType(),
+        "boolean": T.BooleanType(),
+        "date": T.DateType(),
+        "timestamp": T.TimestampType(),
+    }
+    dt = ddl[dtype.lower()] if isinstance(dtype, str) else dtype
+
+    def mutate(manifest: dict) -> None:
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        names = schema.fieldNames()
+        if name in names:
+            raise ValueError(f"add: column {name!r} already exists")
+        if name in (manifest.get("retired_physical") or []):
+            raise ValueError(
+                f"add: {name!r} is a RETIRED physical name — reused files "
+                "still carry its stale bytes; pick a different name or "
+                "full-rewrite first (snapshot_optimize_zorder)"
+            )
+        mapping = manifest.get("column_mapping") or {}
+        other_phys = {mapping.get(l, l) for l in names}
+        if name in other_phys:
+            raise ValueError(
+                f"add: {name!r} is another column's physical (on-disk) "
+                "name; pick a different name"
+            )
+        manifest["schema"] = T.StructType(
+            list(schema.fields) + [T.StructField(name, dt, True)]
+        ).json()
+        d = dict(manifest.get("initial_defaults") or {})
+        d[name] = {"value": default, "files": list(manifest.get("files") or [])}
+        manifest["initial_defaults"] = d
 
     return _rename_meta_commit(table_dir, mutate)
 
@@ -3330,6 +3450,16 @@ def snapshot_purge_key(
             cl = m.get("clustered")
             if cl and cl.get("files"):
                 cl["files"] = [f for f in cl["files"] if f not in affected_set]
+            # ADD COLUMN pre-file sets follow the rewrite: the purge
+            # copies the FOOTER schema, so a file that lacked an added
+            # column still lacks it — its new path must stay in the
+            # fill set or the default silently turns NULL
+            for ent in (m.get("initial_defaults") or {}).values():
+                ent["files"] = [
+                    new_path_of[f] if f in new_path_of else f
+                    for f in ent["files"]
+                    if f not in affected_set or f in new_path_of
+                ]
         if v in new_dv_of:
             m["dv_dirs"] = new_dv_of[v]
         m["purged"] = (m.get("purged") or []) + [

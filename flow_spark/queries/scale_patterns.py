@@ -2290,6 +2290,78 @@ def snap_purge_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snap_add_column",
+    category="scale-pattern",
+    doc="ADD COLUMN with an INITIAL DEFAULT (operators/snapshots."
+    "snapshot_add_column — Iceberg v3 initial-default / Delta ALTER "
+    "TABLE ADD COLUMN): a customer table gains loyalty_pts in ONE "
+    "manifest write (add_files_unchanged value-checks the zero-rewrite "
+    "property); every pre-existing row reads the default 100 while an "
+    "appended batch carries computed values — the fill applies only to "
+    "files that PREDATE the column, so post-add rows (including real "
+    "NULLs) are never touched.  At 100 TB widening a table is one "
+    "metadata commit instead of a full rewrite.  Output: per-segment "
+    "row count and exact loyalty-point sum at the head.",
+    oracle="""
+        WITH base AS (
+            SELECT c_mktsegment AS seg, CAST(100 AS BIGINT) AS pts
+            FROM customer
+        ),
+        appended AS (
+            SELECT c_mktsegment AS seg, CAST(c_custkey % 1000 AS BIGINT) AS pts
+            FROM customer WHERE c_custkey % 5 = 0
+        ),
+        unioned AS (
+            SELECT * FROM base UNION ALL SELECT * FROM appended
+        )
+        SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(pts) AS BIGINT) AS pts_sum,
+               CAST(1 AS BIGINT) AS add_files_unchanged
+        FROM unioned GROUP BY seg ORDER BY seg
+    """,
+)
+def snap_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flow_spark.operators.snapshots import (
+        snapshot_add_column,
+        snapshot_append,
+        snapshot_files,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    table_dir = tempfile.mkdtemp(prefix="snap_addcol_")
+    v1 = snapshot_write(cust.repartition(4), table_dir)
+    v2 = snapshot_add_column(table_dir, "loyalty_pts", "bigint", default=100)
+    unchanged = int(
+        sorted(snapshot_files(table_dir, v2))
+        == sorted(snapshot_files(table_dir, v1))
+    )
+    snapshot_append(
+        cust.filter(F.col("c_custkey") % 5 == 0).select(
+            "c_custkey",
+            "c_mktsegment",
+            (F.col("c_custkey") % 1000).cast("bigint").alias("loyalty_pts"),
+        ),
+        table_dir,
+    )
+    return (
+        snapshot_read(spark, table_dir)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("loyalty_pts").cast("bigint").alias("pts_sum"),
+            F.lit(unchanged).cast("bigint").alias("add_files_unchanged"),
+        )
+        .orderBy("seg")
+    )
+
+
+@register(
     "snap_column_mapping",
     category="scale-pattern",
     doc="Schema evolution via COLUMN MAPPING (operators/snapshots."

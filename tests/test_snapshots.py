@@ -3625,3 +3625,93 @@ def test_purge_source_refuses_while_clones_exist(spark, tmp_path):
     assert sorted(r.k for r in snapshot_read(spark, clone).collect()) == [
         k for k in range(10) if k != 4
     ]
+
+
+# ---- ADD COLUMN with initial default (snapshot_add_column) -----------------
+
+
+def test_add_column_initial_default(spark, tmp_path):
+    """Metadata-only ADD COLUMN: pre-existing rows read the default,
+    post-add rows carry real values INCLUDING genuine NULLs, and time
+    travel to the pre-add version sees the old schema."""
+    from flow_spark.operators.snapshots import (
+        snapshot_add_column,
+        snapshot_append,
+    )
+
+    t = str(tmp_path / "tbl")
+    v1 = snapshot_write(
+        spark.range(5).repartition(1).selectExpr("id AS k"), t
+    )
+    files_before = set(snapshot_files(t, v1))
+    v2 = snapshot_add_column(t, "score", "bigint", default=7)
+    assert set(snapshot_files(t, v2)) == files_before  # zero rewrite
+    snapshot_append(
+        spark.sql(
+            "SELECT 100 AS k, 55 AS score UNION ALL "
+            "SELECT 101, CAST(NULL AS BIGINT)"
+        ).selectExpr("CAST(k AS BIGINT) AS k", "CAST(score AS BIGINT) AS score"),
+        t,
+    )
+    got = {r.k: r.score for r in snapshot_read(spark, t).collect()}
+    assert got == {0: 7, 1: 7, 2: 7, 3: 7, 4: 7, 100: 55, 101: None}
+    # pre-add version: no such column
+    assert snapshot_read(spark, t, v1).columns == ["k"]
+
+
+def test_add_column_default_survives_compaction_and_purge(spark, tmp_path):
+    """Rewrites behave correctly in both directions: compaction reads
+    through the manifest and PHYSICALIZES the default; a purge copies
+    footer schemas, so the rewritten pre-file stays in the fill set."""
+    from flow_spark.operators.snapshots import (
+        snapshot_add_column,
+        snapshot_compact,
+        snapshot_purge_key,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(10).repartition(2, "id").selectExpr("id AS k"), t)
+    snapshot_add_column(t, "score", "bigint", default=3)
+    res = snapshot_purge_key(spark, t, "k", [4])
+    assert res["rows_purged"] == 1
+    got = {r.k: r.score for r in snapshot_read(spark, t).collect()}
+    assert got == {k: 3 for k in range(10) if k != 4}
+    v = snapshot_compact(spark, t, target_bytes=1 << 30)
+    got2 = {r.k: r.score for r in snapshot_read(spark, t, v).collect()}
+    assert got2 == got
+    # compacted files physically carry the column now
+    import pyarrow.parquet as pq
+
+    for f in snapshot_files(t, v):
+        assert "score" in pq.read_schema(f).names
+
+
+def test_add_column_follows_rename_and_drop(spark, tmp_path):
+    """The fill is keyed by logical name: it follows RENAME and dies
+    with DROP; re-adding a dropped (retired) name is refused."""
+    from flow_spark.operators.snapshots import (
+        snapshot_add_column,
+        snapshot_drop_column,
+        snapshot_rename_column,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(4).repartition(1).selectExpr("id AS k"), t)
+    snapshot_add_column(t, "tier", "string", default="bronze")
+    snapshot_rename_column(t, "tier", "level")
+    got = {r.k: r.level for r in snapshot_read(spark, t).collect()}
+    assert got == {k: "bronze" for k in range(4)}
+    snapshot_drop_column(t, "level")
+    assert snapshot_read(spark, t).columns == ["k"]
+    import pytest as _pytest
+
+    # the RETIRED name is the PHYSICAL one ('tier', still on disk in
+    # any post-add files) — re-adding it is refused; 'level' was never
+    # physical, so re-adding it is safe and starts fresh
+    with _pytest.raises(ValueError, match="RETIRED"):
+        snapshot_add_column(t, "tier", "string", default="x")
+    snapshot_add_column(t, "level", "string", default="iron")
+    got2 = {r.k: r.level for r in snapshot_read(spark, t).collect()}
+    assert got2 == {k: "iron" for k in range(4)}
+    with _pytest.raises(ValueError, match="already exists"):
+        snapshot_add_column(t, "k", "bigint")
