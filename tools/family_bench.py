@@ -145,6 +145,7 @@ FAMILIES = {
         "snap_stats_agg",
         "snap_hidden_partitioning",
         "snap_purge_key",
+        "snap_add_column",
         "stream_changefeed_replication",
     ],
     "ml": [
