@@ -107,23 +107,30 @@ def asof_join(
                 for c in value_cols
             ],
         )
+    # Right-side timestamp ties are broken INSIDE the main window ordering
+    # instead of a separate ROW_NUMBER dedup pass (r07): ordering right
+    # rows by id ASC makes `last()` pick the greatest id backward and
+    # `first()` pick the smallest id forward — exactly the row the old
+    # (by, ts)-partitioned dedup window kept, minus its Exchange + Sort.
+    tie_order: list[Column] = []
     if right_id_col is not None:
-        id_order = F.desc(right_id_col) if direction == "backward" else F.asc(right_id_col)
-        w_dedup = W.partitionBy(by, ts_col).orderBy(id_order)
-        right = (
-            right.withColumn("__rn", F.row_number().over(w_dedup))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        tie_order = [F.asc_nulls_first("__rid")]
 
     # the right side rides in ONE struct column, picked with ignorenulls as
     # a unit: the match is ROW-wise (merge_asof semantics).  Per-column
     # picks would fill each value column from a DIFFERENT right row when a
     # matched row carries NULL in some value column.
     lcols = left.columns
+    rid_cols_l: list[Column] = []
+    rid_cols_r: list[Column] = []
+    if right_id_col is not None:
+        rid_type = right.schema[right_id_col].dataType
+        rid_cols_l = [F.lit(None).cast(rid_type).alias("__rid")]
+        rid_cols_r = [F.col(right_id_col).alias("__rid")]
     tagged_l = left.select(
         *lcols,
         F.lit(1).alias("__side"),
+        *rid_cols_l,
         F.lit(None)
         .cast(
             "struct<"
@@ -138,6 +145,7 @@ def asof_join(
             for c in lcols
         ],
         F.lit(0).alias("__side"),
+        *rid_cols_r,
         F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__r"),
     )
     unioned = tagged_l.unionByName(tagged_r)
@@ -150,7 +158,7 @@ def asof_join(
         side_order = F.asc("__side") if allow_exact_matches else F.desc("__side")
         w = (
             W.partitionBy(by)
-            .orderBy(F.col(ts_col).asc(), side_order)
+            .orderBy(F.col(ts_col).asc(), side_order, *tie_order)
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
         pick = F.last
@@ -158,7 +166,7 @@ def asof_join(
         side_order = F.desc("__side") if allow_exact_matches else F.asc("__side")
         w = (
             W.partitionBy(by)
-            .orderBy(F.col(ts_col).asc(), side_order)
+            .orderBy(F.col(ts_col).asc(), side_order, *tie_order)
             .rowsBetween(W.currentRow, W.unboundedFollowing)
         )
         pick = F.first

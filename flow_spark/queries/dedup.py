@@ -53,10 +53,16 @@ _SQL_SHINGLES = f"""
 
 
 def _augment(docs: DataFrame) -> DataFrame:
-    dups = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 1000000
-    )
-    return docs.select("doc_id", "text").unionByName(dups.select("doc_id", "text"))
+    # single-scan form of `docs UNION ALL shifted-every-10th`: explode a
+    # 1-or-2-element offset array per row instead of unioning two scans of
+    # the same file (halves the documents read in every dedup query; at
+    # 100 TB the union form reads the corpus twice)
+    offsets = F.when(
+        F.col("doc_id") % 10 == 0, F.array(F.lit(0), F.lit(1000000))
+    ).otherwise(F.array(F.lit(0)))
+    return docs.select(
+        F.explode(offsets).alias("_off"), "doc_id", "text"
+    ).select((F.col("doc_id") + F.col("_off")).alias("doc_id"), "text")
 
 
 # ---- exact dedup -----------------------------------------------------------

@@ -558,24 +558,31 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-level agg instead of two countDistincts: the (orderkey, suppkey)
     # pre-agg is map-side combinable and avoids the Expand operator's 2x
     # shuffle volume (measured 30% faster at sf0.1, and the gap widens
-    # with scale since Expand doubles every shuffled row)
+    # with scale since Expand doubles every shuffled row).
+    #
+    # Single-pass form (r07): the late-line COUNT rides the same pre-agg,
+    # so the late side needs no second lineitem scan and no join back —
+    # when exactly one supplier is late, that supplier's key and late-line
+    # count are recoverable from the per-order rollup (max/sum over the
+    # lone late pair).  2 lineitem scans + SortMergeJoin -> 1 scan + two
+    # keyed aggregations; same rows out under the n_late_supp = 1 filter.
     per_pair = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("is_late").alias("pair_late")
+        F.max("is_late").alias("pair_late"),
+        F.sum(F.col("is_late").cast("long")).alias("n_late_lines"),
     )
-    per_order = per_pair.groupBy(F.col("l_orderkey").alias("agg_orderkey")).agg(
+    late_pair_supp = F.when(F.col("pair_late"), F.col("l_suppkey"))
+    per_order = per_pair.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),
         F.sum(F.col("pair_late").cast("int")).alias("n_late_supp"),
+        F.max(late_pair_supp).alias("late_suppkey"),
+        F.sum(F.when(F.col("pair_late"), F.col("n_late_lines"))).alias("late_lines"),
     )
-    lone_late_orders = per_order.filter(
-        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
-    ).select("agg_orderkey")
+    lone_late = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        li.filter(F.col("is_late"))
-        .join(lone_late_orders, F.col("l_orderkey") == F.col("agg_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        lone_late.join(F.broadcast(supp), F.col("late_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("late_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
