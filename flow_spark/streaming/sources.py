@@ -90,11 +90,12 @@ def changefeed_drain(
         for f in (os.listdir(mdir) if os.path.isdir(mdir) else [])
         if f.startswith("v") and f.endswith(".json")
     )
-    drained = 0
-    for v in existing:
-        final = os.path.join(spool_dir, f"v{v}")
-        if os.path.isdir(final):
-            continue
+    def _spool_one(v: int) -> "str | None":
+        """Compute one version's change set and write it to a hidden tmp
+        dir; returns the tmp path (publication happens later, in version
+        order).  The "_" prefix keeps the in-flight dir invisible to
+        Spark's file listing (the same hidden-path rule
+        FileOutputCommitter's _temporary relies on)."""
         if v == existing[0]:
             # first drainable version: no parent manifest to diff
             # against (v0 never exists; earlier ones may be vacuumed) —
@@ -113,17 +114,36 @@ def changefeed_drain(
         changes = changes.withColumn(
             "_commit_version", F.lit(v).cast("long")
         )
-        # the "_" prefix keeps the in-flight dir invisible to Spark's
-        # file listing (the same hidden-path rule FileOutputCommitter's
-        # _temporary relies on); the rename publishes it all-or-nothing
         tmp = os.path.join(spool_dir, f"_tmp.{_uuid.uuid4().hex[:12]}")
         changes.write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, final)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # concurrent drainer won
-            continue
-        drained += 1
+        return tmp
+
+    # Each version's diff+write is an independent Spark job over static
+    # manifests, so a small thread pool overlaps them (optimization guide
+    # §2.6: later jobs back-fill executors idled by the current job's
+    # tail).  PUBLICATION stays strictly version-ordered below, so a live
+    # tailer can never observe v(N+1) before vN — out-of-order spool
+    # visibility could resurrect a deleted key at a replica whose merge
+    # saw the delete first.
+    todo = [
+        v
+        for v in existing
+        if not os.path.isdir(os.path.join(spool_dir, f"v{v}"))
+    ]
+    drained = 0
+    if todo:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(3, len(todo))) as pool:
+            tmps = list(pool.map(_spool_one, todo))
+        for v, tmp in zip(todo, tmps):
+            final = os.path.join(spool_dir, f"v{v}")
+            try:
+                os.rename(tmp, final)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)  # concurrent drainer won
+                continue
+            drained += 1
     return drained
 
 

@@ -128,8 +128,6 @@ def probes_cents(spark, sf_dir):
 PROBES["cents"] = probes_cents
 
 
-if __name__ == "__main__":
-    main()
 
 
 def probes_repart(spark, sf_dir):
@@ -181,3 +179,130 @@ def probes_repart(spark, sf_dir):
 
 
 PROBES["repart"] = probes_repart
+
+
+
+
+def probes_dot(spark, sf_dir):
+    from functools import reduce
+    from flow_spark.functions.vectors import dot, l2_norm
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def dot64(a, b):
+        terms = [F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double") for i in range(1, 65)]
+        return reduce(lambda x, y: x + y, terms)
+
+    def l2_64(a):
+        terms = [F.element_at(a, i).cast("double") * F.element_at(a, i).cast("double") for i in range(1, 65)]
+        return F.sqrt(reduce(lambda x, y: x + y, terms))
+
+    for tag, d, n in (("hof", dot, l2_norm), ("unroll", dot64, l2_64)):
+        q = emb.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"),
+            n(F.col("embedding")).alias("qnrm"))
+        c = emb.repartition(32).select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec"),
+            n(F.col("embedding")).alias("cnrm"))
+        scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).withColumn(
+            "cos", d(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")))
+        w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+        topk = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5).select(
+            "query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
+        bench_df(spark, f"dot/{tag}", topk)
+    # equivalence: exact bit-level cos comparison between the two forms
+    a, b = F.col("embedding"), F.reverse(F.col("embedding"))
+    cmp = emb.select(
+        F.sum((dot(a, b) != dot64(a, b)).cast("int")).alias("d_dot"),
+        F.sum((l2_norm(a) != l2_64(a)).cast("int")).alias("d_nrm"),
+    ).collect()[0]
+    print("dot mismatches:", cmp)
+
+
+PROBES["dot"] = probes_dot
+
+
+
+
+def probes_wintopk(spark, sf_dir):
+    from flow_spark.queries.util import revenue_cents
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rep = li.repartition("l_suppkey")
+    rev = rep.groupBy("l_suppkey", "l_partkey").agg(F.sum(revenue_cents()).alias("r"))
+    bench_df(spark, "wt/agg-only", rev.groupBy().agg(F.count(F.lit(1))))
+    w = W.partitionBy("l_suppkey").orderBy(F.desc("r"), F.asc("l_partkey"))
+    ranked = rev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    bench_df(spark, "wt/agg+window", ranked.groupBy().agg(F.count(F.lit(1))))
+    from flow_spark.queries.registry import get
+    bench_df(spark, "wt/full", get("win_topk_per_group").builder(spark, sf_dir))
+    # no-repartition variant: classic partial agg + re-exchange
+    rev2 = li.groupBy("l_suppkey", "l_partkey").agg(F.sum(revenue_cents()).alias("r"))
+    ranked2 = rev2.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).select(
+        "l_suppkey", "l_partkey",
+        (F.expr("(r + 50) div 100").cast("double") / 100).alias("revenue"), "rn"
+    ).orderBy("l_suppkey", "rn")
+    bench_df(spark, "wt/norepart", ranked2)
+    print("groups:", rev.count(), "suppliers:", li.select("l_suppkey").distinct().count())
+
+
+PROBES["wintopk"] = probes_wintopk
+
+
+
+
+def probes_cfrep(spark, sf_dir):
+    import tempfile, time as _t
+    from flow_spark.operators.snapshots import (
+        snapshot_append, snapshot_delete, snapshot_read, snapshot_upsert, snapshot_write,
+    )
+    from flow_spark.streaming.sinks import upsert_sink
+    from flow_spark.streaming.sources import changefeed_drain, changefeed_stream
+    from flow_spark.catalog import load_table
+    from flow_spark.queries.streaming_windows import _drain
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias("val"),
+        (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")).alias("early"),
+    )
+    for rep in range(2):
+        t = {}
+        t0 = _t.perf_counter()
+        src = tempfile.mkdtemp(prefix="cfrep_src_")
+        snapshot_write(base.filter("early").select("k", "val"), src, stats_col="k")
+        t['write'] = _t.perf_counter() - t0; t0 = _t.perf_counter()
+        snapshot_upsert(spark, base.filter("early and k % 13 = 0").select("k", (F.col("val") + F.lit(11)).alias("val")), src, "k")
+        t['upsert'] = _t.perf_counter() - t0; t0 = _t.perf_counter()
+        snapshot_delete(spark, src, F.expr("k % 29 = 0"))
+        t['delete'] = _t.perf_counter() - t0; t0 = _t.perf_counter()
+        snapshot_append(base.filter("not early").select("k", "val"), src)
+        t['append'] = _t.perf_counter() - t0; t0 = _t.perf_counter()
+        spool = tempfile.mkdtemp(prefix="cfrep_spool_")
+        changefeed_drain(spark, src, spool, "k", ["val"])
+        t['drain'] = _t.perf_counter() - t0; t0 = _t.perf_counter()
+        replica = tempfile.mkdtemp(prefix="cfrep_replica_")
+        snapshot_write(spark.createDataFrame([], "k long, val long"), replica)
+        t['mkreplica'] = _t.perf_counter() - t0; t0 = _t.perf_counter()
+        stream = changefeed_stream(spark, src, spool, "k", ["val"]).withColumn(
+            "op", F.when(F.col("change_type") == "delete", F.lit("D")).otherwise(F.lit("U")))
+        q = upsert_sink(stream, replica, key_col="k",
+                        checkpoint_dir=tempfile.mkdtemp(prefix="cfrep_ckpt_"),
+                        order_col="_commit_version", op_col="op").trigger(availableNow=True).start()
+        _drain(q)
+        t['stream_merge'] = _t.perf_counter() - t0; t0 = _t.perf_counter()
+        snapshot_read(spark, replica).groupBy((F.col("k") % 10).cast("bigint").alias("bucket")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("val").cast("bigint").alias("val_sum")
+        ).orderBy("bucket").write.format("noop").mode("overwrite").save()
+        t['final_agg'] = _t.perf_counter() - t0
+        print(f"cfrep run{rep}: " + " ".join(f"{k}={v:.2f}" for k, v in t.items()), "total=%.2f" % sum(t.values()))
+
+
+PROBES["cfrep"] = probes_cfrep
+
+
+if __name__ == "__main__":
+    main()
