@@ -292,7 +292,9 @@ def connected_components(
                 "id",
                 F.least(F.col("comp"), F.coalesce("min_nbr", "comp")).alias("comp"),
             )
-            .localCheckpoint()
+            # lazy: the `changed` count below is the round's one action and
+            # triggers materialization — one job per round instead of two
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
