@@ -292,9 +292,7 @@ def connected_components(
                 "id",
                 F.least(F.col("comp"), F.coalesce("min_nbr", "comp")).alias("comp"),
             )
-            # lazy: the `changed` count below is the round's one action and
-            # triggers materialization — one job per round instead of two
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

@@ -106,18 +106,13 @@ def cc_star(
     Returns every node that appears in ``edges`` (components of size 1
     don't exist in an edge list and are the caller's concern).
     """
-    # lazy checkpoints throughout the loop: the convergence probe (the
-    # round's one unavoidable action) triggers materialization, so each
-    # round runs ONE job instead of an eager-checkpoint job plus a probe
-    # job (same trick as graph_bfs_levels; halves the driver round trips
-    # that dominate this operator at fixture scale)
     cur = (
         edges.select(
             *_canonical(F.col(a_col).cast("bigint"), F.col(b_col).cast("bigint"))
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     all_nodes = (
         cur.select(F.col("a").alias("id"))
@@ -145,7 +140,7 @@ def cc_star(
     # probe+checkpoint it saves is the cheaper half.  Per-round probing
     # stands.
     for _ in range(max_iter):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
+        cur = _small_star(_large_star(cur)).localCheckpoint()
         rounds += 1
         sig = _sig(cur)
         if sig == prev:
