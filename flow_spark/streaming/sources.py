@@ -115,7 +115,11 @@ def changefeed_drain(
             "_commit_version", F.lit(v).cast("long")
         )
         tmp = os.path.join(spool_dir, f"_tmp.{_uuid.uuid4().hex[:12]}")
-        changes.write.mode("overwrite").parquet(tmp)
+        try:
+            changes.write.mode("overwrite").parquet(tmp)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)  # no half-written orphan
+            raise
         return tmp
 
     # Each version's diff+write is an independent Spark job over static
@@ -134,16 +138,44 @@ def changefeed_drain(
     if todo:
         from concurrent.futures import ThreadPoolExecutor
 
+        # Submit versions individually and publish each as soon as IT and
+        # all its predecessors are spooled — a live tailer sees the ordered
+        # prefix at the old sequential-drain latency while later versions
+        # still compute in the background.  On any failure the published
+        # prefix stays (every version up to the failure, like the old
+        # sequential loop), and the finally-sweep removes the tmp dirs of
+        # spooled-but-unpublished versions so repeated transient failures
+        # can't accumulate orphans.
         with ThreadPoolExecutor(max_workers=min(3, len(todo))) as pool:
-            tmps = list(pool.map(_spool_one, todo))
-        for v, tmp in zip(todo, tmps):
-            final = os.path.join(spool_dir, f"v{v}")
+            futures = [pool.submit(_spool_one, v) for v in todo]
             try:
-                os.rename(tmp, final)
-            except OSError:
-                shutil.rmtree(tmp, ignore_errors=True)  # concurrent drainer won
-                continue
-            drained += 1
+                for v, fut in zip(todo, futures):
+                    tmp = fut.result()  # spool failure -> stop publishing
+                    final = os.path.join(spool_dir, f"v{v}")
+                    try:
+                        os.rename(tmp, final)
+                    except OSError:
+                        shutil.rmtree(tmp, ignore_errors=True)
+                        if os.path.isdir(final):
+                            continue  # concurrent drainer published vN
+                        # real rename failure (EACCES, ENOSPC, ...): vN is
+                        # ABSENT, so publishing v(N+1) would violate the
+                        # strictly-ordered-visibility invariant a replica's
+                        # merge depends on — stop here, surface the error
+                        raise
+                    drained += 1
+            finally:
+                for fut in futures:
+                    fut.cancel()  # unstarted versions never spool
+                for fut in futures:
+                    if fut.cancelled():
+                        continue
+                    try:
+                        tmp = fut.result()
+                    except Exception:  # noqa: BLE001 — its tmp was never made
+                        continue
+                    if tmp and os.path.isdir(tmp):  # spooled, not published
+                        shutil.rmtree(tmp, ignore_errors=True)
     return drained
 
 

@@ -2512,6 +2512,84 @@ def test_changefeed_replicates_table_via_upsert_sink(spark, tmp_path):
     assert rep_rows == src_rows
 
 
+def test_changefeed_drain_failure_publishes_prefix_no_orphans(
+    spark, tmp_path, monkeypatch
+):
+    """A spool failure mid-drain (VERDICT r7 #4): every version BEFORE the
+    failing one is still published (in order, like the old sequential
+    loop), nothing at or after it becomes visible, no _tmp.* orphans are
+    left behind, and a retry completes the drain."""
+    import os as _os
+
+    import flow_spark.operators.snapshots as snaps
+    from flow_spark.operators.snapshots import snapshot_append, snapshot_write
+    from flow_spark.streaming.sources import changefeed_drain
+
+    t = str(tmp_path / "tbl")
+    spool = str(tmp_path / "spool")
+    snapshot_write(spark.range(4).selectExpr("id AS k", "id AS val"), t)
+    for lo in (10, 20, 30):
+        snapshot_append(
+            spark.range(lo, lo + 2).selectExpr("id AS k", "id AS val"), t
+        )
+
+    real = snaps.snapshot_changes
+
+    def boom(spark_, table_dir, v_from, v_to, key_col, value_cols):
+        if v_to == 3:
+            raise RuntimeError("injected spool failure")
+        return real(spark_, table_dir, v_from, v_to, key_col, value_cols)
+
+    monkeypatch.setattr(snaps, "snapshot_changes", boom)
+    with pytest.raises(RuntimeError, match="injected spool failure"):
+        changefeed_drain(spark, t, spool, "k", ["val"])
+    names = set(_os.listdir(spool))
+    assert {"v1", "v2"} <= names, "ordered prefix before the failure"
+    assert "v3" not in names and "v4" not in names, "nothing after it"
+    assert not [n for n in names if n.startswith("_tmp.")], "no orphans"
+
+    monkeypatch.setattr(snaps, "snapshot_changes", real)
+    assert changefeed_drain(spark, t, spool, "k", ["val"]) == 2
+    assert sorted(
+        r.k for r in spark.read.parquet(_os.path.join(spool, "v3")).collect()
+    ) == [20, 21]
+
+
+def test_changefeed_drain_rename_failure_keeps_order(spark, tmp_path, monkeypatch):
+    """ADVICE r7: a rename OSError with NO concurrent drainer (the final
+    dir is absent — e.g. EACCES/ENOSPC) must stop publication instead of
+    making v(N+1) visible before vN."""
+    import os as _os
+
+    from flow_spark.operators.snapshots import snapshot_append, snapshot_write
+    from flow_spark.streaming.sources import changefeed_drain
+
+    t = str(tmp_path / "tbl")
+    spool = str(tmp_path / "spool")
+    snapshot_write(spark.range(3).selectExpr("id AS k", "id AS val"), t)
+    for lo in (10, 20):
+        snapshot_append(
+            spark.range(lo, lo + 2).selectExpr("id AS k", "id AS val"), t
+        )
+
+    real_rename = _os.rename
+
+    def flaky_rename(src, dst):
+        if dst.endswith("v2"):
+            raise OSError("injected rename failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", flaky_rename)
+    with pytest.raises(OSError, match="injected rename failure"):
+        changefeed_drain(spark, t, spool, "k", ["val"])
+    monkeypatch.setattr(_os, "rename", real_rename)
+    names = set(_os.listdir(spool))
+    assert "v1" in names and "v2" not in names and "v3" not in names
+    assert not [n for n in names if n.startswith("_tmp.")], "no orphans"
+    # retry finishes the drain
+    assert changefeed_drain(spark, t, spool, "k", ["val"]) == 2
+
+
 def test_changefeed_drain_survives_vacuum(spark, tmp_path):
     """A fresh spool on a vacuumed table emits the oldest surviving
     version as full inserts (Delta streaming-CDF initial-snapshot
