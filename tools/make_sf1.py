@@ -56,10 +56,30 @@ def ensure_sf1(
     con = duckdb.connect()
     rep = f"(SELECT UNNEST(range(0, {N_REPLICAS})) AS i)"
 
-    def gen(name: str, select: str, replicate: bool = True) -> None:
+    def gen(
+        name: str,
+        select: str,
+        replicate: bool = True,
+        row_group_size: int | None = None,
+    ) -> None:
+        """``row_group_size``: every table must end up MULTI-row-group
+        (VERDICT r7 #5) — the row group is Spark's scan-split unit, so a
+        single-row-group file is a single-task scan at any core count
+        (the sf0.1 fixtures' documented censoring artifact).  DuckDB's
+        default (122880 rows) already gives the big tables 9-49 row
+        groups; the small corpus tables (documents/embeddings/supplier/
+        customer/part) need an explicit smaller size.  Tables stay ONE
+        FILE each: the DuckDB oracle (read_parquet) and the file-stream
+        sources (_as_stream_dir symlink) address single files, and
+        Spark's byte-range splitting parallelizes within a file at
+        row-group granularity anyway — multi-file adds nothing those
+        contracts don't lose."""
         frm = f"'{src}/{name}.parquet' t" + (f" CROSS JOIN {rep} r" if replicate else "")
+        opts = "FORMAT PARQUET" + (
+            f", ROW_GROUP_SIZE {row_group_size}" if row_group_size else ""
+        )
         con.execute(
-            f"COPY (SELECT {select} FROM {frm}) TO '{dst}/{name}.parquet' (FORMAT PARQUET)"
+            f"COPY (SELECT {select} FROM {frm}) TO '{dst}/{name}.parquet' ({opts})"
         )
 
     gen("region", "*", replicate=False)
@@ -68,15 +88,18 @@ def ensure_sf1(
         "customer",
         f"c_custkey + r.i * {K_OFF} AS c_custkey, c_name, c_nationkey, "
         "c_acctbal, c_mktsegment",
+        row_group_size=16384,
     )
     gen(
         "supplier",
         f"s_suppkey + r.i * {K_OFF} AS s_suppkey, s_name, s_nationkey, s_acctbal",
+        row_group_size=1024,
     )
     gen(
         "part",
         f"p_partkey + r.i * {K_OFF} AS p_partkey, p_name, p_brand, p_type, "
         "p_size, p_retailprice",
+        row_group_size=16384,
     )
     gen(
         "orders",
@@ -107,6 +130,7 @@ def ensure_sf1(
         "CAST(LENGTH(CASE WHEN r.i = 0 THEN text ELSE "
         "regexp_replace(text, '([a-z]+)', '\\1' || CAST(r.i AS VARCHAR), 'g') "
         "END) AS BIGINT) AS n_chars",
+        row_group_size=4096,
     )
     gen(
         "embeddings",
@@ -114,6 +138,7 @@ def ensure_sf1(
         "CASE WHEN r.i = 0 THEN embedding ELSE "
         "embedding[(r.i + 1):] || embedding[1:r.i] END AS embedding, "
         "label",
+        row_group_size=2048,
     )
     con.close()
     with open(marker, "w") as f:
