@@ -1,10 +1,11 @@
-"""Snapshot .explain("formatted") per headline query into plans/<tag>/.
+"""Snapshot .explain("formatted") per headline query into plans/<round>/.
 
 Usage: python tools/plan_snap.py <suffix> [sf_dir] [name ...]
 
-Writes plans/r07/<query>_<suffix>.txt (suffix = before|after).  The round-7
-optimization judge checks plan claims (Exchange counts, join strategies,
-PushedFilters) against these files, so they are committed verbatim.
+Writes plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<suffix>.txt (suffix =
+before|after; round defaults to r08).  The optimization judge checks plan
+claims (Exchange counts, join strategies, PushedFilters) against these
+files, so they are committed verbatim.
 """
 
 from __future__ import annotations
@@ -18,7 +19,11 @@ from bench import HEADLINE  # noqa: E402
 from flow_spark.queries.registry import all_queries  # noqa: E402
 from flow_spark.session import get_spark  # noqa: E402
 
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r07")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r08"),
+)
 
 
 def main() -> None:
