@@ -922,7 +922,6 @@ def stream_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
-    import time as _time
 
     from flow_spark.operators.snapshots import snapshot_read, snapshot_write
     from flow_spark.streaming.sinks import upsert_sink
@@ -948,20 +947,23 @@ def stream_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot_write(initial, table_dir, stats_col="k")
     # CDC spool: one parquet file per ascending date segment -> with
     # maxFilesPerTrigger=1 each segment is one micro-batch, in order, so
-    # cross-batch last-writer-wins == global argmax by (day, orderkey)
-    spool = tempfile.mkdtemp(prefix="stream_upsert_cdc_")
-    lo = None
-    for i, hi in enumerate(("1994-01-01", "1996-01-01", None)):
-        seg = upd
-        if lo is not None:
-            seg = seg.filter(F.col("odate") >= F.lit(lo).cast("date"))
-        if hi is not None:
-            seg = seg.filter(F.col("odate") < F.lit(hi).cast("date"))
-        seg.select("k", "cents", "ord").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{spool}/b{i}")
-        _time.sleep(0.05)  # distinct mtimes pin file-source batch order
-        lo = hi
+    # cross-batch last-writer-wins == global argmax by (day, orderkey).
+    # ONE partitioned write job lands all three segments (the
+    # _segment_spool machinery stream_cdc_deletes already uses; r08 —
+    # replaces three sequential write jobs with mtime-pinning sleeps).
+    spool = _segment_spool(
+        upd.select(
+            "k",
+            "cents",
+            "ord",
+            F.when(F.col("odate") < F.lit("1994-01-01").cast("date"), 0)
+            .when(F.col("odate") < F.lit("1996-01-01").cast("date"), 1)
+            .otherwise(2)
+            .alias("seg"),
+        ),
+        prefix="stream_upsert_cdc_",
+        n_segments=3,
+    )
     stream = (
         spark.readStream.schema("k long, cents long, ord long")
         .option("pathGlobFilter", "*.parquet")
@@ -1359,12 +1361,16 @@ def stream_stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stateful operator's cost is (partitions x micro-batches) Python
     # state workers, and the store count is pinned from
     # spark.sql.shuffle.partitions at query START (checkpoint
-    # property), independent of the batch shuffle width.  8 partitions
-    # comfortably hold the per-key state here; a real deployment sizes
-    # this to state volume, not to the batch-shuffle default.
+    # property), independent of the batch shuffle width.  A real
+    # deployment sizes this to state volume, not to the batch-shuffle
+    # default — parameterised here (env) with the local default that
+    # r7/r8 interleaved A/Bs measured fastest for this drain.
     conf = spark.conf
     prev_parts = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.shuffle.partitions", "8")
+    conf.set(
+        "spark.sql.shuffle.partitions",
+        _os.environ.get("SPARK_GRAFT_SSAJ_STATE_PARTS", "8"),
+    )
     try:
         q = (
             out.writeStream.outputMode("append")
