@@ -608,43 +608,53 @@ def asof_join_stream(
 
     def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         wm_ms = state.getCurrentWatermarkMs()
+        # a left at ms L is sealed iff wm > L, i.e. wm_ms > ts_us//1000,
+        # i.e. ts_us < wm_ms*1000 (non-negative integers) — precomputed
+        # so the per-row checks below are one comparison, no division
+        wm_us = wm_ms * 1000
         if state.exists:
             pend_ts, pend_id, hist_ts, hist_val, hist_id = (
                 list(x) for x in state.get
             )
         else:
             pend_ts, pend_id, hist_ts, hist_val, hist_id = [], [], [], [], []
-        chunks = (
-            [] if state.hasTimedOut else [c for c in pdfs if len(c)]
-        )
-        if chunks:
-            pdf = (
-                chunks[0] if len(chunks) == 1 else pd.concat(chunks)
-            ).sort_values(["ts_us", "eid"])
-            for ts_us, eid, val, side in zip(
-                pdf["ts_us"], pdf["eid"], pdf["val"], pdf["side"]
-            ):
-                ts_us, eid = int(ts_us), int(eid)
-                if int(side) == 1:
-                    v = int(val)
-                    i = bisect.bisect_left(hist_ts, ts_us)
-                    if i < len(hist_ts) and hist_ts[i] == ts_us:
-                        if eid > hist_id[i]:  # same-ts tie: greatest id
-                            hist_val[i], hist_id[i] = v, eid
+        if not state.hasTimedOut:
+            # NO cross-chunk sort needed (r08, guide §1.2 per-task work —
+            # the concat+sort here was vestigial from the order-sensitive
+            # GCRA template): right-side inserts go through bisect with a
+            # greatest-id tie rule, both order-independent, and pending
+            # lefts are sorted at emission below.  .tolist() converts the
+            # Arrow-backed columns to plain Python ints once instead of
+            # yielding numpy scalars element-wise.
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                for ts_us, eid, val, side in zip(
+                    pdf["ts_us"].tolist(),
+                    pdf["eid"].tolist(),
+                    pdf["val"].tolist(),
+                    pdf["side"].tolist(),
+                ):
+                    if side == 1:
+                        v = int(val)
+                        i = bisect.bisect_left(hist_ts, ts_us)
+                        if i < len(hist_ts) and hist_ts[i] == ts_us:
+                            if eid > hist_id[i]:  # same-ts tie: greatest id
+                                hist_val[i], hist_id[i] = v, eid
+                        else:
+                            hist_ts.insert(i, ts_us)
+                            hist_val.insert(i, v)
+                            hist_id.insert(i, eid)
                     else:
-                        hist_ts.insert(i, ts_us)
-                        hist_val.insert(i, v)
-                        hist_id.insert(i, eid)
-                else:
-                    pend_ts.append(ts_us)
-                    pend_id.append(eid)
+                        pend_ts.append(ts_us)
+                        pend_id.append(eid)
         # emit every pending left the watermark has sealed: no right
         # with event time <= it can still arrive
         out: list[tuple[int, int, int, "int | None"]] = []
         keep_ts: list[int] = []
         keep_id: list[int] = []
         for ts_us, eid in sorted(zip(pend_ts, pend_id)):
-            if wm_ms > ts_us // 1000:
+            if ts_us < wm_us:
                 j = bisect.bisect_right(hist_ts, ts_us) - 1
                 out.append(
                     (eid, key[0], ts_us, hist_val[j] if j >= 0 else None)
@@ -653,14 +663,17 @@ def asof_join_stream(
                 keep_ts.append(ts_us)
                 keep_id.append(eid)
         # trim sealed rights, keeping the newest sealed one — it is
-        # still the as-of match for future (>= watermark) lefts
-        cut = bisect.bisect_left([t // 1000 for t in hist_ts], wm_ms)
+        # still the as-of match for future (>= watermark) lefts.
+        # t//1000 < wm_ms == t < wm_us for non-negative t, so the cut
+        # bisects hist_ts directly instead of building a divided copy.
+        cut = bisect.bisect_left(hist_ts, wm_us)
         drop = max(0, cut - 1)
-        hist_ts, hist_val, hist_id = (
-            hist_ts[drop:],
-            hist_val[drop:],
-            hist_id[drop:],
-        )
+        if drop:
+            hist_ts, hist_val, hist_id = (
+                hist_ts[drop:],
+                hist_val[drop:],
+                hist_id[drop:],
+            )
         if keep_ts or hist_ts:
             state.update((keep_ts, keep_id, hist_ts, hist_val, hist_id))
             if keep_ts:
