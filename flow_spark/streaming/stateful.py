@@ -535,13 +535,22 @@ ASOF_OUTPUT_SCHEMA = StructType(
     ]
 )
 
+#: bucketed state: one state-store entry per KEY BUCKET, holding the
+#: parallel per-key sub-states (element i of every array belongs to
+#: keys[i]).  Bucketing exists because applyInPandasWithState pays a
+#: fixed JVM->Python protocol round trip PER GROUP PER BATCH (~0.9 ms
+#: measured) — grouped per key, that term scales with key count;
+#: grouped per bucket it is capped at n_buckets calls per batch
+#: (guide §4: you cannot remove the boundary, but you control how many
+#: times you cross it).
 ASOF_STATE_SCHEMA = StructType(
     [
-        StructField("pend_ts", ArrayType(LongType())),
-        StructField("pend_id", ArrayType(LongType())),
-        StructField("hist_ts", ArrayType(LongType())),
-        StructField("hist_val", ArrayType(LongType())),
-        StructField("hist_id", ArrayType(LongType())),
+        StructField("keys", ArrayType(LongType())),
+        StructField("pend_ts", ArrayType(ArrayType(LongType()))),
+        StructField("pend_id", ArrayType(ArrayType(LongType()))),
+        StructField("hist_ts", ArrayType(ArrayType(LongType()))),
+        StructField("hist_val", ArrayType(ArrayType(LongType()))),
+        StructField("hist_id", ArrayType(ArrayType(LongType()))),
     ]
 )
 
@@ -555,6 +564,7 @@ def asof_join_stream(
     right_val_col: str,
     right_id_col: str,
     delay: str = "5 minutes",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """STREAM-STREAM as-of join: each left event is enriched with the
     value of the latest right event at-or-before its event time for the
@@ -582,10 +592,34 @@ def asof_join_stream(
     (global max event-time ms across BOTH streams minus the delay) —
     an exact, batching-independent contract the DuckDB oracle replays.
 
+    The stateful operator groups on ``pmod(key, n_buckets)``, NOT on
+    the key itself (r08, guide §4): applyInPandasWithState pays a fixed
+    JVM->Python group-protocol round trip per GROUP per batch (~0.9 ms
+    measured), so per-key grouping makes the drain cost scale with key
+    count — bucketing caps it at n_buckets calls per batch while the
+    per-key logic moves inside the fn (a dict of per-key sub-states).
+    The emitted SET is unchanged: a bucket call sweeps every key it
+    holds, so a sealed left emits no later than the batch in which its
+    per-key timeout would have fired, and timeouts arm at the bucket's
+    min pending ms (never later than any member key's own arm point;
+    one firing sweeps all sealed lefts at the current watermark, so no
+    extra micro-batches are needed).  The trade-off is per-call state
+    width: a called bucket rehydrates all its keys, so a deployment
+    with sparse per-batch key activity sizes ``n_buckets`` up (env
+    ``SPARK_GRAFT_SSAJ_BUCKETS``; default 32 — measured 1.27x over
+    per-key grouping on the sf0.1 drain, where batches touch most
+    keys; 8/32/64 were within noise of each other).
+
     Returns (left_id, akey, ts_us, asof_val) in append mode; asof_val
     is NULL when no right row precedes the left row.
     """
     import bisect
+    import os
+
+    if n_buckets is None:
+        n_buckets = int(os.environ.get("SPARK_GRAFT_SSAJ_BUCKETS", "32"))
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
 
     tagged = left.select(
         F.col(key_col).cast("long").alias("akey"),
@@ -603,7 +637,13 @@ def asof_join_stream(
         )
     )
     prepared = tagged.withWatermark("ts", delay).select(
-        "akey", "ts", F.unix_micros("ts").alias("ts_us"), "eid", "val", "side"
+        F.pmod(F.col("akey"), F.lit(n_buckets)).alias("bkey"),
+        "akey",
+        "ts",
+        F.unix_micros("ts").alias("ts_us"),
+        "eid",
+        "val",
+        "side",
     )
 
     def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
@@ -612,12 +652,19 @@ def asof_join_stream(
         # i.e. ts_us < wm_ms*1000 (non-negative integers) — precomputed
         # so the per-row checks below are one comparison, no division
         wm_us = wm_ms * 1000
+        # per-key sub-states of this bucket:
+        # akey -> [pend_ts, pend_id, hist_ts, hist_val, hist_id]
+        sub: dict[int, list[list[int]]] = {}
         if state.exists:
-            pend_ts, pend_id, hist_ts, hist_val, hist_id = (
-                list(x) for x in state.get
-            )
-        else:
-            pend_ts, pend_id, hist_ts, hist_val, hist_id = [], [], [], [], []
+            keys, pts, pid, hts, hval, hid = state.get
+            for i, k in enumerate(keys):
+                sub[k] = [
+                    list(pts[i]),
+                    list(pid[i]),
+                    list(hts[i]),
+                    list(hval[i]),
+                    list(hid[i]),
+                ]
         if not state.hasTimedOut:
             # NO cross-chunk sort needed (r08, guide §1.2 per-task work —
             # the concat+sort here was vestigial from the order-sensitive
@@ -629,13 +676,18 @@ def asof_join_stream(
             for pdf in pdfs:
                 if not len(pdf):
                     continue
-                for ts_us, eid, val, side in zip(
+                for akey, ts_us, eid, val, side in zip(
+                    pdf["akey"].tolist(),
                     pdf["ts_us"].tolist(),
                     pdf["eid"].tolist(),
                     pdf["val"].tolist(),
                     pdf["side"].tolist(),
                 ):
+                    s = sub.get(akey)
+                    if s is None:
+                        s = sub[akey] = [[], [], [], [], []]
                     if side == 1:
+                        hist_ts, hist_val, hist_id = s[2], s[3], s[4]
                         v = int(val)
                         i = bisect.bisect_left(hist_ts, ts_us)
                         if i < len(hist_ts) and hist_ts[i] == ts_us:
@@ -646,42 +698,68 @@ def asof_join_stream(
                             hist_val.insert(i, v)
                             hist_id.insert(i, eid)
                     else:
-                        pend_ts.append(ts_us)
-                        pend_id.append(eid)
-        # emit every pending left the watermark has sealed: no right
-        # with event time <= it can still arrive
+                        s[0].append(ts_us)
+                        s[1].append(eid)
+        # emit, for EVERY key in the bucket, the pending lefts the
+        # watermark has sealed: no right with event time <= them can
+        # still arrive.  Sweeping keys without input this batch only
+        # moves their emission EARLIER than a per-key timeout would
+        # (never later) — the emitted set is unchanged.
         out: list[tuple[int, int, int, "int | None"]] = []
-        keep_ts: list[int] = []
-        keep_id: list[int] = []
-        for ts_us, eid in sorted(zip(pend_ts, pend_id)):
-            if ts_us < wm_us:
-                j = bisect.bisect_right(hist_ts, ts_us) - 1
-                out.append(
-                    (eid, key[0], ts_us, hist_val[j] if j >= 0 else None)
+        nkeys: list[int] = []
+        npts: list[list[int]] = []
+        npid: list[list[int]] = []
+        nhts: list[list[int]] = []
+        nhval: list[list[int]] = []
+        nhid: list[list[int]] = []
+        min_keep = None
+        for akey, (pend_ts, pend_id, hist_ts, hist_val, hist_id) in sub.items():
+            keep_ts: list[int] = []
+            keep_id: list[int] = []
+            for ts_us, eid in sorted(zip(pend_ts, pend_id)):
+                if ts_us < wm_us:
+                    j = bisect.bisect_right(hist_ts, ts_us) - 1
+                    out.append(
+                        (eid, akey, ts_us, hist_val[j] if j >= 0 else None)
+                    )
+                else:
+                    keep_ts.append(ts_us)
+                    keep_id.append(eid)
+            # trim sealed rights, keeping the newest sealed one — it is
+            # still the as-of match for future (>= watermark) lefts.
+            # t//1000 < wm_ms == t < wm_us for non-negative t, so the
+            # cut bisects hist_ts directly, no divided copy.
+            cut = bisect.bisect_left(hist_ts, wm_us)
+            drop = max(0, cut - 1)
+            if drop:
+                hist_ts, hist_val, hist_id = (
+                    hist_ts[drop:],
+                    hist_val[drop:],
+                    hist_id[drop:],
                 )
-            else:
-                keep_ts.append(ts_us)
-                keep_id.append(eid)
-        # trim sealed rights, keeping the newest sealed one — it is
-        # still the as-of match for future (>= watermark) lefts.
-        # t//1000 < wm_ms == t < wm_us for non-negative t, so the cut
-        # bisects hist_ts directly instead of building a divided copy.
-        cut = bisect.bisect_left(hist_ts, wm_us)
-        drop = max(0, cut - 1)
-        if drop:
-            hist_ts, hist_val, hist_id = (
-                hist_ts[drop:],
-                hist_val[drop:],
-                hist_id[drop:],
-            )
-        if keep_ts or hist_ts:
-            state.update((keep_ts, keep_id, hist_ts, hist_val, hist_id))
-            if keep_ts:
+            if keep_ts or hist_ts:
+                nkeys.append(akey)
+                npts.append(keep_ts)
+                npid.append(keep_id)
+                nhts.append(hist_ts)
+                nhval.append(hist_val)
+                nhid.append(hist_id)
+                # keep_ts came out of the sorted() sweep ascending, so
+                # its head is this key's min pending
+                if keep_ts and (min_keep is None or keep_ts[0] < min_keep):
+                    min_keep = keep_ts[0]
+        if nkeys:
+            state.update((nkeys, npts, npid, nhts, nhval, nhid))
+            if min_keep is not None:
                 # timeouts fire when the watermark STRICTLY exceeds the
                 # set timestamp, and a left at ms L is sealed once
-                # wm > L — so arm at L itself (wm > L fires exactly at
-                # the seal point; L+1 would silently drop a left whose
-                # seal equals the final watermark).  The API requires a
+                # wm > L — so arm at the bucket's min pending L itself
+                # (wm > L fires exactly at the seal point; L+1 would
+                # silently drop a left whose seal equals the final
+                # watermark).  Arming at the bucket min is never LATER
+                # than any member key's own arm point, and one firing
+                # sweeps every sealed left in the bucket, so no key
+                # waits on a second firing.  The API requires a
                 # timestamp strictly above the current watermark: when
                 # wm == L already (the left seals at the very next
                 # advance), wm+1 is the closest legal arm point; the
@@ -689,18 +767,19 @@ def asof_join_stream(
                 # EXACTLY one ms past such a left — vanishingly narrow
                 # and batching-dependent, unlike the +1 bug this
                 # replaces, which dropped at every exact-boundary seal.
-                state.setTimeoutTimestamp(
-                    max(wm_ms + 1, min(keep_ts) // 1000)
-                )
+                # A stale armed timeout from an earlier batch (pendings
+                # since emitted by a data-triggered sweep) fires into
+                # an empty sweep and re-arms or lapses — harmless.
+                state.setTimeoutTimestamp(max(wm_ms + 1, min_keep // 1000))
         else:
             state.remove()
-        if out:  # constructing an empty DataFrame per silent key costs
-            # more than the whole emission path at 1000s of keys/batch
+        if out:  # constructing an empty DataFrame per silent bucket
+            # costs more than the whole emission path
             yield pd.DataFrame(
                 out, columns=["left_id", "akey", "ts_us", "asof_val"]
             )
 
-    return prepared.groupBy("akey").applyInPandasWithState(
+    return prepared.groupBy("bkey").applyInPandasWithState(
         fn,
         outputStructType=ASOF_OUTPUT_SCHEMA,
         stateStructType=ASOF_STATE_SCHEMA,

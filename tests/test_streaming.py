@@ -2193,7 +2193,8 @@ def test_twa_stream_late_row_keeps_edge(spark, tmp_path):
     assert got == expected
 
 
-def test_stream_stream_asof_join_semantics(spark, tmp_path):
+@pytest.mark.parametrize("n_buckets", [1, 32])
+def test_stream_stream_asof_join_semantics(spark, tmp_path, n_buckets):
     """asof_join_stream: both sides live streams.  Pins (a) a left
     matching a right that arrived in an EARLIER batch, (b) a left whose
     match arrives in a LATER batch than the left itself (the left must
@@ -2201,7 +2202,12 @@ def test_stream_stream_asof_join_semantics(spark, tmp_path):
     timeout flush), (c) same-event-time right tie resolving to the
     greatest event id, (d) a key with no rights emitting NULL, and
     (e) the watermark tail: a left with event-time ms not strictly
-    below (global max ms - delay) is NOT emitted."""
+    below (global max ms - delay) is NOT emitted.
+
+    Parametrized over the state-bucketing width (r08): n_buckets=1
+    forces BOTH keys into one shared state bucket (per-key isolation,
+    tie rules, NULL emission and timeout sweeps must all hold inside a
+    multi-key bucket), n_buckets=32 gives each key its own bucket."""
     import json as _json
     import time as _time
 
@@ -2266,11 +2272,12 @@ def test_stream_stream_asof_join_semantics(spark, tmp_path):
         right_val_col="vc",
         right_id_col="event_id",
         delay="10 seconds",
+        n_buckets=n_buckets,
     )
     q = (
         out.writeStream.outputMode("append")
         .format("memory")
-        .queryName("ssaj_test_sink")
+        .queryName(f"ssaj_test_sink_b{n_buckets}")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
         .start()
@@ -2278,7 +2285,7 @@ def test_stream_stream_asof_join_semantics(spark, tmp_path):
     q.awaitTermination(120)
     got = {
         r.left_id: (r.akey, r.ts_us, r.asof_val)
-        for r in spark.table("ssaj_test_sink").collect()
+        for r in spark.table(f"ssaj_test_sink_b{n_buckets}").collect()
     }
     assert got == {
         1: (1, 100_000_000, 99),  # tie at ts=90 -> greatest id's value
