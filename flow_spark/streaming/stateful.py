@@ -161,12 +161,16 @@ SESSION_OUTPUT_SCHEMA = StructType(
     ]
 )
 
+#: bucketed per-key open sessions (element i of every array belongs to
+#: keys[i]) — see ASOF_STATE_SCHEMA for why stateful operators group on
+#: a key BUCKET.
 SESSION_STATE_SCHEMA = StructType(
     [
-        StructField("start_us", LongType()),
-        StructField("last_us", LongType()),
-        StructField("n", LongType()),
-        StructField("total", LongType()),
+        StructField("keys", ArrayType(LongType())),
+        StructField("start_us", ArrayType(LongType())),
+        StructField("last_us", ArrayType(LongType())),
+        StructField("n", ArrayType(LongType())),
+        StructField("total", ArrayType(LongType())),
     ]
 )
 
@@ -177,6 +181,7 @@ def sessionize_stream(
     key_col: str,
     ts_col: str,
     val_col: str,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Custom stateful sessionization with EVENT-TIME TIMEOUT state expiry —
     the applyInPandasWithState surface F.session_window can't reach: the
@@ -192,44 +197,105 @@ def sessionize_stream(
     state is per-key in the state store, one shuffle on the key, and the
     watermark bounds state size exactly as the built-in operator's.
 
+    The stateful operator groups on ``pmod(key, n_buckets)``, not on the
+    key itself (r08, guide §4 — same rationale and measured basis as
+    ``asof_join_stream``): applyInPandasWithState pays a fixed
+    JVM->Python group round trip per group per batch, so per-key
+    grouping scales the drain with key count; bucketing caps it at
+    ``n_buckets`` calls per batch (and state-store rows at n_buckets)
+    while the per-key sessions move inside the fn.  The closed-session
+    SET is unchanged: every call sweeps the bucket with the per-key
+    timer rule itself (close iff watermark ms STRICTLY exceeds
+    last_ms + gap_ms), so a session closes in the first batch whose
+    watermark passes its deadline — exactly when its own per-key timer
+    would have fired — and the bucket timeout re-arms at the bucket's
+    min deadline (never later than any member key's own arm point).
+    Env knob ``SPARK_GRAFT_SESSION_BUCKETS`` (default 32).
+
     Input must already carry ``withWatermark(ts_col, ...)``.
     """
+    import os
+
+    if n_buckets is None:
+        n_buckets = int(os.environ.get("SPARK_GRAFT_SESSION_BUCKETS", "32"))
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     gap_us = gap_minutes * 60 * 1_000_000
+    gap_ms = gap_minutes * 60 * 1000
 
     prepared = df.select(
         F.col(key_col).cast("long").alias("skey"),
         F.col(ts_col).alias("ts"),
         F.unix_micros(F.col(ts_col)).alias("ts_us"),
         F.col(val_col).cast("long").alias("v"),
-    )
+    ).withColumn("bkey", F.pmod(F.col("skey"), F.lit(n_buckets)))
 
     def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        wm_ms = state.getCurrentWatermarkMs()
+        # per-key open sessions of this bucket:
+        # skey -> [start_us, last_us, n, total]
+        sub: dict[int, list[int]] = {}
+        if state.exists:
+            keys, sts, lts, ns, tots = state.get
+            for i, k in enumerate(keys):
+                sub[k] = [sts[i], lts[i], ns[i], tots[i]]
         closed: list[tuple[int, int, int, int, int]] = []
-        if state.hasTimedOut:
-            start_us, last_us, n, total = state.get  # .get is a property
-            closed.append((key[0], start_us, last_us, n, total))
-            state.remove()
-        else:
-            pdf = pd.concat(list(pdfs)).sort_values(["ts_us"])
-            cur = list(state.get) if state.exists else None
-            for ts_us, v in zip(pdf["ts_us"], pdf["v"]):
-                ts_us, v = int(ts_us), int(v)
+        if not state.hasTimedOut:
+            # key-major sort keeps each key's rows in event-time order
+            # (the per-key semantics) while one pass walks key runs
+            pdf = pd.concat(list(pdfs)).sort_values(["skey", "ts_us"])
+            for skey, ts_us, v in zip(
+                pdf["skey"].tolist(), pdf["ts_us"].tolist(), pdf["v"].tolist()
+            ):
+                cur = sub.get(skey)
                 if cur is not None and ts_us - cur[1] > gap_us:
-                    closed.append((key[0], cur[0], cur[1], cur[2], cur[3]))
+                    closed.append((skey, cur[0], cur[1], cur[2], cur[3]))
                     cur = None
                 if cur is None:
-                    cur = [ts_us, ts_us, 0, 0]
+                    cur = sub[skey] = [ts_us, ts_us, 0, 0]
                 cur[1] = ts_us
                 cur[2] += 1
                 cur[3] += v
-            state.update(tuple(cur))
-            # close when the watermark passes last_event + gap
-            state.setTimeoutTimestamp(cur[1] // 1000 + gap_minutes * 60 * 1000)
+        # sweep EVERY key in the bucket with the per-key timer rule:
+        # a session closes iff the watermark ms strictly exceeds
+        # last_ms + gap_ms — the exact condition under which its own
+        # per-key EventTimeTimeout would have fired, so the closed set
+        # (and each closed row) is identical to per-key grouping.  A
+        # data row can never rescue a swept session: late rows older
+        # than the watermark are filtered before the operator, so any
+        # row for this key has ts >= wm > last + gap — an inline break.
+        nkeys: list[int] = []
+        nst: list[int] = []
+        nlt: list[int] = []
+        nn: list[int] = []
+        ntot: list[int] = []
+        min_deadline = None
+        for skey, cur in sub.items():
+            deadline_ms = cur[1] // 1000 + gap_ms
+            if wm_ms > deadline_ms:
+                closed.append((skey, cur[0], cur[1], cur[2], cur[3]))
+            else:
+                nkeys.append(skey)
+                nst.append(cur[0])
+                nlt.append(cur[1])
+                nn.append(cur[2])
+                ntot.append(cur[3])
+                if min_deadline is None or deadline_ms < min_deadline:
+                    min_deadline = deadline_ms
+        if nkeys:
+            state.update((nkeys, nst, nlt, nn, ntot))
+            # re-arm at the bucket's min deadline; the API needs a ts
+            # strictly above the current watermark — a kept deadline can
+            # EQUAL wm (close needs wm strictly greater), so clamp to
+            # wm+1 (same one-ms-edge note as asof_join_stream).
+            state.setTimeoutTimestamp(max(wm_ms + 1, min_deadline))
+        elif state.exists:
+            state.remove()
         yield pd.DataFrame(
             closed, columns=["skey", "start_us", "end_us", "n", "total"]
         )
 
-    return prepared.groupBy("skey").applyInPandasWithState(
+    return prepared.groupBy("bkey").applyInPandasWithState(
         fn,
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
@@ -248,10 +314,14 @@ FUNNEL_OUTPUT_SCHEMA = StructType(
     ]
 )
 
+#: bucketed per-key funnel progress (element i of every array belongs to
+#: keys[i]) — see ASOF_STATE_SCHEMA for why stateful operators group on
+#: a key BUCKET.
 FUNNEL_STATE_SCHEMA = StructType(
     [
-        StructField("view_us", LongType()),
-        StructField("click_us", LongType()),
+        StructField("keys", ArrayType(LongType())),
+        StructField("view_us", ArrayType(LongType())),
+        StructField("click_us", ArrayType(LongType())),
     ]
 )
 
@@ -262,6 +332,7 @@ def funnel_stream(
     ts_col: str,
     type_col: str,
     id_col: str,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """CEP-style ordered-pattern detection over a stream: the greedy
     view -> click -> purchase state machine per key, with partial
@@ -278,37 +349,80 @@ def funnel_stream(
     recurrence replays as a recursive CTE, so the registry entry is
     VALUE-checked, and multi-batch == single-batch equivalence is
     runtime-tested.
+
+    The stateful operator groups on ``pmod(key, n_buckets)``, not on
+    the key itself (r08, guide §4 — same rationale and measured basis
+    as ``asof_join_stream``): applyInPandasWithState pays a fixed
+    JVM->Python group round trip per group per batch, so per-key
+    grouping scales the drain with key count; bucketing caps it at
+    ``n_buckets`` calls per batch (and state-store rows at n_buckets).
+    The bucket's rows are sorted by (key, ts, id) — each key's
+    subsequence keeps (ts, id) order, so the state machine's emissions
+    are unchanged row for row; keys whose funnel is fully reset
+    ((-1, -1)) are dropped from state, since an absent key IS the reset
+    state.  Env knob ``SPARK_GRAFT_CEP_BUCKETS`` (default 32).
     """
+    import os
+
+    if n_buckets is None:
+        n_buckets = int(os.environ.get("SPARK_GRAFT_CEP_BUCKETS", "32"))
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     prepared = df.select(
         F.col(key_col).cast("long").alias("fkey"),
         F.unix_micros(F.col(ts_col)).alias("ts_us"),
         F.col(type_col).alias("etype"),
         F.col(id_col).cast("long").alias("eid"),
-    )
+    ).withColumn("bkey", F.pmod(F.col("fkey"), F.lit(n_buckets)))
 
     def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        # per-key funnel progress of this bucket: fkey -> [view, click]
+        if state.exists:
+            keys, views, clicks = state.get
+            sub = {k: [v, c] for k, v, c in zip(keys, views, clicks)}
+        else:
+            sub = {}
         out: list[tuple[int, int, int, int, int]] = []
-        pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "eid"])
-        view_us, click_us = state.get if state.exists else (-1, -1)
-        for ts_us, etype, eid in zip(pdf["ts_us"], pdf["etype"], pdf["eid"]):
-            ts_us, eid = int(ts_us), int(eid)
+        # key-major sort keeps each key's rows in (ts, id) order — the
+        # per-key state-machine order — while one pass walks key runs
+        pdf = pd.concat(list(pdfs)).sort_values(["fkey", "ts_us", "eid"])
+        for fkey, ts_us, etype, eid in zip(
+            pdf["fkey"].tolist(),
+            pdf["ts_us"].tolist(),
+            pdf["etype"].tolist(),
+            pdf["eid"].tolist(),
+        ):
+            s = sub.get(fkey)
+            if s is None:
+                s = sub[fkey] = [-1, -1]
             if etype == "view":
-                if view_us < 0:
-                    view_us = ts_us
+                if s[0] < 0:
+                    s[0] = ts_us
             elif etype == "click":
-                if view_us >= 0 and click_us < 0:
-                    click_us = ts_us
+                if s[0] >= 0 and s[1] < 0:
+                    s[1] = ts_us
             elif etype == "purchase":
-                if click_us >= 0:
-                    out.append((key[0], view_us, click_us, ts_us, eid))
-                    view_us, click_us = -1, -1
-        state.update((view_us, click_us))
+                if s[1] >= 0:
+                    out.append((fkey, s[0], s[1], ts_us, eid))
+                    s[0] = -1
+                    s[1] = -1
+        kept = {k: s for k, s in sub.items() if s[0] >= 0 or s[1] >= 0}
+        if kept:
+            state.update(
+                (
+                    list(kept.keys()),
+                    [s[0] for s in kept.values()],
+                    [s[1] for s in kept.values()],
+                )
+            )
+        elif state.exists:
+            state.remove()
         yield pd.DataFrame(
             out,
             columns=["fkey", "view_us", "click_us", "purchase_us", "purchase_id"],
         )
 
-    return prepared.groupBy("fkey").applyInPandasWithState(
+    return prepared.groupBy("bkey").applyInPandasWithState(
         fn,
         outputStructType=FUNNEL_OUTPUT_SCHEMA,
         stateStructType=FUNNEL_STATE_SCHEMA,
@@ -416,13 +530,17 @@ TWA_OUTPUT_SCHEMA = StructType(
     ]
 )
 
+#: bucketed per-key TWA edges and running totals (element i of every
+#: array belongs to keys[i]) — see ASOF_STATE_SCHEMA for why stateful
+#: operators group on a key BUCKET.
 TWA_STATE_SCHEMA = StructType(
     [
-        StructField("last_us", LongType()),
-        StructField("last_v", LongType()),
-        StructField("n", LongType()),
-        StructField("held_us", LongType()),
-        StructField("acc_num", LongType()),
+        StructField("keys", ArrayType(LongType())),
+        StructField("last_us", ArrayType(LongType())),
+        StructField("last_v", ArrayType(LongType())),
+        StructField("n", ArrayType(LongType())),
+        StructField("held_us", ArrayType(LongType())),
+        StructField("acc_num", ArrayType(LongType())),
     ]
 )
 
@@ -433,6 +551,7 @@ def twa_stream(
     ts_col: str,
     val_col: str,
     order_col: str = "event_id",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Streaming time-weighted average: per key, the value is a step
     function held between consecutive events, and the running TWA
@@ -452,39 +571,94 @@ def twa_stream(
     because unix_micros is legitimately negative for pre-1970
     timestamps.  State is two longs + three counters per key, one
     shuffle on the key.
+
+    The stateful operator groups on ``pmod(key, n_buckets)``, not on
+    the key itself (r08, guide §4 — same rationale and measured basis
+    as ``asof_join_stream``): applyInPandasWithState pays a fixed
+    JVM->Python group round trip per group per batch, so per-key
+    grouping scales the drain with key count; bucketing caps it at
+    ``n_buckets`` calls per batch (and state-store rows at n_buckets).
+    The bucket's rows are sorted by (key, ts, ord) — each key's
+    subsequence keeps (ts, ord) order, so every TWA fold is unchanged —
+    and a bucket call emits the running row for exactly the keys that
+    HAD INPUT this batch (per-key grouping only invoked the fn for
+    those), so the emitted row set is identical.  Env knob
+    ``SPARK_GRAFT_TWA_BUCKETS`` (default 32).
     """
+    import os
+
+    if n_buckets is None:
+        n_buckets = int(os.environ.get("SPARK_GRAFT_TWA_BUCKETS", "32"))
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     prepared = df.select(
         F.col(key_col).cast("long").alias("tkey"),
         F.unix_micros(F.col(ts_col)).alias("ts_us"),
         F.col(order_col).cast("long").alias("ord"),
         F.col(val_col).cast("long").alias("v"),
-    )
+    ).withColumn("bkey", F.pmod(F.col("tkey"), F.lit(n_buckets)))
 
     def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
-        pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "ord"])
+        # per-key TWA sub-states of this bucket:
+        # tkey -> [last_us, last_v, n, held, acc]
+        sub: dict[int, list[int]] = {}
         if state.exists:
-            last_us, last_v, n, held, acc = (int(x) for x in state.get)
-        else:
-            last_us = last_v = n = held = acc = 0
-        for ts_us, v in zip(pdf["ts_us"], pdf["v"]):
-            ts_us, v = int(ts_us), int(v)
-            if n == 0:
-                last_us, last_v = ts_us, v
-            elif ts_us >= last_us:
-                dur = ts_us - last_us
-                held += dur
-                acc += last_v * dur
-                last_us, last_v = ts_us, v
-            # else: late row older than the carried edge — count it only
-            n += 1
-        state.update((last_us, last_v, n, held, acc))
-        twa = acc // held if held > 0 else last_v
+            keys, lus, lvs, ns, helds, accs = state.get
+            for i, k in enumerate(keys):
+                sub[k] = [
+                    int(lus[i]),
+                    int(lvs[i]),
+                    int(ns[i]),
+                    int(helds[i]),
+                    int(accs[i]),
+                ]
+        # key-major sort keeps each key's rows in (ts, ord) order — the
+        # per-key fold order — while one pass walks key runs
+        pdf = pd.concat(list(pdfs)).sort_values(["tkey", "ts_us", "ord"])
+        tks = pdf["tkey"].tolist()
+        tss = pdf["ts_us"].tolist()
+        vs = pdf["v"].tolist()
+        out: list[tuple[int, int, int, int, int]] = []
+        i, nrow = 0, len(tks)
+        while i < nrow:
+            k = tks[i]
+            s = sub.get(k)
+            if s is None:
+                s = sub[k] = [0, 0, 0, 0, 0]
+            last_us, last_v, n, held, acc = s
+            j = i
+            while j < nrow and tks[j] == k:
+                ts_us, v = tss[j], vs[j]
+                if n == 0:
+                    last_us, last_v = ts_us, v
+                elif ts_us >= last_us:
+                    dur = ts_us - last_us
+                    held += dur
+                    acc += last_v * dur
+                    last_us, last_v = ts_us, v
+                # else: late row older than the carried edge — count only
+                n += 1
+                j += 1
+            s[0], s[1], s[2], s[3], s[4] = last_us, last_v, n, held, acc
+            # emit ONLY keys with input this batch (matches per-key form)
+            out.append((k, n, held, acc, acc // held if held > 0 else last_v))
+            i = j
+        state.update(
+            (
+                list(sub.keys()),
+                [s[0] for s in sub.values()],
+                [s[1] for s in sub.values()],
+                [s[2] for s in sub.values()],
+                [s[3] for s in sub.values()],
+                [s[4] for s in sub.values()],
+            )
+        )
         yield pd.DataFrame(
-            [(key[0], n, held, acc, twa)],
+            out,
             columns=["tkey", "n_events", "held_us", "acc_num", "twa_cents"],
         )
 
-    return prepared.groupBy("tkey").applyInPandasWithState(
+    return prepared.groupBy("bkey").applyInPandasWithState(
         fn,
         outputStructType=TWA_OUTPUT_SCHEMA,
         stateStructType=TWA_STATE_SCHEMA,

@@ -1154,7 +1154,8 @@ def test_streaming_incremental_rollup_maintenance(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
-def test_stateful_session_event_time_timeout(spark, tmp_path):
+@pytest.mark.parametrize("n_buckets", [1, 32])
+def test_stateful_session_event_time_timeout(spark, tmp_path, n_buckets):
     """Custom sessionization via applyInPandasWithState with
     EventTimeTimeout: in-batch gaps close sessions inline; cross-batch
     gaps close when the WATERMARK passes last_event + gap (the state
@@ -1197,12 +1198,18 @@ def test_stateful_session_event_time_timeout(spark, tmp_path):
         .withWatermark("ts", "5 minutes")
     )
     sessions = sessionize_stream(
-        stream, gap_minutes=10, key_col="skey", ts_col="ts", val_col="v"
+        stream,
+        gap_minutes=10,
+        key_col="skey",
+        ts_col="ts",
+        val_col="v",
+        n_buckets=n_buckets,
     )
+    sink = f"sess_out_b{n_buckets}"
     q = (
         sessions.writeStream.outputMode("append")
         .format("memory")
-        .queryName("sess_out")
+        .queryName(sink)
         .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
         .start()
     )
@@ -1213,7 +1220,7 @@ def test_stateful_session_event_time_timeout(spark, tmp_path):
 
     got = {
         (r.skey, r.start_us, r.end_us, r.n, r.total)
-        for r in spark.sql("SELECT * FROM sess_out").collect()
+        for r in spark.sql(f"SELECT * FROM {sink}").collect()
     }
     us = lambda h, m: int(datetime(2024, 1, 1, h, m).timestamp() * 1_000_000)  # noqa: E731
     expected = {
@@ -1541,10 +1548,14 @@ def test_gcra_correct_when_group_spans_arrow_chunks(spark, tmp_path):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
 
 
-def test_funnel_cep_multibatch_equals_singlebatch(spark, tmp_path):
+@pytest.mark.parametrize("n_buckets", [1, 32])
+def test_funnel_cep_multibatch_equals_singlebatch(spark, tmp_path, n_buckets):
     """funnel_stream: partial pattern progress must survive micro-batch
     boundaries — a view in batch 1, click in batch 2 and purchase in
-    batch 3 form ONE funnel, identical to the single-batch drain."""
+    batch 3 form ONE funnel, identical to the single-batch drain.
+    Parametrized over the state-bucketing width (r08): n_buckets=1
+    forces BOTH users into one shared bucket (per-key isolation inside
+    a multi-key bucket), n_buckets=32 gives each key its own bucket."""
     import json as _json
 
     from flow_spark.streaming.stateful import funnel_stream
@@ -1587,9 +1598,14 @@ def test_funnel_cep_multibatch_equals_singlebatch(spark, tmp_path):
             .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
         )
         out = funnel_stream(
-            stream, key_col="user", ts_col="ts", type_col="etype", id_col="eid"
+            stream,
+            key_col="user",
+            ts_col="ts",
+            type_col="etype",
+            id_col="eid",
+            n_buckets=n_buckets,
         )
-        name = f"funnel_{tag}"
+        name = f"funnel_{tag}_b{n_buckets}"
         q = (
             out.writeStream.outputMode("append")
             .format("memory")
@@ -1834,11 +1850,14 @@ def test_streaming_psi_drift_monitor(spark, tmp_path):
     assert scores[-1] == psi_ppm_bits(ref_counts, batch_counts)
 
 
-def test_twa_stream_multibatch_equals_singlebatch(spark, tmp_path):
+@pytest.mark.parametrize("n_buckets", [1, 32])
+def test_twa_stream_multibatch_equals_singlebatch(spark, tmp_path, n_buckets):
     """twa_stream: the (last_us, last_v) edge must carry across
     micro-batch boundaries — splitting the same events into 3 files
     yields the same FINAL running totals as one file, and both equal the
-    hand-computed step-function TWA."""
+    hand-computed step-function TWA.  Parametrized over the
+    state-bucketing width (r08): n_buckets=1 forces both users into one
+    shared bucket, n_buckets=32 gives each key its own bucket."""
     import json as _json
     import time as _time
 
@@ -1880,9 +1899,14 @@ def test_twa_stream_multibatch_equals_singlebatch(spark, tmp_path):
             .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
         )
         out = twa_stream(
-            stream, key_col="user", ts_col="ts", val_col="vc", order_col="eid"
+            stream,
+            key_col="user",
+            ts_col="ts",
+            val_col="vc",
+            order_col="eid",
+            n_buckets=n_buckets,
         )
-        name = f"twa_{tag}"
+        name = f"twa_{tag}_b{n_buckets}"
         q = (
             out.writeStream.outputMode("update")
             .format("memory")
@@ -2127,7 +2151,8 @@ def test_streaming_upsert_end_to_end(spark, tmp_path):
     assert got_replayed == expected
 
 
-def test_twa_stream_late_row_keeps_edge(spark, tmp_path):
+@pytest.mark.parametrize("n_buckets", [1, 32])
+def test_twa_stream_late_row_keeps_edge(spark, tmp_path, n_buckets):
     """twa_stream: a row arriving in a LATER micro-batch with a ts older
     than the carried (last_us, last_v) edge is counted in n_events but
     must contribute zero duration AND leave the edge untouched — an
@@ -2171,19 +2196,25 @@ def test_twa_stream_late_row_keeps_edge(spark, tmp_path):
         .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
     )
     out = twa_stream(
-        stream, key_col="user", ts_col="ts", val_col="vc", order_col="eid"
+        stream,
+        key_col="user",
+        ts_col="ts",
+        val_col="vc",
+        order_col="eid",
+        n_buckets=n_buckets,
     )
+    sink = f"twa_late_b{n_buckets}"
     q = (
         out.writeStream.outputMode("update")
         .format("memory")
-        .queryName("twa_late")
+        .queryName(sink)
         .option("checkpointLocation", str(tmp_path / "ckpt_late"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(120)
     final: dict = {}
-    for r in spark.table("twa_late").collect():
+    for r in spark.table(sink).collect():
         if r.tkey not in final or r.n_events > final[r.tkey].n_events:
             final[r.tkey] = r
     got = sorted(
