@@ -35,6 +35,41 @@ def _drain(q, timeout: int = 1800) -> None:
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _state_parts(spark: SparkSession, default: int = 8):
+    """Narrow ``spark.sql.shuffle.partitions`` while a STATEFUL streaming
+    query starts: the value at ``.start()`` is baked into the query's
+    state partitioning (every state partition pays a state-store
+    open/commit plus an applyInPandasWithState Python-runner round trip
+    PER BATCH, so width = fixed per-batch cost), and the session value
+    is restored immediately after start — batch queries planned later
+    are unaffected.  Default 8 matches the stream-stream as-of join's
+    measured optimum (r08: 2 serializes, 32 loses clearly, 8 vs 16
+    within noise); an ABBA A/B over the sessionize/TWA/funnel/GCRA
+    drains at sf0.1 measured 32 -> 8 at 1.6-2.4x (15/16 pairings).
+    Production sizes state width to key volume via
+    ``SPARK_GRAFT_STATE_PARTS`` — the cost model is per-batch fixed
+    overhead x width vs per-partition state size, not a local[32]
+    constant (checkpoints are per-invocation scratch dirs, so the width
+    is free to change between runs).
+    """
+    import os as _os
+
+    conf = spark.conf
+    prev = conf.get("spark.sql.shuffle.partitions")
+    conf.set(
+        "spark.sql.shuffle.partitions",
+        _os.environ.get("SPARK_GRAFT_STATE_PARTS", str(default)),
+    )
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _segment_spool(
     df: DataFrame,
     prefix: str,
@@ -261,14 +296,15 @@ def stream_gcra_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     throttled = throttle_stream(compressed, rps=5, key_col="user")
     name = f"gcra_{uuid.uuid4().hex[:8]}"
-    q = (
-        throttled.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="gcra_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _state_parts(spark):
+        q = (
+            throttled.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="gcra_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
     _drain(q)
     return (
         spark.table(name)
@@ -430,14 +466,15 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fresh scratch checkpoint per invocation: a reused one would replay
     # as "no new data" and drain zero rows
     ckpt = tempfile.mkdtemp(prefix="flow-spark-ckpt-sessionize-")
-    q = (
-        sessions.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _state_parts(spark):
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
     _drain(q)
     return spark.table(name).orderBy("skey", "start_us")
 
@@ -613,14 +650,17 @@ def stream_funnel_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="event_id",
     )
     name = f"funnel_{uuid.uuid4().hex[:8]}"
-    q = (
-        funnels.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="funnel_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _state_parts(spark):
+        q = (
+            funnels.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="funnel_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
     _drain(q)
     return spark.table(name).agg(
         F.count("*").cast("bigint").alias("n_funnels"),
@@ -683,14 +723,15 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks_stream = stream.select(F.explode(tokens(F.col("text"))).alias("item"))
     summaries = heavy_hitters_stream(toks_stream, "item", n_shards=4, capacity=64)
     name = f"mg_{uuid.uuid4().hex[:8]}"
-    q = (
-        summaries.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="mg_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _state_parts(spark):
+        q = (
+            summaries.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="mg_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
     _drain(q)
     from pyspark.sql.window import Window as W
 
@@ -864,14 +905,15 @@ def stream_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "stream_twa_sink"
     ckpt = tempfile.mkdtemp(prefix="flow-spark-ckpt-twa-")
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _state_parts(spark):
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
     _drain(q)
     return spark.table(name).orderBy("tkey")
 
@@ -1080,14 +1122,15 @@ def stream_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = quantile_monitor_stream(prepared, key_col="event_type", val_col="vc")
     name = "stream_quantile_monitor_sink"
     ckpt = tempfile.mkdtemp(prefix="flow-spark-ckpt-qm-")
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _state_parts(spark):
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
     _drain(q)
     return spark.table(name).orderBy("qkey")
 
